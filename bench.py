@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall-clock seconds.
+
+Execution is forced through the noop sink (full computation on executors,
+nothing collected to the driver) so timings reflect the distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (scan+agg, join+topN, star join,
+# semi join, window, similarity-match cascade, dedup, ANN — extended as
+# milestones land).
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "order_priority_semi",
+    "top1_order_per_customer",
+    "running_order_total",
+    "fn_token_sort_ratio",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entrymod
+    from firmable_company_data_pipeline_spark import get_spark
+
+    spark = get_spark("firmable-bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM/session on the smallest table once.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings = {}
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

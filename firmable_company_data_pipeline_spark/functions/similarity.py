@@ -1,0 +1,46 @@
+"""String similarity scoring (reference F17/F18,
+transform/entity_matching.py:151-153, test/entity_matching_test.py:71).
+
+Two modes, per SURVEY.md §7:
+
+* **native** (default): token-sort + Levenshtein ratio, pure Column
+  expressions — JVM-side, codegen-friendly, oracle-expressible. This is
+  the scorer the fuzzy-match cascade uses; at 100 TB the whole similarity
+  join stays inside whole-stage codegen.
+* **exact rapidfuzz parity** lives in ``operators/matching.py`` as an
+  optional Arrow-batched pandas UDF (``scorer="rapidfuzz"``) for users who
+  need bug-for-bug token_sort_ratio, at UDF cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_sort(col: Column) -> Column:
+    """Lowercase, split on whitespace, sort tokens, re-join.
+
+    Mirrors rapidfuzz's token_sort preprocessing (alphanumeric tokenization
+    approximated by whitespace split over already-cleaned names).
+    """
+    tokens = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.array_join(F.array_sort(tokens), " ")
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """``(1 - levenshtein/max(len)) * 100`` — 0..100, 100 = identical (F18).
+
+    Note: rapidfuzz ``fuzz.ratio`` is an indel ratio over ``len(a)+len(b)``;
+    this Levenshtein variant is the documented native approximation. Both
+    are 100 iff strings are equal, which is what the match thresholds key on.
+    """
+    max_len = F.greatest(F.length(a), F.length(b))
+    return F.when(max_len == 0, F.lit(100.0)).otherwise(
+        (F.lit(1.0) - F.levenshtein(a, b) / max_len) * 100.0
+    )
+
+
+def token_sort_ratio(a: Column, b: Column) -> Column:
+    """Native token_sort_ratio approximation (F17): sort tokens, then ratio."""
+    return levenshtein_ratio(token_sort(a), token_sort(b))

@@ -1,0 +1,412 @@
+"""Core relational queries (SURVEY.md §2.2-2.7): projections, predicates,
+equi/semi/anti joins, grouped aggregates, distinct, windows, sort/limit/
+offset, unions.
+
+These exercise the Spark primitives the reference's operators map onto
+(J1-J3, A1-A7, O1-O3, U1, P1-P8) over the driver's TPC-H-ish tables.
+Scale notes inline: every join states its expected physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from firmable_company_data_pipeline_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# pricing_summary — flagship (TPC-H Q1 shape). Single scan + partial agg:
+# at 100 TB this is one shuffle of 6 groups; map-side combine does the work.
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 2)                                            AS avg_qty,
+       round(avg(l_extendedprice), 2)                                       AS avg_price,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_revenue_orders — Q3 shape: filtered dim join + agg + deterministic topN.
+# customer is tiny relative to lineitem → broadcast; lineitem⋈orders shuffles
+# on orderkey (co-partitioned at scale via bucketing on l_orderkey).
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("2000-01-01"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_revenue — Q5 shape: star join through region/nation/supplier.
+# All dims broadcast (region 5 rows, nation 25, supplier ~SF*10k) —
+# lineitem never shuffles for the dim joins; one final 2-key agg shuffle.
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "region", "nation", "supplier", "lineitem")
+    return (
+        t["lineitem"]
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATION_REVENUE_SQL = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_priority_semi — Q4 shape: EXISTS → left-semi join (J2 analog,
+# reference transform/entity_matching.py:100-103 subquery-IN pushdown).
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    late_items = t["lineitem"].filter(F.col("l_shipdate") > F.lit("2000-06-01"))
+    return (
+        t["orders"]
+        .join(late_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2000-06-01')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# customers_without_orders — anti-join residual (J3/P7 analog, reference
+# transform/entity_matching.py:172-174 cascade residual computation).
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_order_dims — DISTINCT projection (A3/A4, reference
+# transform/entity_matching.py:100-103,117).
+def distinct_order_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    return t["orders"].select("o_orderstatus", "o_orderpriority").distinct()
+
+
+DISTINCT_ORDER_DIMS_SQL = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# top1_order_per_customer — per-group arg-max (A6/O3, reference
+# transform/entity_matching.py:151-156 extractOne): window row_number()==1,
+# deterministic tie-break. One shuffle on the partition key.
+def top1_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("best_totalprice"),
+        )
+    )
+
+
+TOP1_ORDER_PER_CUSTOMER_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS best_orderkey,
+       round(o_totalprice, 2) AS best_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# running_order_total — window frame (rows unbounded preceding → current).
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+RUNNING_ORDER_TOTAL_SQL = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS cum_spend
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_lag_delta — lag/lead over event streams (batch view).
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        t["events"]
+        .withColumn("prev_value", F.lag("value").over(w))
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.round(F.col("value") - F.col("prev_value"), 2).alias("value_delta"),
+        )
+    )
+
+
+EVENTS_LAG_DELTA_SQL = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 2)
+           AS value_delta
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# union_missing_columns — U1: unionByName(allowMissingColumns=True), the
+# cascade-union with null-padding (transform/entity_matching.py:57-66,297).
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    high = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.lit("high_value").alias("src"),
+        )
+    )
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.lit("urgent").alias("src"),
+        )
+    )
+    return high.unionByName(urgent, allowMissingColumns=True)
+
+
+UNION_MISSING_COLUMNS_SQL = """
+SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice,
+       'high_value' AS src, CAST(NULL AS VARCHAR) AS priority
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey AS orderkey, CAST(NULL AS DOUBLE) AS totalprice,
+       'urgent' AS src, o_orderpriority AS priority
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_page — O1: ORDER BY + OFFSET + FETCH (reference
+# transform/entity_matching.py:95-110 pagination; obsolete at scale but part
+# of the API surface). Deterministic total order.
+def orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(100)
+        .limit(50)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+        )
+    )
+
+
+ORDERS_PAGE_SQL = """
+SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+OFFSET 100 LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# priority_price_stats — grouped numeric aggregates (count/sum/avg/min/max —
+# absent from the reference, SURVEY §2.4 note; Spark built-ins).
+def priority_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+PRIORITY_PRICE_STATS_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(avg(o_totalprice), 2) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_json_k — JSONB analog (reference structured_data JSONB column,
+# db/ddl_scripts.sql:36): get_json_object over events.props.
+def events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENTS_JSON_K_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "top_revenue_orders": top_revenue_orders,
+    "nation_revenue": nation_revenue,
+    "order_priority_semi": order_priority_semi,
+    "customers_without_orders": customers_without_orders,
+    "distinct_order_dims": distinct_order_dims,
+    "top1_order_per_customer": top1_order_per_customer,
+    "running_order_total": running_order_total,
+    "events_lag_delta": events_lag_delta,
+    "union_missing_columns": union_missing_columns,
+    "orders_page": orders_page,
+    "priority_price_stats": priority_price_stats,
+    "events_json_k": events_json_k,
+}
+
+ORACLES = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
+    "nation_revenue": NATION_REVENUE_SQL,
+    "order_priority_semi": ORDER_PRIORITY_SEMI_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "distinct_order_dims": DISTINCT_ORDER_DIMS_SQL,
+    "top1_order_per_customer": TOP1_ORDER_PER_CUSTOMER_SQL,
+    "running_order_total": RUNNING_ORDER_TOTAL_SQL,
+    "events_lag_delta": EVENTS_LAG_DELTA_SQL,
+    "union_missing_columns": UNION_MISSING_COLUMNS_SQL,
+    "orders_page": ORDERS_PAGE_SQL,
+    "priority_price_stats": PRIORITY_PRICE_STATS_SQL,
+    "events_json_k": EVENTS_JSON_K_SQL,
+}

@@ -1,0 +1,110 @@
+"""SparkSession factory tuned for both local testing and large clusters.
+
+The defaults here are the scale-minded settings we want everywhere:
+AQE (runtime join-strategy switches + skew-join splitting — the postcode
+blocks of the matching cascade are heavily skewed, cf. reference
+``transform/entity_matching.py:143-150``), Arrow for any pandas-UDF
+boundary, and partition counts sized from the available parallelism
+rather than hard-coded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Local test parallelism; on a real cluster Spark's own defaults win."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "firmable-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    On a cluster, pass ``master=None`` and submit normally — only the SQL
+    conf below applies.  Locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # Local: one shuffle partition per core. On a 1000-executor cluster
+        # this should be overridden (or left to AQE coalescing: we set a
+        # generous initial number and let AQE shrink it).
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-planning — coalesce small shuffle partitions,
+        # convert to broadcast joins when a side turns out small, split
+        # skewed partitions (critical for skewed block keys in fuzzy match).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDF / toPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Don't let tiny files explode the task count in tests; at 100 TB
+        # the default 128m is right, so we only set this under local[].
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load the driver's parquet tables as DataFrames.
+
+    Returns a dict name -> DataFrame.  Column pruning / predicate pushdown
+    happen at the parquet scan because we never materialize here.
+    """
+    all_names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for n in all_names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if n == "events":
+            out[n] = _read_events(spark, path)
+        else:
+            out[n] = spark.read.parquet(path)
+    return out
+
+
+def _read_events(spark: SparkSession, path: str):
+    """The driver's events table stores ``ts`` as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects. Read nanos as long (legacy conf) and
+    convert to a microsecond timestamp (truncation — matches how nanosecond
+    values surface from DuckDB/pandas at µs precision)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
+    if isinstance(field, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
