@@ -19,12 +19,15 @@ from pyspark.sql import functions as F
 
 
 def token_sort(col: Column) -> Column:
-    """Lowercase, split on whitespace, sort tokens, re-join.
+    """Lowercase, strip non-alphanumerics, split, sort tokens, re-join.
 
-    Mirrors rapidfuzz's token_sort preprocessing (alphanumeric tokenization
-    approximated by whitespace split over already-cleaned names).
+    Mirrors fuzzywuzzy's ``full_process`` + token_sort preprocessing:
+    punctuation (e.g. ``&``) is dropped before tokenizing, so punctuation
+    variants ("A & B" vs "a and b") aren't over-penalized by the
+    Levenshtein ratio the way raw strings would be.
     """
-    tokens = F.split(F.trim(F.lower(col)), r"\s+")
+    normalized = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
+    tokens = F.split(F.trim(F.regexp_replace(normalized, r"\s+", " ")), " ")
     return F.array_join(F.array_sort(tokens), " ")
 
 

@@ -1,4 +1,236 @@
-"""Placeholder — populated in a later milestone."""
+"""Entity-matching cascade queries over the driver tables (SURVEY.md §2.3).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+``part`` is deterministically split into an ABR-like entity table and a
+CC-like crawl table with three variant classes, mirroring the reference's
+test recipe (test/entity_matching_test.py):
+
+* ``p_partkey % 3 == 0`` — exact copy with a (space-padded) ABN → stage 1
+  rule-based join (trim-at-join, transform/entity_matching.py:131).
+* ``p_partkey % 3 == 1`` — scrambled word order, upper-cased, no ABN →
+  stage 2 blocked fuzzy match (token-sort ratio 100).
+* ``p_partkey % 3 == 2`` — initials abbreviation, no ABN → stage 3 LLM
+  stub (signature resolution).
+
+The block key is ``p_size`` (the postcode analog). Every query routes
+through the real operator library; the DuckDB oracle re-implements the
+semantics in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.operators.matching import (
+    anti_join_residual,
+    fuzzy_match,
+    llm_match,
+    match_cascade,
+    rule_based_match,
+)
+from firmable_company_data_pipeline_spark.session import load_tables
+
+
+def _abr_side(part: DataFrame) -> DataFrame:
+    """Entity table: abn = zero-padded partkey, name/type/state from part."""
+    return part.select(
+        F.lpad(F.col("p_partkey").cast("string"), 11, "0").alias("abn"),
+        F.col("p_name").alias("entity_name"),
+        F.col("p_type").alias("entity_type"),
+        F.col("p_brand").alias("state"),
+        F.col("p_size").cast("string").alias("postcode"),
+    )
+
+
+def _cc_side(part: DataFrame) -> DataFrame:
+    """Crawl table: one row per part, variant class by partkey % 3."""
+    k = F.col("p_partkey")
+    words = F.split(F.col("p_name"), " ")
+    scrambled = F.upper(F.concat_ws(" ", F.element_at(words, 2), F.element_at(words, 1)))
+    initials = F.upper(
+        F.array_join(F.transform(words, lambda w: F.substring(w, 1, 1)), "")
+    )
+    cls = k % 3
+    return part.select(
+        F.concat(F.lit("p"), k.cast("string"), F.lit(".com.au")).alias("domain"),
+        F.when(cls == 0, F.col("p_name"))
+        .when(cls == 1, scrambled)
+        .otherwise(initials)
+        .alias("company_name"),
+        F.when(cls == 0, F.concat(F.lit(" "), F.lpad(k.cast("string"), 11, "0"), F.lit("  ")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("abn"),
+        F.col("p_size").cast("string").alias("postcode"),
+    )
+
+
+# Shared oracle CTEs (DuckDB SQL mirror of the two derived tables).
+_DUCK_SIDES = """
+WITH abr AS (
+  SELECT lpad(CAST(p_partkey AS VARCHAR), 11, '0') AS abn,
+         p_name AS entity_name, p_type AS entity_type,
+         p_brand AS state, CAST(p_size AS VARCHAR) AS postcode
+  FROM part
+), cc AS (
+  SELECT 'p' || p_partkey || '.com.au' AS domain,
+         CASE p_partkey % 3
+           WHEN 0 THEN p_name
+           WHEN 1 THEN upper(string_split(p_name, ' ')[2] || ' ' || string_split(p_name, ' ')[1])
+           ELSE upper(array_to_string(list_transform(string_split(p_name, ' '), w -> w[1]), ''))
+         END AS company_name,
+         CASE WHEN p_partkey % 3 = 0
+              THEN ' ' || lpad(CAST(p_partkey AS VARCHAR), 11, '0') || '  '
+              ELSE NULL END AS abn,
+         CAST(p_size AS VARCHAR) AS postcode
+  FROM part
+)
+"""
+
+# token-sort + levenshtein-ratio scorer in DuckDB, mirroring
+# functions/similarity.py exactly.
+_DUCK_TS = (
+    "array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace("
+    "lower({x}), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')), ' ')"
+)
+_DUCK_RATIO = (
+    "CASE WHEN greatest(length({a}), length({b})) = 0 THEN 100.0 "
+    "ELSE (1.0 - CAST(levenshtein({a}, {b}) AS DOUBLE) / greatest(length({a}), length({b}))) * 100.0 END"
+)
+
+_DUCK_RULE = """
+  SELECT DISTINCT cc.domain, cc.company_name, cc.abn AS cc_abn, cc.postcode AS cc_postcode,
+         abr.abn AS abr_abn, abr.entity_name, abr.entity_type, abr.state,
+         abr.postcode AS abr_postcode,
+         'rule_based_abn' AS match_method, CAST(100.0 AS DOUBLE) AS match_score,
+         'high' AS match_confidence
+  FROM cc JOIN abr ON trim(cc.abn) = trim(abr.abn)
+"""
+
+_DUCK_FUZZY = """
+  SELECT domain, company_name, cc_abn, cc_postcode, abr_abn, entity_name, entity_type,
+         state, abr_postcode, 'fuzzy' AS match_method, match_score,
+         CASE WHEN match_score >= 92.0 THEN 'high' ELSE 'medium' END AS match_confidence
+  FROM (
+    SELECT cc.domain, cc.company_name, cc.abn AS cc_abn, cc.postcode AS cc_postcode,
+           abr.abn AS abr_abn, abr.entity_name, abr.entity_type, abr.state,
+           abr.postcode AS abr_postcode,
+           round({ratio}, 4) AS match_score,
+           row_number() OVER (PARTITION BY cc.domain
+                              ORDER BY round({ratio}, 4) DESC,
+                                       abr.entity_name ASC, abr.postcode ASC,
+                                       abr.abn ASC) AS rn
+    FROM (SELECT * FROM cc WHERE NOT EXISTS
+            (SELECT 1 FROM rule r WHERE r.domain = cc.domain)) cc
+    JOIN abr ON cc.postcode = abr.postcode
+    WHERE round({ratio}, 4) >= 80.0
+  ) WHERE rn = 1
+""".format(
+    ratio=_DUCK_RATIO.format(
+        a=_DUCK_TS.format(x="cc.company_name"), b=_DUCK_TS.format(x="abr.entity_name")
+    )
+)
+
+# LLM stub: residual rows resolve by initials signature within their block;
+# first candidate in abn-ascending order (operators/matching.py stub client).
+_DUCK_LLM = """
+  SELECT res.domain, res.company_name, res.abn AS cc_abn, res.postcode AS cc_postcode,
+         abr.abn AS abr_abn, abr.entity_name, abr.entity_type, abr.state,
+         abr.postcode AS abr_postcode,
+         'LLM' AS match_method, CAST(95.0 AS DOUBLE) AS match_score,
+         'medium' AS match_confidence
+  FROM (
+    SELECT res.domain, min(abr.abn) AS matched_abn
+    FROM residual res
+    JOIN abr ON res.postcode = abr.postcode
+     AND (lower(trim(res.company_name)) = lower(trim(abr.entity_name))
+          OR replace(lower(trim(res.company_name)), ' ', '') =
+             array_to_string(list_transform(
+                 string_split_regex(lower(trim(abr.entity_name)), '\\s+'), w -> w[1]), ''))
+    GROUP BY res.domain
+  ) m
+  JOIN residual res ON res.domain = m.domain
+  JOIN abr ON abr.abn = m.matched_abn
+"""
+
+
+def match_rule_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return rule_based_match(_cc_side(part), _abr_side(part))
+
+
+MATCH_RULE_BASED_SQL = _DUCK_SIDES + _DUCK_RULE
+
+
+def match_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, "part")["part"]
+    cc, abr = _cc_side(part), _abr_side(part)
+    residual = anti_join_residual(cc, rule_based_match(cc, abr), "domain")
+    return fuzzy_match(residual, abr, threshold=80.0)
+
+
+MATCH_FUZZY_BLOCKED_SQL = (
+    _DUCK_SIDES + ", rule AS (" + _DUCK_RULE + ")\n" + _DUCK_FUZZY
+)
+
+
+def match_llm_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, "part")["part"]
+    cc, abr = _cc_side(part), _abr_side(part)
+    rule = rule_based_match(cc, abr)
+    residual1 = anti_join_residual(cc, rule, "domain")
+    fuzzy = fuzzy_match(residual1, abr, threshold=80.0)
+    residual2 = anti_join_residual(residual1, fuzzy, "domain")
+    return llm_match(residual2, abr)
+
+
+MATCH_LLM_STUB_SQL = (
+    _DUCK_SIDES
+    + ", rule AS (" + _DUCK_RULE + ")\n"
+    + ", fuzzy AS (" + _DUCK_FUZZY + ")\n"
+    + """, residual AS (
+  SELECT * FROM cc
+  WHERE NOT EXISTS (SELECT 1 FROM rule r WHERE r.domain = cc.domain)
+    AND NOT EXISTS (SELECT 1 FROM fuzzy f WHERE f.domain = cc.domain)
+)
+"""
+    + _DUCK_LLM
+)
+
+
+def match_cascade_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return match_cascade(
+        _cc_side(part), _abr_side(part), enable_llm=True, with_timestamp=False
+    )
+
+
+MATCH_CASCADE_FULL_SQL = (
+    _DUCK_SIDES
+    + ", rule AS (" + _DUCK_RULE + ")\n"
+    + ", fuzzy AS (" + _DUCK_FUZZY + ")\n"
+    + """, residual AS (
+  SELECT * FROM cc
+  WHERE NOT EXISTS (SELECT 1 FROM rule r WHERE r.domain = cc.domain)
+    AND NOT EXISTS (SELECT 1 FROM fuzzy f WHERE f.domain = cc.domain)
+)
+, llm AS (""" + _DUCK_LLM + """)
+SELECT * FROM rule
+UNION ALL SELECT * FROM fuzzy
+UNION ALL SELECT * FROM llm
+"""
+)
+
+
+QUERIES = {
+    "match_rule_based": match_rule_based,
+    "match_fuzzy_blocked": match_fuzzy_blocked,
+    "match_llm_stub": match_llm_stub,
+    "match_cascade_full": match_cascade_full,
+}
+
+ORACLES = {
+    "match_rule_based": MATCH_RULE_BASED_SQL,
+    "match_fuzzy_blocked": MATCH_FUZZY_BLOCKED_SQL,
+    "match_llm_stub": MATCH_LLM_STUB_SQL,
+    "match_cascade_full": MATCH_CASCADE_FULL_SQL,
+}

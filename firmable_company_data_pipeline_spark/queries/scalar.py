@@ -246,7 +246,10 @@ def fn_token_sort_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_duck_ts = "array_to_string(list_sort(string_split_regex(lower(trim({x})), '\\s+')), ' ')"
+_duck_ts = (
+    "array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace("
+    "lower({x}), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')), ' ')"
+)
 _duck_ratio = (
     "CASE WHEN greatest(length({a}), length({b})) = 0 THEN 100.0 "
     "ELSE (1.0 - CAST(levenshtein({a}, {b}) AS DOUBLE) / greatest(length({a}), length({b}))) * 100.0 END"

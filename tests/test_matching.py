@@ -1,0 +1,172 @@
+"""Golden end-to-end matching tests (SURVEY.md §5.2).
+
+The fixture follows the reference's test recipe
+(test/entity_matching_test.py): per ABR entity, three crawl-side variants
+— an exact copy (→ rule stage), a fuzzy variant with ``&``→``and`` /
+case noise (→ fuzzy stage), and an abbreviation (→ LLM stage) — but with
+our own generated data (valid ABNs computed against the checksum) and
+real assertions instead of prints.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.operators.matching import (
+    anti_join_residual,
+    fuzzy_match,
+    llm_match,
+    match_cascade,
+    rule_based_match,
+    similarity_join,
+)
+
+_WEIGHTS = [10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+
+
+def _valid_abn(seed: int) -> str:
+    """Deterministically generate a checksum-valid 11-digit ABN."""
+    n = 10_000_000_019 + seed * 1000  # spacing >> avg checksum gap (~89)
+    while True:
+        s = str(n)
+        total = sum(
+            (int(d) - 1 if i == 0 else int(d)) * w for i, (d, w) in enumerate(zip(s, _WEIGHTS))
+        )
+        if total % 89 == 0 and s[0] != "0":
+            return s
+        n += 1
+
+
+ENTITIES = [
+    ("Alpha Books & Media Pty", "2000", "NSW", "Australian Private Company"),
+    ("Bravo Construction Group", "2000", "NSW", "Australian Private Company"),
+    ("Cedar Valley Farming Co", "3121", "VIC", "Sole Trader"),
+    ("Delta Marine Services", "3121", "VIC", "Australian Private Company"),
+    ("Echo Point Consulting", "4000", "QLD", "Partnership"),
+    ("Foxtrot Digital Agency", "4000", "QLD", "Australian Private Company"),
+]
+
+
+@pytest.fixture(scope="module")
+def abr_df(spark):
+    rows = [
+        (_valid_abn(i), name, etype, state, pc)
+        for i, (name, pc, state, etype) in enumerate(ENTITIES)
+    ]
+    return spark.createDataFrame(
+        rows, "abn string, entity_name string, entity_type string, state string, postcode string"
+    )
+
+
+@pytest.fixture(scope="module")
+def cc_df(spark):
+    """One crawl row per entity per stage-variant."""
+    rows = []
+    for i, (name, pc, _state, _etype) in enumerate(ENTITIES):
+        abn = _valid_abn(i)
+        dom = f"ent{i}.com.au"
+        # exact variant: abn present → rule stage
+        rows.append((f"rule-{dom}", name, abn, pc))
+        # fuzzy variant: & → and, lowercased, no abn → fuzzy stage
+        fuzzy_name = name.replace("&", "and").lower()
+        rows.append((f"fuzzy-{dom}", fuzzy_name, None, pc))
+        # llm variant: initials abbreviation, no abn → LLM stage
+        abbrev = "".join(w[0] for w in name.split()).upper()
+        rows.append((f"llm-{dom}", abbrev, None, pc))
+    return spark.createDataFrame(
+        rows, "domain string, company_name string, abn string, postcode string"
+    )
+
+
+def test_rule_based_match(abr_df, cc_df):
+    out = rule_based_match(cc_df, abr_df).collect()
+    assert len(out) == len(ENTITIES)
+    for r in out:
+        assert r.domain.startswith("rule-")
+        assert r.match_method == "rule_based_abn"
+        assert r.match_score == 100.0
+        assert r.match_confidence == "high"
+        assert r.cc_abn == r.abr_abn
+
+
+def test_rule_based_trims_at_join(spark, abr_df):
+    padded = spark.createDataFrame(
+        [("x.com.au", "X", f"  {_valid_abn(0)} ", "2000")],
+        "domain string, company_name string, abn string, postcode string",
+    )
+    out = rule_based_match(padded, abr_df).collect()
+    assert len(out) == 1 and out[0].cc_abn.strip() == out[0].abr_abn
+
+
+def test_fuzzy_match_stage(abr_df, cc_df):
+    residual = anti_join_residual(cc_df, rule_based_match(cc_df, abr_df), "domain")
+    assert residual.count() == 2 * len(ENTITIES)
+    out = fuzzy_match(residual, abr_df, threshold=80.0)
+    rows = {r.domain: r for r in out.collect()}
+    # every fuzzy variant matches its own entity; abbreviations don't clear 80
+    fuzzy_rows = [r for d, r in rows.items() if d.startswith("fuzzy-")]
+    assert len(fuzzy_rows) == len(ENTITIES)
+    for r in fuzzy_rows:
+        i = int(r.domain.split("-")[0].replace("fuzzy", "") or r.domain.split(".")[0][-1])
+    for i, (name, _pc, _s, _e) in enumerate(ENTITIES):
+        r = rows[f"fuzzy-ent{i}.com.au"]
+        assert r.entity_name == name
+        assert r.match_method == "fuzzy"
+        assert r.match_score >= 80.0
+        assert r.match_confidence in ("high", "medium")
+    assert not any(d.startswith("llm-") for d in rows)
+
+
+def test_llm_match_stage(abr_df, cc_df):
+    rule = rule_based_match(cc_df, abr_df)
+    residual1 = anti_join_residual(cc_df, rule, "domain")
+    fuzzy = fuzzy_match(residual1, abr_df)
+    residual2 = anti_join_residual(residual1, fuzzy, "domain")
+    out = llm_match(residual2, abr_df)
+    rows = {r.domain: r for r in out.collect()}
+    assert len(rows) == len(ENTITIES)
+    for i, (name, _pc, _s, _e) in enumerate(ENTITIES):
+        r = rows[f"llm-ent{i}.com.au"]
+        assert r.entity_name == name
+        assert r.match_method == "LLM"
+        assert r.match_score == 95.0
+        assert r.match_confidence == "medium"
+
+
+def test_full_cascade(abr_df, cc_df):
+    out = match_cascade(cc_df, abr_df, enable_llm=True).cache()
+    by_method = {
+        r.match_method: r.n for r in out.groupBy("match_method").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_method == {
+        "rule_based_abn": len(ENTITIES),
+        "fuzzy": len(ENTITIES),
+        "LLM": len(ENTITIES),
+    }
+    # each domain matched exactly once, with a timestamp
+    assert out.select("domain").distinct().count() == 3 * len(ENTITIES)
+    assert out.filter(F.col("creation_dt").isNull()).count() == 0
+    # every match resolved to the correct entity
+    pairs = out.select("domain", "entity_name").collect()
+    for p in pairs:
+        idx = int(p.domain.split("ent")[1].split(".")[0])
+        assert p.entity_name == ENTITIES[idx][0]
+
+
+def test_similarity_join_salted_equals_unsalted(spark, abr_df, cc_df):
+    left = cc_df.filter(F.col("domain").startswith("fuzzy-"))
+    right = abr_df.select(
+        "abn", "entity_name", F.col("postcode").alias("r_postcode")
+    )
+    base = similarity_join(
+        left, right, "company_name", "entity_name",
+        block_key=("postcode", "r_postcode"), left_id="domain",
+    )
+    salted = similarity_join(
+        left, right, "company_name", "entity_name",
+        block_key=("postcode", "r_postcode"), left_id="domain", salt=4,
+    )
+    b = {(r.domain, r.best_abn, r.match_score) for r in base.collect()}
+    s = {(r.domain, r.best_abn, r.match_score) for r in salted.collect()}
+    assert b == s and len(b) == len(ENTITIES)
