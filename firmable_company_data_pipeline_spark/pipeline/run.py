@@ -1,0 +1,68 @@
+"""End-to-end pipeline driver — the composable API the reference sketched
+but never implemented (run_pipeline.py:3-22 imports five functions that
+don't exist; SURVEY.md's structural caveat). Here they exist, as lazy
+DataFrame-to-DataFrame stages with data passed in memory, not via DB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from firmable_company_data_pipeline_spark.operators.matching import match_cascade
+from firmable_company_data_pipeline_spark.pipeline.cleaning import (
+    clean_abr_data,
+    clean_commoncrawl_data,
+)
+from firmable_company_data_pipeline_spark.sources.commoncrawl import (
+    fetch_warc_html,
+    parse_pages,
+    read_cc_index,
+)
+from firmable_company_data_pipeline_spark.sources.xml_abr import read_abr_xml
+
+
+def run_commoncrawl_extraction(
+    spark: SparkSession, index_path: str, limit: int | None = None, client=None
+) -> DataFrame:
+    """Index scan → partition-parallel fetch → parse (S3→S5→S6).
+
+    ``limit`` mirrors the reference's smoke-run default
+    (run_pipeline.py:7: 5 records)."""
+    idx = read_cc_index(spark, index_path)
+    if limit:
+        idx = idx.limit(limit)
+    return parse_pages(fetch_warc_html(idx, client=client))
+
+
+def parse_abr_xml(spark: SparkSession, xml_path: str, limit: int | None = None) -> DataFrame:
+    """ABR bulk XML → staging rows (S1/S2)."""
+    df = read_abr_xml(spark, xml_path)
+    return df.limit(limit) if limit else df
+
+
+def match_entities(cc_clean: DataFrame, abr_clean: DataFrame, **kwargs) -> DataFrame:
+    """Three-stage cascade → dim_entity_match_company_data shape."""
+    return match_cascade(cc_clean, abr_clean, **kwargs)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cc_index_path: str,
+    abr_xml_path: str,
+    commoncrawl_limit: int | None = None,
+    abr_limit: int | None = None,
+    fetch_client=None,
+    enable_llm: bool = False,
+) -> DataFrame:
+    """extract_cc → extract_abr → clean both → match (run_pipeline.py:7-22).
+
+    Returns the final matched dimension as a lazy DataFrame; callers pick
+    the sink (``sources.io``).
+    """
+    cc_raw = run_commoncrawl_extraction(
+        spark, cc_index_path, limit=commoncrawl_limit, client=fetch_client
+    )
+    abr_raw = parse_abr_xml(spark, abr_xml_path, limit=abr_limit)
+    cc_clean = clean_commoncrawl_data(cc_raw)
+    abr_clean = clean_abr_data(abr_raw)
+    return match_entities(cc_clean, abr_clean, enable_llm=enable_llm)

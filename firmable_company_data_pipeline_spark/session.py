@@ -34,6 +34,16 @@ def get_spark(
     On a cluster, pass ``master=None`` and submit normally — only the SQL
     conf below applies.  Locally we default to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    # Python workers must be able to import this package regardless of the
+    # driver's cwd (pandas-UDF closures reference it by module). Export the
+    # repo root before the JVM starts so spawned workers inherit it.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = default_parallelism()
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")

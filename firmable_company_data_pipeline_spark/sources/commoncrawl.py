@@ -1,0 +1,215 @@
+"""Common Crawl source: index scan, ranged WARC fetch, HTML field parse
+(SURVEY.md §2.1 S3-S6, §2.8 F1-F8).
+
+Reference flow (extract/commoncrawl_scraper.py:211-222): stream the CC
+index (JSON lines) → per-record ranged HTTP GET into a WARC decoder →
+BeautifulSoup parse → field dict. Serial, one row at a time.
+
+Spark-first redesign:
+- **Index scan** — ``spark.read.json`` over the index lines; at scale the
+  same index ships as parquet (``s3://commoncrawl/cc-index/table/...``) so
+  the scan gets pushdown/pruning for free.
+- **Fetch** — the only genuinely source-side compute: ``mapInPandas`` with
+  a per-partition HTTP session, partition-parallel instead of the
+  reference's serial loop. The client is injectable; the offline
+  ``StubFetchClient`` fabricates deterministic HTML so the whole pipeline
+  is testable without network (network IO is not correctness-checkable,
+  SURVEY §7 Phase 4).
+- **Parse** — a minimal regex pull of (title, visible-ish text, JSON-LD
+  blocks) in the same pandas pass (bs4 isn't available here; documented
+  deviation), then **every derived field is a native expression** from the
+  function library — domain, company name, ABN+checksum, emails, phones,
+  postcode, snippet all stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import firmable_company_data_pipeline_spark.functions as lib
+
+INDEX_SCHEMA = (
+    "url string, filename string, `offset` string, length string, status string, mime string"
+)
+
+
+def read_cc_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Common Crawl index capture (JSON lines, one object per line;
+    extract/commoncrawl_scraper.py:145-165). Keeps only records with the
+    fetch coordinates present (P8 guard, lines 168-170)."""
+    df = spark.read.schema(INDEX_SCHEMA).json(path)
+    return df.filter(
+        F.col("filename").isNotNull()
+        & F.col("offset").isNotNull()
+        & F.col("length").isNotNull()
+    )
+
+
+class StubFetchClient:
+    """Deterministic offline stand-in for the ranged WARC fetch
+    (extract/commoncrawl_scraper.py:167-181).
+
+    Fabricates an HTML page whose fields are a pure function of the URL,
+    exercising every downstream extractor (title, JSON-LD, ABN, emails,
+    phones, postcode).
+    """
+
+    def fetch(self, url: str, filename: str, offset: str, length: str) -> str | None:
+        m = re.search(r"(?:www\.)?([a-z0-9-]+)\.com\.au", url or "")
+        slug = m.group(1) if m else "unknown"
+        num = sum(ord(c) for c in slug)
+        abn = _checksum_valid_abn(num)
+        pc = 2000 + num % 999
+        return f"""<html><head><title>{slug.title()} — Home</title>
+<script type="application/ld+json">{{"@type": "Organization", "name": "{slug.title()}"}}</script>
+</head><body>
+<h1>Welcome to {slug.title()}</h1>
+<p>ABN: {abn[:2]} {abn[2:5]} {abn[5:8]} {abn[8:11]}</p>
+<p>Visit us in NSW {pc}.</p>
+<p>Email us at info@{slug}.com.au or call (02) 9{num % 1000:03d} 8888.</p>
+</body></html>"""
+
+
+class HttpFetchClient:  # pragma: no cover - network path, gated import
+    """Real ranged-GET WARC fetch (requires ``warcio``; network IO)."""
+
+    def fetch(self, url: str, filename: str, offset: str, length: str) -> str | None:
+        try:
+            import io
+
+            import requests
+            from warcio.archiveiterator import ArchiveIterator
+        except ImportError as exc:
+            raise NotImplementedError(
+                "HttpFetchClient requires requests + warcio; use StubFetchClient offline"
+            ) from exc
+        start, end = int(offset), int(offset) + int(length) - 1
+        resp = requests.get(
+            f"https://data.commoncrawl.org/{filename}",
+            headers={"Range": f"bytes={start}-{end}"},
+            timeout=30,
+        )
+        for record in ArchiveIterator(io.BytesIO(resp.content)):
+            if record.rec_type == "response":
+                return record.content_stream().read().decode("utf-8", "replace")
+        return None
+
+
+_WEIGHTS = [10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+
+
+def _checksum_valid_abn(seed: int) -> str:
+    n = 10_000_000_000 + (seed * 7919) % 80_000_000_000
+    while True:
+        s = str(n)
+        total = sum(
+            (int(d) - 1 if i == 0 else int(d)) * w for i, (d, w) in enumerate(zip(s, _WEIGHTS))
+        )
+        if total % 89 == 0:
+            return s
+        n += 1
+
+
+PAGE_SCHEMA = "url string, html string"
+
+
+def fetch_warc_html(index_df: DataFrame, client=None) -> DataFrame:
+    """Partition-parallel ranged fetch (S5): index records → (url, html).
+
+    ``mapInPandas`` so each partition reuses one client/session — the
+    Spark equivalent of the reference's serial per-row ``fetch_html``
+    (extract/commoncrawl_scraper.py:167-181), parallelized across
+    executors. Repartition upstream to control fetch concurrency.
+    """
+    client = client or StubFetchClient()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = [
+                client.fetch(u, f, o, ln)
+                for u, f, o, ln in zip(
+                    pdf["url"], pdf["filename"], pdf["offset"], pdf["length"]
+                )
+            ]
+            yield pd.DataFrame({"url": pdf["url"], "html": htmls})
+
+    return index_df.mapInPandas(run, PAGE_SCHEMA)
+
+
+_PARSED_SCHEMA = "url string, title string, text string, structured_data string"
+
+
+def _strip_html(html: str) -> tuple[str | None, str, str]:
+    """Regex-minimal HTML pull: (title, visible text, JSON-LD array).
+
+    bs4 is unavailable in this environment; this replicates the observable
+    outputs of parse_html (extract/commoncrawl_scraper.py:183-209): page
+    text via tag-stripping, <title> text, and the list-normalized JSON-LD
+    payloads (U2, lines 187-195).
+    """
+    import json as _json
+
+    title_m = re.search(r"<title[^>]*>(.*?)</title>", html, re.I | re.S)
+    title = title_m.group(1).strip() if title_m else None
+    ld = re.findall(
+        r'<script[^>]*type=["\']application/ld\+json["\'][^>]*>(.*?)</script>',
+        html,
+        re.I | re.S,
+    )
+    blobs = []
+    for b in ld:
+        try:
+            parsed = _json.loads(b)
+            blobs.extend(parsed if isinstance(parsed, list) else [parsed])
+        except ValueError:
+            continue
+    no_script = re.sub(r"<(script|style)[^>]*>.*?</\1>", " ", html, flags=re.I | re.S)
+    text = re.sub(r"<[^>]+>", " ", no_script)
+    return title, text, _json.dumps(blobs) if blobs else None
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """HTML → the CC staging schema (S6; stg.common_crawl_raw_companies,
+    extract/commoncrawl_scraper.py:198-209).
+
+    One pandas pass does the irreducible HTML string surgery; every
+    derived field is then a native Column expression (F1-F8) so the bulk
+    of the work compiles into whole-stage codegen.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if not html:
+                    rows.append((url, None, "", None))
+                    continue
+                title, text, sd = _strip_html(html)
+                rows.append((url, title, text, sd))
+            yield pd.DataFrame(
+                rows, columns=["url", "title", "text", "structured_data"]
+            )
+
+    parsed = pages.mapInPandas(run, _PARSED_SCHEMA)
+    text = lib.clean_text(F.col("text"))
+    domain = lib.extract_domain(F.col("url"))
+    return parsed.select(
+        F.col("url"),
+        domain.alias("domain"),
+        lib.extract_company_name(domain).alias("company_name"),
+        lib.extract_abn(text).alias("abn"),
+        lib.extract_emails(text).alias("emails"),
+        lib.extract_phones(text).alias("phones"),
+        lib.extract_postcode(text).alias("postcode"),
+        F.col("title"),
+        F.col("structured_data"),
+        lib.snippet(text, 500).alias("snippet"),
+    )

@@ -1,0 +1,170 @@
+"""End-to-end source + cleaning + pipeline tests (SURVEY.md §7 Phase 2/4).
+
+XML fixture → staging schema; CC index fixture → stub fetch → parse →
+fields; cleaning dedup; full five-stage run_pipeline with the offline
+fetch client.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.pipeline.cleaning import (
+    clean_abr_data,
+    clean_commoncrawl_data,
+    jsonify_for_flat_sink,
+)
+from firmable_company_data_pipeline_spark.pipeline.run import run_pipeline
+from firmable_company_data_pipeline_spark.sources.commoncrawl import (
+    StubFetchClient,
+    _checksum_valid_abn,
+    fetch_warc_html,
+    parse_pages,
+    read_cc_index,
+)
+from firmable_company_data_pipeline_spark.sources.xml_abr import read_abr_xml
+
+SLUGS = ["acme-books", "bravo-builders", "cedar-farms"]
+
+
+def _abr_xml_record(abn, status, from_date, etype, name, state, postcode):
+    return f"""<ABR recordLastUpdatedDate="20240101">
+  <ABN status="{status}" ABNStatusFromDate="{from_date}">{abn}</ABN>
+  <EntityType><EntityTypeInd>PRV</EntityTypeInd><EntityTypeText>{etype}</EntityTypeText></EntityType>
+  <MainEntity>
+    <NonIndividualName type="MN"><NonIndividualNameText>{name}</NonIndividualNameText></NonIndividualName>
+    <BusinessAddress><AddressDetails><State>{state}</State><Postcode>{postcode}</Postcode></AddressDetails></BusinessAddress>
+  </MainEntity>
+</ABR>"""
+
+
+@pytest.fixture(scope="module")
+def abr_xml_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("abrxml")
+    records = []
+    for i, slug in enumerate(SLUGS):
+        num = sum(ord(c) for c in slug)
+        abn = _checksum_valid_abn(num)
+        name = slug.replace("-", " ").title()
+        records.append(
+            _abr_xml_record(abn, "ACT", "20200101", "Australian Private Company",
+                            name, "NSW", str(2000 + num % 999))
+        )
+    # one record with missing optional fields (NULL tolerance)
+    records.append("<ABR><ABN status=\"CAN\">99999999999</ABN></ABR>")
+    (d / "part1.xml").write_text(
+        "<Transfer>" + "\n".join(records) + "</Transfer>"
+    )
+    return str(d / "part1.xml")
+
+
+@pytest.fixture(scope="module")
+def cc_index_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ccindex")
+    lines = [
+        json.dumps(
+            {
+                "url": f"https://www.{slug}.com.au/",
+                "filename": f"crawl-data/seg/{i}.warc.gz",
+                "offset": str(1000 * i),
+                "length": "500",
+                "status": "200",
+                "mime": "text/html",
+            }
+        )
+        for i, slug in enumerate(SLUGS)
+    ]
+    # a record missing fetch coordinates → filtered by the P8 guard
+    lines.append(json.dumps({"url": "https://www.skip-me.com.au/"}))
+    (d / "index.json").write_text("\n".join(lines))
+    return str(d / "index.json")
+
+
+def test_read_abr_xml(spark, abr_xml_path):
+    df = read_abr_xml(spark, abr_xml_path)
+    rows = {r.abn: r for r in df.collect()}
+    assert len(rows) == 4
+    num = sum(ord(c) for c in SLUGS[0])
+    abn0 = _checksum_valid_abn(num)
+    r = rows[abn0]
+    assert r.entity_name == "Acme Books"
+    assert r.entity_type == "Australian Private Company"
+    assert r.entity_status == "ACT"
+    assert r.state == "NSW"
+    assert r.address == f"NSW {2000 + num % 999}"
+    assert str(r.start_date) == "2020-01-01"
+    # NULL tolerance for sparse record
+    sparse = rows["99999999999"]
+    assert sparse.entity_name is None and sparse.address is None and sparse.start_date is None
+
+
+def test_cc_index_and_fetch_parse(spark, cc_index_path):
+    idx = read_cc_index(spark, cc_index_path)
+    assert idx.count() == len(SLUGS)  # P8 guard dropped the sparse record
+    parsed = parse_pages(fetch_warc_html(idx, client=StubFetchClient()))
+    rows = {r.domain: r for r in parsed.collect()}
+    assert set(rows) == {f"{slug}.com.au" for slug in SLUGS}
+    r = rows["acme-books.com.au"]
+    num = sum(ord(c) for c in "acme-books")
+    assert r.company_name == "Acme Books"
+    assert r.abn == _checksum_valid_abn(num)
+    assert r.title == "Acme-Books — Home"
+    assert "info@acme-books.com.au" in r.emails
+    assert any(p.startswith("(02)") for p in r.phones)
+    assert r.postcode == str(2000 + num % 999)
+    assert json.loads(r.structured_data)[0]["@type"] == "Organization"
+    assert len(r.snippet) <= 500 and "<" not in r.snippet
+
+
+def test_cleaning_dedup(spark):
+    abr = spark.createDataFrame(
+        [
+            ("51 824 753 556", "Acme, Pty!", "new south wales", "20-00", "x"),
+            ("51-824-753-556", "Acme  Pty", "NSW", "2000", "y"),  # same after clean
+            ("123", "Other Co", "vicx", "3000", "z"),
+        ],
+        "abn string, entity_name string, state string, postcode string, extra string",
+    )
+    out = clean_abr_data(abr)
+    rows = out.collect()
+    assert len(rows) == 2  # first two collapse to one
+    clean = {r.entity_name: r for r in rows}
+    assert clean["Acme Pty"].abn == "51824753556"
+    assert clean["Acme Pty"].state == "NSW"
+    assert clean["Acme Pty"].postcode == "2000"
+    assert clean["Other Co"].abn is None  # len != 11
+    assert clean["Other Co"].state is None  # 'vicx' misses the 85 bar
+
+
+def test_jsonify_for_flat_sink(spark):
+    df = spark.createDataFrame(
+        [(["a@b.com"], "x")], "emails array<string>, name string"
+    )
+    out = jsonify_for_flat_sink(df).collect()[0]
+    assert out.emails == '["a@b.com"]'
+    assert out.name == "x"
+
+
+def test_run_pipeline_end_to_end(spark, cc_index_path, abr_xml_path):
+    out = run_pipeline(
+        spark,
+        cc_index_path,
+        abr_xml_path,
+        fetch_client=StubFetchClient(),
+        enable_llm=False,
+    ).cache()
+    rows = out.collect()
+    # every stub page carries its entity's exact ABN → all rule-based
+    assert len(rows) == len(SLUGS)
+    for r in rows:
+        assert r.match_method == "rule_based_abn"
+        assert r.match_score == 100.0
+        assert r.cc_abn == r.abr_abn
+        assert r.creation_dt is not None
+    assert {r.entity_name for r in rows} == {
+        s.replace("-", " ").title() for s in SLUGS
+    }
