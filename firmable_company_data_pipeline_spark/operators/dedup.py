@@ -1,0 +1,309 @@
+"""Deduplication operators for LLM training-data pipelines (charter
+extension, SURVEY.md §7 phase 5 — generalizing the reference's
+``drop_duplicates`` A1/A2, ``transform/data_cleaning.py:177-179``, to
+near-duplicate detection at scale).
+
+Five strategies, all shuffle-minimal and UDF-free:
+
+* ``exact``            — hash-groupBy on a normalized fingerprint.
+* ``ngram_jaccard``    — inverted-index similarity join: explode distinct
+                         word n-grams, equi-join on shingle, count common
+                         per pair → Jaccard. Never materializes the N×N
+                         cross product; cost is Σ per-shingle df².
+* ``minhash_lsh``      — k-permutation MinHash signatures + banded LSH:
+                         candidate pairs share ≥1 band bucket; estimate =
+                         fraction of equal signature positions.
+* ``simhash``          — 32-bit SimHash fingerprint; candidates blocked on
+                         8-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band
+                         equal), verified with bit_count(xor).
+* ``embedding cosine`` — exact pairwise cosine above threshold (brute
+                         force; the LSH-bucketed scale path lives in
+                         ``operators/similarity_search.py``).
+
+Scale notes: the explode/equi-join/groupBy shape is the standard
+100-TB-safe formulation — one shuffle on the shingle/bucket key, one on
+the pair key; hot shingles (stopword n-grams) are bounded because we
+shingle *distinct* n-grams per doc and can drop shingles with document
+frequency > ``max_df`` (AQE skew-join splits the rest).
+
+All hashing is the arithmetic fold from ``functions/textstats.py`` so
+the DuckDB oracles reproduce results exactly (no Murmur3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.functions.textstats import (
+    HASH_MOD,
+    char_fold_hash,
+    doc_fingerprint,
+    tokens,
+)
+from firmable_company_data_pipeline_spark.functions.vectors import cosine, to_double
+
+# Deterministic MinHash permutation parameters (a*h + b) % HASH_MOD.
+# Fixed Knuth-style multiplicative constants — shared verbatim with the
+# oracle SQL (queries/llmops.py interpolates these exact lists).
+MINHASH_K = 16
+MINHASH_A = [(2654435761 * (i + 1)) % HASH_MOD for i in range(MINHASH_K)]
+MINHASH_B = [(40503 * (i + 1) * (i + 1) + 17) % HASH_MOD for i in range(MINHASH_K)]
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+SIMHASH_BITS = 32
+
+
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the whitespace-tokenized text.
+
+    Docs shorter than ``n`` tokens yield an empty array (they can never
+    near-dup-match; callers may union them back as singletons).
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """array<long> of rolling hashes of the distinct n-gram shingles."""
+    return F.transform(shingle_array(text, n), char_fold_hash)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one row per group with
+    the canonical (min) id and the duplicate count.  One shuffle on the
+    fingerprint — the 100-TB path for exact dedup (hash-groupBy, never a
+    sort or a cross product)."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard via inverted-index join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_array(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("shingle")
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), F.col("shingle")
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signature(text: Column, n: int = 3) -> Column:
+    """MinHash signature: array of MINHASH_K minima of permuted shingle
+    hashes.  Empty shingle set → signature of HASH_MOD sentinels (never
+    collides with a real minimum)."""
+    hashes = shingle_hashes(text, n)
+    return F.transform(
+        F.array(*[F.lit(i) for i in range(MINHASH_K)]),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(HASH_MOD).cast("long"),
+            lambda acc, h: F.least(
+                acc,
+                (
+                    F.element_at(F.array(*[F.lit(a) for a in MINHASH_A]), i + 1) * h
+                    + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), i + 1)
+                )
+                % HASH_MOD,
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature into
+    LSH_BANDS buckets of LSH_ROWS rows; docs sharing any band bucket are
+    candidates; estimate similarity as the fraction of equal signature
+    positions; keep estimates ≥ threshold.
+
+    Scale shape: explode bands (LSH_BANDS rows/doc), shuffle on the
+    (band, bucket) key, pair within buckets — the classic
+    sub-quadratic near-dedup join.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), n).alias("sig")
+    ).filter(F.element_at("sig", 1) < HASH_MOD)  # drop docs with no shingles
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.array(*[F.lit(b) for b in range(LSH_BANDS)]),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("sig", b * LSH_ROWS + r + 1).cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        )
+        / F.lit(MINHASH_K),
+        6,
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from an array<long> of feature hashes: bit j of the
+    fingerprint is the sign of Σ_features (2·bit_j(h) − 1).
+
+    Callers should materialize ``hashes`` as a real column first (one
+    projection) so the 32 bit-vote folds reference an attribute instead
+    of recomputing the feature hashing 32×."""
+    bit_vote = lambda j: F.aggregate(  # noqa: E731
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+    )
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        out = out + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash32(text: Column, n: int = 3) -> Column:
+    """32-bit SimHash over the distinct word n-gram shingles.  Shingles
+    (not unigrams) as the feature set: corpora with small vocabularies
+    make unigram *sets* nearly identical across documents, which would
+    collapse every fingerprint to the same value."""
+    return simhash32_from_hashes(shingle_hashes(text, n))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs, blocked on the four 8-bit bands of the
+    fingerprint (pigeonhole: hamming ≤ 3 ⇒ at least one band identical,
+    so recall is exact for the threshold ≤ 3), verified with
+    bit_count(xor).  Output (id_a, id_b, hamming)."""
+    fp = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("hs")
+    ).select("id", simhash32_from_hashes(F.col("hs")).alias("fp"))
+    bands = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fp", 8 * i).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
+    right = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact embedding near-dup pairs: pairwise cosine ≥ threshold.
+
+    Brute force O(N²) — correct baseline; use
+    ``similarity_search.lsh_bucketed_topk`` as the sub-quadratic scale
+    path.  Cosine is the sequential double fold (oracle-exact)."""
+    a = df.select(F.col(id_col).alias("id_a"), to_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), to_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

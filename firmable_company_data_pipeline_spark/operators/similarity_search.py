@@ -1,0 +1,102 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(charter extension, SURVEY.md §7 phase 5).
+
+Two paths:
+
+* ``brute_force_topk`` — exact cosine top-k per query: broadcast the
+  (small) query set against the corpus, window-rank per query.  The
+  correctness baseline; O(|Q|·N) but embarrassingly parallel — at
+  100 TB with |Q| queries this is a map-side broadcast join, one
+  shuffle on the query key for the top-k window.
+
+* ``lsh_bucketed_topk`` — sign-bit LSH: bucket every vector by the sign
+  pattern of its first ``planes`` dimensions (a deterministic
+  hyperplane family — axis-aligned planes, so the oracle reproduces the
+  bucketing exactly), search only the query's bucket.  Sub-linear
+  candidate sets; recall is approximate (documented).  The same shape
+  generalizes to IVF (replace the sign pattern with a centroid id).
+
+Both are pure Column expressions — the cosine is the oracle-exact
+sequential double fold from ``functions/vectors.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from firmable_company_data_pipeline_spark.functions.vectors import cosine, to_double
+
+
+def sign_bucket(vec, planes: int = 6):
+    """Deterministic LSH bucket: integer from the sign bits of the first
+    ``planes`` dimensions (axis-aligned hyperplanes)."""
+    bucket = F.lit(0)
+    for i in range(planes):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector (self-matches
+    excluded).  Output: (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    sign-bucket (≈ N/2^planes of the corpus per query).  Same output
+    shape as ``brute_force_topk``; recall < 1 by construction."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", sign_bucket(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), planes))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        c.join(broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

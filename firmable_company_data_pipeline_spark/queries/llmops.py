@@ -1,4 +1,406 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-training-data pipeline queries (charter extensions, SURVEY.md §7
+phase 5): text analysis, five dedup strategies, and ANN similarity
+search over the driver's ``documents`` / ``embeddings`` tables.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Oracle-parity design: every hash is the arithmetic character fold from
+``functions/textstats.py`` and every vector reduction is a sequential
+double fold, so the DuckDB SQL below reproduces Spark's values exactly
+(same integer arithmetic, same IEEE-754 operation order).  The MinHash
+permutation constants are interpolated from the *same* Python lists the
+Spark operator uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.functions import textstats as ts
+from firmable_company_data_pipeline_spark.operators import dedup as dd
+from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+from firmable_company_data_pipeline_spark.session import load_tables
+
+# --------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirrors of the Spark expressions).
+
+_MOD = ts.HASH_MOD
+
+# char_fold_hash(expr) — rolling polynomial hash
+def _fold(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(string_split({expr}, ''), "
+        f"c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % {_MOD})"
+    )
+
+
+# tokens(text) — normalized whitespace tokenization
+_TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+# normalized-text fingerprint + BPE pre-token list (precomputed: f-string
+# expressions cannot contain backslashes)
+_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_FP = None  # assigned below after _fold is defined
+_BPE_LIST = r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')"
+_STRIPPED = r"regexp_replace(text, '\s+', '', 'g')"
+
+# distinct word 3-gram shingles from token list t
+_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(len(t)-2), "
+    "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) ELSE []::VARCHAR[] END"
+)
+
+_TOK_CTE = f"tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents)"
+_FP = _fold(_NORM_TEXT)
+_SH_CTE = f"sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tok)"
+_HS_CTE = f"hs_t AS (SELECT doc_id, list_transform(s, g -> {_fold('g')}) AS hs FROM sh)"
+
+_A_SQL = "[" + ", ".join(str(a) for a in dd.MINHASH_A) + "]"
+_B_SQL = "[" + ", ".join(str(b) for b in dd.MINHASH_B) + "]"
+
+
+# --------------------------------------------------------------------------
+# text_stats — row-level token counts, fingerprint, quality, language.
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ts.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        ts.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        ts.quality_score(F.col("text")).alias("quality"),
+        ts.detect_language(F.col("text")).alias("lang_pred"),
+    )
+
+
+_PROFILE_HITS = {
+    lang: (
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], x)))"
+    )
+    for lang, words in ts.LANG_PROFILES.items()
+}
+_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in ts.LANG_PROFILES) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN h_{lang} > 0 AND h_{lang} = {_BEST} THEN '{lang}'"
+        for lang in ts.LANG_PROFILES
+    )
+    + " ELSE 'und' END"
+)
+_STOP_EN = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS_EN) + "]"
+
+TEXT_STATS_SQL = f"""
+WITH {_TOK_CTE},
+base AS (
+  SELECT doc_id, t,
+         {_STRIPPED} AS stripped,
+         len({_BPE_LIST}) AS n_bpe,
+         {_FP} AS fingerprint
+  FROM documents JOIN tok USING (doc_id)
+),
+feat AS (
+  SELECT doc_id, t, n_bpe, fingerprint,
+         len(t) AS n_tok,
+         length(stripped) AS n_strip,
+         length(regexp_replace(stripped, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         {" , ".join(f"{hits} AS h_{lang}" for lang, hits in _PROFILE_HITS.items())}
+  FROM base
+)
+SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       n_bpe::BIGINT AS n_bpe_tokens,
+       fingerprint,
+       round(
+         0.4 * (least(1.0, n_tok / 100.0) * (CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END))
+       + 0.2 * (CASE WHEN n_tok > 0 AND n_strip / n_tok >= 3.0 AND n_strip / n_tok <= 12.0
+                     THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN n_strip > 0 THEN n_alpha / n_strip ELSE 0.0 END)
+       + 0.1 * (CASE WHEN len(list_filter(t, x -> list_contains({_STOP_EN}, x))) > 0
+                     THEN 1.0 ELSE 0.0 END), 4) AS quality,
+       {_LANG_CASE} AS lang_pred
+FROM feat
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_profile_by_source — aggregate quality/volume per source.
+def corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(
+            "source",
+            ts.token_count(F.col("text")).cast("long").alias("n_tok"),
+            ts.quality_score(F.col("text")).alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+CORPUS_PROFILE_BY_SOURCE_SQL = f"""
+WITH {_TOK_CTE},
+feat AS (
+  SELECT d.source, t, len(t) AS n_tok,
+         {_STRIPPED} AS stripped
+  FROM documents d JOIN tok ON d.doc_id = tok.doc_id
+),
+q AS (
+  SELECT source, t, n_tok,
+         round(
+           0.4 * (least(1.0, n_tok / 100.0) * (CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END))
+         + 0.2 * (CASE WHEN n_tok > 0
+                        AND length(stripped) / n_tok >= 3.0
+                        AND length(stripped) / n_tok <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * (CASE WHEN length(stripped) > 0
+                       THEN length(regexp_replace(stripped, '[^a-zA-Z]', '', 'g'))
+                            / length(stripped) ELSE 0.0 END)
+         + 0.1 * (CASE WHEN len(list_filter(t, x -> list_contains({_STOP_EN}, x))) > 0
+                       THEN 1.0 ELSE 0.0 END), 4) AS quality
+  FROM feat
+)
+SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM q GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — hash-groupBy dedup over the corpus unioned with itself
+# (the driver corpus has no exact dups; the self-union demonstrates the
+# group/canonicalize semantics with n_dups = 2 per group).
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.exact_dedup(docs.unionByName(docs))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+SELECT {_FP} AS fp,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM doubled
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — inverted-index n-gram Jaccard join (threshold .8).
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_TOK_CTE}, {_SH_CTE},
+ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+FROM pairs
+WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh — banded MinHash-LSH candidates, est ≥ 0.5.
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_TOK_CTE}, {_SH_CTE}, {_HS_CTE},
+sig_t AS (
+  SELECT doc_id AS id,
+         list_transform(range({dd.MINHASH_K}), i ->
+           list_reduce(
+             list_prepend({_MOD}::BIGINT,
+               list_transform(hs, h ->
+                 (list_extract({_A_SQL}, i+1) * h + list_extract({_B_SQL}, i+1)) % {_MOD})),
+             (x, y) -> least(x, y))) AS sig
+  FROM hs_t
+),
+live AS (SELECT * FROM sig_t WHERE sig[1] < {_MOD}),
+bands AS (
+  SELECT id, sig, b.band,
+         sig[b.band*{dd.LSH_ROWS}+1]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+2]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+3]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+4]::VARCHAR AS bucket
+  FROM live, range({dd.LSH_BANDS}) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT id_a, id_b,
+         round(len(list_filter(range({dd.MINHASH_K}), i -> sig_a[i+1] = sig_b[i+1]))::DOUBLE
+               / {dd.MINHASH_K}, 6) AS est_jaccard
+  FROM cand
+) WHERE est_jaccard >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash — banded SimHash pairs, hamming ≤ 3.
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.simhash_pairs(docs)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_TOK_CTE}, {_SH_CTE}, {_HS_CTE},
+fp_t AS (
+  SELECT doc_id AS id,
+         list_reduce(list_prepend(0::BIGINT, list_transform(range({dd.SIMHASH_BITS}), j ->
+           CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                       list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)),
+                     (a, v) -> a + v) > 0
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+           (a, v) -> a + v) AS fp
+  FROM hs_t
+),
+bands AS (
+  SELECT id, fp, b.band, (fp >> (8 * b.band)) & 255 AS key
+  FROM fp_t, range(4) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fp_a, r.fp AS fp_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming FROM cand
+) WHERE hamming <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_cosine — exact pairwise cosine near-dups (≥ 0.45).
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(va)), i -> va[i+1] * vb[i+1])), (x, y) -> x + y)"
+)
+
+
+def _norm(v: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({v}, x -> x * x)), (x, y) -> x + y))"
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return dd.embedding_cosine_pairs(emb)
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT id_a, id_b,
+         round({_DOT} / ({_norm("va")} * {_norm("vb")}), 6) AS cos_sim
+  FROM pairs
+) WHERE cos_sim >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_brute_force — exact cosine top-10 for query vectors vec_id < 5.
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+ANN_BRUTE_FORCE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_DOT.replace("va", "qv").replace("vb", "e.v").replace("len(qv)", "len(qv)")}
+               / ({_norm("qv")} * {_norm("e.v")}), 6) AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_lsh_bucketed — sign-plane LSH ANN (approximate; same output shape).
+_BUCKET = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(6), i -> "
+    "CASE WHEN {v}[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+)
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+ANN_LSH_BUCKETED_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_BUCKET.format(v="(embedding::DOUBLE[])")} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_DOT.replace("va", "qv").replace("vb", "e.v")}
+               / ({_norm("qv")} * {_norm("e.v")}), 6) AS cos_sim
+  FROM e JOIN q USING (bucket)
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "corpus_profile_by_source": corpus_profile_by_source,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_brute_force": ann_brute_force,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "corpus_profile_by_source": CORPUS_PROFILE_BY_SOURCE_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "ann_brute_force": ANN_BRUTE_FORCE_SQL,
+    "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
+}
