@@ -116,5 +116,8 @@ def _read_events(spark: SparkSession, path: str):
     df = spark.read.parquet(path)
     field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
     if isinstance(field, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division: ts is ~1.7e18 ns, above 2^53 — a double-based
+        # `/ 1000` would round the ns value before dividing and can land
+        # 1µs off. `div` stays in long arithmetic (exact floor).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -1,0 +1,150 @@
+"""Streaming job wiring: sources, watermarks, sinks.
+
+The streaming generalizations promised in SURVEY.md §2.9:
+
+* file-source incremental ingest  (S1/S3 generalization)
+* ``withWatermark`` + windowed aggs (tumbling/sliding/session)
+* ``dropDuplicatesWithinWatermark`` (A1/A2 generalization)
+* ``foreachBatch`` keyed upsert     (S8/S10 batched-sink generalization)
+
+All queries default to ``availableNow`` triggers so tests drain a fixed
+file set deterministically; production callers pass their own trigger.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from firmable_company_data_pipeline_spark.streaming import windows as W
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files: int = 4
+) -> DataFrame:
+    """Incremental file-source over an events directory.  Schema is
+    explicit (streaming sources must not infer), ``maxFilesPerTrigger``
+    bounds micro-batch size (the backpressure knob at scale)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+    )
+
+
+def tumbling_counts_query(
+    events: DataFrame,
+    sink_table: str,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+):
+    """Watermarked tumbling-window aggregation → memory/table sink.
+    Append mode: windows emit once the watermark passes their end —
+    the state store stays bounded by (watermark / window) windows."""
+    agg = W.tumbling_value_stats(events.withWatermark("ts", watermark), size)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def session_counts_query(
+    events: DataFrame,
+    sink_table: str,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+):
+    """Watermarked session-window aggregation (incremental
+    gaps-and-islands via Spark's session state merge)."""
+    agg = W.session_stats(events.withWatermark("ts", watermark), gap)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_stream_query(
+    events: DataFrame,
+    sink_table: str,
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+):
+    """Streaming dedup: drop events whose key was already seen within
+    the watermark horizon — state is GC'd as the watermark advances
+    (the unbounded-state-safe form of dropDuplicates)."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_upsert(
+    events: DataFrame,
+    target_dir: str,
+    key: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """``foreachBatch`` keyed upsert into a parquet target: each
+    micro-batch is merged by key (new rows win) and the target is
+    atomically replaced.  This is the streaming generalization of the
+    reference's truncate-reload / batched-insert sinks
+    (``transform/data_cleaning.py:121-148``).  With a Delta/Iceberg
+    target this becomes a real MERGE INTO; plain parquet emulates it
+    with read-union-dedup-overwrite per micro-batch (correct, not
+    concurrent — documented limitation of the parquet sink).
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        incoming = batch_df.dropDuplicates([key])
+        if os.path.exists(target_dir):
+            current = spark.read.parquet(target_dir)
+            merged = incoming.unionByName(current).dropDuplicates([key])
+        else:
+            merged = incoming
+        tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target_dir)
+
+    writer = events.writeStream.foreachBatch(upsert).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

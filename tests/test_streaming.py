@@ -1,0 +1,125 @@
+"""Structured Streaming execution tests: the file-source → watermark →
+availableNow pipeline must produce the same rows as the batch path
+(whose semantics the DuckDB oracle already validates via
+queries/streaming_batch.py).
+
+Fixture design: events are split into three ts-ordered parquet chunks
+appended sequentially to one directory — the file source processes them
+in modification-time order, so event time advances monotonically across
+micro-batches and watermark semantics are deterministic.  Parquet (not
+json) keeps µs timestamps exact.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.session import load_tables
+from firmable_company_data_pipeline_spark.streaming import jobs, windows
+
+
+def _write_chunks(df, out: str, n_chunks: int = 3) -> None:
+    """Append ts-range chunks to one dir, in ts order, with distinct
+    file mod-times (the streaming source's ordering key)."""
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    with_us = df.withColumn("_us", F.unix_micros("ts"))
+    cuts = with_us.approxQuantile("_us", qs, 0.0)
+    bounds = [None, *cuts, None]
+    for i in range(n_chunks):
+        chunk = with_us
+        if bounds[i] is not None:
+            chunk = chunk.filter(F.col("_us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            chunk = chunk.filter(F.col("_us") <= F.lit(int(bounds[i + 1])))
+        chunk = chunk.drop("_us")
+        chunk.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(0.3)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream") / "clean")
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    _write_chunks(ev, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_dup_dir(spark, sf_dir, tmp_path_factory):
+    """Same stream but every row appears twice within its chunk file."""
+    out = str(tmp_path_factory.mktemp("events_stream_dup") / "dup")
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    _write_chunks(ev.unionByName(ev), out)
+    return out
+
+
+def _drain(query, timeout=180):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+def _rows(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    ev_batch = load_tables(spark, sf_dir, "events")["events"]
+    stream = jobs.read_events_stream(spark, events_dir, fmt="parquet", max_files=1)
+    q = jobs.tumbling_counts_query(stream, "tumbling_sink", watermark="0 seconds")
+    _drain(q)
+
+    got = _rows(
+        spark.sql("SELECT * FROM tumbling_sink"),
+        ["win_start", "event_type", "n_events", "sum_value"],
+    )
+    batch = windows.tumbling_value_stats(ev_batch, "1 hour")
+    max_ts = ev_batch.agg(F.max("ts")).collect()[0][0]
+    # append mode emits only windows whose end the watermark passed
+    expected = _rows(
+        batch.filter(F.col("win_start") + F.expr("INTERVAL 1 hour") <= F.lit(max_ts)),
+        ["win_start", "event_type", "n_events", "sum_value"],
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_dedup_stream_drops_duplicates(spark, events_dup_dir):
+    stream = jobs.read_events_stream(spark, events_dup_dir, fmt="parquet", max_files=1)
+    q = jobs.dedup_stream_query(stream, "dedup_sink", watermark="1 hour")
+    _drain(q)
+    out = spark.sql("SELECT * FROM dedup_sink")
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()  # all dups dropped
+    assert n > 0
+
+
+def test_session_stream_subset_of_batch(spark, sf_dir, events_dir):
+    ev_batch = load_tables(spark, sf_dir, "events")["events"]
+    stream = jobs.read_events_stream(spark, events_dir, fmt="parquet", max_files=1)
+    q = jobs.session_counts_query(stream, "session_sink", watermark="0 seconds")
+    _drain(q)
+    got = _rows(
+        spark.sql("SELECT * FROM session_sink"),
+        ["user_id", "session_start", "n_events", "sum_value"],
+    )
+    full = _rows(
+        windows.session_stats(ev_batch, "5 minutes"),
+        ["user_id", "session_start", "n_events", "sum_value"],
+    )
+    # append mode withholds sessions the watermark hasn't closed yet
+    assert got <= full
+    assert len(got) > 0.8 * len(full)
+
+
+def test_foreach_batch_upsert(spark, sf_dir, events_dup_dir, tmp_path):
+    n_expected = load_tables(spark, sf_dir, "events")["events"].count()
+    target = str(tmp_path / "upsert_target")
+    stream = jobs.read_events_stream(spark, events_dup_dir, fmt="parquet", max_files=1)
+    q = jobs.foreach_batch_upsert(stream, target, key="event_id")
+    _drain(q)
+    final = spark.read.parquet(target)
+    assert final.count() == final.select("event_id").distinct().count()
+    assert final.count() == n_expected
