@@ -381,6 +381,33 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal_features — binary-column plumbing: documents → opaque binary
+# payloads + typed metadata → Arrow-batched mapInPandas feature extraction
+# (deterministic fake decoder; payload is ASCII so bytes == codepoints and
+# the oracle reproduces the features from the source text).
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mm.extract_features(mm.as_media_table(docs))
+
+
+_BYTE_SUM = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), "
+    f"c -> ascii(c)::BIGINT)), (a, b) -> (a + b) % {_MOD})"
+)
+
+MULTIMODAL_FEATURES_SQL = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ascii(substr(text, 1, 1))::BIGINT AS first_byte,
+       {_BYTE_SUM} AS byte_sum_mod
+FROM documents
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_profile_by_source": corpus_profile_by_source,
@@ -391,6 +418,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "multimodal_features": multimodal_features,
 }
 
 ORACLES = {
@@ -403,4 +431,5 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
 }
