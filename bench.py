@@ -27,6 +27,13 @@ HEADLINE = [
     "top1_order_per_customer",
     "running_order_total",
     "fn_token_sort_ratio",
+    "match_fuzzy_blocked",
+    "text_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_brute_force",
+    "events_session_5m",
+    "multimodal_features",
 ]
 
 

@@ -41,7 +41,8 @@ from firmable_company_data_pipeline_spark.functions.textstats import (
     doc_fingerprint,
     tokens,
 )
-from firmable_company_data_pipeline_spark.functions.vectors import cosine, to_double
+from firmable_company_data_pipeline_spark.functions.vectors import dot, norm2, to_double
+from firmable_company_data_pipeline_spark.session import spread
 
 # Deterministic MinHash permutation parameters (a*h + b) % HASH_MOD.
 # Fixed Knuth-style multiplicative constants — shared verbatim with the
@@ -55,13 +56,13 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 32
 
 
-def shingle_array(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the whitespace-tokenized text.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a (materialized) token array.
 
-    Docs shorter than ``n`` tokens yield an empty array (they can never
-    near-dup-match; callers may union them back as singletons).
+    Prefer passing an attribute column: if ``toks`` is the raw split
+    expression, the interpreted HOF path re-evaluates it for every
+    element_at inside the lambda.
     """
-    toks = tokens(text)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
@@ -71,9 +72,38 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the whitespace-tokenized text.
+
+    Docs shorter than ``n`` tokens yield an empty array (they can never
+    near-dup-match; callers may union them back as singletons).
+    """
+    return shingles_from_tokens(tokens(text), n)
+
+
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """array<long> of rolling hashes of the distinct n-gram shingles."""
     return F.transform(shingle_array(text, n), char_fold_hash)
+
+
+def _staged_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) with tokens materialized behind an exchange so the
+    shingle transform reads an attribute, not a re-split per element."""
+    tok = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    return tok.repartition(tok.sparkSession.sparkContext.defaultParallelism).select(
+        "id", shingles_from_tokens(F.col("toks"), n).alias("sh")
+    )
+
+
+def _staged_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, hs) with both the token array and the shingle array staged
+    behind exchanges — each interpreted transform reads an attribute."""
+    sh = _staged_shingles(df, text_col, id_col, n)
+    return sh.repartition(sh.sparkSession.sparkContext.defaultParallelism).select(
+        "id", F.transform(F.col("sh"), char_fold_hash).alias("hs")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -103,9 +133,7 @@ def ngram_jaccard_pairs(
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingle_array(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    sh = _staged_shingles(df, text_col, id_col, n).withColumn("n_sh", F.size("sh"))
     ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("shingle")
@@ -131,23 +159,32 @@ def ngram_jaccard_pairs(
 def minhash_signature(text: Column, n: int = 3) -> Column:
     """MinHash signature: array of MINHASH_K minima of permuted shingle
     hashes.  Empty shingle set → signature of HASH_MOD sentinels (never
-    collides with a real minimum)."""
-    hashes = shingle_hashes(text, n)
-    return F.transform(
-        F.array(*[F.lit(i) for i in range(MINHASH_K)]),
-        lambda i: F.aggregate(
+    collides with a real minimum).
+
+    Note: this single-Column form inlines the shingle hashing into all
+    MINHASH_K folds (Catalyst collapses adjacent Projects, so a staging
+    select does not help).  ``minhash_lsh_pairs`` uses the staged
+    ``minhash_signature_from_hashes`` with an exchange barrier instead —
+    prefer that shape for bulk work."""
+    return minhash_signature_from_hashes(shingle_hashes(text, n))
+
+
+def minhash_signature_from_hashes(hashes: Column) -> Column:
+    """MinHash signature from a materialized array<long> of feature
+    hashes.
+
+    Each position is its own fold with the permutation constants baked
+    in as scalar literals — indexing a constant array per lambda step
+    would allocate it on every evaluation (interpreted HOF path).
+    """
+    def perm_min(a: int, b: int) -> Column:
+        return F.aggregate(
             hashes,
             F.lit(HASH_MOD).cast("long"),
-            lambda acc, h: F.least(
-                acc,
-                (
-                    F.element_at(F.array(*[F.lit(a) for a in MINHASH_A]), i + 1) * h
-                    + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), i + 1)
-                )
-                % HASH_MOD,
-            ),
-        ),
-    )
+            lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b)) % HASH_MOD),
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)])
 
 
 def minhash_lsh_pairs(
@@ -165,10 +202,19 @@ def minhash_lsh_pairs(
     Scale shape: explode bands (LSH_BANDS rows/doc), shuffle on the
     (band, bucket) key, pair within buckets — the classic
     sub-quadratic near-dedup join.
+
+    The shingle-hash array is materialized behind a repartition barrier:
+    without the exchange, CollapseProject would re-inline the hashing
+    into every one of the MINHASH_K signature folds (a 16× recompute of
+    the interpreted char-fold).  The repartition also fixes parallelism
+    for single-file inputs.
     """
-    sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), n).alias("sig")
-    ).filter(F.element_at("sig", 1) < HASH_MOD)  # drop docs with no shingles
+    hs = _staged_shingle_hashes(df, text_col, id_col, n)
+    sig = (
+        hs.repartition(hs.sparkSession.sparkContext.defaultParallelism)
+        .select("id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
+        .filter(F.element_at("sig", 1) < HASH_MOD)  # drop docs with no shingles
+    )
     bands = sig.select(
         "id",
         "sig",
@@ -254,9 +300,12 @@ def simhash_pairs(
     fingerprint (pigeonhole: hamming ≤ 3 ⇒ at least one band identical,
     so recall is exact for the threshold ≤ 3), verified with
     bit_count(xor).  Output (id_a, id_b, hamming)."""
-    fp = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("hs")
-    ).select("id", simhash32_from_hashes(F.col("hs")).alias("fp"))
+    hs = _staged_shingle_hashes(df, text_col, id_col, n)
+    # exchange barrier: keep CollapseProject from re-inlining the shingle
+    # hashing into all 32 bit-vote folds
+    fp = hs.repartition(hs.sparkSession.sparkContext.defaultParallelism).select(
+        "id", simhash32_from_hashes(F.col("hs")).alias("fp")
+    )
     bands = fp.select(
         "id",
         "fp",
@@ -295,15 +344,27 @@ def embedding_cosine_pairs(
 
     Brute force O(N²) — correct baseline; use
     ``similarity_search.lsh_bucketed_topk`` as the sub-quadratic scale
-    path.  Cosine is the sequential double fold (oracle-exact)."""
-    a = df.select(F.col(id_col).alias("id_a"), to_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), to_double(F.col(vec_col)).alias("vb"))
+    path.  Cosine is the sequential double fold (oracle-exact); norms
+    are precomputed per row (not per pair) — same IEEE values, N instead
+    of N² norm folds."""
+    a = spread(df).select(
+        F.col(id_col).alias("id_a"),
+        to_double(F.col(vec_col)).alias("va"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("norm_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        to_double(F.col(vec_col)).alias("vb"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("norm_b"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from firmable_company_data_pipeline_spark.functions.vectors import cosine, to_double
+from firmable_company_data_pipeline_spark.functions.vectors import dot, norm2, to_double
+from firmable_company_data_pipeline_spark.session import spread
 
 
 def sign_bucket(vec, planes: int = 6):
@@ -50,10 +51,14 @@ def brute_force_topk(
     """Exact cosine top-k neighbors per query vector (self-matches
     excluded).  Output: (query_id, neighbor_id, cos_sim, rank)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("qn"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double(F.col(vec_col)).alias("cv"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -62,7 +67,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -83,10 +90,12 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double(F.col(vec_col)).alias("qv"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("qn"),
     ).withColumn("bucket", sign_bucket(F.col("qv"), planes))
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         to_double(F.col(vec_col)).alias("cv"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("cn"),
     ).withColumn("bucket", sign_bucket(F.col("cv"), planes))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -95,7 +104,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from firmable_company_data_pipeline_spark.functions import textstats as ts
 from firmable_company_data_pipeline_spark.operators import dedup as dd
 from firmable_company_data_pipeline_spark.operators import similarity_search as ann
-from firmable_company_data_pipeline_spark.session import load_tables
+from firmable_company_data_pipeline_spark.session import load_tables, spread
 
 # --------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (mirrors of the Spark expressions).
@@ -61,7 +61,7 @@ _B_SQL = "[" + ", ".join(str(b) for b in dd.MINHASH_B) + "]"
 # --------------------------------------------------------------------------
 # text_stats — row-level token counts, fingerprint, quality, language.
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
     return docs.select(
         "doc_id",
         ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -129,7 +129,7 @@ FROM feat
 def corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return (
-        docs.select(
+        spread(docs).select(
             "source",
             ts.token_count(F.col("text")).cast("long").alias("n_tok"),
             ts.quality_score(F.col("text")).alias("q"),
@@ -389,7 +389,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.operators import multimodal as mm
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
     return mm.extract_features(mm.as_media_table(docs))
 
 

@@ -104,6 +104,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     return out
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition up to the session's parallelism when the input has
+    fewer partitions.
+
+    Small parquet inputs arrive as a single partition; expression-heavy
+    per-row work (higher-order functions run interpreted, pandas UDFs)
+    would then execute on one core.  At 100 TB inputs already have
+    thousands of partitions and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _read_events(spark: SparkSession, path: str):
     """The driver's events table stores ``ts`` as TIMESTAMP(NANOS), which
     Spark's parquet reader rejects. Read nanos as long (legacy conf) and
