@@ -47,3 +47,25 @@ def levenshtein_ratio(a: Column, b: Column) -> Column:
 def token_sort_ratio(a: Column, b: Column) -> Column:
     """Native token_sort_ratio approximation (F17): sort tokens, then ratio."""
     return levenshtein_ratio(token_sort(a), token_sort(b))
+
+
+def bounded_levenshtein_ratio(a: Column, b: Column, min_ratio: float) -> Column:
+    """Levenshtein ratio with early abandon: identical values to
+    :func:`levenshtein_ratio` for every pair scoring ≥ ``min_ratio``;
+    pairs below come back as -1.0 (callers filter on ≥ ``min_ratio``, so
+    the sentinel is never observable).
+
+    ``ratio ≥ r ⟺ distance ≤ (1 - r/100)·max_len``, so Spark's bounded
+    ``levenshtein(l, r, threshold)`` (banded DP, O(threshold·len) instead
+    of O(len²)) prunes the dissimilar majority of a similarity join's
+    candidate pairs at a fraction of the full-DP cost."""
+    max_len = F.greatest(F.length(a), F.length(b))
+    limit = F.floor(max_len * (1.0 - min_ratio / 100.0)).cast("int")
+    # call_function: the Python levenshtein() wrapper only takes an int
+    # threshold, but the underlying SQL function accepts a per-row column.
+    d = F.call_function("levenshtein", a, b, limit)
+    return (
+        F.when(max_len == 0, F.lit(100.0))
+        .when(d >= 0, (F.lit(1.0) - d / max_len) * 100.0)
+        .otherwise(F.lit(-1.0))
+    )

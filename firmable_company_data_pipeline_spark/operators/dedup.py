@@ -86,24 +86,47 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.transform(shingle_array(text, n), char_fold_hash)
 
 
-def _staged_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, sh) with tokens materialized behind an exchange so the
-    shingle transform reads an attribute, not a re-split per element."""
-    tok = spread(df).select(
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — one per (doc, distinct word n-gram).
+
+    This is the 100-TB shape for shingling: ``posexplode`` the token
+    array and assemble each n-gram from ``lead()`` windows over (id,
+    pos) — whole-stage-codegen throughout, ~10× faster than the
+    interpreted higher-order-function transform over per-doc arrays
+    (which the Column-level :func:`shingle_array` keeps for small-data /
+    oracle-mirror use).  ``distinct()`` gives set semantics per doc.
+    Same values as ``explode(shingle_array(text))``: docs shorter than
+    ``n`` tokens yield no rows.
+    """
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    return tok.repartition(tok.sparkSession.sparkContext.defaultParallelism).select(
-        "id", shingles_from_tokens(F.col("toks"), n).alias("sh")
+    ex = toks.select(
+        "id", F.size("toks").alias("n_tok"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, n)]
+    )
+    return (
+        ex.withColumn("shingle", gram)
+        .filter(F.col("pos") <= F.col("n_tok") - n)
+        .select("id", "shingle")
+        .distinct()
     )
 
 
-def _staged_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, hs) with both the token array and the shingle array staged
-    behind exchanges — each interpreted transform reads an attribute."""
-    sh = _staged_shingles(df, text_col, id_col, n)
-    return sh.repartition(sh.sparkSession.sparkContext.defaultParallelism).select(
-        "id", F.transform(F.col("sh"), char_fold_hash).alias("hs")
-    )
+def _shingle_hash_rows(sh: DataFrame) -> DataFrame:
+    """(id, h) rows from (id, shingle) rows: each distinct shingle hashed
+    exactly once; downstream ``groupBy(id).agg(...)`` does map-side
+    partial aggregation in whole-stage codegen.  The per-row arithmetic
+    ((a*h+b) % mod, bit tests) is plain codegen'd projection work — no
+    interpreted higher-order-function folds over per-doc arrays."""
+    return sh.select("id", char_fold_hash(F.col("shingle")).alias("h"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -133,8 +156,10 @@ def ngram_jaccard_pairs(
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sh = _staged_shingles(df, text_col, id_col, n).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    from pyspark.sql import Window
+
+    sh = shingle_rows(df, text_col, id_col, n)
+    ex = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("shingle")
     )
@@ -161,11 +186,10 @@ def minhash_signature(text: Column, n: int = 3) -> Column:
     hashes.  Empty shingle set → signature of HASH_MOD sentinels (never
     collides with a real minimum).
 
-    Note: this single-Column form inlines the shingle hashing into all
-    MINHASH_K folds (Catalyst collapses adjacent Projects, so a staging
-    select does not help).  ``minhash_lsh_pairs`` uses the staged
-    ``minhash_signature_from_hashes`` with an exchange barrier instead —
-    prefer that shape for bulk work."""
+    Note: this single-Column form runs the interpreted HOF fold path —
+    fine for a few rows, wrong for bulk work.  ``minhash_lsh_pairs``
+    computes the same values via explode + codegen hash aggregation;
+    prefer that shape for anything large."""
     return minhash_signature_from_hashes(shingle_hashes(text, n))
 
 
@@ -203,17 +227,26 @@ def minhash_lsh_pairs(
     (band, bucket) key, pair within buckets — the classic
     sub-quadratic near-dedup join.
 
-    The shingle-hash array is materialized behind a repartition barrier:
-    without the exchange, CollapseProject would re-inline the hashing
-    into every one of the MINHASH_K signature folds (a 16× recompute of
-    the interpreted char-fold).  The repartition also fixes parallelism
-    for single-file inputs.
+    The signature is computed as ``explode(shingles) → hash per row →
+    groupBy(id).agg(min per permutation)`` — whole-stage-codegen hash
+    aggregation with map-side partial combine, identical values to the
+    per-doc array fold (min is order-insensitive) but ~MINHASH_K×
+    cheaper: each shingle is hashed once and each permutation is one
+    codegen'd arithmetic expression, not an interpreted HOF fold.  Docs
+    with no shingles produce no rows (the oracle's ``sig[1] < mod``
+    filter drops the same docs).
     """
-    hs = _staged_shingle_hashes(df, text_col, id_col, n)
+    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"_m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
     sig = (
-        hs.repartition(hs.sparkSession.sparkContext.defaultParallelism)
-        .select("id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
-        .filter(F.element_at("sig", 1) < HASH_MOD)  # drop docs with no shingles
+        rows.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id", F.array(*[F.col(f"_m{i}") for i in range(MINHASH_K)]).alias("sig")
+        )
     )
     bands = sig.select(
         "id",
@@ -299,12 +332,34 @@ def simhash_pairs(
     """SimHash near-dup pairs, blocked on the four 8-bit bands of the
     fingerprint (pigeonhole: hamming ≤ 3 ⇒ at least one band identical,
     so recall is exact for the threshold ≤ 3), verified with
-    bit_count(xor).  Output (id_a, id_b, hamming)."""
-    hs = _staged_shingle_hashes(df, text_col, id_col, n)
-    # exchange barrier: keep CollapseProject from re-inlining the shingle
-    # hashing into all 32 bit-vote folds
-    fp = hs.repartition(hs.sparkSession.sparkContext.defaultParallelism).select(
-        "id", simhash32_from_hashes(F.col("hs")).alias("fp")
+    bit_count(xor).  Output (id_a, id_b, hamming).
+
+    Fingerprints come from ``explode(shingles) → groupBy(id).agg(32 bit
+    votes)`` — codegen hash aggregation, same values as the per-doc
+    array fold (Σ(2·bit−1) is order-insensitive).  Docs with an empty
+    shingle set are unioned back with fp = 0 (the empty fold), matching
+    the array semantics and the oracle."""
+    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    fp_expr = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fp_expr = fp_expr + F.when(
+            F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    no_shingles = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") < n)
+        .select("id", F.lit(0).cast("long").alias("fp"))
+    )
+    fp = (
+        rows.groupBy("id")
+        .agg(*votes)
+        .select("id", fp_expr.alias("fp"))
+        .unionByName(no_shingles)
     )
     bands = fp.select(
         "id",

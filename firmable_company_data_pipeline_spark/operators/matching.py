@@ -40,7 +40,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from firmable_company_data_pipeline_spark.functions.similarity import token_sort_ratio
+from firmable_company_data_pipeline_spark.functions.similarity import (
+    bounded_levenshtein_ratio,
+    token_sort,
+)
 
 # ---------------------------------------------------------------------------
 
@@ -135,20 +138,31 @@ def similarity_join(
     lcol = lambda c: F.col(f"l.{c}")  # noqa: E731
     rcol = lambda c: F.col(f"r.{c}")  # noqa: E731
 
+    # Native scorer: precompute the token-sort normalization per INPUT row
+    # (N+M regexp/sort chains) instead of per joined pair (Σ|block_l|·|block_r|
+    # of them) — the projection sits below the join so each side computes its
+    # key once, and the per-pair work is just the bounded Levenshtein.
+    lprep, rprep = left, right
+    if scorer == "native":
+        lprep = left.withColumn("_ts", token_sort(F.col(left_text)))
+        rprep = right.withColumn("_ts", token_sort(F.col(right_text)))
+
     if salt > 0:
-        la = left.withColumn(
+        la = lprep.withColumn(
             "_salt", (F.crc32(F.col(left_id).cast("string")) % salt).cast("int")
         ).alias("l")
-        ra = right.withColumn(
+        ra = rprep.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         ).alias("r")
         cond = (lcol(lkey) == rcol(rkey)) & (lcol("_salt") == rcol("_salt"))
     else:
-        la, ra = left.alias("l"), right.alias("r")
+        la, ra = lprep.alias("l"), rprep.alias("r")
         cond = lcol(lkey) == rcol(rkey)
 
     if scorer == "native":
-        score = token_sort_ratio(lcol(left_text), rcol(right_text))
+        # Early-abandon ratio: exact value for every pair ≥ threshold,
+        # -1.0 sentinel below it (removed by the threshold filter).
+        score = bounded_levenshtein_ratio(lcol("_ts"), rcol("_ts"), threshold)
     elif scorer == "rapidfuzz":
         score = _rapidfuzz_scorer(lcol(left_text), rcol(right_text))
     else:
