@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from firmable_company_data_pipeline_spark.queries import (
+        cleaning,
         core,
         llmops,
         matching,
@@ -27,7 +28,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (core, scalar, matching, llmops, streaming_batch):
+    for mod in (core, scalar, matching, llmops, streaming_batch, cleaning):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -68,6 +68,10 @@ def get_spark(
         # Don't let tiny files explode the task count in tests; at 100 TB
         # the default 128m is right, so we only set this under local[].
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Split single-file local inputs across all cores at the SCAN (no
+        # exchange needed) — on a real cluster defaultParallelism makes
+        # this a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -1,0 +1,127 @@
+"""Equivalence tests for the codegen fast paths in operators/dedup.py
+and functions/similarity.py.
+
+The bulk operators (shingle_rows, the explode+groupBy MinHash/SimHash
+signatures, the bounded Levenshtein scorer) must produce byte-identical
+values to their per-row Column-expression definitions — those Column
+forms are what the DuckDB oracles mirror, so any drift here would
+surface as an oracle mismatch at driver time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.functions.similarity import (
+    bounded_levenshtein_ratio,
+    levenshtein_ratio,
+    token_sort,
+)
+from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick brown fox jumps over the lazy cat"),
+    ("d3", "quick brown fox"),  # exactly n tokens -> 1 shingle
+    ("d4", "two words"),  # < n tokens -> no shingles
+    ("d5", ""),  # empty text
+    ("d6", "a a a a a a"),  # repeated tokens -> distinct shingles collapse
+    ("d7", "the quick brown fox jumps over the lazy dog"),  # dup of d1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_shingle_rows_matches_shingle_array(spark):
+    df = _docs(spark)
+    fast = {
+        (r["id"], r["shingle"])
+        for r in dd.shingle_rows(df, "text", "doc_id", 3).collect()
+    }
+    slow = {
+        (r["doc_id"], r["s"])
+        for r in df.select(
+            "doc_id", F.explode(dd.shingle_array(F.col("text"), 3)).alias("s")
+        ).collect()
+    }
+    assert fast == slow
+    assert not any(i == "d4" or i == "d5" for i, _ in fast)
+
+
+def test_grouped_minhash_matches_column_fold(spark):
+    df = _docs(spark)
+    rows = dd._shingle_hash_rows(dd.shingle_rows(df, "text", "doc_id", 3))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % dd.HASH_MOD).alias(f"_m{i}")
+        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    ]
+    fast = {
+        r["id"]: [r[f"_m{i}"] for i in range(dd.MINHASH_K)]
+        for r in rows.groupBy("id").agg(*mins).collect()
+    }
+    slow = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", dd.minhash_signature(F.col("text"), 3).alias("sig")
+        ).collect()
+        if r["sig"][0] < dd.HASH_MOD  # drop no-shingle docs, as the operator does
+    }
+    assert fast == slow
+
+
+def test_simhash_pairs_path_matches_column_fp(spark):
+    df = _docs(spark)
+    # Recompute the operator's fingerprint table the way simhash_pairs does.
+    rows = dd._shingle_hash_rows(dd.shingle_rows(df, "text", "doc_id", 3))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{j}")
+        for j in range(dd.SIMHASH_BITS)
+    ]
+    agg = rows.groupBy("id").agg(*votes)
+    fp_expr = F.lit(0).cast("long")
+    for j in range(dd.SIMHASH_BITS):
+        fp_expr = fp_expr + F.when(
+            F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    fast = {r["id"]: r["fp"] for r in agg.select("id", fp_expr.alias("fp")).collect()}
+    slow = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", dd.simhash32(F.col("text"), 3).alias("fp")
+        ).collect()
+    }
+    # Non-empty docs agree exactly; empty docs fold to 0 (unioned back in
+    # simhash_pairs, asserted below).
+    for doc_id, fp in fast.items():
+        assert slow[doc_id] == fp
+    assert slow["d4"] == 0 and slow["d5"] == 0
+    pair_fps = dd.simhash_pairs(df, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pair_fps.collect()}
+    assert ("d1", "d7") in got  # exact dup
+    assert ("d4", "d5") in got  # both empty-shingle docs, fp 0 vs 0
+
+
+def test_bounded_ratio_matches_plain_above_threshold(spark):
+    cases = [
+        ("acme holdings pty ltd", "acme holdings pty"),
+        ("acme holdings", "holdings acme"),
+        ("alpha beta", "gamma delta"),
+        ("", ""),
+        ("", "nonempty"),
+        ("same same", "same same"),
+        ("a b c d e f", "f e d c b a"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    rows = df.select(
+        levenshtein_ratio(token_sort(F.col("a")), token_sort(F.col("b"))).alias("plain"),
+        bounded_levenshtein_ratio(
+            token_sort(F.col("a")), token_sort(F.col("b")), 80.0
+        ).alias("bounded"),
+    ).collect()
+    for r in rows:
+        if r["plain"] >= 80.0:
+            assert r["bounded"] == r["plain"]
+        else:
+            assert r["bounded"] == -1.0 or r["bounded"] < 80.0
