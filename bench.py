@@ -48,8 +48,14 @@ def main():
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM/session on the smallest table once.
+    # Warm the JVM/session on the smallest table once, and fork the Python
+    # UDF workers (pandas/numpy import per worker is a one-time cost that
+    # would otherwise land on the first Arrow-boundary query; workers are
+    # reused afterwards — spark.python.worker.reuse default).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings = {}
     t_all = time.time()

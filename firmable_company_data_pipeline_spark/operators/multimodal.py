@@ -105,6 +105,8 @@ def extract_features(
     codepoints).
     """
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             decoded = [
@@ -117,7 +119,12 @@ def extract_features(
                     "media_type": pdf["media_type"],
                     "n_bytes": [len(d) for d in decoded],
                     "first_byte": [d[0] if len(d) else -1 for d in decoded],
-                    "byte_sum_mod": [sum(d) % HASH_MOD for d in decoded],
+                    # numpy views the payload buffer in place; the C-speed
+                    # sum is the per-row hot loop at scale.
+                    "byte_sum_mod": [
+                        int(np.frombuffer(d, dtype=np.uint8).sum()) % HASH_MOD
+                        for d in decoded
+                    ],
                 }
             )
 
