@@ -15,7 +15,47 @@ JDBC is the optional compatibility sink.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source (S7, transform/data_cleaning.py:92-100).
+
+    ``table`` may be a table name or a parenthesized subquery alias —
+    Catalyst pushes filters/aggregates into the remote database (DSv2
+    pushdown), which is the Spark analog of the reference running its
+    stage-1 join inside Postgres (transform/entity_matching.py:113-135).
+
+    At scale, pass ``partition_column``/bounds/``num_partitions`` (or
+    explicit ``predicates``) so the read is split across executors —
+    the distributed replacement for the reference's ORDER/OFFSET/FETCH
+    pagination (O1, transform/entity_matching.py:95-110).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if predicates:
+        # Spark's predicate-list API lives on the classic reader path.
+        props = dict(properties or {})
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    return reader.load()
 
 
 def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
