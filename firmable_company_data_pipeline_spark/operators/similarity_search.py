@@ -30,6 +30,81 @@ from firmable_company_data_pipeline_spark.functions.vectors import dot, norm2, t
 from firmable_company_data_pipeline_spark.session import spread
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into cells around centroids,
+    probe only the ``nprobe`` cells nearest each query, exact-score
+    within the probed cells.
+
+    Centroid selection here is the deterministic stand-in (the
+    ``n_cells`` lowest-id corpus vectors) so the DuckDB oracle can
+    reproduce the index bit-for-bit; swap in MLlib KMeans centers for
+    real recall.  The *structure* is the scale contract: assignment is a
+    broadcast cross-score against n_cells rows (map-only), the search
+    joins queries to corpus on the cell id — at 100 TB the corpus
+    shuffles once on cell, and per-query work is |cell|·nprobe instead
+    of N.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) like
+    :func:`brute_force_topk`; self-matches excluded.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), to_double(F.col(vec_col)).alias("centv"))
+        .orderBy("cid")
+        .limit(n_cells)
+    )
+    cents = cents.withColumn(
+        "cell", F.row_number().over(Window.orderBy("cid")) - 1
+    ).select(
+        "cell", "centv", F.sqrt(norm2(F.col("centv"))).alias("centn")
+    )
+    cents = broadcast(cents)
+
+    def nearest_cells(side: DataFrame, out_id: str, keep: int) -> DataFrame:
+        v = side.select(
+            F.col(id_col).alias(out_id),
+            to_double(F.col(vec_col)).alias("v"),
+            F.sqrt(norm2(to_double(F.col(vec_col)))).alias("n"),
+        )
+        cos = dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn"))
+        w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell"))
+        return (
+            v.join(cents, F.lit(True))
+            .withColumn("ccos", cos)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .select(out_id, "cell", "v", "n")
+        )
+
+    assigned = nearest_cells(spread(corpus), "neighbor_id", 1).withColumnsRenamed(
+        {"v": "cv", "n": "cn"}
+    )
+    probes = nearest_cells(queries, "query_id", nprobe).withColumnsRenamed(
+        {"v": "qv", "n": "qn"}
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def sign_bucket(vec, planes: int = 6):
     """Deterministic LSH bucket: integer from the sign bits of the first
     ``planes`` dimensions (axis-aligned hyperplanes)."""

@@ -382,6 +382,62 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+# ann_ivf — IVF-cell ANN: deterministic centroids (8 lowest-id vectors),
+# nearest-cell assignment, nprobe=2 probing, exact re-score in probed cells.
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_cells=8, nprobe=2
+    )
+
+
+_CENT_COS = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(v)), i -> v[i+1] * centv[i+1])), (x, y) -> x + y)"
+    f" / ({_norm('v')} * {_norm('centv')})"
+)
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS centv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CENT_COS} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CENT_COS} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round({_DOT.replace("va", "qv").replace("vb", "cv")}
+               / ({_norm("qv")} * {_norm("cv")}), 6) AS cos_sim
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.query_id <> a.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal_features — binary-column plumbing: documents → opaque binary
 # payloads + typed metadata → Arrow-batched mapInPandas feature extraction
 # (deterministic fake decoder; payload is ASCII so bytes == codepoints and
@@ -418,6 +474,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
 }
 
@@ -431,5 +488,6 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
 }
