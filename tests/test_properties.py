@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the scalar function library.
+
+Each property batches all generated examples into ONE Spark job per
+hypothesis example-set (a list strategy), keeping runtime sane while
+still exploring the input space. Python oracles restate the reference
+semantics (extract/commoncrawl_scraper.py:25-67,
+transform/data_cleaning.py:56-75) — the same oracle pattern as
+tests/test_functions.py, but adversarial inputs instead of curated ones.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import firmable_company_data_pipeline_spark.functions as lib
+from firmable_company_data_pipeline_spark.functions.textstats import (
+    HASH_MOD,
+    char_fold_hash,
+)
+
+# Printable-ASCII text (Spark ascii()/DuckDB ascii() agree on this range).
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+abn_chars = st.text(alphabet="0123456789 -x", min_size=0, max_size=16)
+
+SETTINGS = settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _batch(spark, values, colfn, in_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")
+    return [r[0] for r in df.select(colfn(F.col("v")).alias("o")).collect()]
+
+
+@SETTINGS
+@given(st.lists(abn_chars, min_size=1, max_size=30))
+def test_validate_abn_property(spark, vals):
+    def oracle(abn):
+        cleaned = re.sub(r"[\s\-]", "", abn)
+        if not re.fullmatch(r"\d{11}", cleaned):
+            return False
+        w = [10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+        total = sum(
+            (int(d) - 1 if i == 0 else int(d)) * w[i] for i, d in enumerate(cleaned)
+        )
+        return total % 89 == 0
+
+    got = _batch(spark, vals, lib.validate_abn)
+    assert got == [oracle(v) for v in vals]
+
+
+@SETTINGS
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_clean_text_property(spark, vals):
+    got = _batch(spark, vals, lib.clean_text)
+    assert got == [" ".join(v.split(" ")).strip() if v else v for v in
+                   [re.sub(r"\s+", " ", v) for v in vals]]
+
+
+@SETTINGS
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_clean_company_name_idempotent(spark, vals):
+    once = _batch(spark, vals, lib.clean_company_name)
+    twice = _batch(spark, [v or "" for v in once], lib.clean_company_name)
+    # Idempotency on non-null results: cleaning an already-clean name is a
+    # no-op EXCEPT for initcap interactions (e.g. "McA" -> "Mca" stays).
+    for a, b in zip(once, twice):
+        assert (a or "") == (b or "")
+
+
+@SETTINGS
+@given(st.lists(st.tuples(ascii_text, ascii_text), min_size=1, max_size=30))
+def test_token_sort_ratio_properties(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        lib.token_sort_ratio(F.col("a"), F.col("b")).alias("ab"),
+        lib.token_sort_ratio(F.col("b"), F.col("a")).alias("ba"),
+        lib.token_sort_ratio(F.col("a"), F.col("a")).alias("aa"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["ab"] <= 100.0
+        assert r["ab"] == r["ba"]  # symmetry
+        assert r["aa"] == 100.0  # reflexivity
+
+
+@SETTINGS
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_char_fold_hash_matches_python(spark, vals):
+    def oracle(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % HASH_MOD
+        return h
+
+    got = _batch(spark, vals, char_fold_hash)
+    assert got == [oracle(v) for v in vals]
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=30))
+def test_abn_zero_pad_checksum_consistency(spark, keys):
+    """lpad'd numeric candidates: Spark validity == Python checksum."""
+    vals = [str(k).zfill(11)[:11] for k in keys]
+    got = _batch(spark, vals, lib.validate_abn)
+    w = [10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+    exp = [
+        sum((int(d) - 1 if i == 0 else int(d)) * w[i] for i, d in enumerate(v)) % 89
+        == 0
+        for v in vals
+    ]
+    assert got == exp
