@@ -407,16 +407,20 @@ def match_cascade(
 
     Cost ordering is the reference's design: cheap exact join first, fuzzy
     on the residual, optional LLM on what's left (README.md:241-263).
-    Residuals are persisted so each stage's anti-join doesn't recompute
-    the previous stage.
+    Stage outputs that feed BOTH an anti-join residual and the final
+    union are persisted (memory-and-disk, spill-safe) so neither branch
+    recomputes the stage — exchange reuse alone doesn't cover the two
+    different plan shapes.
     """
-    rule = rule_based_match(cc, abr)
+    rule = rule_based_match(cc, abr).persist()
 
     residual1 = anti_join_residual(cc, rule, "domain")
     fuzzy = fuzzy_match(residual1, abr, threshold=threshold, scorer=scorer)
 
     stages = [rule, fuzzy]
     if enable_llm:
+        fuzzy = fuzzy.persist()
+        stages[1] = fuzzy
         matched_so_far = rule.select("domain").union(fuzzy.select("domain"))
         residual2 = anti_join_residual(residual1, matched_so_far, "domain")
         stages.append(llm_match(residual2, abr, client=llm_client))
