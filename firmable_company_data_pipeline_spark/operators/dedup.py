@@ -150,16 +150,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard via inverted-index join.
 
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    ``max_df``: when set, shingles appearing in more than ``max_df``
+    documents are dropped from the *pairing* index (their df² pair
+    blowup is the one quadratic term in this plan — stopword-like
+    n-grams at corpus scale). Denominators still count every shingle,
+    so scores are exact for pairs whose common shingles are all rare,
+    and downward-biased otherwise: a recall/cost knob (CCNet-style),
+    default off for oracle-exact semantics.
     """
     from pyspark.sql import Window
 
     sh = shingle_rows(df, text_col, id_col, n)
     ex = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+    if max_df is not None:
+        ex = ex.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_df).drop("_df")
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("shingle")
     )
@@ -333,6 +346,11 @@ def simhash_pairs(
     fingerprint (pigeonhole: hamming ≤ 3 ⇒ at least one band identical,
     so recall is exact for the threshold ≤ 3), verified with
     bit_count(xor).  Output (id_a, id_b, hamming).
+
+    Scale note: 8-bit bands give only 256 buckets per band, so beyond
+    ~10M docs the within-bucket pairing turns quadratic — widen the
+    fingerprint (64-bit, 4×16-bit bands = 65k buckets) for corpus-scale
+    runs; the 32-bit/8-bit choice here keeps the oracle SQL tractable.
 
     Fingerprints come from ``explode(shingles) → groupBy(id).agg(32 bit
     votes)`` — codegen hash aggregation, same values as the per-doc

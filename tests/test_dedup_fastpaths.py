@@ -125,3 +125,29 @@ def test_bounded_ratio_matches_plain_above_threshold(spark):
             assert r["bounded"] == r["plain"]
         else:
             assert r["bounded"] == -1.0 or r["bounded"] < 80.0
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    # Three docs sharing one universal shingle; only d1/d2 share rare ones.
+    docs = spark.createDataFrame(
+        [
+            ("d1", "common shingle here alpha beta gamma"),
+            ("d2", "common shingle here alpha beta delta"),
+            ("d3", "common shingle here zzz yyy xxx"),
+        ],
+        "doc_id string, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.0, max_df=2).collect()
+    }
+    # the universal "common shingle here" (df=3) is pruned from pairing:
+    # pairs kept only via rarer shared shingles, scores <= exact scores
+    assert set(pruned) <= set(exact)
+    for k, v in pruned.items():
+        assert v <= exact[k]
+    assert ("d1", "d2") in pruned
