@@ -139,12 +139,29 @@ GROUP BY c.user_id
 """
 
 
+# --------------------------------------------------------------------------
+def events_user_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered sequence numbers (the batch view the streaming
+    tests cross-check; deterministic tie-break on event_id)."""
+    return W.user_event_rate(_events(spark, sf_dir)).select(
+        "event_id", "user_id", "seq"
+    )
+
+
+EVENTS_USER_SEQ_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
 QUERIES = {
     "events_tumbling_1h": events_tumbling_1h,
     "events_sliding_10m": events_sliding_10m,
     "events_session_5m": events_session_5m,
     "events_dedup_union": events_dedup_union,
     "events_click_error_join": events_click_error_join,
+    "events_user_seq": events_user_seq,
 }
 
 ORACLES = {
@@ -153,4 +170,5 @@ ORACLES = {
     "events_session_5m": EVENTS_SESSION_5M_SQL,
     "events_dedup_union": EVENTS_DEDUP_UNION_SQL,
     "events_click_error_join": EVENTS_CLICK_ERROR_JOIN_SQL,
+    "events_user_seq": EVENTS_USER_SEQ_SQL,
 }
