@@ -26,8 +26,11 @@ def token_sort(col: Column) -> Column:
     variants ("A & B" vs "a and b") aren't over-penalized by the
     Levenshtein ratio the way raw strings would be.
     """
-    normalized = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
-    tokens = F.split(F.trim(F.regexp_replace(normalized, r"\s+", " ")), " ")
+    # Single-pass normalization: any run of non-alphanumerics (punctuation
+    # AND whitespace) is one separator — provably identical to the two-pass
+    # punct→space + collapse-\s+ form, at one regex pass per value.
+    normalized = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+    tokens = F.split(F.trim(normalized), " ")
     return F.array_join(F.array_sort(tokens), " ")
 
 

@@ -89,8 +89,8 @@ WITH abr AS (
 # token-sort + levenshtein-ratio scorer in DuckDB, mirroring
 # functions/similarity.py exactly.
 _DUCK_TS = (
-    "array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace("
-    "lower({x}), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')), ' ')"
+    "array_to_string(list_sort(string_split(trim(regexp_replace("
+    "lower({x}), '[^a-z0-9]+', ' ', 'g')), ' ')), ' ')"
 )
 _DUCK_RATIO = (
     "CASE WHEN greatest(length({a}), length({b})) = 0 THEN 100.0 "

@@ -247,8 +247,8 @@ def fn_token_sort_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _duck_ts = (
-    "array_to_string(list_sort(string_split(trim(regexp_replace(regexp_replace("
-    "lower({x}), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')), ' ')"
+    "array_to_string(list_sort(string_split(trim(regexp_replace("
+    "lower({x}), '[^a-z0-9]+', ' ', 'g')), ' ')), ' ')"
 )
 _duck_ratio = (
     "CASE WHEN greatest(length({a}), length({b})) = 0 THEN 100.0 "
