@@ -173,6 +173,8 @@ def ngram_jaccard_pairs(
         ex = ex.withColumn(
             "_df", F.count("*").over(Window.partitionBy("shingle"))
         ).filter(F.col("_df") <= max_df).drop("_df")
+    # Persisted: the inverted-index join reads this table as both sides.
+    ex = ex.persist()
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("shingle")
     )
@@ -254,12 +256,18 @@ def minhash_lsh_pairs(
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"_m{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
+    # Persisted: the band self-join references the signature table on BOTH
+    # sides, and the branches are not canonically identical after the
+    # id_a/id_b renames — without the persist the whole scan→shingle→agg
+    # pipeline runs twice (measured 4-8× end-to-end).  16 longs per doc:
+    # tiny relative to the corpus, spill-safe at scale.
     sig = (
         rows.groupBy("id")
         .agg(*mins)
         .select(
             "id", F.array(*[F.col(f"_m{i}") for i in range(MINHASH_K)]).alias("sig")
         )
+        .persist()
     )
     bands = sig.select(
         "id",
@@ -373,11 +381,14 @@ def simhash_pairs(
         .filter(F.size("toks") < n)
         .select("id", F.lit(0).cast("long").alias("fp"))
     )
+    # Persisted for the same both-sides-of-the-band-join reason as the
+    # MinHash signature table (one long per doc).
     fp = (
         rows.groupBy("id")
         .agg(*votes)
         .select("id", fp_expr.alias("fp"))
         .unionByName(no_shingles)
+        .persist()
     )
     bands = fp.select(
         "id",
@@ -420,15 +431,16 @@ def embedding_cosine_pairs(
     path.  Cosine is the sequential double fold (oracle-exact); norms
     are precomputed per row (not per pair) — same IEEE values, N instead
     of N² norm folds."""
-    a = spread(df).select(
-        F.col(id_col).alias("id_a"),
-        to_double(F.col(vec_col)).alias("va"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("norm_a"),
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        to_double(F.col(vec_col)).alias("v"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("nrm"),
+    ).persist()  # read as both join sides
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("norm_a")
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        to_double(F.col(vec_col)).alias("vb"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("norm_b"),
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("norm_b")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
