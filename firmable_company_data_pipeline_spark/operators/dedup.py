@@ -418,6 +418,69 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over a near-dup pair graph: every node gets
+    ``cluster_id`` = the minimum id reachable from it.  The canonical
+    final step of corpus dedup — pairs from any of the near-dup
+    detectors become keep/drop decisions per *cluster*, not per pair
+    (A~B, B~C must collapse to one survivor even when A~C was never
+    emitted).
+
+    Iterative (label propagation to fixpoint): each round joins labels
+    across edges and takes the neighborhood min — O(cluster diameter)
+    rounds, and near-dup clusters are shallow (pairs/stars/short
+    chains).  Each round is one shuffle join + partial-agg min; the only
+    driver-side value is the converged? count, never data.  This is the
+    standard Spark formulation of CC (cf. GraphFrames' label
+    propagation); large-star/small-star halves rounds on deep graphs if
+    ever needed.
+
+    Output: (doc_id, cluster_id) for every node that appears in
+    ``pairs`` (singletons are their own trivial clusters and are
+    omitted, matching the pair-graph domain).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("label"))
+    ).persist()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(labels["label"], F.coalesce("nbr_label", labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -286,6 +286,42 @@ SELECT id_a, id_b, hamming FROM (
 
 
 # --------------------------------------------------------------------------
+# dedup_clusters — connected components over the n-gram-Jaccard pair graph:
+# (doc_id, cluster_id = min reachable doc_id).  Spark side is iterative
+# min-label propagation to fixpoint; the oracle computes the same min
+# reachable id via a recursive transitive-closure CTE (fine at oracle
+# scale; the iterative join IS the 100-TB path).
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.connected_components(dd.ngram_jaccard_pairs(docs, threshold=0.8))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+jpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b, id_a FROM jpairs
+),
+walk(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+)
+SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_embedding_cosine — exact pairwise cosine near-dups (≥ 0.45).
 _DOT = (
     "list_reduce(list_prepend(0.0::DOUBLE, "
@@ -471,6 +507,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -485,6 +522,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,

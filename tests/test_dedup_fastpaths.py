@@ -151,3 +151,21 @@ def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
     for k, v in pruned.items():
         assert v <= exact[k]
     assert ("d1", "d2") in pruned
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain a-b-c collapses to one cluster even though a-c was never paired;
+    # x-y is a separate island; singletons don't appear.
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("p", "r")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "p": "p", "q": "p", "r": "p",
+    }
