@@ -123,3 +123,37 @@ def test_foreach_batch_upsert(spark, sf_dir, events_dup_dir, tmp_path):
     final = spark.read.parquet(target)
     assert final.count() == final.select("event_id").distinct().count()
     assert final.count() == n_expected
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, events_dir):
+    from firmable_company_data_pipeline_spark.streaming import stateful
+
+    stream = jobs.read_events_stream(spark, events_dir, fmt="parquet", max_files=1)
+    q = (
+        stateful.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # last emission per user = final running totals
+    out = spark.sql(
+        """SELECT user_id, n_events, sum_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n_events DESC) AS rn
+             FROM running_totals) WHERE rn = 1"""
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in out.collect()}
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    exp = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for u, (n, s) in exp.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - s) < 1e-6  # float fold order differs per path
