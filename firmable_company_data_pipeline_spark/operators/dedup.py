@@ -458,24 +458,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the previous label through the update so convergence is one
+        # filter over the already-materialized result, not a second join.
+        upd = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 labels["id"].alias("id"),
+                labels["label"].alias("_old"),
                 F.least(labels["label"], F.coalesce("nbr_label", labels["label"])).alias(
                     "label"
                 ),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = upd.filter(F.col("label") != F.col("_old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = upd.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
