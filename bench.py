@@ -34,6 +34,10 @@ HEADLINE = [
     "ann_brute_force",
     "events_session_5m",
     "multimodal_features",
+    "match_cascade_full",
+    "ann_ivf",
+    "jsonld_flatten",
+    "clean_abr_pipeline",
 ]
 
 
