@@ -171,6 +171,40 @@ FROM q GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# corpus_quality_filter — the C4/Gopher-style curation step: keep documents
+# above a quality threshold in the target language.  Pure filter over the
+# text_stats features; at 100 TB this is one map stage with the predicate
+# evaluated next to the scan.
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_stats(spark, sf_dir)
+    return stats.select("doc_id", "quality", "lang_pred").filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+
+
+CORPUS_QUALITY_FILTER_SQL = f"""
+SELECT doc_id, quality, lang_pred FROM ({TEXT_STATS_SQL}) t
+WHERE quality >= 0.5 AND lang_pred = 'en'
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_sample — deterministic hash-based ~10% sample: stable across runs,
+# executors, and engines (no RNG), the reproducible-subset primitive for
+# eval splits and ablations.
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bucket = F.pmod(ts.char_fold_hash(F.col("doc_id").cast("string")), F.lit(10))
+    return docs.select("doc_id", "source").filter(bucket == 3)
+
+
+CORPUS_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE {_fold("CAST(doc_id AS VARCHAR)")} % 10 = 3
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_exact — hash-groupBy dedup over the corpus unioned with itself
 # (the driver corpus has no exact dups; the self-union demonstrates the
 # group/canonicalize semantics with n_dups = 2 per group).
@@ -503,6 +537,8 @@ FROM documents
 QUERIES = {
     "text_stats": text_stats,
     "corpus_profile_by_source": corpus_profile_by_source,
+    "corpus_quality_filter": corpus_quality_filter,
+    "corpus_sample": corpus_sample,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -518,6 +554,8 @@ QUERIES = {
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "corpus_profile_by_source": CORPUS_PROFILE_BY_SOURCE_SQL,
+    "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,
+    "corpus_sample": CORPUS_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
