@@ -87,11 +87,8 @@ def lang_scores(col: Column) -> Column:
     )
 
 
-def detect_language(col: Column) -> Column:
-    """Argmax language over the stopword profiles; 'und' (undetermined)
-    when no profile scores a hit. Ties break in LANG_PROFILES order
-    (deterministic)."""
-    toks = tokens(col)
+def detect_language_from(toks: Column) -> Column:
+    """Language argmax from a pre-computed token-array column."""
     hits = {lang: _profile_hits(toks, ws) for lang, ws in LANG_PROFILES.items()}
     best = F.greatest(*hits.values())
     out = F.lit("und")
@@ -101,19 +98,17 @@ def detect_language(col: Column) -> Column:
     return out
 
 
-def quality_score(col: Column) -> Column:
-    """Heuristic document quality in [0,1] (Gopher/C4-style signals):
+def detect_language(col: Column) -> Column:
+    """Argmax language over the stopword profiles; 'und' (undetermined)
+    when no profile scores a hit. Ties break in LANG_PROFILES order
+    (deterministic)."""
+    return detect_language_from(tokens(col))
 
-    * length band   — 0 below 10 tokens, saturates at 100 tokens
-    * mean word len — penalize <3 or >12 (gibberish / concatenation)
-    * alpha ratio   — share of alphabetic chars among non-space chars
-    * stopword hit  — any common-word presence (fluency proxy)
 
-    Weighted sum, rounded to 4 dp (round in oracle too).
-    """
-    toks = tokens(col)
+def quality_score_from(toks: Column, stripped: Column) -> Column:
+    """Quality score from pre-computed token-array and stripped-text
+    columns (see :func:`quality_score` for the formula)."""
     n_tok = F.size(toks)
-    stripped = F.regexp_replace(col, r"\s+", "")
     n_alpha = F.length(F.regexp_replace(stripped, r"[^a-zA-Z]", ""))
     alpha_ratio = F.when(F.length(stripped) > 0, n_alpha / F.length(stripped)).otherwise(
         F.lit(0.0)
@@ -135,3 +130,48 @@ def quality_score(col: Column) -> Column:
         + F.lit(0.1) * stop_hit
     )
     return F.round(score, 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1] (Gopher/C4-style signals):
+
+    * length band   — 0 below 10 tokens, saturates at 100 tokens
+    * mean word len — penalize <3 or >12 (gibberish / concatenation)
+    * alpha ratio   — share of alphabetic chars among non-space chars
+    * stopword hit  — any common-word presence (fluency proxy)
+
+    Weighted sum, rounded to 4 dp (round in oracle too).
+    """
+    return quality_score_from(tokens(col), F.regexp_replace(col, r"\s+", ""))
+
+
+def text_features(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)):
+    """All text features with the token array and stripped text staged
+    in ONE projection below the feature expressions.
+
+    The single-Column forms above inline ``tokens()`` into every
+    feature (token count, four language profiles, quality's three
+    token-derived signals) — ~9 tokenizations per row and a huge
+    codegen unit (multi-second janino compile).  Staging computes each
+    shared subexpression once per row; CollapseProject keeps the
+    projection because the alias is referenced many times.  Unused
+    features are pruned by Catalyst when callers select a subset.
+
+    Output: keep... , n_tokens, n_bpe_tokens, fingerprint, quality,
+    lang_pred — identical values to the per-Column forms.
+    """
+    staged = df.select(
+        *keep,
+        F.col(text_col).alias("_text"),
+        tokens(F.col(text_col)).alias("_toks"),
+        F.regexp_replace(F.col(text_col), r"\s+", "").alias("_stripped"),
+    )
+    toks, stripped = F.col("_toks"), F.col("_stripped")
+    return staged.select(
+        *keep,
+        F.size(toks).cast("long").alias("n_tokens"),
+        bpe_token_count(F.col("_text")).cast("long").alias("n_bpe_tokens"),
+        doc_fingerprint(F.col("_text")).alias("fingerprint"),
+        quality_score_from(toks, stripped).alias("quality"),
+        detect_language_from(toks).alias("lang_pred"),
+    )

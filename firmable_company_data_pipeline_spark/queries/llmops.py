@@ -62,14 +62,7 @@ _B_SQL = "[" + ", ".join(str(b) for b in dd.MINHASH_B) + "]"
 # text_stats — row-level token counts, fingerprint, quality, language.
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
-    return docs.select(
-        "doc_id",
-        ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        ts.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
-        ts.doc_fingerprint(F.col("text")).alias("fingerprint"),
-        ts.quality_score(F.col("text")).alias("quality"),
-        ts.detect_language(F.col("text")).alias("lang_pred"),
-    )
+    return ts.text_features(docs)
 
 
 _PROFILE_HITS = {
@@ -128,17 +121,14 @@ FROM feat
 # corpus_profile_by_source — aggregate quality/volume per source.
 def corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feats = ts.text_features(spread(docs), keep=("source",))
     return (
-        spread(docs).select(
-            "source",
-            ts.token_count(F.col("text")).cast("long").alias("n_tok"),
-            ts.quality_score(F.col("text")).alias("q"),
-        )
+        feats.select("source", "n_tokens", "quality")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
 
