@@ -379,6 +379,34 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# priority_status_rollup — grouping-sets aggregation (rollup): per
+# (priority, status), per priority subtotals, and the grand total in one
+# pass.  Catalyst expands the rollup into an Expand + single hash
+# aggregate — one shuffle for all three grouping levels (the reason to
+# prefer rollup over unioned groupBys at scale).  Sums stay in DECIMAL
+# until the final round/cast so both engines agree bit-for-bit.
+def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+PRIORITY_STATUS_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -393,6 +421,7 @@ QUERIES = {
     "orders_page": orders_page,
     "priority_price_stats": priority_price_stats,
     "events_json_k": events_json_k,
+    "priority_status_rollup": priority_status_rollup,
 }
 
 ORACLES = {
@@ -409,4 +438,5 @@ ORACLES = {
     "orders_page": ORDERS_PAGE_SQL,
     "priority_price_stats": PRIORITY_PRICE_STATS_SQL,
     "events_json_k": EVENTS_JSON_K_SQL,
+    "priority_status_rollup": PRIORITY_STATUS_ROLLUP_SQL,
 }
