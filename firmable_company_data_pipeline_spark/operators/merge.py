@@ -1,0 +1,164 @@
+"""Dimension maintenance: keyed merge/upsert (SCD type 1) and history
+tracking (SCD type 2).
+
+The reference maintains its dimension by **drop/recreate on every run**
+(``transform/entity_matching.py:37-55`` — S9) and its README's
+production sketch hand-waves incremental loads to a dbt layer
+(``README.md:137-165``).  A real warehouse dimension needs MERGE
+semantics; these operators express them as pure DataFrame plans so the
+same code works against parquet, Delta (which would use a native
+``MERGE INTO``), or a JDBC sink via ``foreachBatch``.
+
+Scale design:
+
+* One shuffle per side on the merge keys (full-outer hash join).  With
+  both sides bucketed by the key the join is co-located and shuffle-free
+  — the recommended layout for a 100 TB dimension maintained by daily
+  deltas (the updates side is usually small enough for a broadcast,
+  which AQE converts at runtime).
+* No row is ever collected to the driver; the merged dimension is the
+  return value, written back with ``mode("overwrite")`` (atomic
+  file-commit) or handed to a Delta MERGE.
+* The streaming twin is ``streaming/jobs.py::foreach_batch_upsert``
+  (micro-batch keyed upsert).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ACTION = "merge_action"
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked_cols: Sequence[str] | None = None,
+    with_action: bool = False,
+) -> DataFrame:
+    """SCD1 merge: updates win per key; unmatched current rows are kept;
+    unmatched update rows are inserted.
+
+    ``tracked_cols`` (default: every non-key column present on both
+    sides) define "changed": an update row whose tracked columns all
+    null-safe-equal the current row is ``unchanged``; otherwise
+    ``update``.  ``with_action=True`` appends a ``merge_action`` column
+    (``insert`` / ``update`` / ``unchanged`` / ``keep``) for audit
+    sinks.
+
+    Both inputs must share the key columns; non-key columns are aligned
+    by name (missing on either side → NULL, mirroring the reference's
+    null-padding semantics, ``transform/entity_matching.py:57-66``).
+    """
+    keys = list(keys)
+    cur_cols = [c for c in current.columns if c not in keys]
+    upd_cols = [c for c in updates.columns if c not in keys]
+    out_cols = cur_cols + [c for c in upd_cols if c not in cur_cols]
+    if tracked_cols is None:
+        tracked_cols = [c for c in cur_cols if c in upd_cols]
+
+    cur = current.withColumn("_cur", F.lit(True)).alias("cur")
+    upd = updates.withColumn("_upd", F.lit(True)).alias("upd")
+    joined = cur.join(upd, on=keys, how="full_outer")
+
+    has_cur = F.col("cur._cur").isNotNull()
+    has_upd = F.col("upd._upd").isNotNull()
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(f"upd.{c}").eqNullSafe(F.col(f"cur.{c}"))
+
+    def val(c: str):
+        in_cur, in_upd = c in cur_cols, c in upd_cols
+        if in_cur and in_upd:
+            return F.when(has_upd, F.col(f"upd.{c}")).otherwise(F.col(f"cur.{c}"))
+        if in_upd:
+            return F.when(has_upd, F.col(f"upd.{c}"))
+        return F.when(has_cur, F.col(f"cur.{c}"))
+
+    action = (
+        F.when(~has_cur, F.lit("insert"))
+        .when(~has_upd, F.lit("keep"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    cols = [F.col(k).alias(k) for k in keys] + [val(c).alias(c) for c in out_cols]
+    if with_action:
+        cols.append(action.alias(_ACTION))
+    return joined.select(*cols)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    as_of_col: str = "as_of",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2 history merge: changed keys close their current row
+    (``valid_to`` = the update's ``as_of``) and open a new one; new keys
+    insert an open row; unchanged keys pass through.
+
+    ``dim`` carries ``valid_from`` and ``valid_to`` (NULL = current
+    row); ``updates`` carries the key, the tracked attribute columns,
+    and ``as_of_col``.  Attribute columns are whatever both sides share
+    beyond keys/validity.  Closed history rows are never touched — at
+    scale, partition the dimension on ``valid_to IS NULL`` (or store
+    history in a separate table) so the merge only rewrites the current
+    partition.
+    """
+    keys = list(keys)
+    attrs = [
+        c
+        for c in dim.columns
+        if c in updates.columns and c not in keys and c not in (valid_from, valid_to, as_of_col)
+    ]
+
+    closed_history = dim.filter(F.col(valid_to).isNotNull())
+    open_rows = (
+        dim.filter(F.col(valid_to).isNull()).withColumn("_cur", F.lit(True)).alias("cur")
+    )
+    upd = updates.withColumn("_upd", F.lit(True)).alias("upd")
+
+    # The three branches below share this join subplan; Spark's exchange
+    # reuse dedups its shuffles across the union branches.
+    joined = open_rows.join(upd, on=keys, how="full_outer")
+    has_cur = F.col("cur._cur").isNotNull()
+    has_upd = F.col("upd._upd").isNotNull()
+    changed = F.lit(False)
+    for c in attrs:
+        changed = changed | ~F.col(f"upd.{c}").eqNullSafe(F.col(f"cur.{c}"))
+
+    key_cols = [F.col(k).alias(k) for k in keys]
+
+    # Unchanged current rows (no update, or update carrying equal attrs).
+    untouched = joined.filter(has_cur & (~has_upd | ~changed)).select(
+        *key_cols,
+        *[F.col(f"cur.{c}").alias(c) for c in attrs],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        F.col(f"cur.{valid_to}").alias(valid_to),
+    )
+    # Current rows superseded by a changed update: close them at as_of.
+    closed_now = joined.filter(has_cur & has_upd & changed).select(
+        *key_cols,
+        *[F.col(f"cur.{c}").alias(c) for c in attrs],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        F.col(f"upd.{as_of_col}").alias(valid_to),
+    )
+    # New versions: changed updates and brand-new keys open at as_of.
+    opened = joined.filter(has_upd & (~has_cur | changed)).select(
+        *key_cols,
+        *[F.col(f"upd.{c}").alias(c) for c in attrs],
+        F.col(f"upd.{as_of_col}").alias(valid_from),
+        F.lit(None).cast(dict(dim.dtypes)[valid_to]).alias(valid_to),
+    )
+    return (
+        closed_history.select(*keys, *attrs, valid_from, valid_to)
+        .unionByName(untouched)
+        .unionByName(closed_now)
+        .unionByName(opened)
+    )

@@ -21,6 +21,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         cleaning,
         core,
         llmops,
+        maintenance,
         matching,
         scalar,
         streaming_batch,
@@ -28,7 +29,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (core, scalar, matching, llmops, streaming_batch, cleaning):
+    for mod in (core, scalar, matching, llmops, streaming_batch, cleaning, maintenance):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

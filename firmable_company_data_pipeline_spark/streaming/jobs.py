@@ -115,6 +115,49 @@ def dedup_stream_query(
     )
 
 
+def interval_join_query(
+    events: DataFrame,
+    sink_table: str,
+    lead: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Watermarked stream-stream interval join: clicks joined to later
+    errors by the same user within ``lead``.
+
+    Both sides carry a watermark and the join predicate bounds the event
+    times relative to each other, so Spark can GC join state: a click
+    older than (watermark + lead) can never match a future error and is
+    dropped from the state store — the requirement for an unbounded
+    stream-stream join to run forever.  Same plan as the batch twin
+    ``windows.click_error_interval_join``, minus the aggregate (append
+    mode emits matched pairs; aggregation over a stream-stream join
+    would need its own watermark handling downstream).
+    """
+    clicks = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    errors = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    )
+    pairs = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {lead}")),
+    ).select(F.col("c_user").alias("user_id"), "c_ts", "e_ts")
+    return (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_upsert(
     events: DataFrame,
     target_dir: str,

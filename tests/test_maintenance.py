@@ -1,0 +1,121 @@
+"""Unit tests for the warehouse-maintenance operators: data-quality
+report (dbt-analog rules the reference defers to dbt, README.md:227-237)
+and SCD1/SCD2 dimension merges (replacing the reference's drop/recreate
+loads, transform/entity_matching.py:37-55)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.operators.merge import merge_upsert, scd2_apply
+from firmable_company_data_pipeline_spark.operators.quality import dq_report, enforce
+
+
+def _report_dict(df):
+    return {(r["rule"], r["col_name"]): r["n_violations"] for r in df.collect()}
+
+
+def test_dq_report_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", -5.0),
+            (3, None, 0.0),
+            (3, "Z", None),
+            (4, "A", 2.0),
+        ],
+        "id long, status string, amount double",
+    )
+    rep = _report_dict(
+        dq_report(
+            df,
+            not_null=["status", "amount"],
+            accepted_values={"status": ["A", "B"]},
+            expressions={"positive_amount": F.col("amount") > 0},
+            unique=[["id"]],
+        )
+    )
+    assert rep[("not_null", "status")] == 1
+    assert rep[("not_null", "amount")] == 1
+    # NULL status rows are not accepted-values violations (dbt semantics).
+    assert rep[("accepted_values", "status")] == 1  # only 'Z'
+    # -5.0 fails, 0.0 fails, NULL fails (conservative three-valued logic).
+    assert rep[("expression", "positive_amount")] == 3
+    # id=3 occurs twice → one duplicated key.
+    assert rep[("unique", "id")] == 1
+
+
+def test_enforce_drops_violations(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0), (3, None)], "id long, v double")
+    kept = enforce(df, F.col("v") > 0).collect()
+    assert [r["id"] for r in kept] == [1]
+
+
+def test_merge_upsert_actions(spark):
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    out = {
+        r["k"]: r
+        for r in merge_upsert(current, updates, ["k"], with_action=True).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["merge_action"] == "keep" and out[1]["name"] == "a"
+    assert out[2]["merge_action"] == "update" and out[2]["name"] == "b2"
+    assert out[3]["merge_action"] == "unchanged" and out[3]["name"] == "c"
+    assert out[4]["merge_action"] == "insert" and out[4]["name"] == "d"
+
+
+def test_merge_upsert_null_safe_change_detection(spark):
+    current = spark.createDataFrame([(1, None)], "k long, name string")
+    updates = spark.createDataFrame([(1, None)], "k long, name string")
+    row = merge_upsert(current, updates, ["k"], with_action=True).collect()[0]
+    # NULL == NULL must count as unchanged (eqNullSafe, not =).
+    assert row["merge_action"] == "unchanged"
+
+
+def test_scd2_apply_versions(spark):
+    d = datetime.datetime
+    dim = spark.createDataFrame(
+        [
+            # closed history row for k=1
+            (1, "old", d(2020, 1, 1), d(2021, 1, 1)),
+            # open rows
+            (1, "v1", d(2021, 1, 1), None),
+            (2, "w1", d(2021, 1, 1), None),
+            (3, "x1", d(2021, 1, 1), None),
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "v2", d(2022, 6, 1)),  # changed → close + open
+            (2, "w1", d(2022, 6, 1)),  # identical → untouched
+            (9, "new", d(2022, 6, 1)),  # new key → insert open row
+        ],
+        "k long, attr string, as_of timestamp",
+    )
+    out = scd2_apply(dim, updates, ["k"]).collect()
+    rows = {(r["k"], r["attr"]): r for r in out}
+    assert len(out) == 6
+    # closed history passes through untouched
+    assert rows[(1, "old")]["valid_to"] == d(2021, 1, 1)
+    # k=1: v1 closed at as_of, v2 opened at as_of
+    assert rows[(1, "v1")]["valid_to"] == d(2022, 6, 1)
+    assert rows[(1, "v2")]["valid_from"] == d(2022, 6, 1)
+    assert rows[(1, "v2")]["valid_to"] is None
+    # k=2 unchanged: still the original open row
+    assert rows[(2, "w1")]["valid_from"] == d(2021, 1, 1)
+    assert rows[(2, "w1")]["valid_to"] is None
+    # k=3 untouched by updates
+    assert rows[(3, "x1")]["valid_to"] is None
+    # k=9 inserted open
+    assert rows[(9, "new")]["valid_from"] == d(2022, 6, 1)
+    assert rows[(9, "new")]["valid_to"] is None

@@ -157,3 +157,34 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, events_dir):
     for u, (n, s) in exp.items():
         assert got[u][0] == n
         assert abs(got[u][1] - s) < 1e-6  # float fold order differs per path
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_dir):
+    """Watermarked stream-stream join emits exactly the batch twin's
+    pairs for events old enough that the watermark closed them."""
+    ev_batch = load_tables(spark, sf_dir, "events")["events"]
+    stream = jobs.read_events_stream(spark, events_dir, fmt="parquet", max_files=2)
+    q = jobs.interval_join_query(
+        stream, "ssjoin_sink", lead="10 minutes", watermark="0 seconds"
+    )
+    _drain(q)
+    got = _rows(spark.sql("SELECT * FROM ssjoin_sink"), ["user_id", "c_ts", "e_ts"])
+
+    clicks = ev_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    errors = ev_batch.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    full = _rows(
+        clicks.join(
+            errors,
+            (F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") > F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 minutes")),
+        ).select(F.col("c_user").alias("user_id"), "c_ts", "e_ts"),
+        ["user_id", "c_ts", "e_ts"],
+    )
+    # the join may withhold pairs the final watermark hasn't sealed
+    assert got <= full
+    assert len(got) > 0.8 * len(full)
