@@ -55,17 +55,20 @@ def ivf_topk(
     Output: (query_id, neighbor_id, cos_sim, rank) like
     :func:`brute_force_topk`; self-matches excluded.
     """
-    cents = (
+    # Cell key = the centroid's own id (k lowest ids via TakeOrdered —
+    # no global window/sort). Any consistent key works; using the id
+    # keeps the nearest-cell tie-break identical to an ordinal index
+    # since ids and ordinals sort the same way.
+    cents = broadcast(
         corpus.select(F.col(id_col).alias("cid"), to_double(F.col(vec_col)).alias("centv"))
         .orderBy("cid")
         .limit(n_cells)
+        .select(
+            F.col("cid").alias("cell"),
+            "centv",
+            F.sqrt(norm2(F.col("centv"))).alias("centn"),
+        )
     )
-    cents = cents.withColumn(
-        "cell", F.row_number().over(Window.orderBy("cid")) - 1
-    ).select(
-        "cell", "centv", F.sqrt(norm2(F.col("centv"))).alias("centn")
-    )
-    cents = broadcast(cents)
 
     def nearest_cells(side: DataFrame, out_id: str, keep: int) -> DataFrame:
         v = side.select(

@@ -460,7 +460,7 @@ _CENT_COS = (
 ANN_IVF_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS centv
+  SELECT vec_id AS cell, v AS centv
   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
 ),
 assign AS (
