@@ -150,12 +150,65 @@ FROM current c FULL OUTER JOIN updates u ON c.custkey = u.custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# column_profile_orders — per-column profiling of orders in ONE aggregate
+# pass (multiple exact count-distincts compile to a single shuffle via
+# Catalyst's Expand; approx=True switches to HLL sketches at scale).
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.profile import column_profile
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    prof = column_profile(orders)  # exact mode: oracle-reproducible
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_val", 2).alias("min_val"),
+        F.round("max_val", 2).alias("max_val"),
+        F.round("avg_val", 2).alias("avg_val"),
+    )
+
+
+_PROF_NUM = """
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 2) AS min_val,
+       round(CAST(max({c}) AS DOUBLE), 2) AS max_val,
+       round(CAST(avg({c}) AS DOUBLE), 2) AS avg_val
+FROM orders
+"""
+_PROF_STR = """
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val,
+       CAST(NULL AS DOUBLE) AS avg_val
+FROM orders
+"""
+
+COLUMN_PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
+    _PROF_NUM.format(c=c) if num else _PROF_STR.format(c=c)
+    for c, num in [
+        ("o_orderkey", True),
+        ("o_custkey", True),
+        ("o_orderstatus", False),
+        ("o_totalprice", True),
+        ("o_orderdate", False),
+        ("o_orderpriority", False),
+    ]
+)
+
+
 QUERIES = {
     "dq_summary": dq_summary,
     "dim_merge_upsert": dim_merge_upsert,
+    "column_profile_orders": column_profile_orders,
 }
 
 ORACLES = {
     "dq_summary": DQ_SUMMARY_SQL,
     "dim_merge_upsert": DIM_MERGE_UPSERT_SQL,
+    "column_profile_orders": COLUMN_PROFILE_ORDERS_SQL,
 }

@@ -119,3 +119,24 @@ def test_scd2_apply_versions(spark):
     # k=9 inserted open
     assert rows[(9, "new")]["valid_from"] == d(2022, 6, 1)
     assert rows[(9, "new")]["valid_to"] is None
+
+
+def test_column_profile_exact_and_approx(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, None, 4.0), (3, "b", 7.0)],
+        "id long, s string, v double",
+    )
+    from firmable_company_data_pipeline_spark.operators.profile import column_profile
+
+    prof = {r["col_name"]: r for r in column_profile(df).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["min_val"] is None  # non-numeric: no range stats
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["v"]["min_val"] == 1.0 and prof["v"]["max_val"] == 7.0
+    assert abs(prof["v"]["avg_val"] - 4.0) < 1e-9
+
+    approx = {r["col_name"]: r for r in column_profile(df, approx=True).collect()}
+    # HLL estimates are exact at this cardinality
+    assert approx["id"]["n_distinct"] == 3
