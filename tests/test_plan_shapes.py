@@ -63,3 +63,45 @@ def test_minhash_no_cartesian_and_no_python(plans):
 def test_semi_and_anti_joins_planned(plans):
     assert "LeftSemi" in plans("order_priority_semi")
     assert "LeftAnti" in plans("customers_without_orders")
+
+
+def test_dq_report_row_local_rules_single_scan(plans):
+    """All row-local dq rules (not_null + accepted_values + expression)
+    fold into one scan each family; no rule family shuffles on data
+    (only the 1-row final agg and the per-unique-rule groupBys)."""
+    p = plans("dq_summary")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # orders is a narrow table; the profile never reads o_orderpriority
+    # wholesale into a join — no join nodes at all in the dq plan
+    assert "Join" not in p
+
+
+def test_merge_upsert_is_single_join(plans):
+    """SCD1 merge plans exactly one (full-outer) join between the
+    current snapshot and the updates delta — no repeated scans joined
+    multiple times, no Python stages."""
+    p = plans("dim_merge_upsert")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert p.count("SortMergeJoin FullOuter") + p.count("ShuffledHashJoin FullOuter") == 1
+
+
+def test_column_profile_single_aggregate_pass(plans):
+    """The profile is one aggregate over one scan (Expand handles the
+    multiple count-distincts) — not one scan per column."""
+    p = plans("column_profile_orders")
+    # one file-scan node: formatted plans print each scan once in the
+    # tree and once in the details, so count the detail headers
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in p
+
+
+def test_ivf_has_no_global_window(plans):
+    """Centroid numbering must not use a partitionless window (single-
+    partition WindowExec); the cell key is the centroid id."""
+    p = plans("ann_ivf")
+    # Window nodes must all be partitioned — formatted plans print
+    # unpartitioned windows with an empty partition spec list.
+    import re
+
+    for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
+        raise AssertionError(f"global window found: {m.group(0)[:120]}")
