@@ -168,3 +168,39 @@ def test_run_pipeline_end_to_end(spark, cc_index_path, abr_xml_path):
     assert {r.entity_name for r in rows} == {
         s.replace("-", " ").title() for s in SLUGS
     }
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange —
+    the co-located-join layout claimed in README's scale design."""
+    import contextlib
+    import io as _io
+
+    from firmable_company_data_pipeline_spark.session import load_tables
+    from firmable_company_data_pipeline_spark.sources.io import write_bucketed
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bkt_orders", ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        "bkt_customer", ["c_custkey"], n_buckets=8, sort_cols=["c_custkey"],
+    )
+    try:
+        a = spark.table("bkt_orders")
+        b = spark.table("bkt_customer")
+        joined = a.join(
+            b.hint("merge"), a["o_custkey"] == b["c_custkey"]
+        )  # force SMJ so neither side broadcasts
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert joined.count() == t["orders"].count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
