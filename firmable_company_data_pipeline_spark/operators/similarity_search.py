@@ -30,6 +30,37 @@ from firmable_company_data_pipeline_spark.functions.vectors import dot, norm2, t
 from firmable_company_data_pipeline_spark.session import spread
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Real IVF centroids via MLlib KMeans (Lloyd's over the distributed
+    corpus — only the n_cells × dim centers ever reach the driver, as
+    model parameters).  Returns (cell, centv, centn) ready for
+    :func:`ivf_topk`'s ``centroids=`` parameter.  Deterministic for a
+    fixed seed, but not oracle-expressible in SQL — use the default
+    lowest-id centroids where bit-for-bit reproducibility matters and
+    this where recall matters."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(to_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(rows, "cell long, centv array<double>")
+    return cents.select(
+        "cell", "centv", F.sqrt(norm2(F.col("centv"))).alias("centn")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -38,6 +69,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into cells around centroids,
     probe only the ``nprobe`` cells nearest each query, exact-score
@@ -54,21 +86,29 @@ def ivf_topk(
 
     Output: (query_id, neighbor_id, cos_sim, rank) like
     :func:`brute_force_topk`; self-matches excluded.
+
+    ``centroids``: optionally pass a (cell, centv, centn) DataFrame —
+    e.g. from :func:`kmeans_centroids` — to replace the deterministic
+    lowest-id centers.
     """
-    # Cell key = the centroid's own id (k lowest ids via TakeOrdered —
-    # no global window/sort). Any consistent key works; using the id
-    # keeps the nearest-cell tie-break identical to an ordinal index
-    # since ids and ordinals sort the same way.
-    cents = broadcast(
-        corpus.select(F.col(id_col).alias("cid"), to_double(F.col(vec_col)).alias("centv"))
-        .orderBy("cid")
-        .limit(n_cells)
-        .select(
-            F.col("cid").alias("cell"),
-            "centv",
-            F.sqrt(norm2(F.col("centv"))).alias("centn"),
+    if centroids is None:
+        # Cell key = the centroid's own id (k lowest ids via TakeOrdered
+        # — no global window/sort). Any consistent key works; using the
+        # id keeps the nearest-cell tie-break identical to an ordinal
+        # index since ids and ordinals sort the same way.
+        centroids = (
+            corpus.select(
+                F.col(id_col).alias("cid"), to_double(F.col(vec_col)).alias("centv")
+            )
+            .orderBy("cid")
+            .limit(n_cells)
+            .select(
+                F.col("cid").alias("cell"),
+                "centv",
+                F.sqrt(norm2(F.col("centv"))).alias("centn"),
+            )
         )
-    )
+    cents = broadcast(centroids)
 
     def nearest_cells(side: DataFrame, out_id: str, keep: int) -> DataFrame:
         v = side.select(
