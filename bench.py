@@ -38,6 +38,9 @@ HEADLINE = [
     "ann_ivf",
     "jsonld_flatten",
     "clean_abr_pipeline",
+    "dq_summary",
+    "dim_merge_upsert",
+    "column_profile_orders",
 ]
 
 

@@ -108,6 +108,16 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     return out
 
 
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the driver tables as temp views so users can query with
+    raw ``spark.sql`` — the migration path for the reference's users,
+    whose workflows are SQL strings against Postgres
+    (``transform/entity_matching.py:113-135``): the same statements run
+    on Spark with the views in place."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
 def spread(df, min_partitions: int | None = None):
     """Repartition up to the session's parallelism when the input has
     fewer partitions.

@@ -204,3 +204,17 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_register_views_sql_passthrough(spark, sf_dir):
+    """Reference users' raw-SQL workflows run unchanged once the views
+    are registered."""
+    from firmable_company_data_pipeline_spark.session import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    out = spark.sql(
+        """SELECT c_mktsegment, count(*) AS n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment"""
+    )
+    assert out.count() > 0
