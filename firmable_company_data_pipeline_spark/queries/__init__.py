@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from firmable_company_data_pipeline_spark.queries import (
+        advanced,
         cleaning,
         core,
         llmops,
@@ -29,7 +30,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (core, scalar, matching, llmops, streaming_batch, cleaning, maintenance):
+    for mod in (core, scalar, matching, llmops, streaming_batch, cleaning, maintenance, advanced):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,331 @@
+"""Advanced relational operators (charter extensions beyond SURVEY.md §2):
+as-of join, pivot, exact grouped quantiles, hierarchical time-bucket
+rollup, and TF-IDF term scoring.
+
+The reference has none of these (its only temporal logic is a DATE cast,
+`extract/abr_parser.py:55`, and its only "pivot" is hand-written literals
+per match stage, `transform/entity_matching.py:127-128`); they are the
+operations a warehouse/training-data pipeline needs at 100 TB, expressed
+so Catalyst keeps every stage JVM-side.
+
+Scale notes inline per query: each states its shuffle count and why the
+formulation survives a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# asof_purchase_attribution — as-of join: for every purchase event, the most
+# recent click by the same user at or before the purchase timestamp
+# (last-touch attribution; the trade↔quote join of finance).
+#
+# Formulation: union the two sides with a side tag and carry the last click
+# forward with a window — ONE shuffle on user_id, no per-purchase candidate
+# explosion. The naive range-join (clicks ⋈ purchases ON user AND ts<=ts,
+# then argmax) is quadratic inside heavy users; this is O(n log n) per user
+# and state-bounded, the same plan a stream-stream as-of would use.
+# Tie-break: at equal ts the click with the greatest event_id wins
+# (window orders clicks before the purchase at the same ts, ascending
+# event_id, and `last` takes the final one seen).
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"), F.asc_nulls_last("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(
+            F.col("side") == 0,
+            F.struct(F.col("ts").alias("cts"), "click_id", "click_value"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("lc", last_click)
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("lc.click_id").alias("last_click_id"),
+            F.round(F.col("lc.click_value"), 2).alias("last_click_value"),
+            (F.col("ts").cast("long") - F.col("lc.cts").cast("long")).alias(
+                "secs_since_click"
+            ),
+        )
+    )
+
+
+# DuckDB mirror: LEFT JOIN LATERAL top-1 — same semantics, explicit
+# (ts DESC, event_id DESC) tie-break matching the window order above.
+ASOF_PURCHASE_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS last_click_id,
+       round(c.value, 2) AS last_click_value,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_since_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+    SELECT event_id, ts, value
+    FROM events
+    WHERE event_type = 'click' AND user_id = p.user_id AND ts <= p.ts
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+) c ON TRUE
+"""
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+# ---------------------------------------------------------------------------
+# priority_year_pivot — pivot with an EXPLICIT value list: one scan, one
+# shuffle on the grouping key. Passing the values up front matters at scale —
+# `.pivot(col)` without them runs an extra distinct job over the fact table
+# before the real aggregation.
+def priority_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    piv = (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    aliases = ["urgent", "high", "medium", "not_specified", "low"]
+    return piv.select(
+        "order_year",
+        *[F.col(f"`{p}`").alias(a) for p, a in zip(_PRIORITIES, aliases)],
+    )
+
+
+PRIORITY_YEAR_PIVOT_SQL = """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2)        AS urgent,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2)          AS high,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2)        AS medium,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2) AS not_specified,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2)           AS low
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_order_quantiles — EXACT grouped percentiles with percentile_disc
+# semantics (SQL standard: the smallest stored value whose cumulative
+# distribution ≥ q, i.e. the element at rank ceil(q·n)), computed from first
+# principles: window rank + count per group, then a conditional-max pick.
+# One shuffle on the group key; the groupBy after the window reuses the
+# window's hash partitioning (no second exchange). Exact quantiles need the
+# group's values co-located — fine for 25 nation groups of any size; for
+# high-cardinality keys at 100 TB the approx path is `percentile_approx`
+# (t-digest, mergeable map-side).
+# Why discrete, not interpolated: quantile_cont lands exactly halfway
+# between two 2-decimal prices for even groups (x.xx5), where Spark's
+# BigDecimal HALF_UP and C round() disagree — and Spark/DuckDB even use
+# different interpolation formulas (`lo*(1-d)+hi*d` vs `lo+d*(hi-lo)`).
+# percentile_disc returns a stored value untouched: bit-exact across
+# engines, no rounding step at all.
+# Dims broadcast: orders never shuffles for the joins.
+def nation_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    base = (
+        t["orders"]
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation_name"), F.col("o_totalprice").alias("price"))
+    )
+    w_rank = Window.partitionBy("nation_name").orderBy(F.asc("price"))
+    w_all = Window.partitionBy("nation_name")
+    ranked = base.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+
+    def _q(q: float):
+        pos = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n").cast("double")))
+        return F.max(F.when(F.col("rn") == pos, F.col("price")))
+
+    return ranked.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _q(0.25).alias("p25_price"),
+        _q(0.50).alias("median_price"),
+        _q(0.75).alias("p75_price"),
+    )
+
+
+NATION_ORDER_QUANTILES_SQL = """
+WITH base AS (
+    SELECT n_name AS nation_name, o_totalprice AS price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+),
+ranked AS (
+    SELECT nation_name, price,
+           row_number() OVER (PARTITION BY nation_name ORDER BY price ASC) AS rn,
+           count(*)     OVER (PARTITION BY nation_name) AS n
+    FROM base
+)
+SELECT nation_name,
+       count(*) AS n_orders,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.25 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) THEN price END) AS p25_price,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.50 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) THEN price END) AS median_price,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.75 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) THEN price END) AS p75_price
+FROM ranked
+GROUP BY nation_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_daily_rollup — hierarchical time-bucket aggregation (the
+# continuous-aggregate / hypertable-rollup pattern): aggregate raw events to
+# hourly buckets, then derive daily from HOURLY — never rescanning raw data.
+# At 100 TB the hourly layer is ~5 orders of magnitude smaller than raw, so
+# the daily pass is nearly free; in production the hourly frame is the
+# materialized incremental layer. Sums run in DECIMAL so the two-level
+# re-aggregation is exact (double addition is not associative; decimal is —
+# the hash must match a single-level oracle).
+def events_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("sum_value_dec"),
+        )
+    )
+    return (
+        hourly.groupBy(F.to_date("hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value_dec").cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_DAILY_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_top_terms — TF-IDF keyword extraction, top-3 terms per document.
+# Plan: tokenize (split+explode, JVM-side) → per-(doc,term) counts (shuffle 1,
+# on doc_id+term) → per-term document frequency (shuffle 2, on term; partial
+# agg does the heavy lifting) → join tf⋈df on term (term dictionary is
+# Zipf-bounded but can be huge at 100 TB → shuffle join on term, NOT
+# broadcast) → window top-3 per doc (shuffle 3, on doc_id).
+# Corpus size N comes from a 1-row aggregate cross-joined in (broadcast
+# nested loop of a scalar — no driver-side .count() action).
+# Determinism: idf is a pure function of (df, N), so equal (tf, df) pairs get
+# bitwise-equal scores in each engine; ties break on term ASC.
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tokens = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        ).filter(F.length("term") >= 3)
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf"),
+            F.col("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+DOC_TOP_TERMS_SQL = """
+WITH tokens AS (
+    SELECT doc_id, t.term
+    FROM documents,
+         LATERAL (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+    WHERE length(t.term) >= 3
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "priority_year_pivot": priority_year_pivot,
+    "nation_order_quantiles": nation_order_quantiles,
+    "events_hourly_daily_rollup": events_hourly_daily_rollup,
+    "doc_top_terms": doc_top_terms,
+}
+
+ORACLES = {
+    "asof_purchase_attribution": ASOF_PURCHASE_ATTRIBUTION_SQL,
+    "priority_year_pivot": PRIORITY_YEAR_PIVOT_SQL,
+    "nation_order_quantiles": NATION_ORDER_QUANTILES_SQL,
+    "events_hourly_daily_rollup": EVENTS_HOURLY_DAILY_ROLLUP_SQL,
+    "doc_top_terms": DOC_TOP_TERMS_SQL,
+}

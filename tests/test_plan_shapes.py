@@ -105,3 +105,54 @@ def test_ivf_has_no_global_window(plans):
 
     for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
         raise AssertionError(f"global window found: {m.group(0)[:120]}")
+
+
+def test_asof_join_is_join_free_single_shuffle(plans):
+    """The as-of join plans as union + window: NO join node of any kind
+    and exactly one hash exchange (on user_id) — the formulation that
+    survives heavy users at 100 TB (a range-join + argmax would be
+    quadratic inside hot keys)."""
+    import re
+
+    p = plans("asof_purchase_attribution")
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pivot_has_no_distinct_values_pass(plans):
+    """Pivot with an explicit value list: only aggregate exchanges, no
+    extra distinct job over the fact table, all JVM-side."""
+    import re
+
+    p = plans("priority_year_pivot")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_quantiles_reuse_window_partitioning(plans):
+    """Exact grouped quantiles: the groupBy after the rank window reuses
+    the window's hashpartitioning — one exchange total; dims broadcast."""
+    import re
+
+    p = plans("nation_order_quantiles")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hourly_daily_rollup_two_exchanges(plans):
+    """Hierarchical rollup: hourly agg + daily re-agg — two exchanges,
+    never a third pass over raw events."""
+    import re
+
+    p = plans("events_hourly_daily_rollup")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_doc_top_terms_stays_jvm_side(plans):
+    """TF-IDF: tokenize/score/rank entirely in codegen — no Python, no
+    cartesian; the corpus-size scalar rides a broadcast, not a collect."""
+    p = plans("doc_top_terms")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
