@@ -41,6 +41,11 @@ HEADLINE = [
     "dq_summary",
     "dim_merge_upsert",
     "column_profile_orders",
+    "asof_purchase_attribution",
+    "priority_year_pivot",
+    "nation_order_quantiles",
+    "events_hourly_daily_rollup",
+    "doc_top_terms",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -72,4 +72,34 @@ def column_profile(
     return wide.selectExpr(
         f"stack({len(cols)}, {', '.join(fields)}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, avg_val)"
+    )
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Heavy-hitter report for a prospective join/partition key: the
+    ``top_k`` hottest key values with row counts and share of the table.
+
+    This is the pre-flight check for the salting / AQE-skew decisions the
+    matching cascade exposes (``similarity_join(salt=...)``): a key whose
+    top value holds >1/shuffle-partitions of the rows WILL straggle.
+
+    Plan: one partial-agg shuffle on the key (map-side combine does the
+    heavy lifting — the shuffle carries one row per distinct key per map
+    task, not the raw table), a broadcast 1-row total, and a global top-k
+    (TakeOrdered — no full sort).  Returns
+    ``(key_value, n_rows, share, rank)``; share is exact.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "key_value", "n_rows", "share", "rank"
     )

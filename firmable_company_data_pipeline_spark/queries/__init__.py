@@ -25,12 +25,23 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         maintenance,
         matching,
         scalar,
+        scale,
         streaming_batch,
     )
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (core, scalar, matching, llmops, streaming_batch, cleaning, maintenance, advanced):
+    for mod in (
+        core,
+        scalar,
+        matching,
+        llmops,
+        streaming_batch,
+        cleaning,
+        maintenance,
+        advanced,
+        scale,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

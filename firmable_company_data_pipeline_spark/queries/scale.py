@@ -1,0 +1,178 @@
+"""Scale-diagnostics and sketch queries (charter extension): the
+operators you reach for BEFORE and INSTEAD OF expensive plans at 100 TB.
+
+* skew_report — heavy-hitter pre-flight for join/partition keys (feeds
+  the `similarity_join(salt=...)` / AQE-skew decisions).
+* computed-key range binning — the rewrite that replaces a non-equi
+  range join (BroadcastNestedLoop at best) with a pure projection.
+* HLL / t-digest sketches — approx distinct and approx quantiles,
+  oracle-checked via an ERROR CONTRACT: the oracle recomputes the exact
+  answer and asserts the sketch landed within the documented bound, so
+  the check is engine-independent (sketch internals differ between
+  Spark and DuckDB and can never hash-match directly).
+
+The reference has none of these (its only introspection is row counts,
+`extract/commoncrawl_scraper.py:132-143`); they are what makes the
+blocking/salting choices in its matching cascade (README.md:249-257)
+data-driven instead of guessed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.operators.profile import skew_report
+from firmable_company_data_pipeline_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# skew_report_events — heavy-hitter report on the events stream's user_id
+# (the key every per-user window/stateful operator shuffles on). One
+# partial-agg shuffle + broadcast total + TakeOrdered top-k.
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return skew_report(ev, "user_id", top_k=10)
+
+
+SKEW_REPORT_EVENTS_SQL = """
+WITH counts AS (
+    SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS n_rows
+    FROM events GROUP BY 1
+),
+total AS (SELECT count(*) AS t FROM events)
+SELECT key_value, n_rows,
+       round(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+       CAST(row_number() OVER (ORDER BY n_rows DESC, key_value ASC) AS INT) AS rank
+FROM counts, total
+ORDER BY n_rows DESC, key_value ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_price_band_stats — the computed-key rewrite of a range join.
+# Joining orders against a small `(lo, hi, band)` dim on
+# `o_totalprice BETWEEN lo AND hi` plans as BroadcastNestedLoopJoin — per
+# row × per band comparisons, and a full shuffle if the dim ever grows.
+# When bands are regular, the join IS a projection: compute the band id
+# arithmetically (width_bucket semantics) and aggregate. Zero joins,
+# one agg shuffle of ~6 groups.
+def order_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    band = F.least(F.lit(5), F.floor(F.col("o_totalprice") / 100000).cast("int"))
+    return (
+        t["orders"]
+        .withColumn("price_band", band)
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+ORDER_PRICE_BAND_STATS_SQL = """
+SELECT least(5, CAST(floor(o_totalprice / 100000) AS INT)) AS price_band,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_users — HyperLogLog++ distinct counts per event type,
+# oracle-checked via the error contract: emit the EXACT count (hash-
+# matchable) plus a boolean asserting the sketch landed within 5% of it
+# (HLL++ at rsd=0.01, so the 5% assertion has 5-sigma slack — the default
+# rsd=0.05 is a STANDARD error, which a given dataset can exceed, and did
+# at sf0.1). The sketch itself is map-side mergeable —
+# at 100 TB it replaces the Expand-based exact distinct (which shuffles
+# every distinct value) with fixed-size registers per partition.
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("_n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_n_approx") - F.col("n_users_exact"))
+                <= F.col("n_users_exact") * 0.05
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+APPROX_DISTINCT_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx_median_value — t-digest-style quantile sketch (percentile_approx)
+# per event type, same error-contract oracle: exact discrete median
+# (bit-exact, hash-matchable) plus a boolean asserting the sketch is
+# within 2% relative. At 100 TB percentile_approx's mergeable digest
+# (accuracy 10000 ≈ 1/10000 rank error) replaces the co-located sort the
+# exact quantile needs.
+def approx_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    grouped = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("_m_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+        ).alias("median_exact"),
+    )
+    return grouped.select(
+        "event_type",
+        "n_events",
+        F.col("median_exact"),
+        (
+            F.abs(F.col("_m_approx") - F.col("median_exact"))
+            <= F.abs(F.col("median_exact")) * 0.02
+        ).alias("approx_within_2pct"),
+    )
+
+
+APPROX_MEDIAN_VALUE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       quantile_disc(value, 0.5) AS median_exact,
+       TRUE AS approx_within_2pct
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "skew_report_events": skew_report_events,
+    "order_price_band_stats": order_price_band_stats,
+    "approx_distinct_users": approx_distinct_users,
+    "approx_median_value": approx_median_value,
+}
+
+ORACLES = {
+    "skew_report_events": SKEW_REPORT_EVENTS_SQL,
+    "order_price_band_stats": ORDER_PRICE_BAND_STATS_SQL,
+    "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
+    "approx_median_value": APPROX_MEDIAN_VALUE_SQL,
+}

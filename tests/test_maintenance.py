@@ -140,3 +140,18 @@ def test_column_profile_exact_and_approx(spark):
     approx = {r["col_name"]: r for r in column_profile(df, approx=True).collect()}
     # HLL estimates are exact at this cardinality
     assert approx["id"]["n_distinct"] == 3
+
+
+def test_skew_report_ranks_heavy_hitters(spark, sf_dir):
+    from firmable_company_data_pipeline_spark.operators.profile import skew_report
+    from firmable_company_data_pipeline_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    rows = skew_report(ev, "user_id", top_k=5).collect()
+    assert len(rows) == 5
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    total = ev.count()
+    for r in rows:
+        assert abs(r.share - r.n_rows / total) < 1e-6

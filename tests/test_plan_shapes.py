@@ -156,3 +156,17 @@ def test_doc_top_terms_stays_jvm_side(plans):
     p = plans("doc_top_terms")
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_band_stats_has_no_join(plans):
+    """Computed-key range binning: the range 'join' is a projection —
+    no join node of any kind in the plan."""
+    p = plans("order_price_band_stats")
+    assert "Join" not in p
+
+
+def test_skew_report_uses_topk_not_full_sort(plans):
+    """Heavy-hitter report: global top-k plans as TakeOrderedAndProject,
+    never a full Sort+Exchange of all distinct keys."""
+    p = plans("skew_report_events")
+    assert "TakeOrderedAndProject" in p
