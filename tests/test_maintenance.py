@@ -155,3 +155,45 @@ def test_skew_report_ranks_heavy_hitters(spark, sf_dir):
     total = ev.count()
     for r in rows:
         assert abs(r.share - r.n_rows / total) < 1e-6
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from firmable_company_data_pipeline_spark.sources.io import compact_parquet, dir_stats
+    from firmable_company_data_pipeline_spark.session import load_tables
+
+    path = str(tmp_path / "frag")
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    orders.repartition(16).write.parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    _, files_before = dir_stats(spark, path)
+    assert files_before >= 16
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] == 1
+    # contents unchanged, no leftover temp dirs
+    assert spark.read.parquet(path).count() == before_rows
+    import os
+
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__pre_compact")
+
+
+def test_incremental_append_high_water_mark(spark, sf_dir, tmp_path):
+    from firmable_company_data_pipeline_spark.sources.io import incremental_append
+    from firmable_company_data_pipeline_spark.session import load_tables
+
+    sink = str(tmp_path / "inc")
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    first = ev.filter("event_id < 500")
+    n1 = incremental_append(spark, first, sink, "event_id")
+    assert n1 == first.count()
+
+    # overlapping re-run: only rows past the watermark land
+    second = ev.filter("event_id < 800")
+    n2 = incremental_append(spark, second, sink, "event_id")
+    assert n2 == ev.filter("event_id >= 500 AND event_id < 800").count()
+    assert spark.read.parquet(sink).count() == n1 + n2
+
+    # idempotent re-run appends nothing
+    assert incremental_append(spark, second, sink, "event_id") == 0
