@@ -524,6 +524,36 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# label_centroids — per-label mean embedding (the centroid build step of
+# IVF/KMeans and of class-prototype dedup), flattened to (label, pos, val)
+# rows so the hash comparison is dimension-exact. Plan: posexplode (JVM
+# generator, no Python) → one partial-agg shuffle on (label, pos) —
+# 64·|labels| groups regardless of corpus size; map-side combine reduces
+# each partition to ≤640 rows before the wire.
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label,
+       CAST(i AS INT) AS pos,
+       count(*) AS n_vecs,
+       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid_val
+FROM embeddings,
+     LATERAL (SELECT unnest(range(len(embedding))) AS i) r
+GROUP BY label, i
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_profile_by_source": corpus_profile_by_source,
@@ -539,9 +569,11 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
+    "label_centroids": label_centroids,
 }
 
 ORACLES = {
+    "label_centroids": LABEL_CENTROIDS_SQL,
     "text_stats": TEXT_STATS_SQL,
     "corpus_profile_by_source": CORPUS_PROFILE_BY_SOURCE_SQL,
     "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,

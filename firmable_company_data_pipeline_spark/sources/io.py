@@ -231,3 +231,28 @@ def incremental_append(
         delta.write.mode("append").parquet(sink_path)
     delta.unpersist()
     return n
+
+
+def read_json_lenient(spark: SparkSession, path: str, schema):
+    """JSON-lines scan with corrupt-record capture (S3 robustness).
+
+    The reference's index scan trusts every line to parse
+    (``extract/commoncrawl_scraper.py:152-156`` json.loads with no
+    handler — one bad line kills the batch). At corpus scale malformed
+    records are a statistical certainty; PERMISSIVE mode lands them in
+    ``_corrupt_record`` instead of failing the task, so the pipeline can
+    route them to quarantine (``operators/quality.enforce``) and keep
+    going. Pass an explicit schema — schema inference would cost a full
+    extra pass over 100 TB.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if "_corrupt_record" not in schema.names:
+        fields = list(schema.fields)
+        schema = StructType(fields).add("_corrupt_record", StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -218,3 +218,27 @@ def test_register_views_sql_passthrough(spark, sf_dir):
            GROUP BY c_mktsegment"""
     )
     assert out.count() > 0
+
+
+def test_read_json_lenient_captures_corrupt_records(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from firmable_company_data_pipeline_spark.sources.io import read_json_lenient
+
+    p = tmp_path / "index.jsonl"
+    p.write_text(
+        '{"url": "a.com.au", "offset": 10}\n'
+        "this is not json at all\n"
+        '{"url": "b.com.au", "offset": 20}\n'
+    )
+    schema = StructType(
+        [StructField("url", StringType()), StructField("offset", LongType())]
+    )
+    df = read_json_lenient(spark, str(p), schema).cache()
+    assert df.count() == 3
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert bad.count() == 1
+    assert "not json" in bad.first()["_corrupt_record"]
+    good = df.filter("_corrupt_record IS NULL")
+    assert {r.url for r in good.collect()} == {"a.com.au", "b.com.au"}
+    df.unpersist()
