@@ -407,6 +407,144 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+# ---------------------------------------------------------------------------
+# nation_trade_volume — Q7 shape: revenue between two nation pairs by year.
+# Two independent dim chains hang off the same fact row (supplier-nation via
+# lineitem, customer-nation via orders); all dims broadcast, so the only
+# data-sized shuffle is lineitem⋈orders on orderkey, then a tiny 3-key agg.
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8") | (
+        F.col("supp_nation") == "NATION_8"
+    ) & (F.col("cust_nation") == "NATION_3")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+NATION_TRADE_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::INT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# market_share — Q8 shape: one nation's share of regional revenue per year,
+# via conditional aggregation (sum(CASE)/sum) — no second pass or self-join
+# for the denominator.
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem", "supplier", "nation", "region")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_8", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_8'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_supplier_revenue — Q15 shape: supplier(s) with max total revenue.
+# The reference SQL uses a scalar subquery over a view; Spark-first this is
+# agg → rank() over the 1-group window... which would single-partition the
+# whole agg output. Instead: agg, then a broadcast 1-row max joined back —
+# keeps every stage partition-parallel (the Q15 HAVING max decorrelated by
+# hand).
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supp_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -422,9 +560,15 @@ QUERIES = {
     "priority_price_stats": priority_price_stats,
     "events_json_k": events_json_k,
     "priority_status_rollup": priority_status_rollup,
+    "nation_trade_volume": nation_trade_volume,
+    "market_share": market_share,
+    "top_supplier_revenue": top_supplier_revenue,
 }
 
 ORACLES = {
+    "nation_trade_volume": NATION_TRADE_VOLUME_SQL,
+    "market_share": MARKET_SHARE_SQL,
+    "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
     "nation_revenue": NATION_REVENUE_SQL,

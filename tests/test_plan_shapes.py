@@ -170,3 +170,21 @@ def test_skew_report_uses_topk_not_full_sort(plans):
     never a full Sort+Exchange of all distinct keys."""
     p = plans("skew_report_events")
     assert "TakeOrderedAndProject" in p
+
+
+def test_trade_volume_broadcasts_all_dims(plans):
+    """Q7 shape: two nation chains off one fact row — every dim join is
+    a broadcast; the only data-sized shuffle is lineitem⋈orders."""
+    p = plans("nation_trade_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_top_supplier_max_is_broadcast_not_global_window(plans):
+    """Q15 HAVING-max decorrelated as broadcast 1-row max join — no
+    single-partition window over the aggregated output."""
+    import re
+
+    p = plans("top_supplier_revenue")
+    for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
+        raise AssertionError(f"global window found: {m.group(0)[:120]}")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
