@@ -66,3 +66,55 @@ def run_pipeline(
     cc_clean = clean_commoncrawl_data(cc_raw)
     abr_clean = clean_abr_data(abr_raw)
     return match_entities(cc_clean, abr_clean, enable_llm=enable_llm)
+
+
+def run_pipeline_observed(
+    spark: SparkSession,
+    cc_index_path: str,
+    abr_xml_path: str,
+    **kwargs,
+) -> tuple[DataFrame, dict]:
+    """``run_pipeline`` with in-flight metrics via the Observation API.
+
+    The reference keeps running totals by counting rows in the driver
+    loop (A7: extract/abr_parser.py:73,85-94, running ``total_count``;
+    transform/entity_matching.py:269,298 match counts).  In Spark a
+    separate ``df.count()`` per stage would re-execute the stage; an
+    ``Observation`` attaches aggregates to the one real pass instead —
+    zero extra jobs, exact counts, collected on the driver when the
+    terminal action finishes.
+
+    Returns ``(matched_df, observations)`` where ``observations`` maps
+    stage name → Observation; call ``.get`` AFTER an action on the
+    returned DataFrame, e.g.::
+
+        df, obs = run_pipeline_observed(spark, idx, xml)
+        df.write.parquet(out)
+        obs["cleaned_cc"].get   # {'n_rows': ..., 'n_with_abn': ...}
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.pipeline.cleaning import (
+        clean_abr_data,
+        clean_commoncrawl_data,
+    )
+
+    cc_raw = run_commoncrawl_extraction(
+        spark, cc_index_path, limit=kwargs.get("commoncrawl_limit"),
+        client=kwargs.get("fetch_client"),
+    )
+    abr_raw = parse_abr_xml(spark, abr_xml_path, limit=kwargs.get("abr_limit"))
+
+    obs = {"cleaned_cc": Observation("cleaned_cc"), "cleaned_abr": Observation("cleaned_abr")}
+    cc_clean = clean_commoncrawl_data(cc_raw).observe(
+        obs["cleaned_cc"],
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("abn").alias("n_with_abn"),
+    )
+    abr_clean = clean_abr_data(abr_raw).observe(
+        obs["cleaned_abr"],
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("abn").alias("n_with_abn"),
+    )
+    return match_entities(cc_clean, abr_clean, enable_llm=kwargs.get("enable_llm", False)), obs

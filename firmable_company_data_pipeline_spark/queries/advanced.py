@@ -314,15 +314,55 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# events_variant_stats — VariantType JSON handling (Spark 4): parse the
+# props JSON ONCE into a variant, then extract typed fields with
+# variant_get. Versus per-field get_json_object (which re-parses the
+# string per extraction), the variant parse is a single binary-encoded
+# decode whose field reads are O(1) — the JSONB analog the reference kept
+# in Postgres (structured_data JSONB, db/ddl_scripts.sql:36). Output is
+# plain typed columns so the DuckDB oracle (json_extract) hash-matches.
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.variant_get(v, "$.missing", "string").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("absent").alias("n_absent_nonnull"),
+        )
+    )
+
+
+EVENTS_VARIANT_STATS_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(json_extract_string(props, '$.missing')) AS n_absent_nonnull
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "asof_purchase_attribution": asof_purchase_attribution,
     "priority_year_pivot": priority_year_pivot,
     "nation_order_quantiles": nation_order_quantiles,
     "events_hourly_daily_rollup": events_hourly_daily_rollup,
     "doc_top_terms": doc_top_terms,
+    "events_variant_stats": events_variant_stats,
 }
 
 ORACLES = {
+    "events_variant_stats": EVENTS_VARIANT_STATS_SQL,
     "asof_purchase_attribution": ASOF_PURCHASE_ATTRIBUTION_SQL,
     "priority_year_pivot": PRIORITY_YEAR_PIVOT_SQL,
     "nation_order_quantiles": NATION_ORDER_QUANTILES_SQL,

@@ -242,3 +242,19 @@ def test_read_json_lenient_captures_corrupt_records(spark, tmp_path):
     good = df.filter("_corrupt_record IS NULL")
     assert {r.url for r in good.collect()} == {"a.com.au", "b.com.au"}
     df.unpersist()
+
+
+def test_run_pipeline_observed_metrics(spark, cc_index_path, abr_xml_path):
+    """Observation metrics ride the real pass — counts match the data
+    without any extra count() jobs (A7 modernization)."""
+    from firmable_company_data_pipeline_spark.pipeline.run import run_pipeline_observed
+
+    df, obs = run_pipeline_observed(
+        spark, cc_index_path, abr_xml_path, fetch_client=StubFetchClient()
+    )
+    n_out = df.count()  # terminal action materializes the observations
+    cc = obs["cleaned_cc"].get
+    abr = obs["cleaned_abr"].get
+    assert cc["n_rows"] == len(SLUGS) == n_out
+    assert cc["n_with_abn"] == len(SLUGS)  # every stub page carries an ABN
+    assert abr["n_rows"] >= len(SLUGS)
