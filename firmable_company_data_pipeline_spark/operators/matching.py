@@ -421,8 +421,12 @@ def match_cascade(
     if enable_llm:
         fuzzy = fuzzy.persist()
         stages[1] = fuzzy
-        matched_so_far = rule.select("domain").union(fuzzy.select("domain"))
-        residual2 = anti_join_residual(residual1, matched_so_far, "domain")
+        # residual1 already excludes every rule-matched domain, so the
+        # second residual only needs to subtract the fuzzy matches —
+        # anti-joining against rule ∪ fuzzy (as the reference recomputes
+        # it, transform/entity_matching.py:271-273,287) would rescan the
+        # rule output for rows that cannot be present.
+        residual2 = anti_join_residual(residual1, fuzzy.select("domain"), "domain")
         stages.append(llm_match(residual2, abr, client=llm_client))
 
     out = stages[0]
