@@ -38,49 +38,39 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
 # (window orders clicks before the purchase at the same ts, ascending
 # event_id, and `last` takes the final one seen).
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.temporal import asof_join
+
     ev = _t(spark, sf_dir, "events")["events"]
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
-        F.lit(0).alias("side"),
         F.col("event_id").alias("click_id"),
         F.col("value").alias("click_value"),
-        F.lit(None).cast("long").alias("purchase_id"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("double").alias("click_value"),
         F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("side"), F.asc_nulls_last("click_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["click_id", "click_value"],
+        right_order="click_id",
+        prefix="last_",
     )
-    last_click = F.last(
-        F.when(
-            F.col("side") == 0,
-            F.struct(F.col("ts").alias("cts"), "click_id", "click_value"),
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("last_click_id"),
+        F.round("last_click_value", 2).alias("last_click_value"),
+        (F.col("purchase_ts").cast("long") - F.col("last_ts").cast("long")).alias(
+            "secs_since_click"
         ),
-        ignorenulls=True,
-    ).over(w)
-    return (
-        clicks.unionByName(purchases)
-        .withColumn("lc", last_click)
-        .filter(F.col("side") == 1)
-        .select(
-            F.col("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("lc.click_id").alias("last_click_id"),
-            F.round(F.col("lc.click_value"), 2).alias("last_click_value"),
-            (F.col("ts").cast("long") - F.col("lc.cts").cast("long")).alias(
-                "secs_since_click"
-            ),
-        )
     )
 
 
