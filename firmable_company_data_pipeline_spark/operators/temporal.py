@@ -61,6 +61,9 @@ def asof_join(
         F.col(order_col).alias("_rord"),
         payload.alias("_rpay"),
     )
+    # _lrow MUST be built inside this projection: a later .withColumn would
+    # resolve against the already-projected frame (which has only _k/_ts/...)
+    # and fail with UNRESOLVED_COLUMN on any original left column.
     lrow = F.struct(*[F.col(c).alias(c) for c in left.columns])
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -68,7 +71,8 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast(rord_type).alias("_rord"),
         F.lit(None).cast(r_tagged.schema["_rpay"].dataType).alias("_rpay"),
-    ).withColumn("_lrow", lrow)
+        lrow.alias("_lrow"),
+    )
     r_tagged = r_tagged.withColumn("_lrow", F.lit(None).cast(l_tagged.schema["_lrow"].dataType))
 
     w = (

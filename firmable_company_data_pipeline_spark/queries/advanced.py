@@ -333,7 +333,7 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_VARIANT_STATS_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        count(json_extract_string(props, '$.missing')) AS n_absent_nonnull

@@ -372,7 +372,7 @@ def events_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_K_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n_events
 FROM events
 GROUP BY event_type

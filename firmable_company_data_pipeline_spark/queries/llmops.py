@@ -515,8 +515,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The per-element list_reduce form took ~0.9s per 500 docs; this is ~30×
 # faster, which matters because the driver runs the oracle at sf0.01.
 _BYTE_SUM = (
-    "list_aggregate(list_transform(string_split(text, ''), "
-    f"c -> ascii(c)::BIGINT), 'sum') % {_MOD}"
+    # Outer ::BIGINT matters: DuckDB's list_aggregate(...,'sum') returns
+    # HUGEINT/int128, which hash-mismatches Spark's int64 even when the
+    # values are identical (round-1 driver hash FAIL).
+    "(list_aggregate(list_transform(string_split(text, ''), "
+    f"c -> ascii(c)::BIGINT), 'sum') % {_MOD})::BIGINT"
 )
 
 MULTIMODAL_FEATURES_SQL = f"""

@@ -47,6 +47,51 @@ def sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
+# Width within the int family does NOT matter to the driver's hash
+# (round-1 evidence: ann_* rank is Spark int32 vs DuckDB BIGINT, hash green).
+# What DOES fail is the int family vs HUGEINT/DECIMAL (round-1 events_json_k,
+# multimodal_features) — those cross an Arrow representation boundary.
+def _duck_type_class(t: str) -> str:
+    t = t.upper()
+    if t in ("BIGINT", "INT64", "LONG", "INTEGER", "INT", "INT32",
+             "SMALLINT", "TINYINT", "INT16", "INT8", "UTINYINT", "USMALLINT"):
+        return "int"
+    if t in ("HUGEINT", "INT128", "UBIGINT", "UINTEGER"):
+        return "int128"
+    if t.startswith("DECIMAL") or t.startswith("NUMERIC"):
+        return "decimal"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    return "other"
+
+
+def _spark_type_class(t) -> str:
+    n = t.simpleString()
+    if n in ("bigint", "int", "smallint", "tinyint"):
+        return "int"
+    if n.startswith("decimal"):
+        return "decimal"
+    if n in ("double", "float"):
+        return "float"
+    return "other"
+
+
+def check_types(spark_df, duck_typed_cols):
+    """Driver-shaped check: the driver hashes TYPED representations, so a
+    DuckDB HUGEINT (uncast integer sum) vs Spark BIGINT is a hash FAIL even
+    when every value matches (round-1 lesson). Flag numeric-class drift."""
+    s_types = {f.name: _spark_type_class(f.dataType) for f in spark_df.schema.fields}
+    drifts = []
+    for col, dtype in duck_typed_cols:
+        dc = _duck_type_class(dtype)
+        sc = s_types.get(col)
+        if sc is None:
+            continue
+        if dc != sc and not (dc == "other" and sc == "other"):
+            drifts.append(f"{col}: spark={sc} duck={dc}({dtype})")
+    return drifts
+
+
 def compare(name, spark_df, duck_rows, duck_cols):
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
@@ -104,9 +149,13 @@ def main():
                 print(f"  {name:32s} rows-only ({n} rows) [{time.time()-t0:.1f}s]")
                 rows_only += 1
                 continue
+            typed = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            drifts = check_types(sdf, [(r[0], r[1]) for r in typed])
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             verdict = compare(name, sdf, res.fetchall(), duck_cols)
+            if verdict is None and drifts:
+                verdict = "TYPE DRIFT (driver hash would FAIL): " + "; ".join(drifts)
         except Exception as e:
             verdict = f"ERROR {type(e).__name__}: {str(e)[:300]}"
         if verdict:
