@@ -13,8 +13,8 @@ Five strategies, all shuffle-minimal and UDF-free:
 * ``minhash_lsh``      — k-permutation MinHash signatures + banded LSH:
                          candidate pairs share ≥1 band bucket; estimate =
                          fraction of equal signature positions.
-* ``simhash``          — 32-bit SimHash fingerprint; candidates blocked on
-                         8-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band
+* ``simhash``          — 60-bit SimHash fingerprint; candidates blocked on
+                         15-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band
                          equal), verified with bit_count(xor).
 * ``embedding cosine`` — exact pairwise cosine above threshold (brute
                          force; the LSH-bucketed scale path lives in
@@ -53,7 +53,20 @@ MINHASH_B = [(40503 * (i + 1) * (i + 1) + 17) % HASH_MOD for i in range(MINHASH_
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
-SIMHASH_BITS = 32
+# SimHash fingerprint width.  The base feature hash has ~30 usable bits
+# (mod 1e9+7), so bits 30-59 come from a second derived permutation
+# h2 = (A2*h + B2) % mod of the same shingle hash.  60 bits keeps the
+# fingerprint in positive BIGINT range on both Spark and DuckDB (no
+# sign-bit headaches at bit 63) while giving 4 bands × 15 bits = 32768
+# buckets per band — the round-1 32-bit/8-bit version saturated its 256
+# buckets at ~10M docs and went quadratic.
+SIMHASH_BITS = 60
+SIMHASH_HALF = 30
+SIMHASH_A2 = 1_566_083_941 % HASH_MOD
+SIMHASH_B2 = 1_013_904_223 % HASH_MOD
+SIMHASH_BAND_BITS = 15
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -315,17 +328,27 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash32_from_hashes(hashes: Column) -> Column:
-    """32-bit SimHash from an array<long> of feature hashes: bit j of the
+def _sim_bit(h: Column, j: int) -> Column:
+    """Bit j of the 60-bit feature vector for one shingle hash ``h``:
+    bits 0-29 come from h itself, bits 30-59 from the derived second
+    permutation (A2·h + B2) mod m (h has only ~30 usable bits)."""
+    if j < SIMHASH_HALF:
+        return F.shiftright(h, j).bitwiseAND(F.lit(1))
+    h2 = (h * SIMHASH_A2 + SIMHASH_B2) % HASH_MOD
+    return F.shiftright(h2, j - SIMHASH_HALF).bitwiseAND(F.lit(1))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """60-bit SimHash from an array<long> of feature hashes: bit j of the
     fingerprint is the sign of Σ_features (2·bit_j(h) − 1).
 
     Callers should materialize ``hashes`` as a real column first (one
-    projection) so the 32 bit-vote folds reference an attribute instead
-    of recomputing the feature hashing 32×."""
+    projection) so the 60 bit-vote folds reference an attribute instead
+    of recomputing the feature hashing 60×."""
     bit_vote = lambda j: F.aggregate(  # noqa: E731
         hashes,
         F.lit(0).cast("long"),
-        lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        lambda acc, h: acc + (_sim_bit(h, j) * 2 - 1),
     )
     out = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
@@ -335,12 +358,12 @@ def simhash32_from_hashes(hashes: Column) -> Column:
     return out
 
 
-def simhash32(text: Column, n: int = 3) -> Column:
-    """32-bit SimHash over the distinct word n-gram shingles.  Shingles
+def simhash_fp(text: Column, n: int = 3) -> Column:
+    """60-bit SimHash over the distinct word n-gram shingles.  Shingles
     (not unigrams) as the feature set: corpora with small vocabularies
     make unigram *sets* nearly identical across documents, which would
     collapse every fingerprint to the same value."""
-    return simhash32_from_hashes(shingle_hashes(text, n))
+    return simhash_from_hashes(shingle_hashes(text, n))
 
 
 def simhash_pairs(
@@ -350,24 +373,27 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs, blocked on the four 8-bit bands of the
-    fingerprint (pigeonhole: hamming ≤ 3 ⇒ at least one band identical,
-    so recall is exact for the threshold ≤ 3), verified with
+    """SimHash near-dup pairs, blocked on the four 15-bit bands of the
+    60-bit fingerprint (pigeonhole: hamming ≤ 3 ⇒ at least one band
+    identical, so recall is exact for the threshold ≤ 3), verified with
     bit_count(xor).  Output (id_a, id_b, hamming).
 
-    Scale note: 8-bit bands give only 256 buckets per band, so beyond
-    ~10M docs the within-bucket pairing turns quadratic — widen the
-    fingerprint (64-bit, 4×16-bit bands = 65k buckets) for corpus-scale
-    runs; the 32-bit/8-bit choice here keeps the oracle SQL tractable.
+    Scale note: 15-bit bands give 32768 buckets per band.  With a
+    roughly uniform fingerprint distribution the within-bucket pairing
+    stays sub-quadratic into the billions-of-docs range (expected
+    bucket size N/32768); pathological corpora that collapse onto few
+    fingerprints are already near-duplicates and land in the verify
+    step's bounded output.  (Round 1 shipped 32-bit/8-bit = 256
+    buckets, which saturated at ~10M docs.)
 
-    Fingerprints come from ``explode(shingles) → groupBy(id).agg(32 bit
+    Fingerprints come from ``explode(shingles) → groupBy(id).agg(60 bit
     votes)`` — codegen hash aggregation, same values as the per-doc
     array fold (Σ(2·bit−1) is order-insensitive).  Docs with an empty
     shingle set are unioned back with fp = 0 (the empty fold), matching
     the array semantics and the oracle."""
     rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n))
     votes = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{j}")
+        F.sum(_sim_bit(F.col("h"), j) * 2 - 1).alias(f"_v{j}")
         for j in range(SIMHASH_BITS)
     ]
     fp_expr = F.lit(0).cast("long")
@@ -398,9 +424,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("fp", 8 * i).bitwiseAND(F.lit(255)).alias("key"),
+                        F.shiftright("fp", SIMHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bk"),

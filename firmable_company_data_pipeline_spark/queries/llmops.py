@@ -289,15 +289,19 @@ fp_t AS (
   SELECT doc_id AS id,
          list_reduce(list_prepend(0::BIGINT, list_transform(range({dd.SIMHASH_BITS}), j ->
            CASE WHEN list_reduce(list_prepend(0::BIGINT,
-                       list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)),
+                       list_transform(hs, h ->
+                         ((CASE WHEN j < {dd.SIMHASH_HALF} THEN (h >> j)
+                                ELSE (((h * {dd.SIMHASH_A2} + {dd.SIMHASH_B2}) % {_MOD})
+                                      >> (j - {dd.SIMHASH_HALF})) END) & 1) * 2 - 1)),
                      (a, v) -> a + v) > 0
                 THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
            (a, v) -> a + v) AS fp
   FROM hs_t
 ),
 bands AS (
-  SELECT id, fp, b.band, (fp >> (8 * b.band)) & 255 AS key
-  FROM fp_t, range(4) AS b(band)
+  SELECT id, fp, b.band,
+         (fp >> ({dd.SIMHASH_BAND_BITS} * b.band)) & {dd.SIMHASH_BAND_MASK} AS key
+  FROM fp_t, range({dd.SIMHASH_BANDS}) AS b(band)
 ),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fp_a, r.fp AS fp_b

@@ -76,7 +76,7 @@ def test_simhash_pairs_path_matches_column_fp(spark):
     # Recompute the operator's fingerprint table the way simhash_pairs does.
     rows = dd._shingle_hash_rows(dd.shingle_rows(df, "text", "doc_id", 3))
     votes = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{j}")
+        F.sum(dd._sim_bit(F.col("h"), j) * 2 - 1).alias(f"_v{j}")
         for j in range(dd.SIMHASH_BITS)
     ]
     agg = rows.groupBy("id").agg(*votes)
@@ -89,7 +89,7 @@ def test_simhash_pairs_path_matches_column_fp(spark):
     slow = {
         r["doc_id"]: r["fp"]
         for r in df.select(
-            "doc_id", dd.simhash32(F.col("text"), 3).alias("fp")
+            "doc_id", dd.simhash_fp(F.col("text"), 3).alias("fp")
         ).collect()
     }
     # Non-empty docs agree exactly; empty docs fold to 0 (unioned back in
