@@ -31,7 +31,9 @@ HEADLINE = [
     "text_stats",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_brute_force",
+    "ann_lsh_bucketed",
     "events_session_5m",
     "multimodal_features",
     "match_cascade_full",

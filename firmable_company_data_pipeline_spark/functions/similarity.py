@@ -52,6 +52,42 @@ def token_sort_ratio(a: Column, b: Column) -> Column:
     return levenshtein_ratio(token_sort(a), token_sort(b))
 
 
+def py_indel_ratio(a: str, b: str) -> float:
+    """Pure-Python normalized indel similarity, rapidfuzz ``fuzz.ratio``
+    semantics: ``(len(a)+len(b) - indel_distance) / (len(a)+len(b)) * 100``
+    where indel distance = insertions+deletions only (substitution costs
+    2, i.e. ``len(a)+len(b) - 2*LCS``).
+
+    This is the exact quantity rapidfuzz computes (its C++ core is just
+    faster); used as the fallback for the UD3 parity scorer when
+    rapidfuzz is not installed, so the code path is exercised everywhere.
+    O(len(a)*len(b)) DP — fine for entity names inside an Arrow batch.
+    """
+    if not a and not b:
+        return 100.0
+    if not a or not b:
+        return 0.0
+    # LCS length, rolling 1-D DP.
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0] * (len(b) + 1)
+        for j, cb in enumerate(b):
+            cur[j + 1] = prev[j] + 1 if ca == cb else max(prev[j + 1], cur[j])
+        prev = cur
+    lcs = prev[len(b)]
+    lensum = len(a) + len(b)
+    return (lensum - (lensum - 2 * lcs)) / lensum * 100.0
+
+
+def py_token_sort_ratio(a: str, b: str) -> float:
+    """Pure-Python rapidfuzz ``fuzz.token_sort_ratio`` semantics:
+    whitespace-tokenize, sort, re-join with single spaces, then indel
+    ratio (rapidfuzz 3.x applies no default character processing)."""
+    sa = " ".join(sorted((a or "").split()))
+    sb = " ".join(sorted((b or "").split()))
+    return py_indel_ratio(sa, sb)
+
+
 def bounded_levenshtein_ratio(a: Column, b: Column, min_ratio: float) -> Column:
     """Levenshtein ratio with early abandon: identical values to
     :func:`levenshtein_ratio` for every pair scoring ≥ ``min_ratio``;

@@ -200,24 +200,28 @@ def _rapidfuzz_scorer(a: Column, b: Column) -> Column:
     """Exact rapidfuzz.token_sort_ratio via Arrow-batched pandas UDF.
 
     Opt-in slow path (UD3, transform/entity_matching.py:151-153 parity).
-    Gated import: rapidfuzz may be absent — then this raises at plan time.
+    When rapidfuzz is absent the pure-Python implementation in
+    ``functions/similarity.py`` (same indel-distance semantics,
+    equivalence-tested) scores the batch instead, so this path works —
+    just slower — in every environment.
     """
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
+
+    from firmable_company_data_pipeline_spark.functions.similarity import (
+        py_token_sort_ratio,
+    )
 
     @pandas_udf("double")
     def _tsr(s1, s2):
         try:
             from rapidfuzz import fuzz
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "rapidfuzz not installed; use scorer='native'"
-            ) from exc
+
+            score = fuzz.token_sort_ratio
+        except ImportError:  # pure-Python fallback, identical values
+            score = py_token_sort_ratio
         return pd.Series(
-            [
-                float(fuzz.token_sort_ratio(x or "", y or ""))
-                for x, y in zip(s1, s2)
-            ]
+            [float(score(x or "", y or "")) for x, y in zip(s1, s2)]
         )
 
     return _tsr(a, b)
