@@ -203,12 +203,55 @@ def fn_standardize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _duck_variants = ", ".join(f"'{v}'" for v, _ in _STATE_VARIANTS)
-_duck_expected = ", ".join("NULL" if e is None else f"'{e}'" for _, e in _STATE_VARIANTS)
+# Independent recompute of F9 (not a hardcoded expected-value table): the
+# oracle normalizes, tries the exact map (first map entry wins, despaced
+# form included), then the levenshtein-ratio fuzzy arg-max with the same
+# strict >85 accept rule and (score desc, map order) tie-break as
+# functions/states.py.  Generated from the same STATE_MAPPING constant so
+# the two sides share the semantics but not the execution.
+from firmable_company_data_pipeline_spark.functions.states import (  # noqa: E402
+    STATE_MAPPING as _SM,
+)
+
+_STATE_ROWS = ", ".join(
+    f"({i}, '{k}', '{a}')" for i, (k, a) in enumerate(_SM.items())
+)
 FN_STANDARDIZE_STATE_SQL = f"""
-SELECT c_custkey AS custkey,
-       ([{_duck_variants}])[CAST(c_custkey % {len(_STATE_VARIANTS)} + 1 AS INT)] AS raw_state,
-       ([{_duck_expected}])[CAST(c_custkey % {len(_STATE_VARIANTS)} + 1 AS INT)] AS state
-FROM customer
+WITH v AS (
+  SELECT c_custkey AS custkey,
+         ([{_duck_variants}])[CAST(c_custkey % {len(_STATE_VARIANTS)} + 1 AS INT)] AS raw_state
+  FROM customer
+),
+m(idx, key, abbrev) AS (VALUES {_STATE_ROWS}),
+base AS (
+  SELECT custkey, raw_state,
+         trim(regexp_replace(upper(trim(raw_state)), '[.\\s]+', ' ', 'g')) AS cleaned,
+         replace(trim(regexp_replace(upper(trim(raw_state)), '[.\\s]+', ' ', 'g')),
+                 ' ', '') AS despaced
+  FROM v
+),
+exact AS (
+  SELECT b.custkey, min(m.idx) AS hit_idx
+  FROM base b JOIN m ON b.cleaned = m.key OR b.despaced = m.key
+  GROUP BY b.custkey
+),
+fuzzy AS (
+  SELECT custkey, abbrev, score,
+         row_number() OVER (PARTITION BY custkey ORDER BY score DESC, idx ASC) AS rn
+  FROM (
+    SELECT b.custkey, m.idx, m.abbrev,
+           CASE WHEN greatest(length(b.cleaned), length(m.key)) = 0 THEN 100.0
+                ELSE (1.0 - levenshtein(b.cleaned, m.key)::DOUBLE
+                      / greatest(length(b.cleaned), length(m.key))) * 100.0 END AS score
+    FROM base b CROSS JOIN m
+  )
+)
+SELECT b.custkey, b.raw_state,
+       COALESCE((SELECT abbrev FROM m WHERE m.idx = e.hit_idx),
+                CASE WHEN f.score > 85.0 THEN f.abbrev END) AS state
+FROM base b
+LEFT JOIN exact e ON e.custkey = b.custkey
+LEFT JOIN fuzzy f ON f.custkey = b.custkey AND f.rn = 1
 """
 
 

@@ -165,10 +165,19 @@ def compact_parquet(
     concatenate neighbors; ``rebalance=True`` pays one round-robin
     shuffle for evenly sized output files when the input is skewed.
 
+    Crash-safety contract: single writer, no concurrent readers during
+    the swap window.  The two renames are not jointly atomic — a crash
+    between them leaves ``path`` missing with the data intact in
+    ``path__pre_compact``.  :func:`recover_compaction` (called here on
+    entry, and safe to call at startup) restores that state; a real
+    multi-writer/snapshot-isolation story is what a table format's
+    commit protocol (Delta/Iceberg) provides on top of this layout.
+
     Returns ``{"files_before", "files_after", "bytes"}``.
     """
     import math
 
+    recover_compaction(spark, path)
     total_bytes, files_before = dir_stats(spark, path)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
@@ -195,6 +204,30 @@ def compact_parquet(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+def recover_compaction(spark: SparkSession, path: str) -> str | None:
+    """Repair an interrupted :func:`compact_parquet` swap.
+
+    If the table path is missing but ``path__pre_compact`` exists (crash
+    between the two renames), rename the backup back into place.  Stale
+    ``path__compacting`` output is removed in either case (it is never
+    the only copy: the source dir still exists until the first rename,
+    and the backup exists after it).  Returns a short description of the
+    action taken, or None if nothing needed repair.
+    """
+    fs, jpath, jvm = _fs_for(spark, path)
+    pre = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__pre_compact")
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    action = None
+    if not fs.exists(jpath) and fs.exists(pre):
+        if not fs.rename(pre, jpath):
+            raise IOError(f"recover_compaction: could not restore {path} from backup")
+        action = "restored_from_pre_compact"
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+        action = action or "removed_stale_compacting"
+    return action
 
 
 def incremental_append(

@@ -179,6 +179,36 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert not os.path.exists(path + "__pre_compact")
 
 
+def test_recover_compaction_restores_interrupted_swap(spark, sf_dir, tmp_path):
+    """Simulate a crash between compact_parquet's two renames: the table
+    path is gone, data stranded in __pre_compact, stale __compacting
+    output present.  recover_compaction must restore the table."""
+    import os
+    import shutil
+
+    from firmable_company_data_pipeline_spark.sources.io import recover_compaction
+    from firmable_company_data_pipeline_spark.session import load_tables
+
+    path = str(tmp_path / "crashed")
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    orders.write.parquet(path)
+    n = spark.read.parquet(path).count()
+
+    # crash state: path -> __pre_compact done, tmp not yet swapped in
+    os.rename(path, path + "__pre_compact")
+    os.makedirs(path + "__compacting")
+    with open(path + "__compacting/part-stale.parquet", "w") as f:
+        f.write("stale")
+
+    assert recover_compaction(spark, path) == "restored_from_pre_compact"
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + "__pre_compact")
+    assert not os.path.exists(path + "__compacting")
+    # idempotent: nothing to do on a healthy table
+    assert recover_compaction(spark, path) is None
+    shutil.rmtree(path)
+
+
 def test_incremental_append_high_water_mark(spark, sf_dir, tmp_path):
     from firmable_company_data_pipeline_spark.sources.io import incremental_append
     from firmable_company_data_pipeline_spark.session import load_tables
