@@ -145,33 +145,92 @@ def fetch_warc_html(index_df: DataFrame, client=None) -> DataFrame:
 _PARSED_SCHEMA = "url string, title string, text string, structured_data string"
 
 
-def _strip_html(html: str) -> tuple[str | None, str, str]:
-    """Regex-minimal HTML pull: (title, visible text, JSON-LD array).
+class _PageExtractor:
+    """Event-driven HTML pull built on the stdlib ``html.parser``
+    tokenizer: (title, visible text, JSON-LD blocks).
 
-    bs4 is unavailable in this environment; this replicates the observable
-    outputs of parse_html (extract/commoncrawl_scraper.py:183-209): page
-    text via tag-stripping, <title> text, and the list-normalized JSON-LD
-    payloads (U2, lines 187-195).
+    Replicates the observable outputs of the reference's bs4 parse_html
+    (extract/commoncrawl_scraper.py:183-209) — page text with
+    script/style content excluded, <title> text, and the list-normalized
+    JSON-LD payloads (U2, lines 187-195) — with real tokenizer fidelity:
+    attributes containing ``>``, comments, CDATA, entity references and
+    unclosed tags are all handled, which the earlier regex pull was not.
+    bs4 itself is unavailable in this environment (documented deviation);
+    ``html.parser`` is the same tokenizer bs4's default builder wraps.
     """
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.mode: str | None = None  # None | skip | title | jsonld
+
+            def handle_starttag(self, tag, attrs):
+                if tag in ("script", "style", "template"):
+                    a = dict(attrs)
+                    is_ld = tag == "script" and (
+                        (a.get("type") or "").strip().lower() == "application/ld+json"
+                    )
+                    self.mode = "jsonld" if is_ld else "skip"
+                    outer._buf = []
+                elif tag == "title" and outer.title is None:
+                    self.mode = "title"
+                    outer._buf = []
+                elif tag in ("br", "p", "div", "li", "tr", "h1", "h2", "h3", "h4"):
+                    outer.text.append(" ")
+
+            def handle_endtag(self, tag):
+                if self.mode == "jsonld" and tag == "script":
+                    outer._jsonld("".join(outer._buf))
+                    self.mode = None
+                elif self.mode == "skip" and tag in ("script", "style", "template"):
+                    self.mode = None
+                elif self.mode == "title" and tag == "title":
+                    outer.title = "".join(outer._buf).strip() or None
+                    self.mode = None
+
+            def handle_data(self, data):
+                if self.mode in ("jsonld", "title"):
+                    outer._buf.append(data)
+                elif self.mode != "skip":
+                    outer.text.append(data)
+
+        self._parser = _P()
+        self.title: str | None = None
+        self.text: list[str] = []
+        self.blobs: list = []
+        self._buf: list[str] = []
+
+    def _jsonld(self, raw: str) -> None:
+        import json as _json
+
+        try:
+            parsed = _json.loads(raw)
+            self.blobs.extend(parsed if isinstance(parsed, list) else [parsed])
+        except ValueError:
+            pass
+
+    def feed(self, html: str) -> "_PageExtractor":
+        self._parser.feed(html)
+        self._parser.close()
+        return self
+
+
+def _strip_html(html: str) -> tuple[str | None, str, str | None]:
+    """(title, visible text, JSON-LD array JSON or None) — see
+    :class:`_PageExtractor`."""
     import json as _json
 
-    title_m = re.search(r"<title[^>]*>(.*?)</title>", html, re.I | re.S)
-    title = title_m.group(1).strip() if title_m else None
-    ld = re.findall(
-        r'<script[^>]*type=["\']application/ld\+json["\'][^>]*>(.*?)</script>',
-        html,
-        re.I | re.S,
+    px = _PageExtractor().feed(html)
+    return (
+        px.title,
+        " ".join("".join(px.text).split()),
+        _json.dumps(px.blobs) if px.blobs else None,
     )
-    blobs = []
-    for b in ld:
-        try:
-            parsed = _json.loads(b)
-            blobs.extend(parsed if isinstance(parsed, list) else [parsed])
-        except ValueError:
-            continue
-    no_script = re.sub(r"<(script|style)[^>]*>.*?</\1>", " ", html, flags=re.I | re.S)
-    text = re.sub(r"<[^>]+>", " ", no_script)
-    return title, text, _json.dumps(blobs) if blobs else None
 
 
 def parse_pages(pages: DataFrame) -> DataFrame:

@@ -258,3 +258,47 @@ def test_run_pipeline_observed_metrics(spark, cc_index_path, abr_xml_path):
     assert cc["n_rows"] == len(SLUGS) == n_out
     assert cc["n_with_abn"] == len(SLUGS)  # every stub page carries an ABN
     assert abr["n_rows"] >= len(SLUGS)
+
+
+def test_strip_html_pathological_cases():
+    """Tokenizer-fidelity cases the old regex pull got wrong: attributes
+    containing '>', comments, entities, script bodies containing markup,
+    and unclosed tags (reference parity: bs4 parse_html outputs)."""
+    from firmable_company_data_pipeline_spark.sources.commoncrawl import _strip_html
+
+    html = (
+        "<html><head><title>T &amp; Co</title>"
+        '<script type="application/ld+json">{"@type": "Organization", "name": "T"}'
+        "</script></head>"
+        '<body><div data-x="a > b">visible</div>'
+        "<!-- <p>comment markup</p> -->"
+        "<script>var s = '<div>not text</div>';</script>"
+        "<style>p > span { color: red }</style>"
+        "<p>café &copy; 2024<p>unclosed paragraphs"
+        "</body></html>"
+    )
+    title, text, sd = _strip_html(html)
+    assert title == "T & Co"  # entity decoded
+    assert "visible" in text and "café" in text and "unclosed paragraphs" in text
+    # none of these leak into visible text
+    assert "not text" not in text      # script body with markup inside
+    assert "comment markup" not in text  # comment content
+    assert "color" not in text         # style body with '>' in selector
+    assert "a > b" not in text         # attribute value containing '>'
+    import json
+
+    assert json.loads(sd) == [{"@type": "Organization", "name": "T"}]
+
+
+def test_strip_html_jsonld_list_normalization():
+    from firmable_company_data_pipeline_spark.sources.commoncrawl import _strip_html
+
+    html = (
+        '<script type="application/ld+json">[{"a": 1}, {"b": 2}]</script>'
+        '<script type="application/ld+json">{"c": 3}</script>'
+        '<script type="application/ld+json">not json</script>'
+    )
+    import json
+
+    _, _, sd = _strip_html(html)
+    assert json.loads(sd) == [{"a": 1}, {"b": 2}, {"c": 3}]
