@@ -99,19 +99,27 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.transform(shingle_array(text, n), char_fold_hash)
 
 
-def shingle_rows(
+def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows — one per (doc, distinct word n-gram).
+    """(id, shset array<string>) — the distinct word-n-gram set per doc.
 
-    This is the 100-TB shape for shingling: ``posexplode`` the token
-    array and assemble each n-gram from ``lead()`` windows over (id,
-    pos) — whole-stage-codegen throughout, ~10× faster than the
+    This is the 100-TB shape for shingling, and it costs ONE shuffle:
+    ``posexplode`` the token array (no shuffle — generator), assemble
+    each n-gram from ``lead()`` windows over (id, pos) (the one exchange:
+    hash-partition by id + sort), then ``collect_set`` per id — which
+    reuses the window's id-partitioning, so dedup-to-set adds no
+    exchange.  (The earlier formulation paid two more shuffles here: a
+    row-level ``distinct()`` on (id, shingle) and a count-over-window
+    for set sizes.)  Codegen'd gram assembly is ~10× faster than the
     interpreted higher-order-function transform over per-doc arrays
     (which the Column-level :func:`shingle_array` keeps for small-data /
-    oracle-mirror use).  ``distinct()`` gives set semantics per doc.
-    Same values as ``explode(shingle_array(text))``: docs shorter than
-    ``n`` tokens yield no rows.
+    oracle-mirror use).
+
+    Docs shorter than ``n`` tokens yield no row (callers union empties
+    back if their semantics need them).  Per-doc set size is bounded by
+    doc length, so the collect_set state is task-safe at any corpus
+    scale.
     """
     from pyspark.sql import Window
 
@@ -128,8 +136,21 @@ def shingle_rows(
     return (
         ex.withColumn("shingle", gram)
         .filter(F.col("pos") <= F.col("n_tok") - n)
-        .select("id", "shingle")
-        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("shset"))
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — one per (doc, distinct word n-gram), exploded
+    from :func:`shingle_sets`.  Rows arrive clustered by id, so a
+    downstream ``groupBy(id)`` (MinHash signatures, SimHash bit votes)
+    satisfies its distribution from the existing exchange — no second
+    shuffle."""
+    return shingle_sets(df, text_col, id_col, n).select(
+        "id", F.explode("shset").alias("shingle")
     )
 
 
@@ -180,8 +201,11 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingle_rows(df, text_col, id_col, n)
-    ex = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+    sets = shingle_sets(df, text_col, id_col, n)
+    # Set size is free from the array — no count-over-window shuffle.
+    ex = sets.select(
+        "id", F.size("shset").alias("n_sh"), F.explode("shset").alias("shingle")
+    )
     if max_df is not None:
         ex = ex.withColumn(
             "_df", F.count("*").over(Window.partitionBy("shingle"))
@@ -391,9 +415,23 @@ def simhash_pairs(
     array fold (Σ(2·bit−1) is order-insensitive).  Docs with an empty
     shingle set are unioned back with fp = 0 (the empty fold), matching
     the array semantics and the oracle."""
-    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n))
+    # Materialize the derived permutation once per row; the 60 bit votes
+    # then reference the two attribute columns instead of recomputing
+    # (A2·h + B2) mod m thirty times per row.
+    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n)).select(
+        "id",
+        "h",
+        ((F.col("h") * SIMHASH_A2 + SIMHASH_B2) % HASH_MOD).alias("h2"),
+    )
     votes = [
-        F.sum(_sim_bit(F.col("h"), j) * 2 - 1).alias(f"_v{j}")
+        F.sum(
+            F.shiftright(
+                F.col("h" if j < SIMHASH_HALF else "h2"),
+                j if j < SIMHASH_HALF else j - SIMHASH_HALF,
+            ).bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        ).alias(f"_v{j}")
         for j in range(SIMHASH_BITS)
     ]
     fp_expr = F.lit(0).cast("long")
