@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "substring_dup_spans",
+    "contamination_check",
     "ann_brute_force",
     "ann_lsh_bucketed",
     "events_session_5m",

@@ -24,6 +24,7 @@ from firmable_company_data_pipeline_spark.functions.extraction import (
     extract_phones,
     extract_postcode,
     parse_json_ld,
+    redact_pii,
 )
 from firmable_company_data_pipeline_spark.functions.states import standardize_state
 from firmable_company_data_pipeline_spark.functions.similarity import (
@@ -48,6 +49,7 @@ __all__ = [
     "extract_phones",
     "extract_postcode",
     "parse_json_ld",
+    "redact_pii",
     "standardize_state",
     "levenshtein_ratio",
     "token_sort",

@@ -42,6 +42,21 @@ def extract_postcode(text: Column) -> Column:
     return F.nullif(hit, F.lit(""))
 
 
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and AU-phone-shaped substrings with
+    ``[EMAIL]`` / ``[PHONE]`` tags — the pre-training PII scrub step of
+    an LLM data pipeline, as a pure native expression chain (two
+    regexp_replace passes, whole-stage codegen, no UDF).
+
+    Emails are replaced first: the phone pattern's bare digit-run
+    alternate could otherwise bite into addresses containing digits.
+    Same patterns as the F6/F7 extractors, so what extract_* finds,
+    redact_pii removes.
+    """
+    no_email = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
+
+
 def parse_json_ld(json_col: Column, schema: str = "array<map<string,string>>") -> Column:
     """Parse a JSON-LD payload, normalizing object-vs-array (F14/U2).
 

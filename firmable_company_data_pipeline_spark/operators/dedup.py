@@ -484,6 +484,117 @@ def simhash_pairs(
     )
 
 
+def token_windows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """(id, gram) — EVERY k-token window occurrence (not distinct-per-doc
+    like shingles): substring-level dedup needs occurrence counts.
+
+    Same codegen'd posexplode + lead-window assembly as
+    :func:`shingle_sets`; one exchange (hash by id + sort by pos)."""
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    ex = toks.select(
+        "id", F.size("toks").alias("n_tok"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
+    )
+    return (
+        ex.withColumn("gram", gram)
+        .filter(F.col("pos") <= F.col("n_tok") - k)
+        .select("id", "gram")
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated k-token windows across documents — the
+    substring-granular dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), reformulated from
+    their suffix array into Spark's native shape: window rows →
+    hash-groupBy on the gram → filter on distinct-doc count.
+
+    Output: (win_hash, n_docs, n_occ, first_doc) for every k-token
+    window appearing in ≥ ``min_docs`` distinct documents.  ``win_hash``
+    is the deterministic char-fold hash of the gram; grouping is on the
+    gram ITSELF so hash collisions cannot merge distinct windows (the
+    oracle groups the same way).
+
+    Scale note: grouping on the gram string shuffles ~k× the corpus
+    text.  At 100 TB, group on ``xxhash64(gram)`` instead (8-byte
+    shuffle keys, collision odds ~N²/2⁶⁴ — acceptable for a dedup
+    *signal*); kept exact here for oracle parity.  One shuffle either
+    way, map-side partial aggregation applies."""
+    wins = token_windows(df, text_col, id_col, k)
+    return (
+        wins.groupBy("gram")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            char_fold_hash(F.col("gram")).alias("win_hash"),
+            "n_docs",
+            "n_occ",
+            "first_doc",
+        )
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    eval_mod: int = 10,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Train/eval n-gram contamination: for every training document, the
+    fraction of its distinct n-gram shingles that appear anywhere in the
+    held-out eval split — the standard benchmark-leakage screen run
+    before training (e.g. GPT-3 appendix C; n-gram overlap flavor).
+
+    The eval split is deterministic (``doc_id % eval_mod == 0``) so both
+    engines agree without RNG.  Output: (doc_id, n_sh, n_common,
+    overlap_frac) for training docs with overlap ≥ ``min_overlap``.
+
+    Scale shape: eval shingle universe is deduped once (one shuffle),
+    then a broadcast-unfriendly (it scales with eval corpus size)
+    inverted-index SEMI join on the shingle — shuffle volume O(train
+    shingles + eval shingles), never pairwise.  Per-doc overlap is one
+    hash aggregation reusing the join's shingle partitioning."""
+    is_eval = (F.col("id") % eval_mod) == 0
+    sets = shingle_sets(df, text_col, id_col, n)
+    train = sets.filter(~is_eval).select(
+        "id", F.size("shset").alias("n_sh"), F.explode("shset").alias("shingle")
+    )
+    eval_universe = (
+        sets.filter(is_eval)
+        .select(F.explode("shset").alias("shingle"))
+        .distinct()
+    )
+    common = train.join(eval_universe, "shingle", "left_semi")
+    return (
+        common.groupBy("id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("overlap_frac", F.round(F.col("n_common") / F.col("n_sh"), 6))
+        .filter(F.col("overlap_frac") >= min_overlap)
+        .select(F.col("id").alias("doc_id"), "n_sh", "n_common", "overlap_frac")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

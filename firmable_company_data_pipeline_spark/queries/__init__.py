@@ -27,6 +27,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         scalar,
         scale,
         streaming_batch,
+        training,
     )
 
     queries: dict[str, Callable] = {}
@@ -41,6 +42,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         maintenance,
         advanced,
         scale,
+        training,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -1,0 +1,156 @@
+"""Training-data pipeline queries, round 2 (charter extensions beyond
+SURVEY.md §2): substring-granular dedup, PII redaction, train/eval
+contamination screening.
+
+Oracle-parity design follows ``queries/llmops.py``: deterministic
+char-fold hashing, no RNG (the eval split is ``doc_id % 10``), every
+computed column aliased identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import firmable_company_data_pipeline_spark.functions as lib
+from firmable_company_data_pipeline_spark.functions import textstats as ts
+from firmable_company_data_pipeline_spark.operators import dedup as dd
+from firmable_company_data_pipeline_spark.session import load_tables
+
+_MOD = ts.HASH_MOD
+
+_TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_TOK_CTE = f"tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents)"
+
+
+def _fold(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(string_split({expr}, ''), "
+        f"c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % {_MOD})"
+    )
+
+
+# --------------------------------------------------------------------------
+# substring_dup_spans — duplicated k-token windows across docs
+# (Lee et al. 2022 exact-substring dedup signal, hash-groupBy shape).
+_K = 8
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.substring_dup_spans(docs, k=_K, min_docs=2)
+
+
+_GRAM_K = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, _K + 1))
+SUBSTRING_DUP_SPANS_SQL = f"""
+WITH {_TOK_CTE},
+wins AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {_K}
+         THEN list_transform(range(len(t)-{_K}+1), i -> {_GRAM_K})
+         ELSE []::VARCHAR[] END) AS gram
+  FROM tok
+),
+grouped AS (
+  SELECT gram,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occ,
+         min(doc_id) AS first_doc
+  FROM wins
+  GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT {_fold('gram')} AS win_hash,
+       n_docs, n_occ, first_doc
+FROM grouped
+"""
+
+
+# --------------------------------------------------------------------------
+# pii_redaction — email/phone scrub over synthesized contact prose
+# (same deterministic synthesis as fn_contacts, so the patterns are
+# guaranteed to fire).
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.lit("mail info@c"), k.cast("string"), F.lit(".com.au or sales@c"),
+        k.cast("string"), F.lit(".net, call (02) 9"),
+        F.lpad((k % 1000).cast("string"), 3, "0"), F.lit(" 8888 at NSW "),
+        (F.lit(2000) + (k % 999)).cast("string"), F.lit(" today"),
+    )
+    return cust.select(
+        k.alias("custkey"),
+        lib.redact_pii(text).alias("redacted"),
+        F.size(lib.extract_emails(text)).alias("n_emails"),
+        F.size(lib.extract_phones(text)).alias("n_phones"),
+    )
+
+
+PII_REDACTION_SQL = """
+SELECT custkey,
+       regexp_replace(
+         regexp_replace(txt,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+         '(\\+61\\s?\\d{{1,2}}\\s?\\d{{3}}\\s?\\d{{3}}|\\(0\\d\\)\\s?\\d{{4}}\\s?\\d{{4}}|\\d{{4}}\\s?\\d{{3}}\\s?\\d{{3}})',
+         '[PHONE]', 'g') AS redacted,
+       len(regexp_extract_all(txt,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', 0)) AS n_emails,
+       len(regexp_extract_all(txt,
+           '(\\+61\\s?\\d{{1,2}}\\s?\\d{{3}}\\s?\\d{{3}}|\\(0\\d\\)\\s?\\d{{4}}\\s?\\d{{4}}|\\d{{4}}\\s?\\d{{3}}\\s?\\d{{3}})', 1)) AS n_phones
+FROM (SELECT c_custkey AS custkey,
+             'mail info@c' || c_custkey || '.com.au or sales@c' || c_custkey ||
+             '.net, call (02) 9' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+             ' 8888 at NSW ' || CAST(2000 + (c_custkey % 999) AS VARCHAR) || ' today' AS txt
+      FROM customer)
+""".format()
+
+
+# --------------------------------------------------------------------------
+# contamination_check — train docs whose 5-gram shingles overlap the
+# deterministic eval split (doc_id % 10 == 0).
+_N = 5
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.contamination_check(docs, n=_N, eval_mod=10, min_overlap=0.2)
+
+
+_GRAM_N = " || ' ' || ".join("t[i+%d]" % j for j in range(1, _N + 1))
+_SHINGLES_N = (
+    f"CASE WHEN len(t) >= {_N} THEN list_distinct(list_transform(range(len(t)-{_N}+1), "
+    f"i -> {_GRAM_N})) ELSE []::VARCHAR[] END"
+)
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH {_TOK_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_N} AS s FROM tok),
+train AS (
+  SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle
+  FROM sh WHERE doc_id % 10 <> 0
+),
+eval_u AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 10 = 0
+)
+SELECT doc_id, n_sh,
+       count(*) AS n_common,
+       round(count(*)::DOUBLE / n_sh, 6) AS overlap_frac
+FROM train
+WHERE shingle IN (SELECT shingle FROM eval_u)
+GROUP BY doc_id, n_sh
+HAVING round(count(*)::DOUBLE / n_sh, 6) >= 0.2
+"""
+
+
+QUERIES = {
+    "substring_dup_spans": substring_dup_spans,
+    "pii_redaction": pii_redaction,
+    "contamination_check": contamination_check,
+}
+
+ORACLES = {
+    "substring_dup_spans": SUBSTRING_DUP_SPANS_SQL,
+    "pii_redaction": PII_REDACTION_SQL,
+    "contamination_check": CONTAMINATION_CHECK_SQL,
+}

@@ -1,0 +1,90 @@
+"""Round-2 training-pipeline operators: substring-window dedup, PII
+redaction, contamination screening — hand-built fixtures with known
+expected outputs (the sf0.01 oracle parity is covered by the driver
+contract; these pin the semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, f"intro {shared} outro one"),
+        (2, f"prefix words {shared} and more trailing text"),
+        (3, "completely different content with no overlap at all here"),
+        (10, f"eval doc containing {shared} plus extra eval only words"),
+        (4, shared + " " + shared),  # window repeats inside one doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dup_spans_finds_cross_doc_window(spark, docs):
+    out = dd.substring_dup_spans(docs, k=8, min_docs=2).collect()
+    # the shared window appears in docs 1, 2, 10, 4 (twice within 4)
+    by_first = {r["first_doc"]: r for r in out}
+    assert 1 in by_first
+    hit = by_first[1]
+    assert hit["n_docs"] >= 4
+    assert hit["n_occ"] >= hit["n_docs"] + 1  # doc 4 contributes 2 occurrences
+    # no window of the unique doc shows up
+    assert all(r["first_doc"] != 3 for r in out)
+
+
+def test_substring_dup_spans_respects_min_docs(spark, docs):
+    singles = dd.substring_dup_spans(docs, k=8, min_docs=5).collect()
+    # only windows in >=5 distinct docs — fixture has at most 4
+    assert singles == []
+
+
+def test_redact_pii_scrubs_what_extractors_find(spark):
+    import firmable_company_data_pipeline_spark.functions as lib
+
+    df = spark.createDataFrame(
+        [
+            ("write bob@example.com or call (02) 9123 4567 now",),
+            ("ring +61 2 555 333 asap",),
+            ("no pii here",),
+        ],
+        "text string",
+    )
+    out = df.select(
+        lib.redact_pii(F.col("text")).alias("red"),
+        F.size(lib.extract_emails(F.col("text"))).alias("ne"),
+        F.size(lib.extract_phones(F.col("text"))).alias("np"),
+    ).collect()
+    assert out[0]["red"] == "write [EMAIL] or call [PHONE] now"
+    assert out[0]["ne"] == 1 and out[0]["np"] == 1
+    assert out[1]["red"] == "ring [PHONE] asap"
+    assert out[2]["red"] == "no pii here"
+    # invariant: redacted text contains no extractable PII
+    again = df.select(
+        F.size(lib.extract_emails(lib.redact_pii(F.col("text")))).alias("ne")
+    ).collect()
+    assert all(r["ne"] == 0 for r in again)
+
+
+def test_contamination_check_flags_eval_overlap(spark, docs):
+    # doc_id 10 is the eval split (10 % 10 == 0); docs 1/2/4 share its
+    # 8-token run, doc 3 shares nothing.
+    out = dd.contamination_check(docs, n=5, eval_mod=10, min_overlap=0.01)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 10 not in rows  # eval docs are never scored
+    assert 1 in rows and 2 in rows and 4 in rows
+    assert 3 not in rows
+    for r in rows.values():
+        assert 0.0 < r["overlap_frac"] <= 1.0
+        assert r["n_common"] <= r["n_sh"]
+
+
+def test_contamination_threshold_filters(spark, docs):
+    strict = dd.contamination_check(docs, n=5, eval_mod=10, min_overlap=0.99)
+    # nobody overlaps 99% of their shingles with eval in this fixture
+    # except possibly doc 4 (pure repetition of the shared run)
+    ids = {r["doc_id"] for r in strict.collect()}
+    assert ids <= {4}
