@@ -188,3 +188,37 @@ def test_top_supplier_max_is_broadcast_not_global_window(plans):
     for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
         raise AssertionError(f"global window found: {m.group(0)[:120]}")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_shingle_pipeline_exchange_budget(plans):
+    """The r2 one-shuffle shingle refactor: each dedup family keeps its
+    exchange budget (spread + window sort + pairing joins; collect_set
+    reuses the window's id-partitioning, the old distinct()/count-window
+    exchanges are gone). A regression that reintroduces them shows up as
+    a higher count."""
+    import re
+
+    def n_exchanges(name):
+        return len(re.findall(r"\(\d+\) Exchange", plans(name)))
+
+    assert n_exchanges("dedup_ngram_jaccard") <= 3
+    assert n_exchanges("dedup_minhash_lsh") <= 3
+    assert n_exchanges("dedup_simhash") <= 4
+    assert n_exchanges("substring_dup_spans") <= 3
+
+
+def test_training_ops_stay_jvm_side(plans):
+    for name in ("substring_dup_spans", "contamination_check", "pii_redaction"):
+        p = plans(name)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_contamination_semi_join_shape(plans):
+    """Inverted-index semi join: never a pairwise join, bounded exchange
+    count (two shingle pipelines + the shingle-key join + final agg)."""
+    import re
+
+    p = plans("contamination_check")
+    assert "LeftSemi" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 5
