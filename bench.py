@@ -36,6 +36,7 @@ HEADLINE = [
     "contamination_check",
     "ann_brute_force",
     "ann_lsh_bucketed",
+    "ann_quantized",
     "events_session_5m",
     "multimodal_features",
     "match_cascade_full",

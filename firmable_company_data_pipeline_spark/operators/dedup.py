@@ -536,18 +536,23 @@ def substring_dup_spans(
     *signal*); kept exact here for oracle parity.  One shuffle either
     way, map-side partial aggregation applies."""
     wins = token_windows(df, text_col, id_col, k)
+    # Two-phase distinct: (gram, id) pre-aggregation then gram rollup —
+    # avoids the Expand node a countDistinct-with-other-aggs plans (which
+    # doubles the shuffled row volume of the already text-heavy grams),
+    # and the first phase gets map-side combine on per-doc repeats.
+    per_doc = wins.groupBy("gram", "id").agg(F.count(F.lit(1)).alias("occ"))
     return (
-        wins.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.countDistinct("id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occ"),
             F.min("id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)
         .select(
             char_fold_hash(F.col("gram")).alias("win_hash"),
             "n_docs",
-            "n_occ",
+            F.col("n_occ").cast("long").alias("n_occ"),
             "first_doc",
         )
     )

@@ -143,14 +143,73 @@ HAVING round(count(*)::DOUBLE / n_sh, 6) >= 0.2
 """
 
 
+# --------------------------------------------------------------------------
+# ann_quantized — int8-quantized cosine top-k (the memory-bound ANN scale
+# path: 4× smaller scan than float32).  Deterministic floor-based
+# round-half-up so both engines quantize identically.
+def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+_QDOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(qv)), i -> qv[i+1] * nv[i+1])), (x, y) -> x + y)"
+)
+
+
+def _qnorm(v: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({v}, x -> x * x)), (x, y) -> x + y))"
+    )
+
+
+ANN_QUANTIZED_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT list(mx ORDER BY pos) AS s
+  FROM (SELECT i AS pos, max(abs(v[i+1])) AS mx
+        FROM e, LATERAL (SELECT unnest(range(len(v))) AS i) r
+        GROUP BY i)
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(range(len(v)), i ->
+           CASE WHEN s[i+1] > 0 THEN floor(v[i+1] * 127.0 / s[i+1] + 0.5) * s[i+1] / 127.0
+                ELSE 0.0 END) AS v
+  FROM e CROSS JOIN sc
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         round({_QDOT.replace("nv", "d.v")}
+               / ({_qnorm("qv")} * {_qnorm("d.v")}), 6) AS approx_sim
+  FROM dq d CROSS JOIN q
+  WHERE d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "substring_dup_spans": substring_dup_spans,
     "pii_redaction": pii_redaction,
     "contamination_check": contamination_check,
+    "ann_quantized": ann_quantized,
 }
 
 ORACLES = {
     "substring_dup_spans": SUBSTRING_DUP_SPANS_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
+    "ann_quantized": ANN_QUANTIZED_SQL,
 }

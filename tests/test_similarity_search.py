@@ -51,3 +51,40 @@ def test_kmeans_centroids_deterministic(spark, emb):
     a = kmeans_centroids(emb, n_cells=4, seed=11).collect()
     b = kmeans_centroids(emb, n_cells=4, seed=11).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_quantized_topk_recall_vs_brute_force(spark, emb):
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        quantized_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(brute_force_topk(emb, queries, k=5))
+    quant = quantized_topk(emb, queries, k=5)
+    got = _pairs(quant)
+    assert quant.columns == ["query_id", "neighbor_id", "approx_sim", "rank"]
+    # int8 quantization noise should barely perturb a 64-dim cosine
+    # ranking: near-total agreement with the exact top-5
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9
+    # quantized sims stay within the int8 error envelope of the exact
+    # values for the pairs both methods returned
+    ex = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+          for r in brute_force_topk(emb, queries, k=5).collect()}
+    for r in quant.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["approx_sim"] - ex[key]) < 0.05
+
+
+def test_dimension_scales_shape(spark, emb):
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        dimension_scales,
+    )
+
+    row = dimension_scales(emb).collect()
+    assert len(row) == 1
+    scales = row[0]["scales"]
+    dim = len(emb.first()["embedding"])
+    assert len(scales) == dim
+    assert all(s >= 0.0 for s in scales)
