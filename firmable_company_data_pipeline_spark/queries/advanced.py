@@ -68,9 +68,14 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         F.col("last_click_id"),
         F.round("last_click_value", 2).alias("last_click_value"),
-        (F.col("purchase_ts").cast("long") - F.col("last_ts").cast("long")).alias(
-            "secs_since_click"
-        ),
+        # Second-boundary-crossing count (trunc both sides, then whole-second
+        # diff) — identical to DuckDB's date_diff('second', ...) and valid for
+        # both TIMESTAMP and TIMESTAMP_NTZ inputs (a bare cast-to-long is
+        # rejected for NTZ, and the driver's parquet reads events.ts as NTZ).
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', last_ts),"
+            " date_trunc('second', purchase_ts))"
+        ).alias("secs_since_click"),
     )
 
 
