@@ -25,7 +25,10 @@ def _write_chunks(df, out: str, n_chunks: int = 3) -> None:
     """Append ts-range chunks to one dir, in ts order, with distinct
     file mod-times (the streaming source's ordering key)."""
     qs = [i / n_chunks for i in range(1, n_chunks)]
-    with_us = df.withColumn("_us", F.unix_micros("ts"))
+    # cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ inputs, and
+    # the driver's parquet may carry either type.  Only monotonicity matters
+    # here (quantile cut points), so the tz interpretation is irrelevant.
+    with_us = df.withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
     cuts = with_us.approxQuantile("_us", qs, 0.0)
     bounds = [None, *cuts, None]
     for i in range(n_chunks):
