@@ -99,7 +99,10 @@ def skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("key_value"))
         .limit(top_k)
     )
-    w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+    # Window input is the post-limit frame (<= top_k rows), so a single
+    # partition is bounded by construction; the constant partition key only
+    # keeps WindowExec from logging the no-partition warning.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_rows"), F.asc("key_value"))
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         "key_value", "n_rows", "share", "rank"
     )
