@@ -331,11 +331,27 @@ def minhash_lsh_pairs(
     right = bands.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
+    # First-band-wins dedup: a pair sharing several band buckets appears
+    # once per shared band; instead of a distinct() (a full shuffle of the
+    # candidate-pair stream) keep the pair only at its FIRST matching band
+    # — "no earlier band's signature slices are equal" is a pure predicate
+    # on (sig_a, sig_b, band), evaluated map-side at zero shuffle cost.
+    def _band_eq(i: int) -> Column:
+        return F.slice("sig_a", i * LSH_ROWS + 1, LSH_ROWS) == F.slice(
+            "sig_b", i * LSH_ROWS + 1, LSH_ROWS
+        )
+
+    earlier_match = F.lit(False)
+    for i in range(1, LSH_BANDS):
+        any_earlier = _band_eq(0)
+        for j in range(1, i):
+            any_earlier = any_earlier | _band_eq(j)
+        earlier_match = F.when(F.col("band") == i, any_earlier).otherwise(earlier_match)
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(~earlier_match)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
     )
     est = F.round(
         F.size(
@@ -423,22 +439,43 @@ def simhash_pairs(
         "h",
         ((F.col("h") * SIMHASH_A2 + SIMHASH_B2) % HASH_MOD).alias("h2"),
     )
-    votes = [
-        F.sum(
-            F.shiftright(
-                F.col("h" if j < SIMHASH_HALF else "h2"),
-                j if j < SIMHASH_HALF else j - SIMHASH_HALF,
-            ).bitwiseAND(F.lit(1))
-            * 2
-            - 1
-        ).alias(f"_v{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+
+    def _bit(j: int) -> Column:
+        return F.shiftright(
+            F.col("h" if j < SIMHASH_HALF else "h2"),
+            j if j < SIMHASH_HALF else j - SIMHASH_HALF,
+        ).bitwiseAND(F.lit(1))
+
+    # Bit-vote aggregation with lane packing: 3 per-bit counters share one
+    # 64-bit sum (20-bit lanes), so the aggregate carries 20 buffer columns
+    # instead of 60 and the generated code is a third the size (smaller
+    # janino compile, less codegen-cache pressure).  A lane accumulates
+    # Σ bit_j ∈ [0, n_shingles]; votes are recovered as 2·Σbit − n against
+    # the group count, identical values to the per-bit ±1 sums.  Lane
+    # overflow would need 2^20 (~1M) DISTINCT shingles in one doc — a
+    # >1M-token document; collect_set state bounds the same quantity
+    # earlier in the pipeline, so the cap is not the binding constraint.
+    lanes, width = 3, 20
+    groups = SIMHASH_BITS // lanes
+    packed = [F.count(F.lit(1)).alias("_n")]
+    for g in range(groups):
+        expr = F.lit(0).cast("long")
+        for lane in range(lanes):
+            expr = expr + _bit(g * lanes + lane).cast("long") * F.lit(
+                1 << (width * lane)
+            ).cast("long")
+        packed.append(F.sum(expr).alias(f"_p{g}"))
+    votes = packed
     fp_expr = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        fp_expr = fp_expr + F.when(
-            F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    for g in range(groups):
+        for lane in range(lanes):
+            j = g * lanes + lane
+            s = F.shiftright(F.col(f"_p{g}"), width * lane).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            fp_expr = fp_expr + F.when(
+                s * 2 > F.col("_n"), F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
     no_shingles = (
         spread(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
@@ -473,11 +510,25 @@ def simhash_pairs(
     ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     left = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
     right = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
+
+    # First-band-wins (see minhash_lsh_pairs): drop a multi-band-matching
+    # pair everywhere but its first shared band via a map-side predicate on
+    # the two fingerprints, instead of shuffling candidates into distinct().
+    def _band_slice(col: str, i: int) -> Column:
+        return F.shiftright(F.col(col), SIMHASH_BAND_BITS * i).bitwiseAND(
+            F.lit(SIMHASH_BAND_MASK)
+        )
+
+    earlier_match = F.lit(False)
+    for i in range(1, SIMHASH_BANDS):
+        any_earlier = _band_slice("fp_a", 0) == _band_slice("fp_b", 0)
+        for j in range(1, i):
+            any_earlier = any_earlier | (_band_slice("fp_a", j) == _band_slice("fp_b", j))
+        earlier_match = F.when(F.col("band") == i, any_earlier).otherwise(earlier_match)
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
+        .filter(~earlier_match)
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
