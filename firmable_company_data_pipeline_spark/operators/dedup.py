@@ -289,8 +289,14 @@ def minhash_lsh_pairs(
     filter drops the same docs).
     """
     rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n))
+    # Expressions are generated as SQL strings (one F.expr → one py4j
+    # round-trip, parsed JVM-side) rather than composed Column-by-Column:
+    # building the 16 permutation minima through the Column API costs
+    # hundreds of py4j calls and showed up as ~1s of per-query plan
+    # CONSTRUCTION time in the bench — pure driver overhead that recurs
+    # on every invocation.  The parsed expression trees are identical.
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"_m{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {HASH_MOD}) AS _m{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     # Persisted: the band self-join references the signature table on BOTH
@@ -301,30 +307,23 @@ def minhash_lsh_pairs(
     sig = (
         rows.groupBy("id")
         .agg(*mins)
-        .select(
-            "id", F.array(*[F.col(f"_m{i}") for i in range(MINHASH_K)]).alias("sig")
+        .selectExpr(
+            "id", f"array({', '.join(f'_m{i}' for i in range(MINHASH_K))}) AS sig"
         )
         .persist()
     )
-    bands = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.array(*[F.lit(b) for b in range(LSH_BANDS)]),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at("sig", b * LSH_ROWS + r + 1).cast("string")
-                            for r in range(LSH_ROWS)
-                        ],
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {elems}) AS bucket)".format(
+            b=b,
+            elems=", ".join(
+                f"cast(sig[{b * LSH_ROWS + r}] AS string)" for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    bands = sig.selectExpr(
+        "id", "sig", f"inline(array({band_structs}))"
+    )
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -336,32 +335,26 @@ def minhash_lsh_pairs(
     # candidate-pair stream) keep the pair only at its FIRST matching band
     # — "no earlier band's signature slices are equal" is a pure predicate
     # on (sig_a, sig_b, band), evaluated map-side at zero shuffle cost.
-    def _band_eq(i: int) -> Column:
-        return F.slice("sig_a", i * LSH_ROWS + 1, LSH_ROWS) == F.slice(
-            "sig_b", i * LSH_ROWS + 1, LSH_ROWS
+    def _band_eq(i: int) -> str:
+        return (
+            f"slice(sig_a, {i * LSH_ROWS + 1}, {LSH_ROWS})"
+            f" = slice(sig_b, {i * LSH_ROWS + 1}, {LSH_ROWS})"
         )
 
-    earlier_match = F.lit(False)
-    for i in range(1, LSH_BANDS):
-        any_earlier = _band_eq(0)
-        for j in range(1, i):
-            any_earlier = any_earlier | _band_eq(j)
-        earlier_match = F.when(F.col("band") == i, any_earlier).otherwise(earlier_match)
+    arms = " ".join(
+        f"WHEN band = {i} THEN ({' OR '.join(_band_eq(j) for j in range(i))})"
+        for i in range(1, LSH_BANDS)
+    )
+    earlier_match = F.expr(f"CASE {arms} ELSE false END")
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(~earlier_match)
         .select("id_a", "id_b", "sig_a", "sig_b")
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda eq: eq == 1,
-            )
-        )
-        / F.lit(MINHASH_K),
-        6,
+    est = F.expr(
+        "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> cast(x = y AS int)),"
+        f" eq -> eq = 1)) / {MINHASH_K}, 6)"
     )
     return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
@@ -434,17 +427,15 @@ def simhash_pairs(
     # Materialize the derived permutation once per row; the 60 bit votes
     # then reference the two attribute columns instead of recomputing
     # (A2·h + B2) mod m thirty times per row.
-    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n)).select(
+    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n)).selectExpr(
         "id",
         "h",
-        ((F.col("h") * SIMHASH_A2 + SIMHASH_B2) % HASH_MOD).alias("h2"),
+        f"(h * {SIMHASH_A2}L + {SIMHASH_B2}L) % {HASH_MOD} AS h2",
     )
 
-    def _bit(j: int) -> Column:
-        return F.shiftright(
-            F.col("h" if j < SIMHASH_HALF else "h2"),
-            j if j < SIMHASH_HALF else j - SIMHASH_HALF,
-        ).bitwiseAND(F.lit(1))
+    def _bit(j: int) -> str:
+        col, sh = ("h", j) if j < SIMHASH_HALF else ("h2", j - SIMHASH_HALF)
+        return f"(shiftright({col}, {sh}) & 1L)"
 
     # Bit-vote aggregation with lane packing: 3 per-bit counters share one
     # 64-bit sum (20-bit lanes), so the aggregate carries 20 buffer columns
@@ -455,27 +446,26 @@ def simhash_pairs(
     # overflow would need 2^20 (~1M) DISTINCT shingles in one doc — a
     # >1M-token document; collect_set state bounds the same quantity
     # earlier in the pipeline, so the cap is not the binding constraint.
+    # All built as SQL strings — the Column-API construction of these 20
+    # aggregates plus the 60-term fingerprint sum was ~2s of py4j-bound
+    # plan-build time PER CALL (the dominant cost of this operator at
+    # bench scale; the parsed trees are identical).
     lanes, width = 3, 20
     groups = SIMHASH_BITS // lanes
-    packed = [F.count(F.lit(1)).alias("_n")]
+    votes = [F.expr("count(1) AS _n")]
     for g in range(groups):
-        expr = F.lit(0).cast("long")
-        for lane in range(lanes):
-            expr = expr + _bit(g * lanes + lane).cast("long") * F.lit(
-                1 << (width * lane)
-            ).cast("long")
-        packed.append(F.sum(expr).alias(f"_p{g}"))
-    votes = packed
-    fp_expr = F.lit(0).cast("long")
+        lane_sum = " + ".join(
+            f"{_bit(g * lanes + lane)} * {1 << (width * lane)}L"
+            for lane in range(lanes)
+        )
+        votes.append(F.expr(f"sum({lane_sum}) AS _p{g}"))
+    fp_terms = []
     for g in range(groups):
         for lane in range(lanes):
             j = g * lanes + lane
-            s = F.shiftright(F.col(f"_p{g}"), width * lane).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            fp_expr = fp_expr + F.when(
-                s * 2 > F.col("_n"), F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+            s = f"(shiftright(_p{g}, {width * lane}) & {(1 << width) - 1}L)"
+            fp_terms.append(f"if({s} * 2 > _n, {1 << j}L, 0L)")
+    fp_expr = F.expr(" + ".join(fp_terms))
     no_shingles = (
         spread(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
@@ -491,40 +481,31 @@ def simhash_pairs(
         .unionByName(no_shingles)
         .persist()
     )
-    bands = fp.select(
-        "id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("fp", SIMHASH_BAND_BITS * i)
-                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
-                        .alias("key"),
-                    )
-                    for i in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_structs = ", ".join(
+        f"struct({i} AS band,"
+        f" (shiftright(fp, {SIMHASH_BAND_BITS * i}) & {SIMHASH_BAND_MASK}L) AS key)"
+        for i in range(SIMHASH_BANDS)
+    )
+    bands = fp.selectExpr("id", "fp", f"inline(array({band_structs}))")
     left = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
     right = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
 
     # First-band-wins (see minhash_lsh_pairs): drop a multi-band-matching
     # pair everywhere but its first shared band via a map-side predicate on
     # the two fingerprints, instead of shuffling candidates into distinct().
-    def _band_slice(col: str, i: int) -> Column:
-        return F.shiftright(F.col(col), SIMHASH_BAND_BITS * i).bitwiseAND(
-            F.lit(SIMHASH_BAND_MASK)
-        )
+    def _band_slice(col: str, i: int) -> str:
+        return f"(shiftright({col}, {SIMHASH_BAND_BITS * i}) & {SIMHASH_BAND_MASK}L)"
 
-    earlier_match = F.lit(False)
-    for i in range(1, SIMHASH_BANDS):
-        any_earlier = _band_slice("fp_a", 0) == _band_slice("fp_b", 0)
-        for j in range(1, i):
-            any_earlier = any_earlier | (_band_slice("fp_a", j) == _band_slice("fp_b", j))
-        earlier_match = F.when(F.col("band") == i, any_earlier).otherwise(earlier_match)
+    arms = " ".join(
+        "WHEN band = {i} THEN ({cond})".format(
+            i=i,
+            cond=" OR ".join(
+                f"{_band_slice('fp_a', j)} = {_band_slice('fp_b', j)}" for j in range(i)
+            ),
+        )
+        for i in range(1, SIMHASH_BANDS)
+    )
+    earlier_match = F.expr(f"CASE {arms} ELSE false END")
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
