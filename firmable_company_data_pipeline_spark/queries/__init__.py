@@ -84,6 +84,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         advanced,
         cleaning,
         core,
+        curation,
         llmops,
         maintenance,
         matching,
@@ -106,6 +107,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         advanced,
         scale,
         training,
+        curation,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

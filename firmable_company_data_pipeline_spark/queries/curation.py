@@ -1,0 +1,217 @@
+"""Corpus-curation queries, round 4 (charter extensions): Gopher-style
+repetition filtering, stratified train/val/test split, sequence-packing
+plan, corpus-unigram surprisal scoring, and IVF-bucketed semantic dedup.
+
+Oracle-parity design follows ``queries/llmops.py``: deterministic
+char-fold hashing, no RNG, every computed column aliased identically on
+both engines, floats rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.functions import textstats as ts
+from firmable_company_data_pipeline_spark.operators import curation as cu
+from firmable_company_data_pipeline_spark.session import load_tables
+
+_MOD = ts.HASH_MOD
+
+_TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_TOK_CTE = f"tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents)"
+
+
+def _fold(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(string_split({expr}, ''), "
+        f"c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % {_MOD})"
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_repetition — Gopher-style per-doc repetition signals + verdict.
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.repetition_stats(docs)
+
+
+QUALITY_REPETITION_SQL = f"""
+WITH {_TOK_CTE},
+occ AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(len(t)-1),
+                 i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM tok WHERE len(t) >= 2
+),
+tri AS (
+  SELECT doc_id, unnest(list_transform(range(len(t)-2),
+                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS trigram
+  FROM tok WHERE len(t) >= 3
+),
+by_tok AS (
+  SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct_tok
+  FROM occ GROUP BY doc_id
+),
+by_big AS (
+  SELECT doc_id, max(c) AS top_bigram_n FROM (
+    SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+),
+by_tri AS (
+  SELECT doc_id, count(*) AS n_tri, count(DISTINCT trigram) AS n_distinct_tri
+  FROM tri GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.n_tok,
+         round(1.0 - t.n_distinct_tok / t.n_tok::DOUBLE, 6) AS dup_word_frac,
+         round(COALESCE(b.top_bigram_n, 0) * 2.0 / t.n_tok::DOUBLE, 6) AS top_bigram_frac,
+         round(CASE WHEN r.n_tri IS NOT NULL AND r.n_tri > 0
+                    THEN 1.0 - r.n_distinct_tri / r.n_tri::DOUBLE
+                    ELSE 0.0 END, 6) AS dup_trigram_frac
+  FROM by_tok t
+  LEFT JOIN by_big b USING (doc_id)
+  LEFT JOIN by_tri r USING (doc_id)
+)
+SELECT doc_id, n_tok, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+       (dup_word_frac <= {cu.DUP_WORD_MAX}
+        AND top_bigram_frac <= {cu.TOP_BIGRAM_MAX}
+        AND dup_trigram_frac <= {cu.DUP_TRIGRAM_MAX}) AS keep
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# train_split_stratified — deterministic hash split, stratified by lang.
+def train_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.stratified_split(docs, strata_col="lang")
+
+
+TRAIN_SPLIT_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < {cu.SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {cu.SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         {_fold("lang || '|' || doc_id::VARCHAR")} % 100 AS bucket
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# seq_packing_plan — contiguous 256-token packing plan per source shard.
+_PACK_BUDGET = 256
+
+
+def seq_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.pack_sequences(docs, budget=_PACK_BUDGET)
+
+
+SEQ_PACKING_PLAN_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source AS shard, len({_TOKENS}) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS cum
+  FROM sized
+)
+SELECT doc_id, shard, n_tok,
+       cum // {_PACK_BUDGET} AS seq_bin,
+       cum % {_PACK_BUDGET} AS tok_offset
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# unigram_surprise_score — mean −ln p(token) per doc, corpus-estimated p.
+def unigram_surprise_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.unigram_surprise(docs)
+
+
+UNIGRAM_SURPRISE_SCORE_SQL = f"""
+WITH {_TOK_CTE},
+occ AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+freq AS (SELECT tok, count(*) AS tok_n FROM occ GROUP BY tok),
+tot AS (SELECT sum(tok_n) AS corpus_n FROM freq)
+SELECT doc_id, count(*) AS n_tok,
+       round(avg(ln(corpus_n / tok_n)), 4) AS avg_surprise
+FROM occ JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup — embedding near-dup pairs within IVF cells (the
+# sub-quadratic scale path for dedup_embedding_cosine; recall < 1 across
+# cell boundaries by construction, same contract as ann_ivf).
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cu.semantic_dedup_pairs(emb)
+
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(va)), i -> va[i+1] * vb[i+1])), (x, y) -> x + y)"
+)
+
+
+def _norm(v: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({v}, x -> x * x)), (x, y) -> x + y))"
+    )
+
+
+_CENT_COS = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(v)), i -> v[i+1] * centv[i+1])), (x, y) -> x + y)"
+    f" / ({_norm('v')} * {_norm('centv')})"
+)
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell, v AS centv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id AS id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CENT_COS} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT id_a, id_b, cell, cos_sim FROM (
+  SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell,
+         round({_DOT.replace("va", "a.v").replace("vb", "b.v").replace("len(a.v)", "len(a.v)")}
+               / ({_norm("a.v")} * {_norm("b.v")}), 6) AS cos_sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+)
+WHERE cos_sim >= 0.45
+"""
+
+
+QUERIES = {
+    "quality_repetition": quality_repetition,
+    "train_split_stratified": train_split_stratified,
+    "seq_packing_plan": seq_packing_plan,
+    "unigram_surprise_score": unigram_surprise_score,
+    "semantic_dedup": semantic_dedup,
+}
+
+ORACLES = {
+    "quality_repetition": QUALITY_REPETITION_SQL,
+    "train_split_stratified": TRAIN_SPLIT_STRATIFIED_SQL,
+    "seq_packing_plan": SEQ_PACKING_PLAN_SQL,
+    "unigram_surprise_score": UNIGRAM_SURPRISE_SCORE_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
+}

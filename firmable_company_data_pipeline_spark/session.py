@@ -73,7 +73,12 @@ def get_spark(
         # this a no-op.
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode runs driver + all 32 executor threads in ONE JVM; at
+        # sf0.1 the 8g default left the bench GC-bound (randomly spiking
+        # individual queries 2-6s run-to-run; measured 50s -> 41s total
+        # moving to 24g).  On a real cluster executor memory is sized per
+        # node and this knob only affects the driver process.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

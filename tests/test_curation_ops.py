@@ -1,0 +1,110 @@
+"""Round-4 corpus-curation operators: repetition quality signals,
+stratified split, sequence packing, unigram surprisal, semantic dedup —
+hand-built fixtures with known expected outputs (sf0.01 oracle parity is
+covered by the driver contract; these pin the semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.operators import curation as cu
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 6 tokens, all distinct; bigrams all distinct; trigrams all distinct
+        (1, "one two three four five six", "en", "s0"),
+        # "spam spam spam spam": 4 tokens 1 distinct -> dup_word 0.75;
+        # single distinct bigram "spam spam" x3 -> top_bigram 2*3/4 = 1.5? no:
+        # 3 occurrences of the most common bigram -> 6/4 = 1.5 capped? not
+        # capped — fraction can exceed 1 for degenerate docs (documented).
+        (2, "spam spam spam spam", "en", "s0"),
+        # two-token doc: no trigram rows -> dup_trigram 0.0
+        (3, "tiny doc", "fr", "s1"),
+        # repeated phrase: "the cat sat the cat sat" -> 6 tok, 3 distinct
+        (4, "the cat sat the cat sat", "fr", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_repetition_stats_fractions(spark, docs):
+    out = {r["doc_id"]: r for r in cu.repetition_stats(docs).collect()}
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out[1]["dup_trigram_frac"] == 0.0
+    assert out[1]["keep"]
+
+    assert out[2]["n_tok"] == 4
+    assert out[2]["dup_word_frac"] == 0.75
+    # bigram "spam spam" occurs 3 times
+    assert out[2]["top_bigram_frac"] == 1.5
+    # trigrams: 2 occurrences, 1 distinct
+    assert out[2]["dup_trigram_frac"] == 0.5
+    assert not out[2]["keep"]
+
+    assert out[3]["dup_trigram_frac"] == 0.0  # no trigrams at all
+
+    # doc 4: 6 tok 3 distinct -> 0.5; "the cat" x2 of 5 bigrams -> 4/6
+    assert out[4]["dup_word_frac"] == 0.5
+    assert out[4]["top_bigram_frac"] == pytest.approx(4 / 6, abs=1e-6)
+    # trigrams: 4 occurrences ("the cat sat","cat sat the","sat the cat",
+    # "the cat sat") -> 3 distinct -> 1/4
+    assert out[4]["dup_trigram_frac"] == 0.25
+
+
+def test_stratified_split_deterministic_and_total(spark, docs):
+    a = cu.stratified_split(docs).collect()
+    b = cu.stratified_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 4
+    for r in a:
+        assert 0 <= r["bucket"] < 100
+        assert r["split"] in ("train", "val", "test")
+        expected = (
+            "train" if r["bucket"] < cu.SPLIT_TRAIN
+            else "val" if r["bucket"] < cu.SPLIT_VAL
+            else "test"
+        )
+        assert r["split"] == expected
+
+
+def test_pack_sequences_contiguous_within_shard(spark, docs):
+    out = {r["doc_id"]: r for r in cu.pack_sequences(docs, budget=5).collect()}
+    # shard s0: doc 1 (6 tok) then doc 2 (4 tok)
+    assert (out[1]["seq_bin"], out[1]["tok_offset"]) == (0, 0)
+    assert (out[2]["seq_bin"], out[2]["tok_offset"]) == (1, 1)  # cum=6
+    # shard s1: doc 3 (2 tok) then doc 4 (6 tok)
+    assert (out[3]["seq_bin"], out[3]["tok_offset"]) == (0, 0)
+    assert (out[4]["seq_bin"], out[4]["tok_offset"]) == (0, 2)
+
+
+def test_unigram_surprise_orders_rare_docs_higher(spark, docs):
+    out = {r["doc_id"]: r for r in cu.unigram_surprise(docs).collect()}
+    # doc 2 is all "spam" (4 of the 18 corpus tokens) -> low surprise;
+    # doc 1 is six singletons -> maximal surprise.
+    assert out[1]["avg_surprise"] > out[2]["avg_surprise"]
+    total = sum(r["n_tok"] for r in out.values())
+    assert out[2]["avg_surprise"] == pytest.approx(math.log(total / 4), abs=1e-3)
+
+
+def test_semantic_dedup_matches_exact_within_cells(spark):
+    # ids 0 and 1 anchor the two cells (lowest-id deterministic centroids)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),   # near-dup of 0 -> cell 0
+        (3, [0.0, 0.98, 0.2]),   # near-dup of 1 -> cell 1
+        (4, [-1.0, 0.0, 0.1]),   # isolated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cu.semantic_dedup_pairs(emb, n_cells=2, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 2) in pairs
+    assert (1, 3) in pairs
+    assert all(r["cos_sim"] >= 0.9 for r in out)
+    # the isolated vector pairs with nothing
+    assert not any(4 in p for p in pairs)

@@ -222,3 +222,43 @@ def test_contamination_semi_join_shape(plans):
     p = plans("contamination_check")
     assert "LeftSemi" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 5
+
+
+def test_curation_ops_stay_jvm_side(plans):
+    for q in (
+        "quality_repetition",
+        "train_split_stratified",
+        "seq_packing_plan",
+        "unigram_surprise_score",
+        "semantic_dedup",
+    ):
+        p = plans(q)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_stratified_split_zero_exchange(plans):
+    # pure projection: hash-assign needs no shuffle at any scale
+    assert "Exchange" not in plans("train_split_stratified")
+
+
+def test_seq_packing_single_partitioned_window(plans):
+    p = plans("seq_packing_plan")
+    # ONE hash exchange (by shard, for the cumsum window; the extra
+    # round-robin is spread()'s local-mode fan-out) — never a global
+    # single-partition sort
+    assert p.count("hashpartitioning(shard") == 1
+    assert "SinglePartition" not in p
+
+
+def test_semantic_dedup_joins_on_cell_only(plans):
+    p = plans("semantic_dedup")
+    # centroid cross-score is a broadcast nested loop against n_cells rows
+    # (map-only); the pair join is an equi-join on the cell id
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_repetition_stats_no_expand(plans):
+    # the two-phase distinct avoids count(DISTINCT)'s Expand node
+    assert "Expand" not in plans("quality_repetition")
