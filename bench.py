@@ -51,6 +51,7 @@ HEADLINE = [
     "nation_order_quantiles",
     "events_hourly_daily_rollup",
     "doc_top_terms",
+    "dedup_incremental_minhash",
     "quality_repetition",
     "train_split_stratified",
     "seq_packing_plan",

@@ -263,6 +263,83 @@ def minhash_signature_from_hashes(hashes: Column) -> Column:
     return F.array(*[perm_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)])
 
 
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signature table — the persistent
+    near-dup INDEX of a corpus (16 longs per doc; write it to parquet and
+    maintain it incrementally with :func:`minhash_delta_pairs`).
+
+    Computed as ``explode(shingles) → hash per row → groupBy(id).agg(min
+    per permutation)`` — whole-stage-codegen hash aggregation with
+    map-side partial combine, identical values to the per-doc array fold
+    (min is order-insensitive) but ~MINHASH_K× cheaper: each shingle is
+    hashed once and each permutation is one codegen'd arithmetic
+    expression, not an interpreted HOF fold.  Docs with no shingles
+    produce no rows (the oracle's ``sig[1] < mod`` filter drops the same
+    docs).
+
+    Expressions are generated as SQL strings (one F.expr → one py4j
+    round-trip, parsed JVM-side) rather than composed Column-by-Column:
+    building the 16 permutation minima through the Column API costs
+    hundreds of py4j calls and showed up as ~1s of per-query plan
+    CONSTRUCTION time in the bench — pure driver overhead that recurs
+    on every invocation.  The parsed expression trees are identical.
+    """
+    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n))
+    mins = [
+        F.expr(f"min(({a}L * h + {b}L) % {HASH_MOD}) AS _m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return (
+        rows.groupBy("id")
+        .agg(*mins)
+        .selectExpr(
+            "id", f"array({', '.join(f'_m{i}' for i in range(MINHASH_K))}) AS sig"
+        )
+    )
+
+
+def _lsh_bands(sig: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(id, sig, *extra, band, bucket) — one row per signature band;
+    bucket is the band's row values joined as a string key."""
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {elems}) AS bucket)".format(
+            b=b,
+            elems=", ".join(
+                f"cast(sig[{b * LSH_ROWS + r}] AS string)" for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return sig.selectExpr("id", "sig", *extra, f"inline(array({band_structs}))")
+
+
+# First-band-wins dedup: a pair sharing several band buckets appears
+# once per shared band; instead of a distinct() (a full shuffle of the
+# candidate-pair stream) keep the pair only at its FIRST matching band
+# — "no earlier band's signature slices are equal" is a pure predicate
+# on (sig_a, sig_b, band), evaluated map-side at zero shuffle cost.
+def _lsh_earlier_band_match() -> Column:
+    def _band_eq(i: int) -> str:
+        return (
+            f"slice(sig_a, {i * LSH_ROWS + 1}, {LSH_ROWS})"
+            f" = slice(sig_b, {i * LSH_ROWS + 1}, {LSH_ROWS})"
+        )
+
+    arms = " ".join(
+        f"WHEN band = {i} THEN ({' OR '.join(_band_eq(j) for j in range(i))})"
+        for i in range(1, LSH_BANDS)
+    )
+    return F.expr(f"CASE {arms} ELSE false END")
+
+
+_EST_JACCARD = (
+    "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> cast(x = y AS int)),"
+    f" eq -> eq = 1)) / {MINHASH_K}, 6)"
+)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -278,86 +355,84 @@ def minhash_lsh_pairs(
     Scale shape: explode bands (LSH_BANDS rows/doc), shuffle on the
     (band, bucket) key, pair within buckets — the classic
     sub-quadratic near-dedup join.
-
-    The signature is computed as ``explode(shingles) → hash per row →
-    groupBy(id).agg(min per permutation)`` — whole-stage-codegen hash
-    aggregation with map-side partial combine, identical values to the
-    per-doc array fold (min is order-insensitive) but ~MINHASH_K×
-    cheaper: each shingle is hashed once and each permutation is one
-    codegen'd arithmetic expression, not an interpreted HOF fold.  Docs
-    with no shingles produce no rows (the oracle's ``sig[1] < mod``
-    filter drops the same docs).
     """
-    rows = _shingle_hash_rows(shingle_rows(df, text_col, id_col, n))
-    # Expressions are generated as SQL strings (one F.expr → one py4j
-    # round-trip, parsed JVM-side) rather than composed Column-by-Column:
-    # building the 16 permutation minima through the Column API costs
-    # hundreds of py4j calls and showed up as ~1s of per-query plan
-    # CONSTRUCTION time in the bench — pure driver overhead that recurs
-    # on every invocation.  The parsed expression trees are identical.
-    mins = [
-        F.expr(f"min(({a}L * h + {b}L) % {HASH_MOD}) AS _m{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
     # Persisted: the band self-join references the signature table on BOTH
     # sides, and the branches are not canonically identical after the
     # id_a/id_b renames — without the persist the whole scan→shingle→agg
     # pipeline runs twice (measured 4-8× end-to-end).  16 longs per doc:
     # tiny relative to the corpus, spill-safe at scale.
-    sig = (
-        rows.groupBy("id")
-        .agg(*mins)
-        .selectExpr(
-            "id", f"array({', '.join(f'_m{i}' for i in range(MINHASH_K))}) AS sig"
-        )
-        .persist()
-    )
-    band_structs = ", ".join(
-        "struct({b} AS band, concat_ws('|', {elems}) AS bucket)".format(
-            b=b,
-            elems=", ".join(
-                f"cast(sig[{b * LSH_ROWS + r}] AS string)" for r in range(LSH_ROWS)
-            ),
-        )
-        for b in range(LSH_BANDS)
-    )
-    bands = sig.selectExpr(
-        "id", "sig", f"inline(array({band_structs}))"
-    )
+    sig = minhash_signatures(df, text_col, id_col, n).persist()
+    bands = _lsh_bands(sig)
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
     right = bands.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    # First-band-wins dedup: a pair sharing several band buckets appears
-    # once per shared band; instead of a distinct() (a full shuffle of the
-    # candidate-pair stream) keep the pair only at its FIRST matching band
-    # — "no earlier band's signature slices are equal" is a pure predicate
-    # on (sig_a, sig_b, band), evaluated map-side at zero shuffle cost.
-    def _band_eq(i: int) -> str:
-        return (
-            f"slice(sig_a, {i * LSH_ROWS + 1}, {LSH_ROWS})"
-            f" = slice(sig_b, {i * LSH_ROWS + 1}, {LSH_ROWS})"
-        )
-
-    arms = " ".join(
-        f"WHEN band = {i} THEN ({' OR '.join(_band_eq(j) for j in range(i))})"
-        for i in range(1, LSH_BANDS)
-    )
-    earlier_match = F.expr(f"CASE {arms} ELSE false END")
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(~earlier_match)
+        .filter(~_lsh_earlier_band_match())
         .select("id_a", "id_b", "sig_a", "sig_b")
     )
-    est = F.expr(
-        "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> cast(x = y AS int)),"
-        f" eq -> eq = 1)) / {MINHASH_K}, 6)"
+    return cand.select(
+        "id_a", "id_b", F.expr(_EST_JACCARD).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_delta_pairs(
+    index_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection for a growing corpus: pair a NEW
+    batch's signatures against an existing signature index — emits
+    delta×index and delta×delta pairs, NEVER re-pairs index×index.
+
+    This is the 100-TB ingest shape: signatures are computed once per
+    document (``minhash_signatures`` on the delta only — the expensive
+    shingle scan never re-reads the historical corpus), appended to the
+    parquet index, and each batch's LSH join touches |delta| band rows
+    on one side.  Cost per batch is O(delta + matching buckets), not
+    O(corpus).
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold
+    — identical contract to :func:`minhash_lsh_pairs`, so running it
+    over every historical batch reproduces the batch operator's output.
+
+    Orientation bookkeeping: the left side is index ∪ delta, the right
+    side delta only.  An index×delta pair has exactly one orientation
+    (index ids never appear on the right); a delta×delta pair is kept
+    only in its ``id_a < id_b`` orientation.  The ``_new`` tag makes
+    that one predicate: ``id_a < id_b OR left-is-index``.
+    """
+    tagged = index_sigs.select(
+        "id", "sig", F.lit(False).alias("_new")
+    ).unionByName(delta_sigs.select("id", "sig", F.lit(True).alias("_new")))
+    left = _lsh_bands(tagged, extra=("_new",)).select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("_new").alias("_new_a"),
+        "band",
+        "bucket",
     )
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
+    right = _lsh_bands(delta_sigs).select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) | ~F.col("_new_a"))
+        .filter(~_lsh_earlier_band_match())
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    )
+    return (
+        cand.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.expr(_EST_JACCARD).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 

@@ -277,6 +277,55 @@ SELECT id_a, id_b, est_jaccard FROM (
 
 
 # --------------------------------------------------------------------------
+# dedup_incremental_minhash — incremental index maintenance: the held-out
+# batch (doc_id % 10 == 0) pairs against the existing signature index;
+# index×index is never re-paired (the 100-TB per-batch ingest shape).
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    index = dd.minhash_signatures(docs.filter(F.col("doc_id") % 10 != 0)).persist()
+    delta = dd.minhash_signatures(docs.filter(F.col("doc_id") % 10 == 0)).persist()
+    return dd.minhash_delta_pairs(index, delta, threshold=0.5)
+
+
+DEDUP_INCREMENTAL_MINHASH_SQL = f"""
+WITH {_TOK_CTE}, {_SH_CTE}, {_HS_CTE},
+sig_t AS (
+  SELECT doc_id AS id,
+         list_transform(range({dd.MINHASH_K}), i ->
+           list_reduce(
+             list_prepend({_MOD}::BIGINT,
+               list_transform(hs, h ->
+                 (list_extract({_A_SQL}, i+1) * h + list_extract({_B_SQL}, i+1)) % {_MOD})),
+             (x, y) -> least(x, y))) AS sig
+  FROM hs_t
+),
+live AS (SELECT * FROM sig_t WHERE sig[1] < {_MOD}),
+bands AS (
+  SELECT id, sig, b.band,
+         sig[b.band*{dd.LSH_ROWS}+1]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+2]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+3]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+4]::VARCHAR AS bucket
+  FROM live, range({dd.LSH_BANDS}) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b,
+                  l.sig AS sig_a, r.sig AS sig_b
+  FROM bands l
+  JOIN (SELECT * FROM bands WHERE id % 10 = 0) r
+    ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.id <> r.id AND (l.id < r.id OR l.id % 10 <> 0)
+)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT id_a, id_b,
+         round(len(list_filter(range({dd.MINHASH_K}), i -> sig_a[i+1] = sig_b[i+1]))::DOUBLE
+               / {dd.MINHASH_K}, 6) AS est_jaccard
+  FROM cand
+) WHERE est_jaccard >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_simhash — banded SimHash pairs, hamming ≤ 3.
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -574,6 +623,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -593,6 +643,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,

@@ -169,3 +169,31 @@ def test_connected_components_chain_and_islands(spark):
         "x": "x", "y": "x",
         "p": "p", "q": "p", "r": "p",
     }
+
+
+def test_incremental_minhash_matches_batch(spark):
+    """pairs(A) ∪ delta_pairs(index_A, sigs_B) must equal pairs(A ∪ B):
+    incrementally ingesting batch B on top of an existing index finds
+    exactly the pairs the batch operator would find over the full
+    corpus, without ever re-pairing index x index."""
+    all_rows = [(i, t) for i, (_, t) in enumerate(DOCS)]
+    corpus = spark.createDataFrame(all_rows, "doc_id long, text string")
+    batch_a = corpus.filter(F.col("doc_id") < 4)
+    batch_b = corpus.filter(F.col("doc_id") >= 4)
+
+    full = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in dd.minhash_lsh_pairs(corpus, threshold=0.0).collect()
+    }
+    prior = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in dd.minhash_lsh_pairs(batch_a, threshold=0.0).collect()
+    }
+    index = dd.minhash_signatures(batch_a).persist()
+    delta_sigs = dd.minhash_signatures(batch_b).persist()
+    delta = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in dd.minhash_delta_pairs(index, delta_sigs, threshold=0.0).collect()
+    }
+    assert prior | delta == full
+    assert prior & delta == set()  # no index x index pair re-emitted
