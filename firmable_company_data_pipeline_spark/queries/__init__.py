@@ -47,13 +47,17 @@ _DRIVER_WINDOW_PRIORITY = (
     "pii_redaction",
     "contamination_check",
     "ann_quantized",
-    # one representative per already-verified operator family
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "top1_order_per_customer",
-    "priority_price_stats",
-    "top_supplier_revenue",
+    # round-4 additions (never driver-checked): corpus curation +
+    # incremental index maintenance
+    "quality_repetition",
+    "train_split_stratified",
+    "seq_packing_plan",
+    "unigram_surprise_score",
+    "semantic_dedup",
+    "dedup_incremental_minhash",
+    # one representative per already-verified operator family (the six
+    # core-OLAP reps displaced this round carry THREE rounds of green
+    # driver rows, r1-r3)
     "match_rule_based",
     "match_fuzzy_blocked",
     "match_llm_stub",
