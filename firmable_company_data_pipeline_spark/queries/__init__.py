@@ -55,6 +55,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "unigram_surprise_score",
     "semantic_dedup",
     "dedup_incremental_minhash",
+    "curate_corpus",
     # one representative per already-verified operator family (the six
     # core-OLAP reps displaced this round carry THREE rounds of green
     # driver rows, r1-r3)
@@ -64,7 +65,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "match_cascade_full",
     "text_stats",
     "corpus_profile_by_source",
-    "corpus_quality_filter",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

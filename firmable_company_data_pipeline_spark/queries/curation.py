@@ -200,12 +200,107 @@ WHERE cos_sim >= 0.45
 """
 
 
+# --------------------------------------------------------------------------
+# curate_corpus — the end-to-end curation verdict: every document gets a
+# keep/drop decision with the FIRST failing stage as the reason, composing
+# the four independently-verified signals (quality+language filter,
+# repetition filter, exact-fingerprint dedup, near-dup cluster
+# canonicalization).  This is the one-call "what survives into training"
+# query; at 100 TB each stage is the same plan it is standalone (Catalyst
+# prunes the unused columns of each branch) and the composition adds only
+# doc_id equi-joins.
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+    from firmable_company_data_pipeline_spark.session import spread
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    stats = ts.text_features(spread(docs))
+    q = stats.select(
+        "doc_id",
+        "fingerprint",
+        ((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")).alias("q_keep"),
+    )
+    rep = cu.repetition_stats(docs).select("doc_id", F.col("keep").alias("rep_keep"))
+    canon = q.groupBy("fingerprint").agg(F.min("doc_id").alias("canon_id"))
+    ex = q.join(canon, "fingerprint").select(
+        "doc_id", "q_keep", (F.col("doc_id") == F.col("canon_id")).alias("exact_canon")
+    )
+    clus = dd.connected_components(dd.ngram_jaccard_pairs(docs, threshold=0.8))
+    j = (
+        ex.join(rep, "doc_id")
+        .join(clus, "doc_id", "left")
+        .select(
+            "doc_id",
+            "q_keep",
+            "rep_keep",
+            "exact_canon",
+            F.coalesce(F.col("cluster_id") == F.col("doc_id"), F.lit(True)).alias(
+                "near_canon"
+            ),
+        )
+    )
+    reason = (
+        F.when(~F.col("q_keep"), F.lit("quality"))
+        .when(~F.col("rep_keep"), F.lit("repetition"))
+        .when(~F.col("exact_canon"), F.lit("exact_dup"))
+        .when(~F.col("near_canon"), F.lit("near_dup"))
+    )
+    return j.select(
+        "doc_id",
+        (
+            F.col("q_keep") & F.col("rep_keep") & F.col("exact_canon") & F.col("near_canon")
+        ).alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def _curate_corpus_sql() -> str:
+    from firmable_company_data_pipeline_spark.queries.llmops import (
+        DEDUP_CLUSTERS_SQL,
+        TEXT_STATS_SQL,
+    )
+
+    return f"""
+WITH stats AS (SELECT * FROM ({TEXT_STATS_SQL}) s),
+q AS (
+  SELECT doc_id, fingerprint,
+         (quality >= 0.5 AND lang_pred = 'en') AS q_keep
+  FROM stats
+),
+rep AS (SELECT doc_id, keep AS rep_keep FROM ({QUALITY_REPETITION_SQL}) r),
+canon AS (SELECT fingerprint, min(doc_id) AS canon_id FROM q GROUP BY fingerprint),
+ex AS (
+  SELECT q.doc_id, q.q_keep, q.doc_id = c.canon_id AS exact_canon
+  FROM q JOIN canon c USING (fingerprint)
+),
+clus AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL}) c),
+j AS (
+  SELECT ex.doc_id, q_keep, rep_keep, exact_canon,
+         COALESCE(cl.cluster_id = ex.doc_id, TRUE) AS near_canon
+  FROM ex
+  JOIN rep USING (doc_id)
+  LEFT JOIN clus cl ON cl.doc_id = ex.doc_id
+)
+SELECT doc_id,
+       (q_keep AND rep_keep AND exact_canon AND near_canon) AS keep,
+       CASE WHEN NOT q_keep THEN 'quality'
+            WHEN NOT rep_keep THEN 'repetition'
+            WHEN NOT exact_canon THEN 'exact_dup'
+            WHEN NOT near_canon THEN 'near_dup' END AS drop_reason
+FROM j
+"""
+
+
+CURATE_CORPUS_SQL = _curate_corpus_sql()
+
+
 QUERIES = {
     "quality_repetition": quality_repetition,
     "train_split_stratified": train_split_stratified,
     "seq_packing_plan": seq_packing_plan,
     "unigram_surprise_score": unigram_surprise_score,
     "semantic_dedup": semantic_dedup,
+    "curate_corpus": curate_corpus,
 }
 
 ORACLES = {
@@ -214,4 +309,5 @@ ORACLES = {
     "seq_packing_plan": SEQ_PACKING_PLAN_SQL,
     "unigram_surprise_score": UNIGRAM_SURPRISE_SCORE_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "curate_corpus": CURATE_CORPUS_SQL,
 }

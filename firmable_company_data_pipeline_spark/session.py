@@ -74,11 +74,14 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # Local mode runs driver + all 32 executor threads in ONE JVM; at
-        # sf0.1 the 8g default left the bench GC-bound (randomly spiking
-        # individual queries 2-6s run-to-run; measured 50s -> 41s total
-        # moving to 24g).  On a real cluster executor memory is sized per
-        # node and this knob only affects the driver process.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # sf0.1 an undersized heap leaves the bench GC-bound: old-gen
+        # debt from dozens of back-to-back heavy plans (broadcasts,
+        # codegen classes, shuffle buffers) randomly spikes individual
+        # queries 2-10x run-to-run.  Measured on the 37-query headline
+        # set: 8g -> spiky ~50s, 24g -> spiky ~106s at 74 executions,
+        # 48g -> stable ~47s.  On a real cluster executor memory is
+        # sized per node and this knob only affects the driver process.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

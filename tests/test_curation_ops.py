@@ -108,3 +108,15 @@ def test_semantic_dedup_matches_exact_within_cells(spark):
     assert all(r["cos_sim"] >= 0.9 for r in out)
     # the isolated vector pairs with nothing
     assert not any(4 in p for p in pairs)
+
+
+def test_curate_corpus_reasons_consistent(spark, sf_dir):
+    import __spark_entry__ as e
+
+    out = e.queries()["curate_corpus"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["keep"] == (r["drop_reason"] is None)
+    # the synthetic corpus contains both kept and dropped docs
+    kept = sum(1 for r in out if r["keep"])
+    assert 0 < kept < len(out)
