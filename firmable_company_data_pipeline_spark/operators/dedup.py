@@ -218,9 +218,25 @@ def ngram_jaccard_pairs(
     b = ex.select(
         F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), F.col("shingle")
     )
+    # Size filter (PPJoin-family): jaccard(A,B) >= t forces
+    # min(|A|,|B|)/max(|A|,|B|) >= t (common <= min and the denominator
+    # >= max), so size-mismatched pairs are dropped INSIDE the join —
+    # evaluated per candidate row, before any pair ever reaches the
+    # (id_a, id_b) aggregation.  On Zipf-ish corpora this removes the
+    # bulk of the df² blowup of hot shingles (short docs pair with
+    # everything).  The bound is slackened by 1e-6 because the OUTPUT
+    # filter compares the ROUNDED jaccard (round(j,6) >= t admits true
+    # j >= t - 5e-7); with the slack no emitted pair can be pruned.
+    size_t = threshold - 1e-6
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") >= size_t * F.col("nb"))
+            & (F.col("nb") >= size_t * F.col("na")),
+        )
+        .drop(b["shingle"])
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
         .withColumn(
