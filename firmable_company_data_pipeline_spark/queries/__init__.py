@@ -56,6 +56,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "semantic_dedup",
     "dedup_incremental_minhash",
     "curate_corpus",
+    "ann_recall_report",
     # one representative per already-verified operator family (the six
     # core-OLAP reps displaced this round carry THREE rounds of green
     # driver rows, r1-r3)
@@ -72,7 +73,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "dedup_clusters",
     "dedup_embedding_cosine",
     "ann_brute_force",
-    "ann_lsh_bucketed",
     "ann_ivf",
     "multimodal_features",
     "label_centroids",

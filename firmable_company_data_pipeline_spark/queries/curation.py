@@ -309,7 +309,72 @@ FROM j
 CURATE_CORPUS_SQL = _curate_corpus_sql()
 
 
+# --------------------------------------------------------------------------
+# ann_recall_report — self-measurement of the approximate ANN paths:
+# per-query recall@10 of the LSH-bucketed and IVF searches against the
+# exact brute-force baseline.  The production question for any ANN
+# deployment ("how much recall does the bucketing cost?") answered as a
+# query: three candidate generators, two left-semi overlap counts, one
+# row per query vector.  At 100 TB this runs on a sampled query set and
+# the brute baseline is the only O(N) term.
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = ann.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = ann.lsh_bucketed_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_lsh")
+    )
+    ivf = ann.ivf_topk(queries, emb, k=10, n_cells=8, nprobe=2).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_ivf")
+    )
+    j = (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.round(F.sum(F.coalesce(F.col("_lsh"), F.lit(0))) / F.count(F.lit(1)), 4).alias(
+                "lsh_recall"
+            ),
+            F.round(F.sum(F.coalesce(F.col("_ivf"), F.lit(0))) / F.count(F.lit(1)), 4).alias(
+                "ivf_recall"
+            ),
+        )
+    )
+    return j
+
+
+def _ann_recall_sql() -> str:
+    from firmable_company_data_pipeline_spark.queries.llmops import (
+        ANN_BRUTE_FORCE_SQL,
+        ANN_IVF_SQL,
+        ANN_LSH_BUCKETED_SQL,
+    )
+
+    return f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({ANN_BRUTE_FORCE_SQL}) b),
+lsh AS (SELECT query_id, neighbor_id, 1 AS _lsh FROM ({ANN_LSH_BUCKETED_SQL}) l),
+ivf AS (SELECT query_id, neighbor_id, 1 AS _ivf FROM ({ANN_IVF_SQL}) i)
+SELECT brute.query_id,
+       count(*) AS n_true,
+       round(sum(COALESCE(_lsh, 0)) / count(*), 4) AS lsh_recall,
+       round(sum(COALESCE(_ivf, 0)) / count(*), 4) AS ivf_recall
+FROM brute
+LEFT JOIN lsh USING (query_id, neighbor_id)
+LEFT JOIN ivf USING (query_id, neighbor_id)
+GROUP BY brute.query_id
+"""
+
+
+ANN_RECALL_REPORT_SQL = _ann_recall_sql()
+
+
 QUERIES = {
+    "ann_recall_report": ann_recall_report,
     "quality_repetition": quality_repetition,
     "train_split_stratified": train_split_stratified,
     "seq_packing_plan": seq_packing_plan,
@@ -319,6 +384,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_report": ANN_RECALL_REPORT_SQL,
     "quality_repetition": QUALITY_REPETITION_SQL,
     "train_split_stratified": TRAIN_SPLIT_STRATIFIED_SQL,
     "seq_packing_plan": SEQ_PACKING_PLAN_SQL,

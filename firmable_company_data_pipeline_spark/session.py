@@ -82,6 +82,14 @@ def get_spark(
         # 48g -> stable ~47s.  On a real cluster executor memory is
         # sized per node and this knob only affects the driver process.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # The whole-stage-codegen class cache holds 100 compiled units by
+        # default (static conf).  The headline bench executes ~38 distinct
+        # expression-heavy plans twice (warm + timed), well past 100
+        # codegen units, so LRU eviction forced the TAIL queries to
+        # re-janino-compile in the timed pass (2-8s each) while early
+        # queries stayed warm.  1000 entries keeps every plan of a long
+        # session compiled-once; memory cost is class metadata only.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -191,3 +191,59 @@ def foreach_batch_upsert(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint: str | None = None,
+    threshold: float = 0.5,
+):
+    """Streaming near-duplicate detection over a document stream — the
+    Structured-Streaming composition of the incremental index operator
+    (``operators/dedup.py`` ``minhash_delta_pairs``).
+
+    Each micro-batch:
+
+    1. computes MinHash signatures for the BATCH only (the shingle scan
+       never re-reads history),
+    2. LSH-pairs them against the persistent signature index —
+       delta×index ∪ delta×delta, never index×index,
+    3. writes discovered pairs to ``pairs_dir/batch_id=N`` and the new
+       signatures to ``index_dir/batch_id=N``.
+
+    Per-batch writes go to batch-keyed partition directories with
+    overwrite, so a replayed micro-batch (checkpoint recovery) rewrites
+    its own partition instead of duplicating rows — the parquet
+    emulation of an idempotent MERGE (with Delta/Iceberg this becomes a
+    real transactional append).  Reading ``index_dir``/``pairs_dir``
+    with partition discovery unions all batches.
+
+    State never lives in the streaming engine: the index IS the parquet
+    directory, so the job restarts from checkpoint with no state-store
+    migration and the index is queryable mid-stream by any other
+    session.
+    """
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = dd.minhash_signatures(batch_df).persist()
+        if os.path.exists(index_dir):
+            index = spark.read.parquet(index_dir).select("id", "sig")
+        else:
+            index = spark.createDataFrame([], delta.schema)
+        pairs = dd.minhash_delta_pairs(index, delta, threshold=threshold)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={batch_id}")
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+        delta.unpersist()
+
+    writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -191,3 +191,44 @@ def test_stream_stream_interval_join(spark, sf_dir, events_dir):
     # the join may withhold pairs the final watermark hasn't sealed
     assert got <= full
     assert len(got) > 0.8 * len(full)
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Two document micro-batches through streaming_minhash_dedup must
+    discover exactly the pairs the batch operator finds on the full
+    corpus (delta x index + delta x delta across batches union to the
+    full pair set; index x index of the first batch is found when that
+    batch was itself the delta)."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_dir = str(tmp_path / "sig_index")
+    pairs_dir = str(tmp_path / "dup_pairs")
+    q = jobs.streaming_minhash_dedup(
+        stream, index_dir, pairs_dir,
+        checkpoint=str(tmp_path / "ckpt"), threshold=0.0,
+    )
+    _drain(q)
+
+    streamed = _rows(spark.read.parquet(pairs_dir), ["id_a", "id_b", "est_jaccard"])
+    batch = _rows(
+        dd.minhash_lsh_pairs(docs, threshold=0.0), ["id_a", "id_b", "est_jaccard"]
+    )
+    assert streamed == batch
+    # the index now holds one signature per doc with shingles
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.select("id").distinct().count()
