@@ -146,3 +146,80 @@ def test_py_token_sort_ratio_properties(spark, pairs):
         assert s == py_token_sort_ratio(b, a)
         same = " ".join(sorted(a.split())) == " ".join(sorted(b.split()))
         assert (s == 100.0) == same
+
+
+word_text = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=20
+).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(word_text, st.sampled_from(["s0", "s1"])), min_size=1, max_size=12))
+def test_pack_sequences_invariants(spark, rows):
+    """Packing plan invariants for arbitrary corpora: offsets stay under
+    the budget, bins are contiguous from 0 within each shard, and the
+    (bin, offset) sequence reproduces the running token total."""
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    budget = 7
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    out = sorted(
+        cu.pack_sequences(df, budget=budget).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    cum = {}
+    for r in out:
+        assert 0 <= r["tok_offset"] < budget
+        expect = cum.get(r["shard"], 0)
+        assert r["seq_bin"] == expect // budget
+        assert r["tok_offset"] == expect % budget
+        cum[r["shard"]] = expect + r["n_tok"]
+
+
+@SETTINGS
+@given(st.lists(word_text, min_size=1, max_size=12))
+def test_repetition_stats_bounds(spark, texts):
+    """Fraction bounds: dup_word and dup_trigram in [0, 1]; top_bigram
+    >= 0 (may exceed 1 only for overlapping degenerate repeats); n_tok
+    positive; keep consistent with the thresholds."""
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in cu.repetition_stats(df).collect():
+        assert r["n_tok"] >= 1
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_trigram_frac"] <= 1.0
+        assert r["top_bigram_frac"] >= 0.0
+        expect = (
+            r["dup_word_frac"] <= cu.DUP_WORD_MAX
+            and r["top_bigram_frac"] <= cu.TOP_BIGRAM_MAX
+            and r["dup_trigram_frac"] <= cu.DUP_TRIGRAM_MAX
+        )
+        assert r["keep"] == expect
+
+
+@SETTINGS
+@given(st.lists(st.tuples(word_text, st.sampled_from(["en", "fr"])), min_size=1, max_size=15))
+def test_stratified_split_partition_property(spark, rows):
+    """Every doc lands in exactly one split, assignment depends only on
+    (stratum, id), and bucket thresholds are respected."""
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    df = spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+    out = cu.stratified_split(df).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        lo, hi = {
+            "train": (0, cu.SPLIT_TRAIN),
+            "val": (cu.SPLIT_TRAIN, cu.SPLIT_VAL),
+            "test": (cu.SPLIT_VAL, 100),
+        }[r["split"]]
+        assert lo <= r["bucket"] < hi
