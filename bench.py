@@ -58,6 +58,7 @@ HEADLINE = [
     "unigram_surprise_score",
     "semantic_dedup",
     "curate_corpus",
+    "chunk_documents",
 ]
 
 

@@ -224,6 +224,53 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    retrieval/training prep step (RAG indexing, fixed-context training
+    examples).  Output (doc_id, chunk_id, tok_start, n_chunk_tok,
+    chunk_text); chunk c covers tokens [c·stride, c·stride+size).
+
+    Chunk count: 1 when the doc fits in one window, else enough strided
+    windows for the last one to reach the end (final chunk may be
+    short).  The short-doc arm is a CASE, not min/max over a negative
+    integer division — Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors, so negative numerators would diverge.
+
+    Scale shape: ZERO shuffles — tokenize, per-doc window arithmetic and
+    the chunk explode are all map-side; chunking a 100 TB corpus is one
+    pass with no exchange.  The per-doc ``transform`` over chunk starts
+    runs interpreted, but its work is bounded by doc length (same
+    contract as the other per-doc HOF paths).
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    sized = toks.select("id", "toks", F.size("toks").alias("n_tok"))
+    n_chunks = F.when(F.col("n_tok") <= size, F.lit(1)).otherwise(
+        F.expr(f"(n_tok - {size} + {stride} - 1) div {stride}") + 1
+    )
+    chunk = sized.select(
+        "id",
+        "n_tok",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size)
+    return chunk.select(
+        F.col("id").alias(id_col),
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("tok_start"),
+        F.size(piece).alias("n_chunk_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def unigram_surprise(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

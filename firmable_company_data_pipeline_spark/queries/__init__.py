@@ -57,6 +57,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "dedup_incremental_minhash",
     "curate_corpus",
     "ann_recall_report",
+    "chunk_documents",
     # one representative per already-verified operator family (the six
     # core-OLAP reps displaced this round carry THREE rounds of green
     # driver rows, r1-r3)
@@ -66,7 +67,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "match_cascade_full",
     "text_stats",
     "corpus_profile_by_source",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -201,6 +201,35 @@ WHERE cos_sim >= 0.45
 
 
 # --------------------------------------------------------------------------
+# chunk_documents — overlapping token-window chunks (RAG/training prep);
+# zero-shuffle map-only pass.
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.chunk_documents(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH {_TOK_CTE},
+sized AS (SELECT doc_id, t, len(t) AS n_tok FROM tok),
+ch AS (
+  SELECT doc_id, t,
+         unnest(range(CASE WHEN n_tok <= {_CHUNK_SIZE} THEN 1
+                           ELSE (n_tok - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                                // {_CHUNK_STRIDE} + 1 END)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_STRIDE} AS tok_start,
+       len(t[chunk_id*{_CHUNK_STRIDE}+1 : chunk_id*{_CHUNK_STRIDE}+{_CHUNK_SIZE}]) AS n_chunk_tok,
+       array_to_string(t[chunk_id*{_CHUNK_STRIDE}+1 : chunk_id*{_CHUNK_STRIDE}+{_CHUNK_SIZE}], ' ') AS chunk_text
+FROM ch
+"""
+
+
+# --------------------------------------------------------------------------
 # curate_corpus — the end-to-end curation verdict: every document gets a
 # keep/drop decision with the FIRST failing stage as the reason, composing
 # the four independently-verified signals (quality+language filter,
@@ -375,6 +404,7 @@ ANN_RECALL_REPORT_SQL = _ann_recall_sql()
 
 QUERIES = {
     "ann_recall_report": ann_recall_report,
+    "chunk_documents": chunk_documents,
     "quality_repetition": quality_repetition,
     "train_split_stratified": train_split_stratified,
     "seq_packing_plan": seq_packing_plan,
@@ -385,6 +415,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_recall_report": ANN_RECALL_REPORT_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "quality_repetition": QUALITY_REPETITION_SQL,
     "train_split_stratified": TRAIN_SPLIT_STRATIFIED_SQL,
     "seq_packing_plan": SEQ_PACKING_PLAN_SQL,

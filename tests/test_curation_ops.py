@@ -120,3 +120,24 @@ def test_curate_corpus_reasons_consistent(spark, sf_dir):
     # the synthetic corpus contains both kept and dropped docs
     kept = sum(1 for r in out if r["keep"])
     assert 0 < kept < len(out)
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    out = sorted(
+        cu.chunk_documents(df, size=64, stride=48).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 tokens, size 64, stride 48 -> chunks at 0 and 48 (48+64 >= 100)
+    assert [(r["tok_start"], r["n_chunk_tok"]) for r in by_doc[1]] == [(0, 64), (48, 52)]
+    # overlap region: last 16 tokens of chunk 0 == first 16 of chunk 1
+    c0, c1 = by_doc[1][0]["chunk_text"].split(" "), by_doc[1][1]["chunk_text"].split(" ")
+    assert c0[-16:] == c1[:16]
+    # full coverage, in order
+    assert c0 + c1[16:] == text.split(" ")
+    # short doc -> exactly one chunk, the doc itself
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
