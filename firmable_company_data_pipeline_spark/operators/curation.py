@@ -340,12 +340,17 @@ def semantic_dedup_pairs(
     )
     ccos = dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn"))
     w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cell"))
+    # Persisted: the pair self-join reads the assignment on BOTH sides
+    # (same rationale as the MinHash signature table) — without it the
+    # centroid cross-score + rank runs twice.  One (id, cell, vec) row
+    # per input vector, spill-safe.
     assigned = (
         v.join(cents, F.lit(True))
         .withColumn("ccos", ccos)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("id", "cell", "v", "n")
+        .persist()
     )
     a = assigned.select(
         F.col("id").alias("id_a"), "cell", F.col("v").alias("va"), F.col("n").alias("na")

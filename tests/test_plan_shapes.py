@@ -15,6 +15,12 @@ import pytest
 def plans(spark, sf_dir):
     import __spark_entry__ as e
 
+    # Earlier test modules persist operator intermediates (signature
+    # tables, shingle indexes) over the same sf_dir; a live cache makes
+    # these plans show InMemoryTableScan (with its own exchange) where
+    # the natural plan has none, breaking exchange-count pins.
+    spark.catalog.clearCache()
+
     qs = e.queries()
 
     def plan_of(name: str) -> str:
