@@ -58,6 +58,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "curate_corpus",
     "ann_recall_report",
     "chunk_documents",
+    "curation_report",
     # one representative per already-verified operator family (the six
     # core-OLAP reps displaced this round carry THREE rounds of green
     # driver rows, r1-r3)
@@ -77,7 +78,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "multimodal_features",
     "label_centroids",
     "events_tumbling_1h",
-    "events_sliding_10m",
     "events_session_5m",
     "events_dedup_union",
 )

@@ -339,6 +339,49 @@ CURATE_CORPUS_SQL = _curate_corpus_sql()
 
 
 # --------------------------------------------------------------------------
+# curation_report — per-source curation dashboard: keep rate and the
+# drop-reason breakdown, the summary a data-curation run publishes.
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    verdict = curate_corpus(spark, sf_dir)
+    return (
+        docs.select("doc_id", "source")
+        .join(verdict, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 4).alias(
+                "keep_rate"
+            ),
+            F.sum((F.col("drop_reason") == "quality").cast("long")).alias("n_quality"),
+            F.sum((F.col("drop_reason") == "repetition").cast("long")).alias(
+                "n_repetition"
+            ),
+            F.sum((F.col("drop_reason") == "exact_dup").cast("long")).alias(
+                "n_exact_dup"
+            ),
+            F.sum((F.col("drop_reason") == "near_dup").cast("long")).alias("n_near_dup"),
+        )
+    )
+
+
+CURATION_REPORT_SQL = f"""
+WITH verdict AS ({CURATE_CORPUS_SQL})
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN v.keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) / count(*), 4) AS keep_rate,
+       sum(CASE WHEN v.drop_reason = 'quality' THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       sum(CASE WHEN v.drop_reason = 'repetition' THEN 1 ELSE 0 END)::BIGINT AS n_repetition,
+       sum(CASE WHEN v.drop_reason = 'exact_dup' THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+       sum(CASE WHEN v.drop_reason = 'near_dup' THEN 1 ELSE 0 END)::BIGINT AS n_near_dup
+FROM documents d JOIN verdict v ON d.doc_id = v.doc_id
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_recall_report — self-measurement of the approximate ANN paths:
 # per-query recall@10 of the LSH-bucketed and IVF searches against the
 # exact brute-force baseline.  The production question for any ANN
@@ -411,6 +454,7 @@ QUERIES = {
     "unigram_surprise_score": unigram_surprise_score,
     "semantic_dedup": semantic_dedup,
     "curate_corpus": curate_corpus,
+    "curation_report": curation_report,
 }
 
 ORACLES = {
@@ -422,4 +466,5 @@ ORACLES = {
     "unigram_surprise_score": UNIGRAM_SURPRISE_SCORE_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
+    "curation_report": CURATION_REPORT_SQL,
 }
