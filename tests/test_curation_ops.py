@@ -141,3 +141,23 @@ def test_chunk_documents_covers_and_overlaps(spark):
     assert c0 + c1[16:] == text.split(" ")
     # short doc -> exactly one chunk, the doc itself
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+
+
+def test_null_text_rows_do_not_crash(spark):
+    """NULL text must flow through every curation op without raising;
+    token-derived ops drop or null the row identically on both engines
+    (string_split(NULL) is NULL in Spark and DuckDB alike)."""
+    df = spark.createDataFrame(
+        [(1, None, "en", "s0"), (2, "hello world here", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rep = cu.repetition_stats(df).collect()
+    assert [r["doc_id"] for r in rep] == [2]  # null-text doc has no token rows
+    chunks = cu.chunk_documents(df).collect()
+    assert {r["doc_id"] for r in chunks} == {2}
+    packed = {r["doc_id"]: r for r in cu.pack_sequences(df).collect()}
+    assert packed[1]["n_tok"] is None  # row survives with null size
+    split = cu.stratified_split(df).collect()
+    assert len(split) == 2  # hash of (lang, id) never needs the text
+    surprise = cu.unigram_surprise(df).collect()
+    assert {r["doc_id"] for r in surprise} == {2}
