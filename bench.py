@@ -97,6 +97,11 @@ def main():
     # the reported numbers; the timed run re-executes the full plan (a
     # fresh DataFrame shares no shuffle/cache state — clearCache() below
     # drops every persisted intermediate the warm pass materialized).
+    # Known bias, accepted: the warm pass also loads the input parquet
+    # into the OS page cache, so timed runs measure warm-read I/O.  At
+    # these SFs the inputs (~100 MB) are page-cached after any first
+    # touch anyway; numbers are comparable round-over-round but not to
+    # an engine benched cold.
     for name in names:
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -28,6 +28,14 @@ Scale notes: every aggregation is a hash-groupBy with map-side partial
 combine; the packing window partitions on the shard key (parallel, no
 global sort); semantic dedup pairs only within cells (expected cell
 size N/n_cells, same candidate-generation contract as IVF ANN).
+
+Caching contract: operators whose plan reads an intermediate from BOTH
+sides of a self-join (``repetition_stats``'s gram rows,
+``semantic_dedup_pairs``'s assignment) ``persist()`` that intermediate
+and deliberately do NOT unpersist — the returned DataFrame is lazy, so
+the operator cannot know when its caches are safe to drop.  Long-lived
+sessions that call these repeatedly should ``spark.catalog.clearCache()``
+between logical runs (bench.py and check_contract.py do).
 """
 
 from __future__ import annotations

@@ -95,10 +95,14 @@ SELECT doc_id, lang, bucket,
             ELSE 'test' END AS split
 FROM (
   SELECT doc_id, lang,
-         {_fold("lang || '|' || doc_id::VARCHAR")} % 100 AS bucket
+         {_fold("concat_ws('|', lang, doc_id::VARCHAR)")} % 100 AS bucket
   FROM documents
 )
 """
+# concat_ws (not ||): both engines SKIP a NULL stratum, so a NULL-lang
+# row hashes identically on Spark and DuckDB; `NULL || '|'` would
+# propagate NULL through the fold and silently land every such row in
+# 'test' on one engine only.
 
 
 # --------------------------------------------------------------------------

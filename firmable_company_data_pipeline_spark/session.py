@@ -23,6 +23,21 @@ def default_parallelism() -> int:
         return os.cpu_count() or 8
 
 
+def _default_heap_gb() -> int:
+    """Default local-JVM heap: 40% of physical RAM, clamped to [2, 48] GB
+    (48 is the measured GC-stable point for the full bench on the 128 GB
+    reference box; the cap keeps laptops/CI from overcommitting)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    return max(2, min(48, int(total_gb * 0.4)))
+    except OSError:  # pragma: no cover - non-Linux fallback
+        pass
+    return 8
+
+
 def get_spark(
     app_name: str = "firmable-spark",
     master: str | None = None,
@@ -79,9 +94,14 @@ def get_spark(
         # codegen classes, shuffle buffers) randomly spikes individual
         # queries 2-10x run-to-run.  Measured on the 37-query headline
         # set: 8g -> spiky ~50s, 24g -> spiky ~106s at 74 executions,
-        # 48g -> stable ~47s.  On a real cluster executor memory is
-        # sized per node and this knob only affects the driver process.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # 48g -> stable ~47s.  Capped at ~40% of physical RAM so small
+        # machines never launch an un-startable or overcommitted JVM; on
+        # a real cluster executor memory is sized per node and this knob
+        # only affects the driver process.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{_default_heap_gb()}g"),
+        )
         # The whole-stage-codegen class cache holds 100 compiled units by
         # default (static conf).  The headline bench executes ~38 distinct
         # expression-heavy plans twice (warm + timed), well past 100

@@ -231,7 +231,17 @@ def streaming_minhash_dedup(
         spark = batch_df.sparkSession
         delta = dd.minhash_signatures(batch_df).persist()
         if os.path.exists(index_dir):
-            index = spark.read.parquet(index_dir).select("id", "sig")
+            # Exclude THIS batch's partition: on checkpoint replay (crash
+            # after the index write, before the commit) the batch's own
+            # signatures are already in the index tagged as history, and
+            # reading them back would re-pair the batch against itself in
+            # both orientations — duplicate pair rows, violating the
+            # idempotent-replay contract below.
+            index = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("id", "sig")
+            )
         else:
             index = spark.createDataFrame([], delta.schema)
         pairs = dd.minhash_delta_pairs(index, delta, threshold=threshold)

@@ -161,3 +161,26 @@ def test_null_text_rows_do_not_crash(spark):
     assert len(split) == 2  # hash of (lang, id) never needs the text
     surprise = cu.unigram_surprise(df).collect()
     assert {r["doc_id"] for r in surprise} == {2}
+
+
+def test_null_stratum_hashes_like_skipped_separator(spark):
+    """concat_ws skips a NULL stratum on BOTH engines, so a NULL-lang
+    row must bucket exactly like hashing the bare id — pinning the
+    Spark/DuckDB parity of the split's NULL arm."""
+    import duckdb
+
+    from firmable_company_data_pipeline_spark.functions.textstats import HASH_MOD
+
+    df = spark.createDataFrame(
+        [(7, None), (8, "en")], "doc_id long, lang string"
+    )
+    got = {r["doc_id"]: r["bucket"] for r in cu.stratified_split(df).collect()}
+    oracle = dict(
+        duckdb.sql(
+            "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+            "list_transform(string_split(concat_ws('|', lang, doc_id::VARCHAR), ''), "
+            f"c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % {HASH_MOD}) % 100 "
+            "FROM (VALUES (7, NULL), (8, 'en')) t(doc_id, lang)"
+        ).fetchall()
+    )
+    assert got == oracle

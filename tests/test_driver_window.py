@@ -1,0 +1,22 @@
+"""The external driver verifies only queries()[:50]; the registry's
+_DRIVER_WINDOW_PRIORITY list is therefore a load-bearing contract.
+Pin it: the first 50 registry entries must be exactly the priority
+list, in order, so a new module registration can never silently shift
+which queries the correctness gate checks."""
+
+from __future__ import annotations
+
+
+def test_first_50_queries_match_priority_window():
+    import __spark_entry__ as e
+    from firmable_company_data_pipeline_spark.queries import _DRIVER_WINDOW_PRIORITY
+
+    names = list(e.queries())
+    window = [n for n in _DRIVER_WINDOW_PRIORITY]
+    assert len(window) == 50, (
+        f"priority list has {len(window)} entries; the driver checks exactly 50 — "
+        "rotate a query out for every one rotated in"
+    )
+    assert names[:50] == window
+    # every registered query has an oracle (full gate coverage)
+    assert set(e.oracle_sql()) == set(names)
