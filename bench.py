@@ -59,6 +59,10 @@ HEADLINE = [
     "semantic_dedup",
     "curate_corpus",
     "chunk_documents",
+    "bm25_search",
+    "random_projection",
+    "dataset_mixing_plan",
+    "vocab_pair_counts",
 ]
 
 

@@ -1,0 +1,287 @@
+"""Retrieval / training-mix operators (charter extension, round 4 —
+no reference counterpart; the reference stops at fuzzy entity matching,
+``transform/entity_matching.py``).
+
+Four operators, all UDF-free DataFrame compositions:
+
+* ``bm25_topk``            — BM25-ranked keyword retrieval over the
+                             corpus (Robertson/Spärck Jones idf with the
+                             Lucene ``ln(1 + ...)`` floor).
+* ``random_project``       — deterministic ±1 random-projection
+                             (Achlioptas-style) embedding reduction;
+                             the sign matrix derives from the repo's
+                             char-fold hash so any engine reproduces it.
+* ``mixing_plan``          — temperature-weighted per-source sampling
+                             quotas (the w_i ∝ n_i^alpha dataset-mixing
+                             rule used for multi-source pretraining).
+* ``bpe_pair_counts``      — byte-pair-encoding merge-step statistics:
+                             corpus-weighted adjacent-character-pair
+                             frequencies over the distinct-word table.
+
+Scale shapes: BM25 filters occurrences to the (broadcast) query-term
+set BEFORE any shuffle, so only matching postings move; its df/idf
+tables are bounded by |query| and broadcast. Random projection is
+map-only against a literal sign matrix (a broadcast constant at 100 TB).
+The mixing plan aggregates to one row per source. BPE pair counting
+shuffles the distinct-word table (vocabulary-sized, not corpus-sized)
+and never the raw occurrences beyond the first word-count hash-agg.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from firmable_company_data_pipeline_spark.functions.textstats import tokens
+from firmable_company_data_pipeline_spark.functions.vectors import to_double
+from firmable_company_data_pipeline_spark.session import spread
+
+# BM25 shape parameters (standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _add(acc: Column, x: Column) -> Column:
+    return acc + x
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a keyword query, ranked by BM25.
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    (tf(t,d) + k1·(1 − b + b·|d|/avgdl))`` with
+    ``idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))`` (the Lucene
+    non-negative variant).
+
+    Plan shape: document lengths are a map-only projection; occurrences
+    are filtered to the broadcast query-term set *before* the (id, term)
+    hash-agg, so posting-list construction only shuffles matching
+    occurrences (at 100 TB: |postings of q|, not |corpus tokens|).  The
+    df table is ≤ |query| rows → broadcast; N and avgdl are broadcast
+    1-row aggregates; the final top-k is a TakeOrdered, never a global
+    sort.  Output (doc_id, bm25, rank), rank 1-based, score rounded to
+    6 dp with doc_id tie-break.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = spread(docs).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    sized = toks.select("id", "toks", F.size("toks").alias("dl"))
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    occ = sized.select(
+        "id", "dl", F.explode("toks").alias("tok")
+    ).filter(F.array_contains(terms, F.col("tok")))
+    # Persisted: df_t derives FROM tf and joins back to it — without
+    # the persist the posting-list scan runs twice (once to build the
+    # broadcast df table, once for the probe side).  Size is bounded by
+    # |matched docs| × |query terms|.
+    tf = (
+        occ.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .persist()
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(broadcast(df_t), "tok")
+        .join(broadcast(stats), how="cross")
+        .groupBy("id")
+        # 4 dp (not 6): the per-doc sum has ≤ |query| addends whose
+        # order differs between engines; 4 dp absorbs the last-ulp
+        # drift while keeping rank ties deterministic (rank is computed
+        # AFTER rounding on both engines).
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+    ranked = scored.select(
+        F.col("id").alias(id_col),
+        "bm25",
+        # Single-partition window over the matched-doc set only; the
+        # rank<=k filter keeps the materialized result TakeOrdered-sized.
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("id")))
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random projection.
+
+
+def projection_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """±1 sign matrix [out_dim][in_dim], derived from sha256 of
+    ``"{j}|{i}"``.
+
+    The matrix reaches BOTH engines as inlined literals (generated once
+    at import time), so only Python-level determinism is required — and
+    a cryptographic hash is necessary here: the repo's char-fold hash
+    has parity linear in the digit parities of i and j, which collapses
+    the matrix to two alternating rows (a useless projection)."""
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        d = hashlib.sha256(f"{j}|{i}".encode()).digest()
+        return 1 if d[0] % 2 == 0 else -1
+
+    return [[sign(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def random_project(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style ±1 random projection to ``out_dim``
+    dimensions: ``y_j = Σ_i s_ji·x_i / sqrt(out_dim)``.
+
+    The sign matrix is a compile-time literal (``projection_signs``) —
+    at 100 TB it is a broadcast constant and the whole operator is one
+    map-only projection, zero shuffles.  Output is long-form
+    (vec_id, dim, rp_val) so the driver hashes scalars, not arrays.
+    """
+    signs = projection_signs(in_dim, out_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    v = to_double(F.col(vec_col))
+    outs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                _add,
+            )
+            * scale,
+            6,
+        )
+        for j in range(out_dim)
+    ]
+    return spread(emb).select(
+        F.col(id_col), F.posexplode(F.array(*outs)).alias("dim", "rp_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing plan.
+
+MIX_ALPHA = 0.5
+MIX_BUDGET_TOKENS = 1_000_000
+
+
+def mixing_plan(
+    docs: DataFrame,
+    alpha: float = MIX_ALPHA,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-weighted per-source sampling quotas for a token
+    budget: ``w_s = n_s^alpha / Σ n^alpha`` (alpha < 1 upsamples small
+    sources — the standard multilingual/multi-source pretraining mix),
+    ``quota_s = round(w_s · budget)``, ``epochs_s = quota_s / n_s`` (>1
+    means the source repeats).
+
+    Plan shape: one hash-agg to a row per source, a broadcast 1-row
+    total, map-side arithmetic.  Corpus-size-independent output.
+    """
+    per_src = (
+        spread(docs)
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+        )
+        .withColumn("raw_w", F.pow(F.col("n_tokens").cast("double"), alpha))
+    )
+    total = per_src.agg(F.sum("raw_w").alias("tot_w"))
+    weight = F.round(F.col("raw_w") / F.col("tot_w"), 6)
+    quota = F.round(weight * budget_tokens, 0).cast("long")
+    return (
+        per_src.join(broadcast(total), how="cross")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            weight.alias("mix_weight"),
+            quota.alias("quota_tokens"),
+            F.round(quota / F.col("n_tokens"), 4).alias("epochs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair statistics.
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-weighted adjacent character-pair frequencies — the
+    statistic a byte-pair-encoding trainer maximizes at each merge step
+    (Sennrich et al. 2016).  Output the ``top_n`` pairs:
+    (pair, n_words, n_occurrences, rank).
+
+    Plan shape: word counting is the exact-dedup hash-agg (map-side
+    combine, corpus-sized input, vocabulary-sized output); pair
+    explosion and the second hash-agg run over the *vocabulary*, which
+    is Zipf-bounded — at 100 TB the expensive pass is the first
+    hash-agg and everything after is dictionary-scale.  Final top-n is
+    a TakeOrdered.
+    """
+    words = (
+        spread(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cs = F.split(F.col("tok"), "")
+    pairs = F.when(
+        F.size(cs) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(cs) - 2),
+            lambda i: F.concat(
+                F.element_at(cs, i + 1), F.element_at(cs, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = words.select("wc", F.explode(pairs).alias("pair"))
+    agg = exploded.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("wc").alias("n_occurrences"),
+    )
+    ranked = agg.select(
+        "pair",
+        "n_words",
+        "n_occurrences",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_occurrences"), F.asc("pair")))
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= top_n)

@@ -92,6 +92,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         llmops,
         maintenance,
         matching,
+        retrieval,
         scalar,
         scale,
         streaming_batch,
@@ -112,6 +113,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         scale,
         training,
         curation,
+        retrieval,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -1,0 +1,171 @@
+"""Retrieval / training-mix queries, round 4 (charter extensions):
+BM25 keyword retrieval, deterministic random-projection embedding
+reduction, temperature-weighted dataset mixing, and BPE merge-step pair
+statistics.
+
+Oracle-parity design follows ``queries/curation.py``: no RNG (the
+projection sign matrix is generated once in Python and inlined into
+BOTH engines' plans), identical aliases, floats rounded before compare.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+from firmable_company_data_pipeline_spark.operators import retrieval as rt
+from firmable_company_data_pipeline_spark.session import load_tables
+
+_TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+# --------------------------------------------------------------------------
+# bm25_search — BM25 top-20 for a fixed keyword query.
+_BM25_TERMS = ("spark", "join", "window", "vector")
+_BM25_K = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return rt.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_SEARCH_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS dl FROM tok),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized),
+occ AS (SELECT doc_id, dl, unnest(t) AS tok FROM sized),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+  FROM occ WHERE tok IN ({_TERMS_SQL})
+  GROUP BY doc_id, tok
+),
+df_t AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * ({rt.BM25_K1} + 1)
+                   / (tf + {rt.BM25_K1} * (1 - {rt.BM25_B}
+                      + {rt.BM25_B} * dl / avgdl))), 4) AS bm25
+  FROM tf JOIN df_t USING (tok) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {_BM25_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# random_projection — JL ±1 projection of the 64-dim embeddings to 8.
+_RP_IN, _RP_OUT = 64, 8
+_RP_SIGNS = rt.projection_signs(_RP_IN, _RP_OUT)
+_RP_SCALE = 1.0 / math.sqrt(_RP_OUT)
+
+
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return rt.random_project(emb, in_dim=_RP_IN, out_dim=_RP_OUT)
+
+
+def _rp_dim_sql(j: int) -> str:
+    signs = "[" + ", ".join(f"{float(s)}" for s in _RP_SIGNS[j]) + "]"
+    return (
+        f"round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range({_RP_IN}), i -> v[i+1] * ({signs}::DOUBLE[])[i+1])), "
+        f"(a, x) -> a + x) * {_RP_SCALE!r}, 6)"
+    )
+
+
+RANDOM_PROJECTION_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT vec_id, [{", ".join(_rp_dim_sql(j) for j in range(_RP_OUT))}] AS rp
+  FROM e
+)
+SELECT vec_id, i AS dim, rp[i+1] AS rp_val
+FROM proj, range({_RP_OUT}) r(i)
+"""
+
+
+# --------------------------------------------------------------------------
+# dataset_mixing_plan — per-source temperature-weighted token quotas.
+def dataset_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return rt.mixing_plan(docs)
+
+
+DATASET_MIXING_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_TOKENS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens::DOUBLE, {rt.MIX_ALPHA}) AS raw_w
+  FROM per_src
+),
+tot AS (SELECT sum(raw_w) AS tot_w FROM w)
+SELECT source, n_docs, n_tokens,
+       round(raw_w / tot_w, 6) AS mix_weight,
+       CAST(round(round(raw_w / tot_w, 6) * {rt.MIX_BUDGET_TOKENS}, 0) AS BIGINT)
+         AS quota_tokens,
+       round(CAST(round(round(raw_w / tot_w, 6) * {rt.MIX_BUDGET_TOKENS}, 0) AS BIGINT)
+             / n_tokens::DOUBLE, 4) AS epochs
+FROM w CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# vocab_pair_counts — BPE merge-step statistics (top-20 char pairs).
+_BPE_TOP_N = 20
+
+
+def vocab_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return rt.bpe_pair_counts(docs, top_n=_BPE_TOP_N)
+
+
+VOCAB_PAIR_COUNTS_SQL = f"""
+WITH words AS (
+  SELECT tok, count(*)::BIGINT AS wc
+  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY tok
+),
+pairs AS (
+  SELECT wc, unnest(CASE WHEN len(cs) >= 2
+                         THEN list_transform(range(len(cs)-1),
+                              i -> cs[i+1] || cs[i+2])
+                         ELSE [] END) AS pair
+  FROM (SELECT wc, string_split(tok, '') AS cs FROM words)
+),
+agg AS (
+  SELECT pair, count(*)::BIGINT AS n_words, sum(wc)::BIGINT AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_words, n_occurrences, rank FROM (
+  SELECT pair, n_words, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+  FROM agg
+) WHERE rank <= {_BPE_TOP_N}
+"""
+
+
+QUERIES = {
+    "bm25_search": bm25_search,
+    "random_projection": random_projection,
+    "dataset_mixing_plan": dataset_mixing_plan,
+    "vocab_pair_counts": vocab_pair_counts,
+}
+
+ORACLES = {
+    "bm25_search": BM25_SEARCH_SQL,
+    "random_projection": RANDOM_PROJECTION_SQL,
+    "dataset_mixing_plan": DATASET_MIXING_PLAN_SQL,
+    "vocab_pair_counts": VOCAB_PAIR_COUNTS_SQL,
+}

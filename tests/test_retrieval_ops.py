@@ -1,0 +1,124 @@
+"""Round-4 retrieval/training-mix operators: BM25 ranking, deterministic
+random projection, dataset mixing plan, BPE pair counts — hand-built
+fixtures with known expected values (sf0.01 oracle parity is covered by
+the driver contract; these pin the semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.operators import retrieval as rt
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark join spark window", "en", "s0"),
+        (2, "join join join filter", "en", "s0"),
+        (3, "scan filter merge sort", "en", "s1"),
+        (4, "window window spark", "fr", "s1"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=rt.BM25_K1, b=rt.BM25_B):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_scores_and_rank(spark, docs):
+    out = rt.bm25_topk(docs, ("spark", "join"), k=10).collect()
+    got = {r["doc_id"]: (r["bm25"], r["rank"]) for r in out}
+    # corpus: N=4, avgdl = (4+4+4+3)/4 = 3.75
+    avgdl = 3.75
+    exp1 = round(_bm25(2, 2, 4, 4, avgdl) + _bm25(1, 2, 4, 4, avgdl), 4)
+    exp2 = round(_bm25(3, 2, 4, 4, avgdl), 4)
+    exp4 = round(_bm25(1, 2, 4, 3, avgdl), 4)
+    assert got[1][0] == pytest.approx(exp1, abs=1e-4)
+    assert got[2][0] == pytest.approx(exp2, abs=1e-4)
+    assert got[4][0] == pytest.approx(exp4, abs=1e-4)
+    # doc 3 matches no term -> absent
+    assert 3 not in got
+    # ranks follow score desc
+    ranks = sorted(got.values(), key=lambda t: t[1])
+    assert [s for s, _ in ranks] == sorted((s for s, _ in ranks), reverse=True)
+
+
+def test_bm25_respects_k(spark, docs):
+    out = rt.bm25_topk(docs, ("spark", "join"), k=2).collect()
+    assert len(out) == 2
+    assert {r["rank"] for r in out} == {1, 2}
+
+
+def test_projection_signs_deterministic_and_mixed():
+    s = rt.projection_signs(16, 4)
+    assert s == rt.projection_signs(16, 4)
+    assert all(len(row) == 16 for row in s) and len(s) == 4
+    # not degenerate: every row mixes both signs, rows differ
+    for row in s:
+        assert {-1, 1} == set(row) or len(set(row)) == 2
+    assert len({tuple(r) for r in s}) == 4
+
+
+def test_random_project_values(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, 0.0]), (2, [0.0, 1.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = rt.random_project(emb, in_dim=4, out_dim=2).collect()
+    signs = rt.projection_signs(4, 2)
+    scale = 1 / math.sqrt(2)
+    exp = {}
+    for vid, v in [(1, [1.0, 0.0, 2.0, 0.0]), (2, [0.0, 1.0, 0.0, 1.0])]:
+        for j in range(2):
+            exp[(vid, j)] = round(
+                sum(x * s for x, s in zip(v, signs[j])) * scale, 6
+            )
+    got = {(r["vec_id"], r["dim"]): r["rp_val"] for r in out}
+    assert got == exp
+
+
+def test_mixing_plan_weights_sum_and_budget(spark, docs):
+    out = rt.mixing_plan(docs, alpha=0.5, budget_tokens=1000).collect()
+    by_src = {r["source"]: r for r in out}
+    # s0: docs 1,2 -> 8 tokens; s1: docs 3,4 -> 7 tokens
+    assert by_src["s0"]["n_tokens"] == 8 and by_src["s1"]["n_tokens"] == 7
+    raw0, raw1 = math.sqrt(8), math.sqrt(7)
+    tot = raw0 + raw1
+    assert by_src["s0"]["mix_weight"] == pytest.approx(raw0 / tot, abs=1e-6)
+    # alpha < 1 upsamples the smaller source relative to proportional
+    assert by_src["s1"]["mix_weight"] > 7 / 15 - 1e-9
+    # quotas approximately exhaust the budget (rounding drift < n_sources)
+    assert abs(sum(r["quota_tokens"] for r in out) - 1000) <= 2
+    assert by_src["s0"]["epochs"] == pytest.approx(
+        by_src["s0"]["quota_tokens"] / 8, abs=1e-4
+    )
+
+
+def test_bpe_pair_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab ab", "en", "s0"), (2, "ab cd", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = rt.bpe_pair_counts(docs, top_n=10).collect()
+    got = {r["pair"]: (r["n_words"], r["n_occurrences"], r["rank"]) for r in out}
+    # words: abab(1), ab(2), cd(1).  Pairs: abab -> ab,ba,ab ; ab -> ab ; cd -> cd
+    # 'ab': words {abab, ab} -> n_words 2; occurrences 2*1 + 1*2 = weight-sum
+    # of word counts per pair occurrence: abab contributes its wc (1) per
+    # occurrence of 'ab' in it (x2) and 'ab' contributes wc 2 once.
+    assert got["ab"][1] == 1 + 1 + 2  # two in 'abab' (wc 1 each) + one in 'ab' (wc 2)
+    assert got["ba"] == (1, 1, got["ba"][2])
+    assert got["cd"] == (1, 1, got["cd"][2])
+    assert got["ab"][2] == 1  # most frequent pair ranks first
+
+
+def test_single_char_words_produce_no_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s0")], "doc_id long, text string, lang string, source string"
+    )
+    assert rt.bpe_pair_counts(docs, top_n=5).count() == 0
