@@ -7,7 +7,10 @@ Five operators, all UDF-free DataFrame compositions:
 * ``repetition_stats``     — Gopher-style repetition quality signals
                              (Rae et al. 2021 §A1.1): duplicate-word,
                              top-bigram and duplicate-trigram fractions
-                             per document, with a keep/drop verdict.
+                             per document, with a keep/drop verdict —
+                             two exchanges end-to-end (one unified
+                             (id, kind, gram) hash-agg + one per-id
+                             rollup), grams computed map-side.
 * ``stratified_split``     — deterministic hash-based train/val/test
                              assignment, stratified so every stratum
                              splits at the same ratios.
@@ -30,7 +33,7 @@ global sort); semantic dedup pairs only within cells (expected cell
 size N/n_cells, same candidate-generation contract as IVF ANN).
 
 Caching contract: operators whose plan reads an intermediate from BOTH
-sides of a self-join (``repetition_stats``'s gram rows,
+sides of a join (``unigram_surprise``'s tf table,
 ``semantic_dedup_pairs``'s assignment) ``persist()`` that intermediate
 and deliberately do NOT unpersist — the returned DataFrame is lazy, so
 the operator cannot know when its caches are safe to drop.  Long-lived
@@ -64,22 +67,35 @@ DUP_TRIGRAM_MAX = 0.50
 
 
 def _gram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, tok, bigram, trigram) — one row per token OCCURRENCE, with
-    the bigram/trigram starting at that token (NULL near the doc end).
-    One exchange: hash by id + sort by pos for the two lead() windows."""
+    """(id, kind, gram) — one row per token / bigram / trigram
+    OCCURRENCE (kind 1/2/3), computed entirely MAP-SIDE: the
+    bigram/trigram at position p reads the token array via ``F.get``
+    (NULL-safe out-of-bounds) while the array is still in the row, so
+    no window, no sort, no exchange happens before the gram strings are
+    projected out."""
     toks = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    ex = toks.select("id", F.posexplode("toks").alias("pos", "tok"))
-    w = Window.partitionBy("id").orderBy("pos")
-    nxt1, nxt2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-    return ex.select(
-        "id",
-        "tok",
-        F.when(nxt1.isNotNull(), F.concat_ws(" ", "tok", nxt1)).alias("bigram"),
-        F.when(nxt2.isNotNull(), F.concat_ws(" ", F.col("tok"), nxt1, nxt2)).alias(
-            "trigram"
+    ex = toks.select("id", "toks", F.posexplode("toks").alias("pos", "tok"))
+    n1 = F.get("toks", F.col("pos") + 1)
+    n2 = F.get("toks", F.col("pos") + 2)
+    grams = F.array(
+        F.struct(F.lit(1).alias("kind"), F.col("tok").alias("gram")),
+        F.struct(
+            F.lit(2).alias("kind"),
+            F.when(n1.isNotNull(), F.concat_ws(" ", "tok", n1)).alias("gram"),
         ),
+        F.struct(
+            F.lit(3).alias("kind"),
+            F.when(n2.isNotNull(), F.concat_ws(" ", F.col("tok"), n1, n2)).alias(
+                "gram"
+            ),
+        ),
+    )
+    return (
+        ex.select("id", F.explode(grams).alias("g"))
+        .select("id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
     )
 
 
@@ -97,37 +113,26 @@ def repetition_stats(
     * ``dup_trigram_frac`` = 1 − distinct/total trigram occurrences,
     * ``keep``             = all three under their thresholds.
 
-    Shape: one (id, gram) pre-aggregation per granularity — hash-groupBy
-    with map-side combine, the exact-dedup shape — then a per-id rollup
-    of each and two broadcast-free equi-joins on id.  No count(DISTINCT)
-    expansion, no per-doc quadratic array work.
+    Shape: the three gram granularities ride ONE keyed stream — a
+    single (id, kind, gram) hash-groupBy with map-side combine (the
+    exact-dedup shape), then one per-id rollup with conditional
+    aggregates.  TWO exchanges end-to-end, no window, no joins, no
+    count(DISTINCT) expansion, no per-doc quadratic array work.
     """
-    rows = _gram_rows(df, text_col, id_col).persist()
-    by_tok = (
-        rows.groupBy("id", "tok")
+    counted = (
+        _gram_rows(df, text_col, id_col)
+        .groupBy("id", "kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(
-            F.sum("c").alias("n_tok"),
-            F.count(F.lit(1)).alias("n_distinct_tok"),
-        )
     )
-    by_big = (
-        rows.filter(F.col("bigram").isNotNull())
-        .groupBy("id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias("top_bigram_n"))
-    )
-    by_tri = (
-        rows.filter(F.col("trigram").isNotNull())
-        .groupBy("id", "trigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(
-            F.sum("c").alias("n_tri"),
-            F.count(F.lit(1)).alias("n_distinct_tri"),
-        )
+    is_tok = F.col("kind") == 1
+    is_big = F.col("kind") == 2
+    is_tri = F.col("kind") == 3
+    per_id = counted.groupBy("id").agg(
+        F.sum(F.when(is_tok, F.col("c"))).alias("n_tok"),
+        F.sum(F.when(is_tok, 1).otherwise(0)).alias("n_distinct_tok"),
+        F.max(F.when(is_big, F.col("c"))).alias("top_bigram_n"),
+        F.sum(F.when(is_tri, F.col("c"))).alias("n_tri"),
+        F.sum(F.when(is_tri, 1)).alias("n_distinct_tri"),
     )
     dup_word = F.round(1.0 - F.col("n_distinct_tok") / F.col("n_tok"), 6)
     top_big = F.round(
@@ -140,24 +145,18 @@ def repetition_stats(
         ).otherwise(F.lit(0.0)),
         6,
     )
-    out = (
-        by_tok.join(by_big, "id", "left")
-        .join(by_tri, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_tok",
-            dup_word.alias("dup_word_frac"),
-            top_big.alias("top_bigram_frac"),
-            dup_tri.alias("dup_trigram_frac"),
-        )
-        .withColumn(
-            "keep",
-            (F.col("dup_word_frac") <= DUP_WORD_MAX)
-            & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX)
-            & (F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX),
-        )
+    return per_id.select(
+        F.col("id").alias("doc_id"),
+        "n_tok",
+        dup_word.alias("dup_word_frac"),
+        top_big.alias("top_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= DUP_WORD_MAX)
+        & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX)
+        & (F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX),
     )
-    return out
 
 
 # Split thresholds over the 100 hash buckets: [0,80) train, [80,90)
@@ -287,26 +286,42 @@ def unigram_surprise(
     perplexity filter has the same plan shape with the frequency table
     replaced by a scored column).
 
-    Shape: token occurrence rows → corpus frequency table (one
-    hash-groupBy) → broadcast 1-row total → equi-join occurrences to
-    frequencies on token (shuffle on tok; the frequency table is
-    Zipf-heavy so AQE handles the hot tokens) → per-doc mean (groupBy
-    id).  No driver-side collect: the corpus total is a broadcast
+    Shape: occurrences collapse FIRST to per-(doc, term) counts (one
+    hash-groupBy with map-side combine), the corpus frequency table
+    derives from that same tf table (second hash-agg over distinct
+    doc-terms), and the term equi-join + per-doc rollup then run over
+    tf rows — |distinct (doc, term)|, not |token occurrences|.  The
+    per-doc mean is the count-weighted form ``Σ c·ln(N/n_t) / Σ c``,
+    algebraically identical to the occurrence-level average the oracle
+    computes.  No driver-side collect: the corpus total is a broadcast
     1-row aggregate, the Zipf dictionary never leaves the executors.
+
+    The tf table feeds BOTH the frequency build and the probe side of
+    the join, but is deliberately NOT persisted: its aggregation
+    Exchange is identical on both paths, so Spark reuses the shuffle
+    output (ReusedExchange) — cheaper than materializing the rows
+    through the block manager.
     """
-    occ = spread(df).select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    tf = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
+    freq = tf.groupBy("tok").agg(F.sum("c").alias("tok_n"))
     total = freq.agg(F.sum("tok_n").alias("corpus_n"))
-    scored = occ.join(freq, "tok").join(broadcast(total), how="cross")
+    scored = tf.join(freq, "tok").join(broadcast(total), how="cross")
     return (
         scored.groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.round(F.avg(F.log(F.col("corpus_n") / F.col("tok_n"))), 4).alias(
-                "avg_surprise"
-            ),
+            F.sum("c").alias("n_tok"),
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("corpus_n") / F.col("tok_n")))
+                / F.sum("c"),
+                4,
+            ).alias("avg_surprise"),
         )
         .select(F.col("id").alias(id_col), "n_tok", "avg_surprise")
     )
