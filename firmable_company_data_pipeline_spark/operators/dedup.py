@@ -104,16 +104,18 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, shset array<string>) — the distinct word-n-gram set per doc.
 
-    This is the 100-TB shape for shingling, and it costs ONE shuffle:
-    ``posexplode`` the token array (no shuffle — generator), assemble
-    each n-gram from ``lead()`` windows over (id, pos) (the one exchange:
-    hash-partition by id + sort), then ``collect_set`` per id — which
-    reuses the window's id-partitioning, so dedup-to-set adds no
-    exchange.  (The earlier formulation paid two more shuffles here: a
-    row-level ``distinct()`` on (id, shingle) and a count-over-window
-    for set sizes.)  Codegen'd gram assembly is ~10× faster than the
-    interpreted higher-order-function transform over per-doc arrays
-    (which the Column-level :func:`shingle_array` keeps for small-data /
+    This is the 100-TB shape for shingling, and it costs ONE shuffle
+    with NO sort: ``posexplode`` the token array (no shuffle —
+    generator), assemble each n-gram MAP-SIDE while the token array is
+    still in the row (``F.get(toks, pos+j)`` — codegen'd, NULL-safe),
+    then a hash-agg ``collect_set`` per id whose map-side partial
+    combine dedups grams before the exchange — shuffle volume is
+    distinct grams, not gram occurrences.  (Earlier formulations paid a
+    window sort here — lead() over (id, pos) — and before that two
+    extra shuffles: a row-level ``distinct()`` and a count-over-window.)
+    Codegen'd gram assembly is ~10× faster than the interpreted
+    higher-order-function transform over per-doc arrays (which the
+    Column-level :func:`shingle_array` keeps for small-data /
     oracle-mirror use).
 
     Docs shorter than ``n`` tokens yield no row (callers union empties
@@ -121,21 +123,18 @@ def shingle_sets(
     doc length, so the collect_set state is task-safe at any corpus
     scale.
     """
-    from pyspark.sql import Window
-
     toks = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
     ex = toks.select(
-        "id", F.size("toks").alias("n_tok"), F.posexplode("toks").alias("pos", "tok")
+        "id", F.size("toks").alias("n_tok"), "toks", F.posexplode("toks").alias("pos", "tok")
     )
-    w = Window.partitionBy("id").orderBy("pos")
     gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, n)]
+        " ", F.col("tok"), *[F.get("toks", F.col("pos") + j) for j in range(1, n)]
     )
     return (
-        ex.withColumn("shingle", gram)
-        .filter(F.col("pos") <= F.col("n_tok") - n)
+        ex.filter(F.col("pos") <= F.col("n_tok") - n)
+        .select("id", gram.alias("shingle"))
         .groupBy("id")
         .agg(F.collect_set("shingle").alias("shset"))
     )
@@ -613,24 +612,21 @@ def token_windows(
     """(id, gram) — EVERY k-token window occurrence (not distinct-per-doc
     like shingles): substring-level dedup needs occurrence counts.
 
-    Same codegen'd posexplode + lead-window assembly as
-    :func:`shingle_sets`; one exchange (hash by id + sort by pos)."""
-    from pyspark.sql import Window
-
+    Same MAP-SIDE codegen'd assembly as :func:`shingle_sets`
+    (``F.get(toks, pos+j)`` against the in-row token array) — ZERO
+    exchanges; window rows leave this operator unshuffled."""
     toks = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
     ex = toks.select(
-        "id", F.size("toks").alias("n_tok"), F.posexplode("toks").alias("pos", "tok")
+        "id", F.size("toks").alias("n_tok"), "toks", F.posexplode("toks").alias("pos", "tok")
     )
-    w = Window.partitionBy("id").orderBy("pos")
     gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
+        " ", F.col("tok"), *[F.get("toks", F.col("pos") + j) for j in range(1, k)]
     )
     return (
-        ex.withColumn("gram", gram)
-        .filter(F.col("pos") <= F.col("n_tok") - k)
-        .select("id", "gram")
+        ex.filter(F.col("pos") <= F.col("n_tok") - k)
+        .select("id", gram.alias("gram"))
     )
 
 
