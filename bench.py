@@ -63,6 +63,10 @@ HEADLINE = [
     "random_projection",
     "dataset_mixing_plan",
     "vocab_pair_counts",
+    "funnel_conversion",
+    "user_retention_cohorts",
+    "quality_prune_per_source",
+    "k_anonymity_customers",
 ]
 
 

@@ -388,3 +388,42 @@ def semantic_dedup_pairs(
         .select("id_a", "id_b", "cell", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def quality_prune(
+    docs_with_quality: DataFrame,
+    keep_frac: float = 0.6,
+    quality_col: str = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source adaptive quality pruning: keep the top ``keep_frac``
+    of each source's documents by quality score (rank ties broken by
+    id, so the cut is deterministic).  Sources with different quality
+    distributions each keep their best — the standard alternative to
+    one global threshold that would wipe out whole sources.
+
+    Output (doc_id, source, quality, src_rank, n_src, keep).
+
+    Shape: ONE window per source partition (rank + partition count
+    share the same exchange) — parallel across sources, never a global
+    sort.  For a corpus where single sources are shuffle-partition-
+    sized (billions of docs in one source at 100 TB), swap the exact
+    rank for an ``approx_percentile`` threshold per source (broadcast
+    back) — documented approximation, same output contract.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = docs_with_quality.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(quality_col),
+        F.row_number().over(w).alias("src_rank"),
+        F.count(F.lit(1)).over(wn).alias("n_src"),
+    )
+    return ranked.withColumn(
+        "keep",
+        F.col("src_rank") <= F.ceil(F.col("n_src") * keep_frac).cast("long"),
+    )

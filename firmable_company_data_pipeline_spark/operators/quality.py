@@ -141,3 +141,34 @@ def enforce(df: DataFrame, predicate: Column) -> DataFrame:
     dropped (the P5/P6 pattern as a reusable operator).  Pair with
     ``expression_violations`` to count what was dropped."""
     return df.filter(F.coalesce(predicate.cast("boolean"), F.lit(False)))
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: how many
+    equivalence classes (distinct quasi-identifier combinations) have
+    fewer than ``k`` rows, and how many rows those classes expose — the
+    re-identification screen run before releasing or training on
+    tabular records (Sweeney 2002).
+
+    Output one row: (k, n_groups, n_small_groups, n_exposed_rows,
+    exposed_frac).  Shape: ONE shuffle (hash-groupBy on the quasi
+    tuple, map-side combined) + a 1-row conditional rollup — the same
+    cost as a grouped count at any scale.
+    """
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    small = F.col("n") < k
+    return groups.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_groups"),
+        F.sum(F.when(small, F.col("n")).otherwise(0)).cast("long").alias(
+            "n_exposed_rows"
+        ),
+        F.round(
+            F.sum(F.when(small, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("exposed_frac"),
+    )

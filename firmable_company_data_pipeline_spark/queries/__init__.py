@@ -86,6 +86,7 @@ _DRIVER_WINDOW_PRIORITY = (
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from firmable_company_data_pipeline_spark.queries import (
         advanced,
+        analytics,
         cleaning,
         core,
         curation,
@@ -114,6 +115,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         training,
         curation,
         retrieval,
+        analytics,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

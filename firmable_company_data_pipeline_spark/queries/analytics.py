@@ -1,0 +1,158 @@
+"""Behavioral / governance analytics queries, round 4 (charter
+extensions): funnel conversion, cohort retention, per-source quality
+pruning, k-anonymity audit.
+
+Oracle-parity design as in ``queries/curation.py``: identical aliases
+both engines, rates rounded before compare, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.functions import textstats as ts
+from firmable_company_data_pipeline_spark.operators import behavior as bh
+from firmable_company_data_pipeline_spark.operators import curation as cu
+from firmable_company_data_pipeline_spark.operators.quality import k_anonymity_report
+from firmable_company_data_pipeline_spark.session import load_tables, spread
+
+
+# --------------------------------------------------------------------------
+# funnel_conversion — view → click → purchase first-touch funnel.
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return bh.funnel_report(events, steps=("view", "click", "purchase"))
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT count(*) FROM s0) AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2
+)
+SELECT 'view' AS step, 0 AS step_idx, n0::BIGINT AS n_users,
+       NULL::DOUBLE AS conv_from_prev, 1.0 AS conv_from_first FROM c
+UNION ALL
+SELECT 'click', 1, n1::BIGINT,
+       CASE WHEN n0 > 0 THEN round(n1 / n0::DOUBLE, 4) END,
+       CASE WHEN n0 > 0 THEN round(n1 / n0::DOUBLE, 4) END FROM c
+UNION ALL
+SELECT 'purchase', 2, n2::BIGINT,
+       CASE WHEN n1 > 0 THEN round(n2 / n1::DOUBLE, 4) END,
+       CASE WHEN n0 > 0 THEN round(n2 / n0::DOUBLE, 4) END FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# user_retention_cohorts — day-grain cohort retention triangle.
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return bh.retention_cohorts(events)
+
+
+USER_RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+SELECT cohort_day,
+       date_diff('day', cohort_day, day)::BIGINT AS age_days,
+       count(*)::BIGINT AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cohort_day, age_days
+"""
+
+
+# --------------------------------------------------------------------------
+# quality_prune_per_source — keep top 60% by quality within each source.
+_PRUNE_FRAC = 0.6
+
+
+def quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    with_q = ts.text_features(spread(docs), keep=("doc_id", "source")).select(
+        "doc_id", "source", "quality"
+    )
+    return cu.quality_prune(with_q, keep_frac=_PRUNE_FRAC)
+
+
+def _quality_prune_sql() -> str:
+    from firmable_company_data_pipeline_spark.queries.llmops import TEXT_STATS_SQL
+
+    return f"""
+WITH q AS (
+  SELECT s.doc_id, d.source, s.quality
+  FROM ({TEXT_STATS_SQL}) s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS src_rank,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM q
+)
+SELECT doc_id, source, quality, src_rank, n_src,
+       src_rank <= CAST(ceil(n_src * {_PRUNE_FRAC}) AS BIGINT) AS keep
+FROM ranked
+"""
+
+
+QUALITY_PRUNE_PER_SOURCE_SQL = _quality_prune_sql()
+
+
+# --------------------------------------------------------------------------
+# k_anonymity_customers — re-identification audit on (nation, segment).
+_KANON_K = 5
+_KANON_COLS = ("c_nationkey", "c_mktsegment")
+
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return k_anonymity_report(cust, _KANON_COLS, k=_KANON_K)
+
+
+K_ANONYMITY_CUSTOMERS_SQL = f"""
+WITH g AS (
+  SELECT {", ".join(_KANON_COLS)}, count(*) AS n
+  FROM customer GROUP BY {", ".join(_KANON_COLS)}
+)
+SELECT {_KANON_K} AS k,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END)::BIGINT AS n_small_groups,
+       sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)::BIGINT AS n_exposed_rows,
+       round(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) / sum(n)::DOUBLE, 6)
+         AS exposed_frac
+FROM g
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "user_retention_cohorts": user_retention_cohorts,
+    "quality_prune_per_source": quality_prune_per_source,
+    "k_anonymity_customers": k_anonymity_customers,
+}
+
+ORACLES = {
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
+    "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
+    "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,
+}

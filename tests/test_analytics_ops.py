@@ -1,0 +1,112 @@
+"""Round-4 behavioral/governance operators: funnel conversion, cohort
+retention, per-source quality pruning, k-anonymity — hand-built fixtures
+with known expected values (sf0.01 oracle parity is covered by the
+driver contract; these pin the semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from firmable_company_data_pipeline_spark.operators import behavior as bh
+from firmable_company_data_pipeline_spark.operators import curation as cu
+from firmable_company_data_pipeline_spark.operators.quality import k_anonymity_report
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _t(day, h=0):
+    return dt.datetime(2024, 1, day, h)
+
+
+def test_funnel_orders_steps_strictly(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, _t(1, 1), 1, "view"),
+        (2, _t(1, 2), 1, "click"),
+        (3, _t(1, 3), 1, "purchase"),
+        # u2: click BEFORE view -> click does not count (no later click)
+        (4, _t(2, 1), 2, "click"),
+        (5, _t(2, 2), 2, "view"),
+        (6, _t(2, 3), 2, "purchase"),
+        # u3: view only
+        (7, _t(3, 1), 3, "view"),
+        # u4: purchase before click: view->click ok, purchase dropped
+        (8, _t(4, 1), 4, "view"),
+        (9, _t(4, 2), 4, "purchase"),
+        (10, _t(4, 3), 4, "click"),
+    ]
+    out = {r["step"]: r for r in bh.funnel_report(_ev(spark, rows)).collect()}
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 2  # u1, u4
+    assert out["purchase"]["n_users"] == 1  # u1 only
+    assert out["view"]["conv_from_prev"] is None
+    assert out["view"]["conv_from_first"] == 1.0
+    assert out["click"]["conv_from_prev"] == pytest.approx(0.5)
+    assert out["purchase"]["conv_from_prev"] == pytest.approx(0.5)
+    assert out["purchase"]["conv_from_first"] == pytest.approx(0.25)
+    assert [out[s]["step_idx"] for s in ("view", "click", "purchase")] == [0, 1, 2]
+
+
+def test_retention_cohort_triangle(spark):
+    rows = [
+        # u1 first seen day 1, active days 1, 2, 4
+        (1, _t(1), 1, "view"),
+        (2, _t(2), 1, "click"),
+        (3, _t(4), 1, "view"),
+        (4, _t(1, 5), 1, "view"),  # same day dup -> one (user, day)
+        # u2 first seen day 1, active day 1 only
+        (5, _t(1), 2, "view"),
+        # u3 first seen day 2, active days 2 and 4
+        (6, _t(2), 3, "view"),
+        (7, _t(4), 3, "view"),
+    ]
+    out = {
+        (r["cohort_day"].isoformat(), r["age_days"]): r["n_users"]
+        for r in bh.retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out[("2024-01-01", 0)] == 2  # u1, u2
+    assert out[("2024-01-01", 1)] == 1  # u1 on day 2
+    assert out[("2024-01-01", 3)] == 1  # u1 on day 4
+    assert out[("2024-01-02", 0)] == 1  # u3
+    assert out[("2024-01-02", 2)] == 1  # u3 on day 4
+    assert ("2024-01-01", 2) not in out
+
+
+def test_quality_prune_keeps_top_frac_per_source(spark):
+    rows = [
+        (1, "a", 0.9),
+        (2, "a", 0.8),
+        (3, "a", 0.7),
+        (4, "a", 0.6),
+        (5, "b", 0.5),
+        (6, "b", 0.4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = {r["doc_id"]: r for r in cu.quality_prune(df, keep_frac=0.5).collect()}
+    # source a: 4 docs -> ceil(2) kept; source b: 2 docs -> ceil(1) kept
+    assert [out[i]["keep"] for i in (1, 2, 3, 4)] == [True, True, False, False]
+    assert out[5]["keep"] and not out[6]["keep"]
+    assert out[1]["src_rank"] == 1 and out[4]["n_src"] == 4
+
+
+def test_quality_prune_tie_breaks_by_id(spark):
+    rows = [(1, "a", 0.5), (2, "a", 0.5), (3, "a", 0.5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = {r["doc_id"]: r["keep"] for r in cu.quality_prune(df, keep_frac=1 / 3).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_k_anonymity_counts(spark):
+    rows = [("x", 1)] * 6 + [("x", 2)] * 3 + [("y", 1)] * 1
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    r = k_anonymity_report(df, ("seg", "nat"), k=5).collect()[0]
+    assert r["k"] == 5 and r["n_groups"] == 3
+    assert r["n_small_groups"] == 2  # (x,2) size 3 and (y,1) size 1
+    assert r["n_exposed_rows"] == 4
+    assert r["exposed_frac"] == pytest.approx(0.4)
