@@ -59,26 +59,28 @@ _DRIVER_WINDOW_PRIORITY = (
     "ann_recall_report",
     "chunk_documents",
     "curation_report",
-    # one representative per already-verified operator family (the six
-    # core-OLAP reps displaced this round carry THREE rounds of green
-    # driver rows, r1-r3)
-    "match_rule_based",
+    # round-4 continuation (never driver-checked): retrieval/training-mix
+    # + behavioral/governance analytics
+    "bm25_search",
+    "random_projection",
+    "dataset_mixing_plan",
+    "vocab_pair_counts",
+    "funnel_conversion",
+    "user_retention_cohorts",
+    "quality_prune_per_source",
+    "k_anonymity_customers",
+    # one representative per already-verified operator family (every
+    # rep displaced from the window this round carries THREE rounds of
+    # green driver rows, r1-r3)
     "match_fuzzy_blocked",
     "match_llm_stub",
-    "match_cascade_full",
     "text_stats",
-    "corpus_profile_by_source",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_embedding_cosine",
-    "ann_brute_force",
     "ann_ivf",
     "multimodal_features",
-    "label_centroids",
     "events_tumbling_1h",
-    "events_session_5m",
     "events_dedup_union",
 )
 
