@@ -67,6 +67,10 @@ HEADLINE = [
     "user_retention_cohorts",
     "quality_prune_per_source",
     "k_anonymity_customers",
+    "apply_mixing_plan",
+    "vocab_coverage",
+    "embedding_norm_histogram",
+    "pagerank_neardup",
 ]
 
 

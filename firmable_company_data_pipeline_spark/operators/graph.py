@@ -1,0 +1,70 @@
+"""Graph operators over near-duplicate pair streams (charter extension,
+round 4 — iterative-algorithm family alongside
+``dedup.connected_components``).
+
+``pagerank`` ranks documents by centrality in the near-dup similarity
+graph — the practical use in a curation pipeline is picking the
+*canonical* survivor of a duplicate cluster by connectivity (the most
+"central" variant) instead of by minimum id, and surfacing template
+hubs (one page duplicated across thousands of sites scores high).
+
+Scale shape: each iteration is one equi-join of the rank vector against
+the edge list (shuffle on node id, AQE-handled skew for hub nodes) plus
+a hash-agg contribution sum — the textbook Spark PageRank loop, fixed
+iteration count, nothing but the convergence constants on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair graph (each pair contributes an
+    edge in both directions).  Fixed ``iters`` power iterations of
+    ``pr(v) = (1-d)/N + d·Σ_{u~v} pr(u)/deg(u)``; isolated nodes never
+    appear (pairs define the node set).
+
+    Output (id, pagerank) rounded to 6 dp.  Float note: the
+    contribution sum's partition order is engine-dependent, so this
+    operator is checked rows-only (no SQL oracle) — the semantics are
+    pinned by the fixture test instead.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = broadcast(deg.agg(F.count(F.lit(1)).alias("n")))
+    pr = deg.crossJoin(n_nodes).select(
+        "src", "deg", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("in_sum"))
+        )
+        pr = (
+            deg.join(contrib, deg.src == contrib.dst, "left")
+            .crossJoin(n_nodes)
+            .select(
+                "src",
+                "deg",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(F.col("src").alias("id"), F.round("pr", 6).alias("pagerank"))

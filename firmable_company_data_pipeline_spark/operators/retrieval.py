@@ -285,3 +285,93 @@ def bpe_pair_counts(
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= top_n)
+
+
+def apply_mixing(
+    docs: DataFrame,
+    alpha: float = MIX_ALPHA,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a :func:`mixing_plan`: per document, how many copies
+    enter the training mix.  ``n_copies = floor(epochs_s)`` plus one
+    more for the deterministic hash-fraction of the source that covers
+    the fractional epoch — expected per-source token volume equals the
+    plan quota, with zero RNG (fold-hash bucket of ``"{source}|{id}"``,
+    the same device as the stratified split).
+
+    Shape: the plan is one row per source → broadcast join onto the
+    corpus scan; the bucket is a map-side projection.  One pass.
+    """
+    from firmable_company_data_pipeline_spark.functions.textstats import (
+        char_fold_hash,
+    )
+
+    plan = mixing_plan(docs, alpha, budget_tokens, source_col, text_col)
+    bucket = char_fold_hash(
+        F.concat_ws("|", F.col("source"), F.col(id_col).cast("string"))
+    ) % 100
+    e = F.col("epochs")
+    frac_buckets = F.floor((e - F.floor(e)) * 100)
+    return (
+        spread(docs)
+        .select(F.col(id_col), F.col(source_col).alias("source"))
+        .join(broadcast(plan.select("source", "epochs")), "source")
+        .select(
+            id_col,
+            "source",
+            (
+                F.floor(e)
+                + F.when(bucket < frac_buckets, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_copies"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    checkpoints: tuple[int, ...] = (100, 1000, 5000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative corpus coverage of the top-N vocabulary: for each
+    checkpoint N, the fraction of all token occurrences covered by the
+    N most frequent tokens — the tokenizer-sizing curve (how much OOV
+    mass a vocab budget leaves behind).
+
+    Output (vocab_size, covered_tokens, coverage) rows, one per
+    checkpoint.  Shape: corpus-sized hash-agg to the vocabulary, then a
+    rank over the VOCABULARY table (dictionary-scale; Zipf-bounded — at
+    100 TB this sort is millions of rows, not corpus-sized) and a 1-row
+    conditional rollup.
+    """
+    freq = (
+        spread(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.select(
+        "n", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))).alias("r")
+    )
+    total = broadcast(freq.agg(F.sum("n").alias("total")))
+    wide = ranked.agg(
+        *[
+            F.sum(F.when(F.col("r") <= cp, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"c{cp}")
+            for cp in checkpoints
+        ]
+    ).crossJoin(total)
+    stack = ", ".join(f"{cp}, c{cp}" for cp in checkpoints)
+    return wide.selectExpr(
+        f"stack({len(checkpoints)}, {stack}) as (vocab_size, covered_tokens)",
+        "total",
+    ).select(
+        "vocab_size",
+        "covered_tokens",
+        F.round(F.col("covered_tokens") / F.col("total"), 6).alias("coverage"),
+    )

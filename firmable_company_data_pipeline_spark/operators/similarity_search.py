@@ -313,3 +313,28 @@ def quantized_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def norm_histogram(
+    emb: DataFrame,
+    bin_width: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Equi-width histogram of embedding L2 norms — the standard
+    embedding-hygiene report (zero-norm and outlier-norm vectors break
+    cosine math downstream; a drifting norm distribution flags encoder
+    regressions).
+
+    Output (bin, lo, n_vecs) with ``lo = bin · bin_width`` rounded to
+    2 dp.  Shape: map-only norm + band id (the computed-key range-join
+    device), one bounded hash-agg — a grouped count at any scale.
+    """
+    norm = F.sqrt(norm2(to_double(F.col(vec_col))))
+    return (
+        spread(emb)
+        .select(F.floor(norm / bin_width).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select("bin", F.round(F.col("bin") * bin_width, 2).alias("lo"), "n_vecs")
+    )

@@ -615,6 +615,44 @@ GROUP BY label, i
 """
 
 
+# --------------------------------------------------------------------------
+# embedding_norm_histogram — embedding-hygiene norm distribution.
+_NORM_BIN_W = 0.5
+
+
+def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        norm_histogram,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return norm_histogram(emb, bin_width=_NORM_BIN_W)
+
+
+EMBEDDING_NORM_HISTOGRAM_SQL = f"""
+WITH e AS (
+  SELECT CAST(floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(embedding::DOUBLE[], x -> x * x)), (a, x) -> a + x))
+           / {_NORM_BIN_W}) AS BIGINT) AS bin
+  FROM embeddings
+)
+SELECT bin, round(bin * {_NORM_BIN_W}::DOUBLE, 2) AS lo, count(*)::BIGINT AS n_vecs
+FROM e GROUP BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# pagerank_neardup — centrality over the near-dup graph (iterative; no
+# SQL oracle: the contribution sum's float order is engine-dependent, so
+# the driver records a rows-only check — semantics pinned by
+# tests/test_graph_ops.py against hand-computed fixtures).
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.graph import pagerank
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return pagerank(dd.ngram_jaccard_pairs(docs, threshold=0.8), iters=5)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_profile_by_source": corpus_profile_by_source,
@@ -632,6 +670,8 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
     "label_centroids": label_centroids,
+    "embedding_norm_histogram": embedding_norm_histogram,
+    "pagerank_neardup": pagerank_neardup,
 }
 
 ORACLES = {
@@ -651,4 +691,7 @@ ORACLES = {
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "embedding_norm_histogram": EMBEDDING_NORM_HISTOGRAM_SQL,
+    # pagerank_neardup intentionally absent: rows-only check (see its
+    # docstring).
 }

@@ -156,11 +156,65 @@ SELECT pair, n_words, n_occurrences, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# apply_mixing_plan — materialize the mix: copies per document.
+def apply_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return rt.apply_mixing(docs)
+
+
+def _fold(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(string_split({expr}, ''), "
+        f"c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % 1000000007)"
+    )
+
+
+APPLY_MIXING_PLAN_SQL = f"""
+WITH plan AS ({DATASET_MIXING_PLAN_SQL})
+SELECT d.doc_id, d.source,
+       (CAST(floor(p.epochs) AS BIGINT)
+        + CASE WHEN {_fold("concat_ws('|', d.source, d.doc_id::VARCHAR)")} % 100
+                    < CAST(floor((p.epochs - floor(p.epochs)) * 100) AS BIGINT)
+               THEN 1 ELSE 0 END) AS n_copies
+FROM documents d JOIN plan p USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
+# vocab_coverage — corpus coverage of the top-N vocabulary.
+_COV_CHECKPOINTS = (100, 1000, 5000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return rt.vocab_coverage(docs, checkpoints=_COV_CHECKPOINTS)
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH freq AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM freq),
+tot AS (SELECT sum(n) AS total FROM freq)
+{" UNION ALL ".join(
+    f'''SELECT {cp} AS vocab_size,
+       sum(CASE WHEN r <= {cp} THEN n ELSE 0 END)::BIGINT AS covered_tokens,
+       round(sum(CASE WHEN r <= {cp} THEN n ELSE 0 END) / total::DOUBLE, 6)
+         AS coverage
+FROM ranked CROSS JOIN tot GROUP BY total''' for cp in _COV_CHECKPOINTS)}
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search,
     "random_projection": random_projection,
     "dataset_mixing_plan": dataset_mixing_plan,
     "vocab_pair_counts": vocab_pair_counts,
+    "apply_mixing_plan": apply_mixing_plan,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -168,4 +222,6 @@ ORACLES = {
     "random_projection": RANDOM_PROJECTION_SQL,
     "dataset_mixing_plan": DATASET_MIXING_PLAN_SQL,
     "vocab_pair_counts": VOCAB_PAIR_COUNTS_SQL,
+    "apply_mixing_plan": APPLY_MIXING_PLAN_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
 }

@@ -1,0 +1,55 @@
+"""PageRank over near-dup pair graphs: hand-computed fixtures (the
+query has no SQL oracle — float summation order is engine-dependent —
+so semantics are pinned here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from firmable_company_data_pipeline_spark.operators.graph import pagerank
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def _reference_pagerank(edges, iters, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    deg = {u: sum(1 for s, _ in und if s == u) for u in nodes}
+    n = len(nodes)
+    pr = {u: 1 / n for u in nodes}
+    for _ in range(iters):
+        pr = {
+            v: (1 - d) / n + d * sum(pr[s] / deg[s] for s, t in und if t == v)
+            for v in nodes
+        }
+    return pr
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pagerank_matches_reference(spark, iters):
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    out = {r["id"]: r["pagerank"] for r in pagerank(_pairs(spark, edges), iters=iters).collect()}
+    ref = _reference_pagerank(edges, iters)
+    assert set(out) == set(ref)
+    for u in ref:
+        assert out[u] == pytest.approx(ref[u], abs=1e-5)
+
+
+def test_pagerank_hub_scores_highest(spark):
+    # star: 1 connected to 2..5 — the hub must outrank the leaves
+    edges = [(1, i) for i in range(2, 6)]
+    out = {r["id"]: r["pagerank"] for r in pagerank(_pairs(spark, edges)).collect()}
+    assert out[1] == max(out.values())
+    leaf_vals = {out[i] for i in range(2, 6)}
+    assert len(leaf_vals) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_mass_conserved(spark):
+    edges = [(1, 2), (3, 4), (2, 3)]
+    out = pagerank(_pairs(spark, edges), iters=8).collect()
+    assert sum(r["pagerank"] for r in out) == pytest.approx(1.0, abs=1e-4)

@@ -122,3 +122,42 @@ def test_single_char_words_produce_no_pairs(spark):
         [(1, "a b c", "en", "s0")], "doc_id long, text string, lang string, source string"
     )
     assert rt.bpe_pair_counts(docs, top_n=5).count() == 0
+
+
+def test_apply_mixing_copies_match_plan(spark, docs):
+    plan = {r["source"]: r for r in rt.mixing_plan(docs, budget_tokens=30).collect()}
+    out = rt.apply_mixing(docs, budget_tokens=30).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["n_copies"])
+    for src, copies in by_src.items():
+        e = plan[src]["epochs"]
+        import math
+
+        lo, hi = math.floor(e), math.floor(e) + 1
+        assert all(c in (lo, hi) for c in copies)
+    # every doc present exactly once
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 4]
+
+
+def test_vocab_coverage_monotone_and_complete(spark, docs):
+    out = {r["vocab_size"]: r for r in rt.vocab_coverage(docs, checkpoints=(1, 2, 100)).collect()}
+    assert out[1]["coverage"] <= out[2]["coverage"] <= out[100]["coverage"]
+    assert out[100]["coverage"] == pytest.approx(1.0)
+    # top-1 covers exactly the most frequent token's share (join: 4 of 15)
+    assert out[1]["covered_tokens"] == 4
+
+
+def test_norm_histogram_bins(spark):
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        norm_histogram,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.3, 0.4]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["bin"]: r for r in norm_histogram(emb, bin_width=1.0).collect()}
+    assert out[5]["n_vecs"] == 1  # norm 5.0
+    assert out[0]["n_vecs"] == 2  # norms 0.5 and 0.0
+    assert out[5]["lo"] == 5.0
