@@ -16,6 +16,7 @@ JDBC is the optional compatibility sink.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_jdbc(
@@ -288,4 +289,65 @@ def read_json_lenient(spark: SparkSession, path: str, schema):
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
+    )
+
+
+def read_csv_lenient(spark: SparkSession, path: str, schema, **options):
+    """CSV scan with corrupt-record capture — the delimited-file twin of
+    :func:`read_json_lenient` (the ABR distribution also ships lookup
+    CSVs; at corpus scale ragged rows are a certainty).  PERMISSIVE mode
+    lands unparseable lines in ``_corrupt_record`` for quarantine
+    routing; explicit schema (inference would cost a full extra pass).
+
+    ``options`` pass through to the reader (``header``, ``sep``, ...).
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if "_corrupt_record" not in schema.names:
+        schema = StructType(list(schema.fields)).add(
+            "_corrupt_record", StringType()
+        )
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_cols: list[str],
+    target_partitions: int | None = None,
+) -> None:
+    """Pruning-optimized parquet layout: directory-partition by the
+    coarse key, cluster rows WITHIN each task by ``sort_cols`` so
+    parquet row-group min/max statistics become selective — readers
+    filtering on the sort key skip row groups without touching data
+    (the poor man's Z-order; at 100 TB this is the difference between
+    scanning a partition and scanning a few row groups of it).
+
+    ``repartition(partition_by)`` first, so each directory partition is
+    written by few tasks (no small-file explosion), then
+    ``sortWithinPartitions(partition_by..., sort_cols...)`` — a
+    task-local sort, never a global one.  The partition columns LEAD
+    the sort so the file writer's required ordering (rows grouped by
+    partition value) is already satisfied and it adds no re-sort of its
+    own — otherwise ``FileFormatWriter`` sorts by the partition columns
+    only and destroys the clustering this function exists to create.
+    """
+    parts = (
+        df.repartition(target_partitions, *[F.col(c) for c in partition_by])
+        if target_partitions
+        else df.repartition(*[F.col(c) for c in partition_by])
+    )
+    (
+        parts.sortWithinPartitions(*partition_by, *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
     )

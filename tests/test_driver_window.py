@@ -18,5 +18,9 @@ def test_first_50_queries_match_priority_window():
         "rotate a query out for every one rotated in"
     )
     assert names[:50] == window
-    # every registered query has an oracle (full gate coverage)
-    assert set(e.oracle_sql()) == set(names)
+    # every registered query has an oracle (full gate coverage), except
+    # the explicit rows-only set: iterative float algorithms whose
+    # summation order is engine-dependent (semantics pinned by fixture
+    # tests instead — see each query's docstring).
+    rows_only = {"pagerank_neardup"}
+    assert set(e.oracle_sql()) == set(names) - rows_only
