@@ -268,3 +268,65 @@ def test_semantic_dedup_joins_on_cell_only(plans):
 def test_repetition_stats_no_expand(plans):
     # the two-phase distinct avoids count(DISTINCT)'s Expand node
     assert "Expand" not in plans("quality_repetition")
+
+
+def test_shingles_have_no_window_sort(plans):
+    """r4 map-side gram assembly: no WindowExec (lead) anywhere in the
+    shingle consumers — the sort the rewrite removed must stay gone."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "contamination_check"):
+        assert "Window" not in plans(name), name
+
+
+def test_repetition_two_exchanges(plans):
+    """r4 unified gram stream: one (id,kind,gram) hash-agg + one per-id
+    rollup; spread()'s local fan-out may add round-robin exchanges but
+    no window/join machinery."""
+    p = plans("quality_repetition")
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_bm25_broadcasts_stats_and_filters_before_shuffle(plans):
+    p = plans("bm25_search")
+    # df table and N/avgdl scalars broadcast; the posting shuffle carries
+    # only matched terms (the array_contains filter sits below the agg)
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p  # 1-row stats cross join
+    assert "CartesianProduct" not in p
+
+
+def test_random_projection_zero_exchange(plans):
+    # literal sign matrix, map-only (spread()'s round-robin fan-out is
+    # the only permissible exchange kind)
+    import re
+
+    p = plans("random_projection")
+    assert not [
+        m for m in re.findall(r"Exchange (\w+)", p) if m != "RoundRobinPartitioning"
+    ]
+
+
+def test_funnel_pushes_event_type_filters(plans):
+    p = plans("funnel_conversion")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # each step's scan carries its own pushed type predicate
+    assert p.count("EqualTo(event_type,view)") >= 1
+    assert p.count("EqualTo(event_type,click)") >= 1
+    assert p.count("EqualTo(event_type,purchase)") >= 1
+
+
+def test_mixing_apply_broadcasts_plan(plans):
+    p = plans("apply_mixing_plan")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_norm_histogram_single_agg(plans):
+    import re
+
+    p = plans("embedding_norm_histogram")
+    hash_ex = [
+        m for m in re.findall(r"Exchange (\w+)", p) if m == "hashpartitioning"
+    ]
+    assert len(hash_ex) <= 1
+    assert "Join" not in p
