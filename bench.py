@@ -71,6 +71,7 @@ HEADLINE = [
     "vocab_coverage",
     "embedding_norm_histogram",
     "pagerank_neardup",
+    "waiting_suppliers",
 ]
 
 

@@ -94,6 +94,46 @@ def funnel_report(
     return out
 
 
+def funnel_user_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel stage under the same first-touch chaining as
+    :func:`funnel_report`: output (user_id, stage) where ``stage`` is
+    the number of steps completed, 0 for users who never performed the
+    first step.  This is the batch twin of
+    ``streaming.funnel.funnel_stages_stream`` — the stream's final
+    emission per user equals this frame on the same (time-ordered)
+    data.
+    """
+    user = F.col(user_col)
+    users = events.select(user.alias("u")).distinct()
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user.alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    stage = F.when(F.col("t0").isNotNull(), 1).otherwise(0)
+    out = users.join(
+        reached.select("u", F.col("t").alias("t0")), "u", "left"
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(reached, user == F.col("u"))
+            .filter(F.col(ts_col) > F.col("t"))
+            .groupBy("u")
+            .agg(F.min(ts_col).alias("t"))
+        )
+        out = out.join(nxt.select("u", F.col("t").alias(f"t{i}")), "u", "left")
+        stage = F.when(F.col(f"t{i}").isNotNull(), i + 1).otherwise(stage)
+        reached = nxt
+    return out.select(F.col("u").alias(user_col), stage.cast("int").alias("stage"))
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

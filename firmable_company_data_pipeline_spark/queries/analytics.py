@@ -143,8 +143,46 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# funnel_user_stages — per-user funnel stage (the streaming operator's
+# batch twin; streaming execution proven in tests/test_streaming.py).
+def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return bh.funnel_user_stages(events)
+
+
+FUNNEL_USER_STAGES_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s2.user_id IS NOT NULL THEN 3
+                 WHEN s1.user_id IS NOT NULL THEN 2
+                 WHEN s0.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s0 ON u.user_id = s0.user_id
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
+    "funnel_user_stages": funnel_user_stages,
     "user_retention_cohorts": user_retention_cohorts,
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
@@ -152,6 +190,7 @@ QUERIES = {
 
 ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "funnel_user_stages": FUNNEL_USER_STAGES_SQL,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,

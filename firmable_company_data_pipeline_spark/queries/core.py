@@ -545,6 +545,79 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 
+# ---------------------------------------------------------------------------
+# waiting_suppliers — TPC-H Q21 shape (suppliers who kept orders waiting),
+# adapted to this schema: "late" = shipped more than 60 days after the
+# order date.  The classic formulation is EXISTS + NOT-EXISTS correlated
+# self-joins on lineitem; the Spark-first decorrelation is two hash
+# aggregations — per-(order, supplier) lateness, then a per-order rollup
+# that keeps multi-supplier orders whose ONLY late supplier is this one
+# — followed by a supplier-grain count and a broadcast dim join.  No
+# self-join of the fact table at any point: at 100 TB that's two
+# shuffles of lineitem-derived rows instead of three fact⋈fact joins.
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_supp = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waiting = (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    ranked = waiting.join(
+        broadcast(t["supplier"]), F.col("late_supp") == F.col("s_suppkey")
+    ).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supp_name"),
+        "numwait",
+        F.row_number()
+        .over(Window.orderBy(F.desc("numwait"), F.asc("s_suppkey")))
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 10)
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_supp GROUP BY l_orderkey
+),
+waiting AS (
+  SELECT late_supp, count(*)::BIGINT AS numwait
+  FROM per_order WHERE n_supp > 1 AND n_late = 1
+  GROUP BY late_supp
+)
+SELECT suppkey, supp_name, numwait, rank FROM (
+  SELECT s_suppkey AS suppkey, s_name AS supp_name, numwait,
+         row_number() OVER (ORDER BY numwait DESC, s_suppkey) AS rank
+  FROM waiting JOIN supplier ON late_supp = s_suppkey
+) WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -563,6 +636,7 @@ QUERIES = {
     "nation_trade_volume": nation_trade_volume,
     "market_share": market_share,
     "top_supplier_revenue": top_supplier_revenue,
+    "waiting_suppliers": waiting_suppliers,
 }
 
 ORACLES = {
@@ -583,4 +657,5 @@ ORACLES = {
     "priority_price_stats": PRIORITY_PRICE_STATS_SQL,
     "events_json_k": EVENTS_JSON_K_SQL,
     "priority_status_rollup": PRIORITY_STATUS_ROLLUP_SQL,
+    "waiting_suppliers": WAITING_SUPPLIERS_SQL,
 }

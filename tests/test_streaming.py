@@ -232,3 +232,31 @@ def test_streaming_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
     # the index now holds one signature per doc with shingles
     idx = spark.read.parquet(index_dir)
     assert idx.count() == idx.select("id").distinct().count()
+
+
+def test_streaming_funnel_matches_batch_stages(spark, sf_dir, events_dir):
+    """The funnel state machine over a time-ordered stream lands every
+    user on the same stage as the batch first-touch computation."""
+    from firmable_company_data_pipeline_spark.operators import behavior as bh
+    from firmable_company_data_pipeline_spark.streaming import funnel as sf
+
+    stream = jobs.read_events_stream(spark, events_dir, fmt="parquet", max_files=1)
+    q = (
+        sf.funnel_stages_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # last emission per user = final stage (stage is monotone per user)
+    got = {
+        r["user_id"]: r["stage"]
+        for r in spark.sql(
+            "SELECT user_id, max(stage) AS stage FROM funnel_sink GROUP BY user_id"
+        ).collect()
+    }
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    exp = {r["user_id"]: r["stage"] for r in bh.funnel_user_stages(ev).collect()}
+    assert got == exp
