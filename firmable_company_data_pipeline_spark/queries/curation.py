@@ -248,11 +248,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     stats = ts.text_features(spread(docs))
+    # Persisted: q feeds BOTH the fingerprint canon groupBy and the
+    # probe side of the canon join — without it the full text_features
+    # expression tree (tokenize + fingerprint fold + quality + lang)
+    # executes twice.  Three narrow columns per doc, spill-safe.
     q = stats.select(
         "doc_id",
         "fingerprint",
         ((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")).alias("q_keep"),
-    )
+    ).persist()
     rep = cu.repetition_stats(docs).select("doc_id", F.col("keep").alias("rep_keep"))
     canon = q.groupBy("fingerprint").agg(F.min("doc_id").alias("canon_id"))
     ex = q.join(canon, "fingerprint").select(
