@@ -72,6 +72,9 @@ HEADLINE = [
     "embedding_norm_histogram",
     "pagerank_neardup",
     "waiting_suppliers",
+    "customer_order_histogram",
+    "lineitem_correlations",
+    "common_event_paths",
 ]
 
 

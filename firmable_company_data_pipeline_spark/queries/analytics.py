@@ -180,9 +180,69 @@ LEFT JOIN s2 ON u.user_id = s2.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# common_event_paths — top 3-step event-type sequences: which journeys
+# users actually take (the path-analysis complement to the fixed-order
+# funnel).  One window exchange (per-user event-time order, two leads),
+# then a bounded hash-agg (≤ |event_types|³ groups) and a TakeOrdered.
+_PATH_TOP_N = 15
+
+
+def common_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n1 = F.lead("event_type", 1).over(w)
+    n2 = F.lead("event_type", 2).over(w)
+    paths = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("e0"),
+            n1.alias("e1"),
+            n2.alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .select(F.concat_ws(" > ", "e0", "e1", "e2").alias("path"))
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .select(
+            "path",
+            "n_journeys",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_journeys"), F.asc("path")))
+            .alias("rank"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= _PATH_TOP_N)
+
+
+COMMON_EVENT_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e0,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events
+),
+paths AS (
+  SELECT e0 || ' > ' || e1 || ' > ' || e2 AS path
+  FROM seq WHERE e2 IS NOT NULL
+),
+agg AS (SELECT path, count(*)::BIGINT AS n_journeys FROM paths GROUP BY path)
+SELECT path, n_journeys, rank FROM (
+  SELECT path, n_journeys,
+         row_number() OVER (ORDER BY n_journeys DESC, path) AS rank
+  FROM agg
+) WHERE rank <= {_PATH_TOP_N}
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
+    "common_event_paths": common_event_paths,
     "user_retention_cohorts": user_retention_cohorts,
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
@@ -191,6 +251,7 @@ QUERIES = {
 ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "funnel_user_stages": FUNNEL_USER_STAGES_SQL,
+    "common_event_paths": COMMON_EVENT_PATHS_SQL,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,

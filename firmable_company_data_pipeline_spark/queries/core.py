@@ -618,6 +618,76 @@ SELECT suppkey, supp_name, numwait, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# customer_order_histogram — TPC-H Q13 shape: distribution of customers by
+# order count, INCLUDING zero-order customers (the left join the naive
+# GROUP BY silently drops).  Two hash-aggs: per-customer count, then the
+# count-of-counts — the second operates on |customers| rows, the third on
+# |distinct counts|.  No Expand, no self-join.
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+CUSTOMER_ORDER_HISTOGRAM_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineitem_correlations — one-pass Pearson correlations between the
+# numeric measures (price/quantity/discount/tax): profiling's "which
+# columns move together".  All six pairs ride ONE global aggregate (the
+# same single-scan shape as dq_report's row-local rules) — at 100 TB
+# this costs a count(*).
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stack = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (col_a, col_b, pearson_r)"
+    )
+
+
+LINEITEM_CORRELATIONS_SQL = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 4) AS pearson_r FROM lineitem"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+)
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -637,6 +707,8 @@ QUERIES = {
     "market_share": market_share,
     "top_supplier_revenue": top_supplier_revenue,
     "waiting_suppliers": waiting_suppliers,
+    "customer_order_histogram": customer_order_histogram,
+    "lineitem_correlations": lineitem_correlations,
 }
 
 ORACLES = {
@@ -658,4 +730,6 @@ ORACLES = {
     "events_json_k": EVENTS_JSON_K_SQL,
     "priority_status_rollup": PRIORITY_STATUS_ROLLUP_SQL,
     "waiting_suppliers": WAITING_SUPPLIERS_SQL,
+    "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_SQL,
+    "lineitem_correlations": LINEITEM_CORRELATIONS_SQL,
 }
