@@ -49,6 +49,10 @@ def pagerank(
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
+        # Persisted PRE-PARTITIONED on the join key: every iteration's
+        # edge⋈rank join then reuses this layout for the edge side —
+        # one exchange per iteration instead of two.
+        .repartition(F.col("src"))
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
