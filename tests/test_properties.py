@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -223,3 +224,101 @@ def test_stratified_split_partition_property(spark, rows):
             "test": (cu.SPLIT_VAL, 100),
         }[r["split"]]
         assert lo <= r["bucket"] < hi
+
+
+words = st.sampled_from(
+    ["spark", "join", "window", "scan", "filter", "merge", "sort", "agg"]
+)
+doc_texts = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(doc_texts, min_size=2, max_size=12))
+def test_bm25_matches_python_reference(spark, texts):
+    """bm25_topk equals a from-scratch Python BM25 on arbitrary corpora
+    (idf floor, length normalization, rounding, tie-break ordering)."""
+    import math
+
+    from firmable_company_data_pipeline_spark.operators import retrieval as rt
+
+    terms = ("spark", "join")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in rt.bm25_topk(docs, terms, k=100).collect()
+    }
+
+    toks = [t.split() for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {q: sum(1 for t in toks if q in t) for q in terms}
+    exp = {}
+    for i, t in enumerate(toks):
+        score = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            score += idf * tf * (rt.BM25_K1 + 1) / (
+                tf + rt.BM25_K1 * (1 - rt.BM25_B + rt.BM25_B * len(t) / avgdl)
+            )
+        if score > 0:
+            exp[i] = round(score, 4)
+    assert set(got) == set(exp)
+    for i, s in exp.items():
+        assert got[i][0] == pytest.approx(s, abs=2e-4)
+    # ranks must follow (score desc, id asc) on the ROUNDED scores
+    order = sorted(exp, key=lambda i: (-exp[i], i))
+    assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
+
+
+event_types = st.sampled_from(["view", "click", "purchase", "error"])
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), event_types),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_funnel_stages_match_python_simulation(spark, evs):
+    """funnel_user_stages equals a direct first-touch chain simulation
+    for arbitrary (user, ts, type) event sets."""
+    import datetime as dt
+
+    from firmable_company_data_pipeline_spark.operators import behavior as bh
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t)
+        for i, (u, m, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["user_id"]: r["stage"] for r in bh.funnel_user_stages(df).collect()}
+
+    steps = ("view", "click", "purchase")
+    exp = {}
+    for u in {r[2] for r in rows}:
+        mine = sorted((r[1], r[3]) for r in rows if r[2] == u)
+        stage, last = 0, None
+        for ts, et in mine:
+            if stage < 3 and et == steps[stage] and (stage == 0 or ts > last):
+                stage += 1
+                last = ts
+        # batch semantics: chain on FIRST touch of each stage — recompute
+        # via min-based chaining to mirror the operator exactly
+        t_prev, stage2 = None, 0
+        for s in steps:
+            cands = [ts for ts, et in mine if et == s and (t_prev is None or ts > t_prev)]
+            if not cands:
+                break
+            t_prev = min(cands)
+            stage2 += 1
+        exp[u] = stage2
+    assert got == exp
