@@ -282,8 +282,12 @@ SELECT id_a, id_b, est_jaccard FROM (
 # index×index is never re-paired (the 100-TB per-batch ingest shape).
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    index = dd.minhash_signatures(docs.filter(F.col("doc_id") % 10 != 0)).persist()
-    delta = dd.minhash_signatures(docs.filter(F.col("doc_id") % 10 == 0)).persist()
+    # Signatures are per-doc, so one shingle pass over the corpus and a
+    # split-by-id replaces two full pipelines (in production the index
+    # side is read back from its parquet home, not recomputed at all).
+    sigs = dd.minhash_signatures(docs).persist()
+    index = sigs.filter(F.col("id") % 10 != 0)
+    delta = sigs.filter(F.col("id") % 10 == 0)
     return dd.minhash_delta_pairs(index, delta, threshold=0.5)
 
 
