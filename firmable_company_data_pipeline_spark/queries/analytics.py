@@ -239,10 +239,136 @@ SELECT path, n_journeys, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# events_trending — top event types per day by count growth vs the prior
+# day (the "trending" dashboard): tumbling day aggregation, a lag window
+# over the (type, day) series, rank within day.  Aggregation shuffles
+# once to day×type grain (bounded); both windows run on that tiny frame.
+def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    prev = F.lag("n_events").over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    growth = F.when(
+        prev.isNotNull() & (prev > 0),
+        F.round((F.col("n_events") - prev) / prev, 4),
+    )
+    scored = daily.select("day", "event_type", "n_events", growth.alias("growth"))
+    ranked = scored.filter(F.col("growth").isNotNull()).select(
+        "day",
+        "event_type",
+        "n_events",
+        "growth",
+        F.row_number()
+        .over(
+            Window.partitionBy("day").orderBy(
+                F.desc("growth"), F.asc("event_type")
+            )
+        )
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 2)
+
+
+EVENTS_TRENDING_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT day, event_type, n_events,
+         round((n_events - lag(n_events) OVER w)
+               / lag(n_events) OVER w::DOUBLE, 4) AS growth
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT day, event_type, n_events, growth, rank FROM (
+  SELECT day, event_type, n_events, growth,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY growth DESC, event_type) AS rank
+  FROM scored WHERE growth IS NOT NULL
+) WHERE rank <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_rfm — recency/frequency/monetary segmentation over orders:
+# per-customer aggregates, quartile scores via ntile (deterministic
+# tie-break on custkey), and the classic segment labels.  One shuffle to
+# customer grain; the three ntile windows share one global sort each
+# over the CUSTOMER table (dimension-sized, not fact-sized).
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_score = F.ntile(4).over(
+        Window.orderBy(F.asc("last_order"), F.asc("custkey"))
+    )
+    f_score = F.ntile(4).over(
+        Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    )
+    m_score = F.ntile(4).over(
+        Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+    )
+    scored = per_cust.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), F.lit("champion"))
+        .when(F.col("r_score") >= 3, F.lit("active"))
+        .when(F.col("f_score") >= 3, F.lit("at_risk"))
+        .otherwise(F.lit("hibernating"))
+    )
+    return scored.withColumn("segment", segment)
+
+
+CUSTOMER_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate::DATE) AS last_order,
+         count(*)::BIGINT AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey, frequency, monetary,
+         ntile(4) OVER (ORDER BY last_order, custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM per_cust
+)
+SELECT custkey, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 3 THEN 'active'
+            WHEN f_score >= 3 THEN 'at_risk'
+            ELSE 'hibernating' END AS segment
+FROM scored
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
     "common_event_paths": common_event_paths,
+    "events_trending": events_trending,
+    "customer_rfm": customer_rfm,
     "user_retention_cohorts": user_retention_cohorts,
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
@@ -252,6 +378,8 @@ ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "funnel_user_stages": FUNNEL_USER_STAGES_SQL,
     "common_event_paths": COMMON_EVENT_PATHS_SQL,
+    "events_trending": EVENTS_TRENDING_SQL,
+    "customer_rfm": CUSTOMER_RFM_SQL,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,
