@@ -69,19 +69,21 @@ _DRIVER_WINDOW_PRIORITY = (
     "user_retention_cohorts",
     "quality_prune_per_source",
     "k_anonymity_customers",
-    # one representative per already-verified operator family (every
-    # rep displaced from the window this round carries THREE rounds of
-    # green driver rows, r1-r3)
-    "match_fuzzy_blocked",
-    "match_llm_stub",
-    "text_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_ivf",
-    "multimodal_features",
-    "events_tumbling_1h",
-    "events_dedup_union",
+    # round-4 continuation, second wave (never driver-checked).  Every
+    # family representative previously holding these slots carries THREE
+    # rounds of green driver rows (r1-r3) plus the local gate; the one
+    # new query left outside the window is pagerank_neardup, whose
+    # driver check is rows-only anyway (fixture-tested instead).
+    "apply_mixing_plan",
+    "vocab_coverage",
+    "embedding_norm_histogram",
+    "waiting_suppliers",
+    "funnel_user_stages",
+    "customer_order_histogram",
+    "lineitem_correlations",
+    "common_event_paths",
+    "events_trending",
+    "customer_rfm",
 )
 
 
