@@ -77,6 +77,7 @@ HEADLINE = [
     "common_event_paths",
     "events_trending",
     "customer_rfm",
+    "events_daily_anomalies",
 ]
 
 

@@ -363,12 +363,73 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# events_daily_anomalies — volume anomaly screen: each (day, type)'s
+# count z-scored against its own trailing 7-day window (the pipeline
+# monitoring alert: "did ingest volume jump?").  All windows run on the
+# bounded day×type aggregate; |z| ≥ 2 flags.
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    z = F.round((F.col("n_events") - mu) / sd, 4)
+    return (
+        daily.select(
+            "day",
+            "event_type",
+            "n_events",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            z.alias("z_score"),
+        )
+        .filter((F.col("n_trailing") >= 4) & F.col("z_score").isNotNull())
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            "z_score",
+            (F.abs(F.col("z_score")) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+EVENTS_DAILY_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT day, event_type, n_events,
+         count(*) OVER w AS n_trailing,
+         round((n_events - avg(n_events) OVER w) / stddev_samp(n_events) OVER w, 4)
+           AS z_score
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, event_type, n_events, z_score, abs(z_score) >= 2.0 AS is_anomaly
+FROM scored WHERE n_trailing >= 4 AND z_score IS NOT NULL
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
     "common_event_paths": common_event_paths,
     "events_trending": events_trending,
     "customer_rfm": customer_rfm,
+    "events_daily_anomalies": events_daily_anomalies,
     "user_retention_cohorts": user_retention_cohorts,
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
@@ -380,6 +441,7 @@ ORACLES = {
     "common_event_paths": COMMON_EVENT_PATHS_SQL,
     "events_trending": EVENTS_TRENDING_SQL,
     "customer_rfm": CUSTOMER_RFM_SQL,
+    "events_daily_anomalies": EVENTS_DAILY_ANOMALIES_SQL,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,
