@@ -28,6 +28,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def _reached_tables(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> list[DataFrame]:
+    """Per-step first-touch tables: reached[i] = (u, t) where ``t`` is
+    the user's earliest ``steps[i]`` event strictly after their
+    reached[i-1] time.  The single source of the chaining semantics —
+    both the conversion report and the per-user stage frame (and, via
+    the stream-equality test, the streaming state machine) derive from
+    this."""
+    user = F.col(user_col)
+    reached = [
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user.alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    ]
+    for step in steps[1:]:
+        reached.append(
+            events.filter(F.col(type_col) == step)
+            .join(reached[-1], user == F.col("u"))
+            .filter(F.col(ts_col) > F.col("t"))
+            .groupBy("u")
+            .agg(F.min(ts_col).alias("t"))
+        )
+    return reached
+
+
 def funnel_report(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
@@ -42,29 +72,15 @@ def funnel_report(
 
     Output one row per step: (step, step_idx, n_users, conv_from_prev,
     conv_from_first), rates rounded to 4 dp; ``conv_from_prev`` is NULL
-    for the first step.
+    for the first step.  The report explodes ONE wide 1-row frame (the
+    cross of per-step counts), so the chained plan appears once, not
+    once per output step.
     """
-    user = F.col(user_col)
-    reached = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user.alias("u"))
-        .agg(F.min(ts_col).alias("t"))
-    )
-    counts = [reached.agg(F.count(F.lit(1)).alias("n0"))]
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(reached, user == F.col("u"))
-            .filter(F.col(ts_col) > F.col("t"))
-            .groupBy("u")
-            .agg(F.min(ts_col).alias("t"))
-        )
-        counts.append(nxt.agg(F.count(F.lit(1)).alias(f"n{i}")))
-        reached = nxt
-    wide = counts[0]
-    for c in counts[1:]:
-        wide = wide.crossJoin(broadcast(c))
-    rows = []
+    reached = _reached_tables(events, steps, user_col, ts_col, type_col)
+    wide = reached[0].agg(F.count(F.lit(1)).alias("n0"))
+    for i, r in enumerate(reached[1:], start=1):
+        wide = wide.crossJoin(broadcast(r.agg(F.count(F.lit(1)).alias(f"n{i}"))))
+    step_structs = []
     for i, step in enumerate(steps):
         n_i, n_first = F.col(f"n{i}"), F.col("n0")
         prev = (
@@ -75,12 +91,12 @@ def funnel_report(
             )
         )
         first = (
-            F.round(F.lit(1.0), 4)
+            F.lit(1.0)
             if i == 0
             else F.when(n_first > 0, F.round(n_i / n_first, 4))
         )
-        rows.append(
-            wide.select(
+        step_structs.append(
+            F.struct(
                 F.lit(step).alias("step"),
                 F.lit(i).alias("step_idx"),
                 n_i.cast("long").alias("n_users"),
@@ -88,10 +104,9 @@ def funnel_report(
                 first.alias("conv_from_first"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return wide.select(
+        F.explode(F.array(*step_structs)).alias("g")
+    ).select("g.step", "g.step_idx", "g.n_users", "g.conv_from_prev", "g.conv_from_first")
 
 
 def funnel_user_stages(
@@ -111,26 +126,12 @@ def funnel_user_stages(
     """
     user = F.col(user_col)
     users = events.select(user.alias("u")).distinct()
-    reached = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user.alias("u"))
-        .agg(F.min(ts_col).alias("t"))
-    )
-    stage = F.when(F.col("t0").isNotNull(), 1).otherwise(0)
-    out = users.join(
-        reached.select("u", F.col("t").alias("t0")), "u", "left"
-    )
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(reached, user == F.col("u"))
-            .filter(F.col(ts_col) > F.col("t"))
-            .groupBy("u")
-            .agg(F.min(ts_col).alias("t"))
-        )
-        out = out.join(nxt.select("u", F.col("t").alias(f"t{i}")), "u", "left")
+    reached = _reached_tables(events, steps, user_col, ts_col, type_col)
+    out = users
+    stage = F.lit(0)
+    for i, r in enumerate(reached):
+        out = out.join(r.select("u", F.col("t").alias(f"t{i}")), "u", "left")
         stage = F.when(F.col(f"t{i}").isNotNull(), i + 1).otherwise(stage)
-        reached = nxt
     return out.select(F.col("u").alias(user_col), stage.cast("int").alias("stage"))
 
 

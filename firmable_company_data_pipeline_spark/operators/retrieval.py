@@ -31,21 +31,17 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from firmable_company_data_pipeline_spark.functions.textstats import tokens
-from firmable_company_data_pipeline_spark.functions.vectors import to_double
+from firmable_company_data_pipeline_spark.functions.vectors import dot, to_double
 from firmable_company_data_pipeline_spark.session import spread
 
 # BM25 shape parameters (standard Robertson defaults).
 BM25_K1 = 1.2
 BM25_B = 0.75
-
-
-def _add(acc: Column, x: Column) -> Column:
-    return acc + x
 
 
 def bm25_topk(
@@ -165,19 +161,11 @@ def random_project(
     signs = projection_signs(in_dim, out_dim)
     scale = 1.0 / math.sqrt(out_dim)
     v = to_double(F.col(vec_col))
+    # vectors.dot is the repo's sequential-fold contract (oracle-parity
+    # IEEE order) — the sign rows ride as literal arrays.
     outs = [
         F.round(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(s)) for s in signs[j]]),
-                    lambda x, s: x * s,
-                ),
-                F.lit(0.0),
-                _add,
-            )
-            * scale,
-            6,
+            dot(v, F.array(*[F.lit(float(s)) for s in signs[j]])) * scale, 6
         )
         for j in range(out_dim)
     ]

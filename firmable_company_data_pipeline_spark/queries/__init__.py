@@ -71,9 +71,11 @@ _DRIVER_WINDOW_PRIORITY = (
     "k_anonymity_customers",
     # round-4 continuation, second wave (never driver-checked).  Every
     # family representative previously holding these slots carries THREE
-    # rounds of green driver rows (r1-r3) plus the local gate; the one
-    # new query left outside the window is pagerank_neardup, whose
-    # driver check is rows-only anyway (fixture-tested instead).
+    # rounds of green driver rows (r1-r3) plus the local gate.  Two new
+    # queries stay outside the full window: pagerank_neardup (driver
+    # check is rows-only anyway; fixture-tested) and
+    # events_daily_anomalies (added after the slots filled; local oracle
+    # green — first in line for the next rotation).
     "apply_mixing_plan",
     "vocab_coverage",
     "embedding_norm_histogram",

@@ -365,9 +365,10 @@ FROM scored
 
 # --------------------------------------------------------------------------
 # events_daily_anomalies — volume anomaly screen: each (day, type)'s
-# count z-scored against its own trailing 7-day window (the pipeline
-# monitoring alert: "did ingest volume jump?").  All windows run on the
-# bounded day×type aggregate; |z| ≥ 2 flags.
+# count z-scored against its trailing 7 CALENDAR days (RANGE frame over
+# days-since-epoch, so gap days shrink the baseline instead of silently
+# reaching weeks back the way a ROWS frame would).  All windows run on
+# the bounded day×type aggregate; |z| ≥ 2 flags.
 def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -379,8 +380,8 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-7, -1)
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-7, -1)
     )
     mu = F.avg("n_events").over(w)
     sd = F.stddev_samp("n_events").over(w)
@@ -415,8 +416,8 @@ scored AS (
          round((n_events - avg(n_events) OVER w) / stddev_samp(n_events) OVER w, 4)
            AS z_score
   FROM daily
-  WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+  WINDOW w AS (PARTITION BY event_type ORDER BY (day - DATE '1970-01-01')
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
 SELECT day, event_type, n_events, z_score, abs(z_score) >= 2.0 AS is_anomaly
 FROM scored WHERE n_trailing >= 4 AND z_score IS NOT NULL

@@ -306,19 +306,14 @@ def test_funnel_stages_match_python_simulation(spark, evs):
     exp = {}
     for u in {r[2] for r in rows}:
         mine = sorted((r[1], r[3]) for r in rows if r[2] == u)
-        stage, last = 0, None
-        for ts, et in mine:
-            if stage < 3 and et == steps[stage] and (stage == 0 or ts > last):
-                stage += 1
-                last = ts
-        # batch semantics: chain on FIRST touch of each stage — recompute
-        # via min-based chaining to mirror the operator exactly
-        t_prev, stage2 = None, 0
+        # first-touch chaining: each stage's time is the MIN qualifying
+        # event strictly after the previous stage's time
+        t_prev, stage = None, 0
         for s in steps:
             cands = [ts for ts, et in mine if et == s and (t_prev is None or ts > t_prev)]
             if not cands:
                 break
             t_prev = min(cands)
-            stage2 += 1
-        exp[u] = stage2
+            stage += 1
+        exp[u] = stage
     assert got == exp
