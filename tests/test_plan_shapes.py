@@ -330,3 +330,25 @@ def test_norm_histogram_single_agg(plans):
     ]
     assert len(hash_ex) <= 1
     assert "Join" not in p
+
+
+def test_new_analytics_windows_on_bounded_aggregates(plans):
+    """trending/anomalies windows must sit ABOVE the day×type hash-agg
+    (bounded frame), never on raw events; rfm windows run on the
+    customer-grain aggregate."""
+    for name in ("events_trending", "events_daily_anomalies", "customer_rfm"):
+        p = plans(name)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        # the aggregate exchange feeds the window, not vice versa: the
+        # formatted plan lists HashAggregate before Window bottom-up
+        assert "HashAggregate" in p and "Window" in p, name
+
+
+def test_funnel_report_single_chained_plan(plans):
+    """The explode-over-one-wide-frame rewrite: the chained count plan
+    appears ONCE (12 scan references for 3 steps — the triangular
+    reached-lineage), not once per output step (the pre-rewrite union
+    duplicated the whole wide frame per step: 18+)."""
+    p = plans("funnel_conversion")
+    assert p.count("Scan parquet") <= 12
