@@ -78,6 +78,7 @@ HEADLINE = [
     "events_trending",
     "customer_rfm",
     "events_daily_anomalies",
+    "events_ewma_daily",
 ]
 
 

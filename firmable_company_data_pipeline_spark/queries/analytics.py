@@ -424,6 +424,92 @@ FROM scored WHERE n_trailing >= 4 AND z_score IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# events_ewma_daily — exponential smoothing of daily volumes per event
+# type: the telemetry-dashboard trend line.  A sequential recurrence
+# (s_t = α·x_t + (1-α)·s_{t-1}) evaluated through its CLOSED FORM
+# (s_t = (1-α)^t·x_0 + Σ_{k=1..t} α·(1-α)^{t-k}·x_k) so both engines
+# compute the identical ascending-k summation — the repo's pattern for
+# sequential algorithms over BOUNDED per-key series (|days| per type),
+# where a per-row HOF beats a window recursion Spark can't express.
+# O(n²) per group, n = |days| ≈ 30 — bounded, map-side, one shuffle to
+# type grain.
+_EWMA_ALPHA = 0.3
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _EWMA_ALPHA
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "n_events"))
+        ).alias("pts")
+    )
+    xs = F.col("pts.n_events").cast("array<double>")
+    n = F.size("pts")
+
+    def ewma_at(t):
+        base = F.pow(F.lit(1 - a), t) * F.element_at(xs, 1)
+        tail = F.when(
+            t >= 1,
+            F.aggregate(
+                F.sequence(F.lit(1), t),
+                F.lit(0.0),
+                lambda acc, k: acc
+                + F.lit(a) * F.pow(F.lit(1 - a), t - k) * F.element_at(xs, k + 1),
+            ),
+        ).otherwise(F.lit(0.0))
+        return base + tail
+
+    idx = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda t: F.struct(
+            F.element_at(F.col("pts.day"), t + 1).alias("day"),
+            F.element_at(xs, t + 1).cast("long").alias("n_events"),
+            F.round(ewma_at(t), 4).alias("ewma"),
+        ),
+    )
+    return series.select(
+        "event_type", F.explode(idx).alias("g")
+    ).select("event_type", "g.day", "g.n_events", "g.ewma")
+
+
+EVENTS_EWMA_DAILY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list_sort(list({{'day': day, 'n_events': n_events}})) AS pts
+  FROM daily GROUP BY event_type
+),
+ex AS (
+  SELECT event_type,
+         list_transform(pts, p -> p.day) AS days,
+         list_transform(pts, p -> p.n_events::DOUBLE) AS xs,
+         unnest(range(len(pts))) AS t
+  FROM series
+)
+SELECT event_type,
+       days[t+1] AS day,
+       CAST(xs[t+1] AS BIGINT) AS n_events,
+       round(pow({1 - _EWMA_ALPHA}, t) * xs[1]
+             + CASE WHEN t >= 1 THEN
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, t+1),
+                     k -> {_EWMA_ALPHA} * pow({1 - _EWMA_ALPHA}, t - k) * xs[k+1])),
+                   (acc, v) -> acc + v)
+               ELSE 0.0 END, 4) AS ewma
+FROM ex
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
@@ -431,6 +517,7 @@ QUERIES = {
     "events_trending": events_trending,
     "customer_rfm": customer_rfm,
     "events_daily_anomalies": events_daily_anomalies,
+    "events_ewma_daily": events_ewma_daily,
     "user_retention_cohorts": user_retention_cohorts,
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
@@ -443,6 +530,7 @@ ORACLES = {
     "events_trending": EVENTS_TRENDING_SQL,
     "customer_rfm": CUSTOMER_RFM_SQL,
     "events_daily_anomalies": EVENTS_DAILY_ANOMALIES_SQL,
+    "events_ewma_daily": EVENTS_EWMA_DAILY_SQL,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,
