@@ -79,6 +79,7 @@ HEADLINE = [
     "customer_rfm",
     "events_daily_anomalies",
     "events_ewma_daily",
+    "part_affinity",
 ]
 
 

@@ -688,6 +688,101 @@ LINEITEM_CORRELATIONS_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# part_affinity — market-basket analysis: part pairs that co-occur in
+# orders more than their popularity predicts (lift = P(ab)/(P(a)·P(b))).
+# The self-join is WITHIN the order key, so pair work is Σ per-order
+# |items|² (bounded by basket size, ~7 here), never |parts|² — the
+# standard scale shape for co-occurrence mining.  Singles counts are a
+# hash-agg; total order count is a broadcast 1-row aggregate.
+_AFFINITY_TOP_N = 20
+
+
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem")
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    singles = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = broadcast(
+        items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+    )
+    joined = (
+        pairs.join(
+            singles.select(F.col("part").alias("part_a"), F.col("n_orders").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            singles.select(F.col("part").alias("part_b"), F.col("n_orders").alias("n_b")),
+            "part_b",
+        )
+        .join(total, how="cross")
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            F.round(
+                F.col("n_together") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    ranked = joined.select(
+        "part_a",
+        "part_b",
+        "n_together",
+        "lift",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("n_together"), F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+            )
+        )
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= _AFFINITY_TOP_N)
+
+
+PART_AFFINITY_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+singles AS (
+  SELECT l_partkey AS part, count(*)::BIGINT AS n_orders
+  FROM items GROUP BY l_partkey
+),
+total AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT part_a, part_b, n_together,
+         round(n_together * n_baskets / (sa.n_orders * sb.n_orders)::DOUBLE, 4)
+           AS lift
+  FROM pairs
+  JOIN singles sa ON part_a = sa.part
+  JOIN singles sb ON part_b = sb.part
+  CROSS JOIN total
+)
+SELECT part_a, part_b, n_together, lift, rank FROM (
+  SELECT part_a, part_b, n_together, lift,
+         row_number() OVER (ORDER BY n_together DESC, lift DESC,
+                            part_a, part_b) AS rank
+  FROM scored
+) WHERE rank <= {_AFFINITY_TOP_N}
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -709,6 +804,7 @@ QUERIES = {
     "waiting_suppliers": waiting_suppliers,
     "customer_order_histogram": customer_order_histogram,
     "lineitem_correlations": lineitem_correlations,
+    "part_affinity": part_affinity,
 }
 
 ORACLES = {
@@ -732,4 +828,5 @@ ORACLES = {
     "waiting_suppliers": WAITING_SUPPLIERS_SQL,
     "customer_order_histogram": CUSTOMER_ORDER_HISTOGRAM_SQL,
     "lineitem_correlations": LINEITEM_CORRELATIONS_SQL,
+    "part_affinity": PART_AFFINITY_SQL,
 }
