@@ -71,11 +71,11 @@ _DRIVER_WINDOW_PRIORITY = (
     "k_anonymity_customers",
     # round-4 continuation, second wave (never driver-checked).  Every
     # family representative previously holding these slots carries THREE
-    # rounds of green driver rows (r1-r3) plus the local gate.  Two new
-    # queries stay outside the full window: pagerank_neardup (driver
-    # check is rows-only anyway; fixture-tested) and
-    # events_daily_anomalies (added after the slots filled; local oracle
-    # green — first in line for the next rotation).
+    # rounds of green driver rows (r1-r3) plus the local gate.  New
+    # queries outside the full window: pagerank_neardup (driver check is
+    # rows-only anyway; fixture-tested) plus events_daily_anomalies,
+    # events_ewma_daily and part_affinity (added after the slots filled;
+    # local oracle green — first in line for the next rotation).
     "apply_mixing_plan",
     "vocab_coverage",
     "embedding_norm_histogram",
