@@ -61,19 +61,29 @@ def asof_join(
         F.col(order_col).alias("_rord"),
         payload.alias("_rpay"),
     )
-    # _lrow MUST be built inside this projection: a later .withColumn would
-    # resolve against the already-projected frame (which has only _k/_ts/...)
-    # and fail with UNRESOLVED_COLUMN on any original left column.
-    lrow = F.struct(*[F.col(c).alias(c) for c in left.columns])
+    # Left columns ride through the union FLAT (aliased "_l_<name>" to dodge
+    # collisions with the internal _k/_ts/... columns), not packed in a
+    # struct: only the right payload needs row-atomic carry (last(ignorenulls)
+    # over a struct keeps one right ROW's values together even when some of
+    # its fields are null), while left values are simply passed through the
+    # window operator untouched.  Flat carry removes a null-struct cast
+    # branch from the Union — the shape that intermittently tripped the
+    # physical binder under load in round 3.
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(rord_type).alias("_rord"),
         F.lit(None).cast(r_tagged.schema["_rpay"].dataType).alias("_rpay"),
-        lrow.alias("_lrow"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    r_tagged = r_tagged.withColumn("_lrow", F.lit(None).cast(l_tagged.schema["_lrow"].dataType))
+    r_tagged = r_tagged.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
 
     w = (
         Window.partitionBy("_k")
@@ -85,7 +95,7 @@ def asof_join(
         .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
-    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
     out_cols.append(F.col(f"_match.{right_ts}").alias(f"{prefix}{right_ts}"))
     out_cols += [
         F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_cols if c != right_ts
