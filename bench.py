@@ -80,6 +80,10 @@ HEADLINE = [
     "events_daily_anomalies",
     "events_ewma_daily",
     "part_affinity",
+    "hybrid_search_rrf",
+    "bigram_surprise_score",
+    "salted_user_event_stats",
+    "match_phonetic_blocked",
 ]
 
 

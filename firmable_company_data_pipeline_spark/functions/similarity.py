@@ -108,3 +108,25 @@ def bounded_levenshtein_ratio(a: Column, b: Column, min_ratio: float) -> Column:
         .when(d >= 0, (F.lit(1.0) - d / max_len) * 100.0)
         .otherwise(F.lit(-1.0))
     )
+
+
+def phonetic_key(col: Column, max_len: int = 5) -> Column:
+    """Consonant-skeleton blocking key of a name's FIRST token: lowercase
+    → strip non-letters → first word → keep the leading character, drop
+    vowels from the rest, truncate to ``max_len``.
+
+    A Soundex-lite: robust to the vowel-level misspellings and casing
+    noise that break exact blocking, while staying expressible as plain
+    ``regexp_replace``/``substring`` in ANY engine (true Soundex needs
+    per-letter digit classes, and run-collapse needs regex
+    backreferences — RE2-based engines such as DuckDB have neither).
+    Used as a recall-oriented alternative block key for the fuzzy
+    cascade when the postcode analog is missing or dirty; like every
+    block key it trades recall for candidate count (docstring of
+    ``operators/matching.similarity_join``).
+    """
+    s = F.trim(F.regexp_replace(F.lower(col), r"[^a-z]+", " "))
+    first = F.split(s, " ").getItem(0)
+    head = F.substring(first, 1, 1)
+    tail = F.regexp_replace(F.substring(first, 2, 1_000_000), r"[aeiou]", "")
+    return F.substring(F.concat(head, tail), 1, max_len)

@@ -427,3 +427,77 @@ def quality_prune(
         "keep",
         F.col("src_rank") <= F.ceil(F.col("n_src") * keep_frac).cast("long"),
     )
+
+
+# Add-k smoothing constant for the bigram LM (Jurafsky & Martin ch. 3's
+# add-k with k < 1; k = 0.5 keeps unseen-bigram mass moderate).
+BIGRAM_ADD_K = 0.5
+
+
+def bigram_surprise(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean bigram surprisal −ln p(w2|w1) per document with add-k
+    smoothed conditional probabilities estimated from the corpus itself
+    — the next step up from ``unigram_surprise`` toward a real LM
+    perplexity filter (same plan shape again: swap the count-derived
+    probability for a model-scored column).
+
+    ``p(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V)`` where ``c(w1·)`` is
+    the context count (Σ over following words) and ``V`` the corpus
+    vocabulary size.
+
+    Shape: the bigram list is built MAP-SIDE inside the tokenize
+    projection (zip of the token array with its own tail) — no window,
+    no per-position shuffle; occurrences then collapse to per-(doc,
+    bigram) counts exactly like the unigram operator.  Context counts
+    and V derive from the bigram/token tables (hash-aggs over
+    dictionary-sized inputs); V is a broadcast 1-row aggregate.  The
+    per-doc mean is count-weighted over distinct (doc, bigram) rows —
+    |distinct doc-bigrams| join work, not |occurrences|.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c2 = tf.groupBy("bg").agg(F.sum("c").alias("bg_n"))
+    ctx = c2.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1")).agg(
+        F.sum("bg_n").alias("ctx_n")
+    )
+    vocab = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    scored = (
+        tf.join(c2, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(ctx, "w1")
+        .join(broadcast(vocab), how="cross")
+    )
+    logp = F.log(
+        (F.col("bg_n") + F.lit(BIGRAM_ADD_K))
+        / (F.col("ctx_n") + F.lit(BIGRAM_ADD_K) * F.col("v"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(-F.sum(F.col("c") * logp) / F.sum("c"), 4).alias(
+                "avg_bigram_surprise"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_bigram_surprise")
+    )

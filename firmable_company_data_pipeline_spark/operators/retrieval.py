@@ -363,3 +363,50 @@ def vocab_coverage(
         "covered_tokens",
         F.round(F.col("covered_tokens") / F.col("total"), 6).alias("coverage"),
     )
+
+
+# Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60).
+RRF_K = 60
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Fuse a lexical (BM25) and a dense (ANN) result list with
+    reciprocal-rank fusion: ``rrf(d) = Σ_sys 1/(rrf_k + rank_sys(d))``
+    over the systems that returned ``d`` (Cormack, Clarke & Büttcher,
+    SIGIR 2009 — rank-only fusion, no score calibration needed).
+
+    Inputs: ``lexical`` with (doc_id, rank), ``dense`` with
+    (neighbor_id, rank) — the shapes ``bm25_topk`` and the ANN
+    operators emit.  Output: (doc_id, lex_rank, dense_rank, rrf_score,
+    rank), top-``k`` by fused score, doc_id ascending tie-break.
+
+    Scale shape: both inputs are ALREADY top-k lists (≤ k_each rows,
+    driver-bounded constants at any corpus size), so the fusion
+    full-outer join and the final sort are free — the heavy plans are
+    the retrieval branches, each independently scale-audited.  No new
+    shuffle beyond two ≤k-row exchanges.
+    """
+    lex = lexical.select(F.col("doc_id"), F.col("rank").alias("lex_rank"))
+    den = dense.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+    fused = (
+        lex.join(den, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -153,6 +153,43 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# bigram_surprise_score — mean −ln p(w2|w1) per doc, add-k smoothed.
+def bigram_surprise_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.bigram_surprise(docs)
+
+
+BIGRAM_SURPRISE_SCORE_SQL = f"""
+WITH {_TOK_CTE},
+bgocc AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(len(t)-1),
+                          i -> t[i+1] || ' ' || t[i+2])
+                     ELSE [] END) AS bg
+  FROM tok
+),
+c2 AS (SELECT bg, count(*) AS bg_n FROM bgocc GROUP BY bg),
+ctx AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(bg_n) AS ctx_n
+  FROM c2 GROUP BY 1
+),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM tok)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((bg_n + {cu.BIGRAM_ADD_K}) / (ctx_n + {cu.BIGRAM_ADD_K} * v))), 4)
+         AS avg_bigram_surprise
+FROM bgocc
+JOIN c2 USING (bg)
+JOIN ctx ON string_split(bg, ' ')[1] = ctx.w1
+CROSS JOIN voc
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # semantic_dedup — embedding near-dup pairs within IVF cells (the
 # sub-quadratic scale path for dedup_embedding_cosine; recall < 1 across
 # cell boundaries by construction, same contract as ann_ivf).
@@ -460,6 +497,7 @@ QUERIES = {
     "train_split_stratified": train_split_stratified,
     "seq_packing_plan": seq_packing_plan,
     "unigram_surprise_score": unigram_surprise_score,
+    "bigram_surprise_score": bigram_surprise_score,
     "semantic_dedup": semantic_dedup,
     "curate_corpus": curate_corpus,
     "curation_report": curation_report,
@@ -472,6 +510,7 @@ ORACLES = {
     "train_split_stratified": TRAIN_SPLIT_STRATIFIED_SQL,
     "seq_packing_plan": SEQ_PACKING_PLAN_SQL,
     "unigram_surprise_score": UNIGRAM_SURPRISE_SCORE_SQL,
+    "bigram_surprise_score": BIGRAM_SURPRISE_SCORE_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
     "curation_report": CURATION_REPORT_SQL,

@@ -221,8 +221,87 @@ UNION ALL SELECT * FROM llm
 )
 
 
+# ---------------------------------------------------------------------------
+# match_phonetic_blocked — the fuzzy stage re-blocked on a PHONETIC key
+# (consonant skeleton of the alphabetically-first name token) instead of
+# the postcode analog: the recall-oriented blocking choice when the
+# geographic key is missing or dirty.  Keying on the token-SORTED name
+# makes the key invariant to the word-order scrambling of variant
+# class 1.  Same operator, same scorer, same top-1 semantics — only the
+# equi-join key changes.
+def match_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.functions.similarity import (
+        phonetic_key,
+        token_sort,
+    )
+    from firmable_company_data_pipeline_spark.operators.matching import similarity_join
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    cc = _cc_side(part).withColumn(
+        "_pkey", phonetic_key(token_sort(F.col("company_name")))
+    )
+    abr = _abr_side(part).withColumn(
+        "_pkey", phonetic_key(token_sort(F.col("entity_name")))
+    )
+    out = similarity_join(
+        cc,
+        abr,
+        left_text="company_name",
+        right_text="entity_name",
+        block_key="_pkey",
+        threshold=80.0,
+        left_id="domain",
+        right_id="abn",
+    )
+    return out.select(
+        "domain",
+        "company_name",
+        F.col("best_abn").alias("abr_abn"),
+        F.col("best_entity_name").alias("entity_name"),
+        "match_score",
+        "match_confidence",
+    )
+
+
+def _duck_phonetic(ts_expr: str) -> str:
+    s = f"trim(regexp_replace({ts_expr}, '[^a-z]+', ' ', 'g'))"
+    first = f"string_split({s}, ' ')[1]"
+    return (
+        f"substr(substr({first}, 1, 1) || "
+        f"regexp_replace(substr({first}, 2, 1000000), '[aeiou]', '', 'g'), 1, 5)"
+    )
+
+
+MATCH_PHONETIC_BLOCKED_SQL = (
+    _DUCK_SIDES
+    + """, ccp AS (SELECT cc.*, {ck} AS pkey FROM cc),
+abrp AS (SELECT abr.*, {ak} AS pkey FROM abr)
+SELECT domain, company_name, abr_abn, entity_name, match_score, match_confidence
+FROM (
+  SELECT cc.domain, cc.company_name, abr.abn AS abr_abn, abr.entity_name,
+         round({ratio}, 4) AS match_score,
+         CASE WHEN round({ratio}, 4) >= 92.0 THEN 'high' ELSE 'medium' END
+           AS match_confidence,
+         row_number() OVER (PARTITION BY cc.domain
+                            ORDER BY round({ratio}, 4) DESC,
+                                     abr.entity_name ASC, abr.abn ASC) AS rn
+  FROM ccp cc JOIN abrp abr ON cc.pkey = abr.pkey
+  WHERE round({ratio}, 4) >= 80.0
+) WHERE rn = 1
+""".format(
+        ck=_duck_phonetic(_DUCK_TS.format(x="cc.company_name")),
+        ak=_duck_phonetic(_DUCK_TS.format(x="abr.entity_name")),
+        ratio=_DUCK_RATIO.format(
+            a=_DUCK_TS.format(x="cc.company_name"),
+            b=_DUCK_TS.format(x="abr.entity_name"),
+        ),
+    )
+)
+
+
 QUERIES = {
     "match_rule_based": match_rule_based,
+    "match_phonetic_blocked": match_phonetic_blocked,
     "match_fuzzy_blocked": match_fuzzy_blocked,
     "match_llm_stub": match_llm_stub,
     "match_cascade_full": match_cascade_full,
@@ -230,6 +309,7 @@ QUERIES = {
 
 ORACLES = {
     "match_rule_based": MATCH_RULE_BASED_SQL,
+    "match_phonetic_blocked": MATCH_PHONETIC_BLOCKED_SQL,
     "match_fuzzy_blocked": MATCH_FUZZY_BLOCKED_SQL,
     "match_llm_stub": MATCH_LLM_STUB_SQL,
     "match_cascade_full": MATCH_CASCADE_FULL_SQL,

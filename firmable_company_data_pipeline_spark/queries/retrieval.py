@@ -208,8 +208,77 @@ FROM ranked CROSS JOIN tot GROUP BY total''' for cp in _COV_CHECKPOINTS)}
 """
 
 
+# --------------------------------------------------------------------------
+# hybrid_search_rrf — reciprocal-rank fusion of BM25 (lexical) and exact
+# cosine ANN (dense, query = embedding of vec_id 0; vec_id aligns 1:1
+# with doc_id in the test corpus).  Both branches are their standalone,
+# scale-audited top-k plans; fusion joins two ≤20-row lists.
+_HYBRID_QUERY_VEC = 0
+_HYBRID_K_EACH = 20
+_HYBRID_K = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    lex = rt.bm25_topk(t["documents"], _BM25_TERMS, k=_HYBRID_K_EACH)
+    dense = ann.brute_force_topk(
+        t["embeddings"],
+        t["embeddings"].filter(F.col("vec_id") == _HYBRID_QUERY_VEC),
+        k=_HYBRID_K_EACH,
+    )
+    return rt.hybrid_rrf(lex, dense, k=_HYBRID_K)
+
+
+_HDOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(qv)), i -> qv[i+1] * cv[i+1])), (x, y) -> x + y)"
+)
+
+
+def _hnorm(v: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({v}, x -> x * x)), (x, y) -> x + y))"
+    )
+
+
+HYBRID_SEARCH_RRF_SQL = f"""
+WITH lex AS (SELECT doc_id, rank AS lex_rank FROM ({BM25_SEARCH_SQL}) b),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_HYBRID_QUERY_VEC}),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round({_HDOT.replace("cv", "e.v")} / ({_hnorm("qv")} * {_hnorm("e.v")}), 6)
+           AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> {_HYBRID_QUERY_VEC}
+),
+dense AS (
+  SELECT doc_id, rank AS dense_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_HYBRID_K_EACH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, lex_rank, dense_rank,
+         round(COALESCE(1.0 / ({rt.RRF_K} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({rt.RRF_K} + dense_rank), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {_HYBRID_K}
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "random_projection": random_projection,
     "dataset_mixing_plan": dataset_mixing_plan,
     "vocab_pair_counts": vocab_pair_counts,
@@ -219,6 +288,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_search": BM25_SEARCH_SQL,
+    "hybrid_search_rrf": HYBRID_SEARCH_RRF_SQL,
     "random_projection": RANDOM_PROJECTION_SQL,
     "dataset_mixing_plan": DATASET_MIXING_PLAN_SQL,
     "vocab_pair_counts": VOCAB_PAIR_COUNTS_SQL,

@@ -163,8 +163,43 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# salted_user_event_stats — the skew-salted join, proven semantics-
+# preserving: events (big side, user_id is the skew-prone key every
+# per-user operator shuffles on) ⋈ customer (mid-sized dim, deliberately
+# NOT broadcast — the case salting exists for), then a per-segment
+# rollup.  The oracle is the PLAIN join: identical results, different
+# shuffle layout (each hot user spreads over 8 reducers).
+def salted_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.joins import salted_join
+
+    t = _t(spark, sf_dir, "events", "customer")
+    ev = t["events"].select(
+        F.col("user_id"), F.col("event_type"), F.col("value")
+    )
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    joined = salted_join(ev, cust, on="user_id", n_salt=8)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SALTED_USER_EVENT_STATS_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 QUERIES = {
     "skew_report_events": skew_report_events,
+    "salted_user_event_stats": salted_user_event_stats,
     "order_price_band_stats": order_price_band_stats,
     "approx_distinct_users": approx_distinct_users,
     "approx_median_value": approx_median_value,
@@ -172,6 +207,7 @@ QUERIES = {
 
 ORACLES = {
     "skew_report_events": SKEW_REPORT_EVENTS_SQL,
+    "salted_user_event_stats": SALTED_USER_EVENT_STATS_SQL,
     "order_price_band_stats": ORDER_PRICE_BAND_STATS_SQL,
     "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
     "approx_median_value": APPROX_MEDIAN_VALUE_SQL,

@@ -351,3 +351,87 @@ def write_sorted(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 10
+) -> "F.Column":
+    """Morton (Z-order) key interleaving ``bits`` quantized bits per
+    column: column i's bit b lands at position ``b*len(cols)+i`` of the
+    key, so a range of z-values is simultaneously a narrow range in
+    EVERY input column.
+
+    Quantization is linear min→max per column (one broadcastable 1-row
+    aggregate computes the bounds; the caller crossJoins it in —
+    ``write_zorder`` does this).  Expects bound columns named
+    ``_min_<c>`` / ``_max_<c>`` alongside the data columns.  NULLs
+    quantize to bucket 0.  The whole key is a pure bit-arithmetic
+    projection — JVM codegen, no UDF, no shuffle of its own.
+    """
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        span = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        q = F.when(
+            F.col(c).isNull() | (span <= 0), F.lit(0).cast("long")
+        ).otherwise(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"_min_{c}"))
+                    / span
+                    * ((1 << bits) - 1)
+                ),
+            ).cast("long")
+        )
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 10,
+    target_partitions: int | None = None,
+) -> None:
+    """Multi-dimensional pruning layout: cluster files by the Morton
+    interleave of ``zorder_cols`` so row-group min/max stats are
+    selective on EVERY listed column at once — ``write_sorted`` gives
+    perfect pruning on its lead sort column and none on the second;
+    Z-order trades a little of the first for usable pruning on all
+    (the Databricks OPTIMIZE ZORDER BY layout, rebuilt from public
+    Morton-code arithmetic).
+
+    Plan: 1-row min/max aggregate (broadcast) → map-only z-key
+    projection → ``repartitionByRange`` on the key (range exchange:
+    each output file owns a contiguous z-range = a hyper-rectangle
+    per file) → task-local sort by the key → parquet.
+    """
+    bounds = df.agg(
+        *[
+            f
+            for c in zorder_cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+            )
+        ]
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z", zorder_key(df, zorder_cols, bits)
+    )
+    parts = (
+        keyed.repartitionByRange(target_partitions, "_z")
+        if target_partitions
+        else keyed.repartitionByRange("_z")
+    )
+    (
+        parts.sortWithinPartitions("_z")
+        .drop("_z", *[f"_min_{c}" for c in zorder_cols], *[f"_max_{c}" for c in zorder_cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

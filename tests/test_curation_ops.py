@@ -184,3 +184,31 @@ def test_null_stratum_hashes_like_skipped_separator(spark):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_bigram_surprise_hand_computed(spark):
+    import math
+
+    # corpus: doc1 "a b a b", doc2 "a b c" → bigrams: d1 [ab, ba, ab],
+    # d2 [ab, bc].  c(ab)=3, c(ba)=1, c(bc)=1; ctx a·=3+... ctx(a)=c(a b)=3,
+    # ctx(b)=c(b a)+c(b c)=2; V=3 (a,b,c); k=0.5.
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    from firmable_company_data_pipeline_spark.operators.curation import (
+        BIGRAM_ADD_K as k,
+        bigram_surprise,
+    )
+
+    out = {r["doc_id"]: r for r in bigram_surprise(docs).collect()}
+    p_ab = (3 + k) / (3 + k * 3)      # ctx(a)=3
+    p_ba = (1 + k) / (2 + k * 3)      # ctx(b)=2
+    p_bc = (1 + k) / (2 + k * 3)
+    d1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    d2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_bigram_surprise"] == pytest.approx(d1, abs=1e-4)
+    assert out[2]["avg_bigram_surprise"] == pytest.approx(d2, abs=1e-4)
+    # single-token doc contributes no row
+    single = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    assert bigram_surprise(single).count() == 0

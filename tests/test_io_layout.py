@@ -12,6 +12,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from firmable_company_data_pipeline_spark.sources.io import (
     read_csv_lenient,
     write_sorted,
+    write_zorder,
 )
 
 CSV_SCHEMA = StructType(
@@ -67,3 +68,41 @@ def test_write_sorted_layout_prunes(spark, tmp_path):
     # partition-column type inference reads part= values back as ints
     per_part = {r["part"]: r["count"] for r in back.groupBy("part").count().collect()}
     assert per_part == {0: 250, 1: 250, 2: 250, 3: 250}
+
+
+def test_write_zorder_clusters_both_dims(spark, tmp_path):
+    # A grid where x and y are independent: a single-column sort layout
+    # clusters x perfectly and leaves every file spanning y's full
+    # range; Z-order must bound the per-file span of BOTH columns.
+    n = 64
+    df = spark.range(0, n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    out = str(tmp_path / "zorder")
+    write_zorder(df, out, zorder_cols=["x", "y"], bits=6, target_partitions=16)
+
+    spans = {"x": [], "y": []}
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = {"x": None, "y": None}
+        hi = {"x": None, "y": None}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in lo:
+                    st = col.statistics
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        for c in ("x", "y"):
+            spans[c].append((hi[c] - lo[c]) / (n - 1))
+    # Every row survived the round trip.
+    assert spark.read.parquet(out).count() == n * n
+    # With 16 range partitions of a 2-D Morton curve each file covers a
+    # quadrant-ish hyper-rectangle: mean span far below the full range
+    # in BOTH dimensions (a lexicographic sort would put ~1.0 on y).
+    for c in ("x", "y"):
+        mean_span = sum(spans[c]) / len(spans[c])
+        assert mean_span <= 0.6, (c, spans[c])

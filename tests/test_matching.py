@@ -170,3 +170,47 @@ def test_similarity_join_salted_equals_unsalted(spark, abr_df, cc_df):
     b = {(r.domain, r.best_abn, r.match_score) for r in base.collect()}
     s = {(r.domain, r.best_abn, r.match_score) for r in salted.collect()}
     assert b == s and len(b) == len(ENTITIES)
+
+
+def test_phonetic_key_cases(spark):
+    from firmable_company_data_pipeline_spark.functions.similarity import (
+        phonetic_key,
+        token_sort,
+    )
+
+    df = spark.createDataFrame(
+        [("Smith & Sons",), ("SMYTH SONS",), ("Acme Pty Ltd",), ("42 Degrees",)],
+        "name string",
+    )
+    out = [
+        r["k"]
+        for r in df.select(phonetic_key(token_sort(F.col("name"))).alias("k")).collect()
+    ]
+    # token-sorted first tokens: "smith"/"smyth" → head kept, vowels
+    # dropped from the tail; "acme pty ltd" sorts to "acme" → "acm";
+    # "42 degrees" drops the digits → "degrees" → "dgrs".
+    assert out[0] == "smth" and out[1] == "smyth"
+    assert out[2] == "acm" and out[3] == "dgrs"
+    # invariant: ≤5 chars, vowel-free after the head
+    for k in out:
+        assert len(k) <= 5 and all(c not in "aeiou" for c in k[1:])
+
+
+def test_salted_join_matches_plain(spark):
+    from firmable_company_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.range(0, 200).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (7, "zz")], "k long, tag string"
+    )
+    plain = left.join(right, "k").select("k", "v", "tag")
+    salted = salted_join(left, right, on="k", n_salt=4).select("k", "v", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # plan really shuffles (no broadcast) and joins on the salt
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "_salt" in plan
+    # left join keeps unmatched left rows exactly once
+    lj = salted_join(left, right, on="k", n_salt=4, how="left")
+    assert lj.count() == 200

@@ -161,3 +161,21 @@ def test_norm_histogram_bins(spark):
     assert out[5]["n_vecs"] == 1  # norm 5.0
     assert out[0]["n_vecs"] == 2  # norms 0.5 and 0.0
     assert out[5]["lo"] == 5.0
+
+
+def test_hybrid_rrf_fusion_math(spark):
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(20, 1), (40, 2)], "neighbor_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rt.hybrid_rrf(lex, dense, k=10).collect()}
+    # doc 20 appears in both lists: 1/(60+2) + 1/(60+1)
+    assert out[20]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert out[20]["rank"] == 1 and out[20]["lex_rank"] == 2
+    # single-system docs get the single reciprocal; missing rank is NULL
+    assert out[10]["dense_rank"] is None
+    assert out[10]["rrf_score"] == pytest.approx(1 / 61, abs=1e-6)
+    # doc 10 (rank 1 lexical) beats doc 40 (rank 2 dense)
+    assert out[10]["rank"] < out[40]["rank"]
