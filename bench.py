@@ -84,6 +84,8 @@ HEADLINE = [
     "bigram_surprise_score",
     "salted_user_event_stats",
     "match_phonetic_blocked",
+    "small_quantity_revenue",
+    "min_cost_supplier",
 ]
 
 

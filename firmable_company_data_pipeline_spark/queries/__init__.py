@@ -96,6 +96,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         cleaning,
         core,
         curation,
+        decorrelated,
         llmops,
         maintenance,
         matching,
@@ -117,6 +118,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         cleaning,
         maintenance,
         advanced,
+        decorrelated,
         scale,
         training,
         curation,

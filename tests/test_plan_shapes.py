@@ -352,3 +352,32 @@ def test_funnel_report_single_chained_plan(plans):
     duplicated the whole wide frame per step: 18+)."""
     p = plans("funnel_conversion")
     assert p.count("Scan parquet") <= 12
+
+
+def test_decorrelated_q17_broadcasts_dim_no_nested_loop(plans):
+    p = plans("small_quantity_revenue")
+    # brand dim broadcast; per-part avg joined as hash-agg, never a
+    # per-row subquery (no nested-loop anywhere in the plan)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_decorrelated_q22_anti_join_and_scalar_broadcast(plans):
+    p = plans("global_sales_opportunity")
+    # NOT EXISTS → left-anti hash join; the avg-balance scalar rides a
+    # broadcast (1-row), not a per-row subquery
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_decorrelated_q20_semi_chain(plans):
+    p = plans("excess_suppliers")
+    # both EXISTS levels are semi-joins; brand dim broadcast
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_salted_query_shuffles_on_salt(plans):
+    p = plans("salted_user_event_stats")
+    assert "_salt" in p and "BroadcastHashJoin" not in p
