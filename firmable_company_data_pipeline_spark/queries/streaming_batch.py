@@ -155,8 +155,44 @@ FROM events
 """
 
 
+def user_value_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/stateful.user_new_maxima``: events whose
+    value strictly exceeds the running maximum over all EARLIER
+    (ts, event_id)-ordered events of the same user — record-breaking
+    detection.  One window exchange on user_id; NULL values are neither
+    emitted nor advance the maximum (matching the processor)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return (
+        ev.withColumn("_prev_max", F.max("value").over(w))
+        .filter(F.col("_prev_max").isNull() | (F.col("value") > F.col("_prev_max")))
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+USER_VALUE_RECORDS_SQL = """
+SELECT user_id, event_id, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events WHERE value IS NOT NULL
+)
+WHERE prev_max IS NULL OR value > prev_max
+"""
+
+
 QUERIES = {
     "events_tumbling_1h": events_tumbling_1h,
+    "user_value_records": user_value_records,
     "events_sliding_10m": events_sliding_10m,
     "events_session_5m": events_session_5m,
     "events_dedup_union": events_dedup_union,
@@ -166,6 +202,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_1h": EVENTS_TUMBLING_1H_SQL,
+    "user_value_records": USER_VALUE_RECORDS_SQL,
     "events_sliding_10m": EVENTS_SLIDING_10M_SQL,
     "events_session_5m": EVENTS_SESSION_5M_SQL,
     "events_dedup_union": EVENTS_DEDUP_UNION_SQL,

@@ -56,3 +56,84 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): the successor API to
+# applyInPandasWithState — typed per-key state handles (value/list/map),
+# TTL, timers, and an initial-state hook, managed by the same
+# checkpointed state store.  `user_new_maxima` exercises it with a
+# cross-batch high-water-mark detector: emit a row ONLY when a user's
+# event value exceeds every value they have produced before (alerting /
+# record-tracking shape; needs remembered state, inexpressible as a
+# windowed aggregate over the stream).
+NEW_MAX_OUTPUT_SCHEMA = "user_id long, event_id long, value double"
+
+
+class _NewMaxProcessor:
+    """Per-user ValueState holding the running maximum.  Rows within a
+    batch are processed in (ts, event_id) order so intra-batch
+    semantics match the batch twin exactly."""
+
+    def init(self, handle) -> None:
+        self._max = handle.getValueState("mx", "m double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        mx = self._max.get()[0] if self._max.exists() else None
+        out_eid, out_val = [], []
+        for pdf in rows:
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                v = r.value
+                if v is not None and v == v and (mx is None or v > mx):
+                    mx = v
+                    out_eid.append(r.event_id)
+                    out_val.append(v)
+        if mx is not None:
+            self._max.update((float(mx),))
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_eid),
+                    "event_id": out_eid,
+                    "value": out_val,
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def user_new_maxima(events: DataFrame) -> DataFrame:
+    """Streaming per-user new-maximum detector on
+    ``transformWithStateInPandas``; append output, processing-time mode.
+
+    Batch twin (tests assert equivalence): events whose value strictly
+    exceeds the running max over all earlier (ts, event_id) events of
+    the same user (``queries/streaming_batch.user_value_records``,
+    oracle-checked).
+
+    Environment note: the TWS state-server protocol is protobuf-encoded;
+    in containers without ``google.protobuf`` the query fails at stream
+    start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (the
+    equivalence test importorskips on exactly that).  The legacy-API
+    twin ``running_user_totals`` (applyInPandasWithState) runs without
+    protobuf.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Subclass dynamically so the module imports even on Spark < 4.
+    proc = type("NewMaxProcessor", (StatefulProcessor,), dict(_NewMaxProcessor.__dict__))()
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=NEW_MAX_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -260,3 +260,42 @@ def test_streaming_funnel_matches_batch_stages(spark, sf_dir, events_dir):
     ev = load_tables(spark, sf_dir, "events")["events"]
     exp = {r["user_id"]: r["stage"] for r in bh.funnel_user_stages(ev).collect()}
     assert got == exp
+
+
+def test_transform_with_state_new_maxima_matches_batch(spark, sf_dir, events_dir):
+    """transformWithStateInPandas high-water-mark detector emits exactly
+    the batch twin's record-breaking events.
+
+    Skips when protobuf is unavailable: the TWS state-server protocol
+    is protobuf-encoded (pyspark.sql.streaming.proto), and this
+    container ships no google.protobuf — the operator itself is real
+    and runs anywhere `pip install pyspark[connect]`-grade deps exist.
+    """
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from firmable_company_data_pipeline_spark.queries.streaming_batch import (
+        user_value_records,
+    )
+    from firmable_company_data_pipeline_spark.streaming import stateful
+
+    stream = jobs.read_events_stream(spark, events_dir, fmt="parquet", max_files=1)
+    q = (
+        stateful.user_new_maxima(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("new_maxima")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.sql("SELECT user_id, event_id FROM new_maxima").collect()
+    }
+    exp = {
+        (r["user_id"], r["event_id"])
+        for r in user_value_records(spark, sf_dir).collect()
+    }
+    assert got == exp and len(exp) > 0
