@@ -86,6 +86,8 @@ HEADLINE = [
     "match_phonetic_blocked",
     "small_quantity_revenue",
     "min_cost_supplier",
+    "copurchase_triangles",
+    "user_value_records",
 ]
 
 

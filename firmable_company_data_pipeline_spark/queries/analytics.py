@@ -510,6 +510,76 @@ FROM ex
 """
 
 
+# --------------------------------------------------------------------------
+# copurchase_triangles — triangle counts + clustering coefficient over the
+# co-purchase graph (parts bought together in ≥2 orders).  Dense cliques =
+# product bundles; the graph-cohesion twin of `part_affinity`'s lift.
+# Edge build: per-order DISTINCT baskets self-joined (Σ basket², never
+# |parts|²), min-support 2 prunes the accidental pairs; the operator then
+# runs the degree-ordered wedge algorithm (operators/graph.triangle_count).
+_TRI_MIN_ORDERS = 2
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.graph import triangle_count
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _TRI_MIN_ORDERS)
+        .select("id_a", "id_b")
+    )
+    return triangle_count(pairs)
+
+
+# Oracle enumerates triangles over canonical (u < v) edges directly —
+# orientation strategy changes the JOIN COST, never the triangle set, so
+# the naive SQL form is the independent semantic check.
+COPURCHASE_TRIANGLES_SQL = f"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_ORDERS}
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+pern AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY id),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+  GROUP BY id
+)
+SELECT d.id, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(p.n_triangles, 0) / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN pern p USING (id)
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
@@ -521,6 +591,7 @@ QUERIES = {
     "user_retention_cohorts": user_retention_cohorts,
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
+    "copurchase_triangles": copurchase_triangles,
 }
 
 ORACLES = {
@@ -534,4 +605,5 @@ ORACLES = {
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,
+    "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
 }

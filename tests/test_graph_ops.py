@@ -53,3 +53,21 @@ def test_pagerank_mass_conserved(spark):
     edges = [(1, 2), (3, 4), (2, 3)]
     out = pagerank(_pairs(spark, edges), iters=8).collect()
     assert sum(r["pagerank"] for r in out) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_triangle_count_known_graph(spark):
+    from firmable_company_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, clustering 1.0 everywhere) plus a
+    # pendant 4-5 edge and an isolated edge 6-7.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: r for r in triangle_count(pairs).collect()}
+    for n in (1, 2, 3):
+        assert out[n]["n_triangles"] == 3 and out[n]["clustering"] == 1.0
+    assert out[4]["degree"] == 4 and out[4]["n_triangles"] == 3
+    assert out[4]["clustering"] == round(2 * 3 / (4 * 3), 6)
+    assert out[5]["n_triangles"] == 0 and out[5]["clustering"] == 0.0
+    assert out[6]["n_triangles"] == 0 and out[7]["degree"] == 1
+    # total triangle count: sum of per-node counts = 3 * 4 triangles
+    assert sum(r["n_triangles"] for r in out.values()) == 12
