@@ -88,6 +88,8 @@ HEADLINE = [
     "min_cost_supplier",
     "copurchase_triangles",
     "user_value_records",
+    "media_phash_dups",
+    "media_frame_plan",
 ]
 
 

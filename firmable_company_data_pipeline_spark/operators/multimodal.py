@@ -140,3 +140,131 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """STUB — video frame sampling requires av/ffmpeg."""
     raise NotImplementedError("frame sampling requires av/ffmpeg (not in this environment)")
+
+
+# Perceptual block-hash (pHash-lite): PHASH_BITS equal byte-range chunks,
+# one bit per chunk = (chunk mean > global mean).  16 bits keeps the
+# DuckDB oracle's inlined chunk expressions readable; real deployments
+# widen to 64 and add a DCT — the PLAN SHAPE (Arrow-batch hash → banded
+# self-join → bit_count verify) is identical.
+PHASH_BITS = 16
+PHASH_BANDS = 3  # pigeonhole: ≥ max_hamming+1 bands → recall 1 at the cap
+
+
+def extract_phash(
+    media: DataFrame, decoder: Callable[..., bytes] = decode_media
+) -> DataFrame:
+    """Per-row perceptual hash of the (fake-)decoded byte signal —
+    the media twin of SimHash: visually-near-identical payloads (same
+    bytes ± small perturbations) land within a few bits.
+
+    Arrow-batched like ``extract_features``; numpy views each payload
+    buffer zero-copy, chunk boundaries are ``(i·n)//B`` so any engine
+    reproduces them in integer arithmetic.  Empty chunks (n < B) set
+    bit 0.  Output: (media_id, media_type, phash long).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload, mt in zip(pdf["content"], pdf["media_type"]):
+                d = decoder(payload, mt, fake=True)
+                arr = np.frombuffer(d, dtype=np.uint8)
+                n = len(arr)
+                h = 0
+                if n:
+                    gm = arr.mean()
+                    for i in range(PHASH_BITS):
+                        lo = (i * n) // PHASH_BITS
+                        hi = ((i + 1) * n) // PHASH_BITS
+                        if hi > lo and arr[lo:hi].mean() > gm:
+                            h |= 1 << i
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": hashes,
+                }
+            )
+
+    return media.mapInPandas(
+        batches, "media_id long, media_type string, phash long"
+    )
+
+
+def phash_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 2,
+    decoder: Callable[..., bytes] = decode_media,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance.
+
+    Banded blocking (the SimHash pattern): the hash splits into
+    ``PHASH_BANDS`` bit-bands; ≤ ``max_hamming`` < bands errors leave at
+    least one band intact (pigeonhole), so the union of per-band
+    equi-joins has recall 1 — candidate volume is Σ per-bucket² per
+    band, never N².  Verification is one ``bit_count(xor)`` per
+    candidate.  Output: (id_a, id_b, hamming) with id_a < id_b.
+
+    The hash table feeds all ``PHASH_BANDS`` self-joins: persisted so
+    the Arrow decode stage runs once, not 2×bands times (same contract
+    as the MinHash signature persist — caller owns cache lifetime).
+    """
+    bits_per = -(-PHASH_BITS // PHASH_BANDS)
+    ph = extract_phash(media, decoder).persist()
+    mask = (1 << bits_per) - 1
+    cands = None
+    for b in range(PHASH_BANDS):
+        band = lambda c: F.shiftright(c, b * bits_per).bitwiseAND(F.lit(mask))  # noqa: B023
+        l = ph.select(F.col("media_id").alias("id_a"), F.col("phash").alias("ha")).withColumn(
+            "_band", band(F.col("ha"))
+        )
+        r = ph.select(F.col("media_id").alias("id_b"), F.col("phash").alias("hb")).withColumn(
+            "_band", band(F.col("hb"))
+        )
+        c = l.join(r, "_band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "ha", "hb")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def frame_sample_plan(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Deterministic frame-sampling PLAN from metadata alone — which
+    byte ranges a video decoder would fetch, WITHOUT decoding: frame i
+    occupies bytes [i·frame_bytes, (i+1)·frame_bytes) of the payload
+    and every ``every_n``-th frame is sampled.
+
+    This replaces the former NotImplementedError stub with the real
+    planning half of the operator (map-only: metadata → ``sequence`` →
+    explode; zero shuffles, prunes the binary column entirely — at
+    100 TB the plan rows are what feeds a ranged-fetch decode stage à la
+    ``sources/commoncrawl.fetch_warc_html``).  The pixel-decode half
+    still requires av/ffmpeg (``decode_media``).
+
+    Output: (media_id, frame_idx, byte_offset, n_frame_bytes).
+    """
+    n_frames = F.floor(F.col("meta.n_bytes") / frame_bytes).cast("long")
+    return (
+        media.select("media_id", F.col("meta.n_bytes").alias("_nb"), n_frames.alias("_nf"))
+        .filter(F.col("_nf") > 0)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_nf") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * frame_bytes).alias("byte_offset"),
+            F.lit(frame_bytes).cast("long").alias("n_frame_bytes"),
+        )
+    )

@@ -646,6 +646,78 @@ FROM e GROUP BY bin
 
 
 # --------------------------------------------------------------------------
+# media_phash_dups — perceptual-hash near-dup pairs over the binary media
+# table (the SimHash pattern at the media layer: Arrow-batch hash, banded
+# self-join, bit_count verify).  Oracle recomputes the 16-bit block hash
+# from the source text (payload bytes == ASCII codepoints) and applies
+# the Hamming predicate naively — banding changes candidate COST, not the
+# pair set.  Chunk sums are exact integer-valued doubles (< 2^53) in both
+# engines, so the mean comparisons are bit-deterministic.
+def media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    return mm.phash_dup_pairs(mm.as_media_table(docs), max_hamming=2)
+
+
+def _phash_bit_sql(i: int, bits: int = 16) -> str:
+    lo = f"(({i} * n) // {bits})"
+    hi = f"((({i} + 1) * n) // {bits})"
+    chunk_avg = f"list_aggregate(codes[{lo} + 1 : {hi}], 'avg')"
+    return (
+        f"CASE WHEN {hi} > {lo} AND {chunk_avg} > gm"
+        f" THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+    )
+
+
+MEDIA_PHASH_DUPS_SQL = f"""
+WITH codes AS (
+  SELECT doc_id AS media_id,
+         list_transform(string_split(text, ''), c -> ascii(c)::DOUBLE) AS codes
+  FROM documents
+),
+sized AS (
+  SELECT media_id, codes, len(codes) AS n,
+         list_aggregate(codes, 'avg') AS gm
+  FROM codes WHERE len(codes) > 0
+),
+hashed AS (
+  SELECT media_id,
+         ({" + ".join(_phash_bit_sql(i) for i in range(16))}) AS phash
+  FROM sized
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# media_frame_plan — metadata-only frame-sampling plan (which byte ranges
+# a decoder would fetch); map-only, binary column pruned away entirely.
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mm.frame_sample_plan(mm.as_media_table(docs), frame_bytes=64, every_n=4)
+
+
+MEDIA_FRAME_PLAN_SQL = """
+WITH sized AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text))::BIGINT // 64 AS nf
+  FROM documents
+)
+SELECT media_id,
+       unnest(range(0, nf, 4)) AS frame_idx,
+       unnest(range(0, nf, 4)) * 64 AS byte_offset,
+       64::BIGINT AS n_frame_bytes
+FROM sized WHERE nf > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # pagerank_neardup — centrality over the near-dup graph (iterative; no
 # SQL oracle: the contribution sum's float order is engine-dependent, so
 # the driver records a rows-only check — semantics pinned by
@@ -673,6 +745,8 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
+    "media_phash_dups": media_phash_dups,
+    "media_frame_plan": media_frame_plan,
     "label_centroids": label_centroids,
     "embedding_norm_histogram": embedding_norm_histogram,
     "pagerank_neardup": pagerank_neardup,
@@ -695,6 +769,8 @@ ORACLES = {
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "media_phash_dups": MEDIA_PHASH_DUPS_SQL,
+    "media_frame_plan": MEDIA_FRAME_PLAN_SQL,
     "embedding_norm_histogram": EMBEDDING_NORM_HISTOGRAM_SQL,
     # pagerank_neardup intentionally absent: rows-only check (see its
     # docstring).

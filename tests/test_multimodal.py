@@ -53,3 +53,60 @@ def test_resize_and_frames_stubbed(spark, sf_dir):
         mm.resize_image(media, 224, 224)
     with pytest.raises(NotImplementedError):
         mm.sample_frames(media)
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, "image/png", payload, {"source": "t", "n_bytes": len(payload)})
+            for i, payload in rows
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+
+
+def test_phash_identical_and_perturbed_payloads(spark):
+    base = bytes(range(32, 96)) * 4  # 256 bytes, strong chunk structure
+    perturbed = bytearray(base)
+    perturbed[10] ^= 0x40  # one flipped byte: at most a few chunk means move
+    other = bytes(reversed(base))
+    media = _media_df(spark, [(1, base), (2, bytes(perturbed)), (3, other), (4, base)])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_dup_pairs(media, max_hamming=2).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical payloads always pair at distance 0
+    assert (2, 4) in pairs or (1, 2) in pairs  # perturbation stays near
+    assert all(h <= 2 for h in pairs.values())
+
+
+def test_phash_banding_has_full_recall_at_cap(spark):
+    # every pair within the cap must survive banded blocking: compare the
+    # banded operator against a brute-force recompute of its own hashes
+    import itertools
+
+    payloads = [(i, bytes((j * i + 7) % 251 for j in range(200))) for i in range(1, 9)]
+    media = _media_df(spark, payloads)
+    hashes = {r["media_id"]: r["phash"] for r in mm.extract_phash(media).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 2
+    }
+    got = {(r["id_a"], r["id_b"]) for r in mm.phash_dup_pairs(media, max_hamming=2).collect()}
+    assert got == want
+
+
+def test_frame_sample_plan_arithmetic(spark):
+    media = _media_df(spark, [(1, bytes(300)), (2, bytes(63)), (3, bytes(64))])
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in mm.frame_sample_plan(media, frame_bytes=64, every_n=4).collect()
+    }
+    # payload 300 → 4 frames (0..3), sampled every 4th → frame 0 only
+    assert (1, 0) in rows and (1, 4) not in rows
+    assert rows[(1, 0)]["byte_offset"] == 0 and rows[(1, 0)]["n_frame_bytes"] == 64
+    # payload 63 → 0 full frames → no plan rows
+    assert not any(m == 2 for (m, _) in rows)
+    # payload exactly one frame
+    assert (3, 0) in rows
