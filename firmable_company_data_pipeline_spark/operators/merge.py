@@ -162,3 +162,53 @@ def scd2_apply(
         .unionByName(closed_now)
         .unionByName(opened)
     )
+
+
+def rollup_merge(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    metrics: dict[str, str],
+) -> DataFrame:
+    """Incremental maintenance of an aggregate table: combine a stored
+    rollup with a freshly-aggregated delta partition WITHOUT rescanning
+    history — the continuous-aggregate refresh step (pairs with
+    ``sources/io.incremental_append``'s high-water-mark ingest; the
+    reference recomputes everything from scratch on each load,
+    `transform/data_cleaning.py:121-133`).
+
+    ``metrics`` maps column → combiner: ``sum``/``count`` merge by
+    addition (a count IS a sum of partial counts), ``min``/``max`` by
+    the corresponding pick.  Only algebraic/distributive aggregates
+    belong here — avg must be carried as (sum, count) and derived at
+    read time; exact distinct-count is NOT mergeable (carry an HLL
+    sketch instead).
+
+    Plan: one full-outer equi-join on the rollup keys — |key-space|
+    rows, never event volume.  At 100 TB the base side is the stored
+    aggregate (small), the delta side aggregates only the new
+    partition: refresh cost is O(delta + key-space), independent of
+    history length.
+    """
+    b = base.alias("b")
+    d = delta.alias("d")
+    cond = None
+    for k in keys:
+        eq = F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = eq if cond is None else cond & eq
+    out_keys = [
+        F.coalesce(F.col(f"b.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
+    out_metrics = []
+    for c, how in metrics.items():
+        bcol, dcol = F.col(f"b.{c}"), F.col(f"d.{c}")
+        if how in ("sum", "count"):
+            merged = F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0))
+        elif how == "min":
+            merged = F.least(bcol, dcol)  # least/greatest skip NULLs
+        elif how == "max":
+            merged = F.greatest(bcol, dcol)
+        else:
+            raise ValueError(f"unsupported combiner {how!r} for {c!r}")
+        out_metrics.append(merged.alias(c))
+    return b.join(d, cond, "full_outer").select(*out_keys, *out_metrics)

@@ -243,32 +243,53 @@ def match_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     abr = _abr_side(part).withColumn(
         "_pkey", phonetic_key(token_sort(F.col("entity_name")))
     )
-    out = similarity_join(
-        cc,
+    # Match DISTINCT names, then propagate to rows: scoring work is
+    # |distinct names within block| × |block candidates|, not row pairs —
+    # the production entity-resolution shape (dedupe the name table,
+    # resolve once per name, join the verdict back).  On a corpus whose
+    # names repeat heavily (here: 64 distinct names across 20k rows, so
+    # ANY name-derived block key saturates at 64 blocks) this collapses
+    # ~6M scored pairs to ~20k — measured 12 s → ~2 s at bench scale.
+    # The best candidate per (block, name) is identical for every row
+    # sharing that name (the top-1 tie-break depends only on the name),
+    # so results are row-for-row equal to the direct join; the oracle
+    # still states the per-row form.
+    cc_names = cc.select("_pkey", "company_name").distinct()
+    best = similarity_join(
+        cc_names,
         abr,
         left_text="company_name",
         right_text="entity_name",
         block_key="_pkey",
         threshold=80.0,
-        left_id="domain",
+        left_id="company_name",
         right_id="abn",
-    )
-    return out.select(
-        "domain",
+    ).select(
+        "_pkey",
         "company_name",
         F.col("best_abn").alias("abr_abn"),
         F.col("best_entity_name").alias("entity_name"),
         "match_score",
         "match_confidence",
     )
+    return cc.join(best, ["_pkey", "company_name"]).select(
+        "domain",
+        "company_name",
+        "abr_abn",
+        "entity_name",
+        "match_score",
+        "match_confidence",
+    )
 
 
 def _duck_phonetic(ts_expr: str) -> str:
+    # Two-token consonant-skeleton key (functions/similarity.phonetic_key
+    # with n_tokens=2): skeleton each of the first two tokens, join by ' '.
     s = f"trim(regexp_replace({ts_expr}, '[^a-z]+', ' ', 'g'))"
-    first = f"string_split({s}, ' ')[1]"
     return (
-        f"substr(substr({first}, 1, 1) || "
-        f"regexp_replace(substr({first}, 2, 1000000), '[aeiou]', '', 'g'), 1, 5)"
+        f"array_to_string(list_transform(string_split({s}, ' ')[1:2], "
+        f"t -> substr(substr(t, 1, 1) || "
+        f"regexp_replace(substr(t, 2, 1000000), '[aeiou]', '', 'g'), 1, 5)), ' ')"
     )
 
 

@@ -186,14 +186,16 @@ def test_phonetic_key_cases(spark):
         r["k"]
         for r in df.select(phonetic_key(token_sort(F.col("name"))).alias("k")).collect()
     ]
-    # token-sorted first tokens: "smith"/"smyth" → head kept, vowels
-    # dropped from the tail; "acme pty ltd" sorts to "acme" → "acm";
-    # "42 degrees" drops the digits → "degrees" → "dgrs".
-    assert out[0] == "smth" and out[1] == "smyth"
-    assert out[2] == "acm" and out[3] == "dgrs"
-    # invariant: ≤5 chars, vowel-free after the head
-    for k in out:
-        assert len(k) <= 5 and all(c not in "aeiou" for c in k[1:])
+    # two-token skeletons over the token-sorted name: "Smith & Sons" →
+    # ["smith","sons"] → "smth sns"; "SMYTH SONS" → "smyth sns" ("y" is
+    # not a vowel here); "Acme Pty Ltd" sorts to ["acme","ltd","pty"] →
+    # "acm ltd"; "42 Degrees" drops the digits → single token "dgrs".
+    assert out[0] == "smth sns" and out[1] == "smyth sns"
+    assert out[2] == "acm ltd" and out[3] == "dgrs"
+    # invariant: per-token skeleton ≤5 chars, vowel-free after the head
+    for key in out:
+        for tok in key.split(" "):
+            assert len(tok) <= 5 and all(c not in "aeiou" for c in tok[1:])
 
 
 def test_salted_join_matches_plain(spark):
