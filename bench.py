@@ -90,6 +90,7 @@ HEADLINE = [
     "user_value_records",
     "media_phash_dups",
     "media_frame_plan",
+    "events_rollup_incremental",
 ]
 
 

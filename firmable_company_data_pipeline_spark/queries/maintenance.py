@@ -201,14 +201,71 @@ COLUMN_PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# events_rollup_incremental — continuous-aggregate refresh: the stored
+# (day, event_type) rollup of history merged with a freshly-aggregated
+# delta partition via operators/merge.rollup_merge, WITHOUT rescanning
+# history.  Double sums ride DECIMAL(18,6) so partial-aggregate addition
+# is exact and associative (merge(base, delta) ≡ full recompute bit-for-
+# bit); the oracle IS the full single-pass recompute — the check proves
+# the incremental path equals the from-scratch answer.
+_ROLLUP_CUTOFF = "2024-01-16"
+
+
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.merge import rollup_merge
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        "ts",
+    )
+
+    def roll(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    base = roll(ev.filter(F.col("ts") < F.lit(_ROLLUP_CUTOFF).cast("timestamp")))
+    delta = roll(ev.filter(F.col("ts") >= F.lit(_ROLLUP_CUTOFF).cast("timestamp")))
+    merged = rollup_merge(
+        base,
+        delta,
+        keys=["day", "event_type"],
+        metrics={"n_events": "sum", "sum_v": "sum", "max_v": "max"},
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_v").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("max_v").cast("double"), 2).alias("max_value"),
+    )
+
+
+EVENTS_ROLLUP_INCREMENTAL_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
+       round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dq_summary": dq_summary,
+    "events_rollup_incremental": events_rollup_incremental,
     "dim_merge_upsert": dim_merge_upsert,
     "column_profile_orders": column_profile_orders,
 }
 
 ORACLES = {
     "dq_summary": DQ_SUMMARY_SQL,
+    "events_rollup_incremental": EVENTS_ROLLUP_INCREMENTAL_SQL,
     "dim_merge_upsert": DIM_MERGE_UPSERT_SQL,
     "column_profile_orders": COLUMN_PROFILE_ORDERS_SQL,
 }

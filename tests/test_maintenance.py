@@ -227,3 +227,36 @@ def test_incremental_append_high_water_mark(spark, sf_dir, tmp_path):
 
     # idempotent re-run appends nothing
     assert incremental_append(spark, second, sink, "event_id") == 0
+
+
+def test_rollup_merge_equals_full_recompute(spark):
+    from firmable_company_data_pipeline_spark.operators.merge import rollup_merge
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 7.0),
+        ("a", 3, 1.0), ("c", 9, 2.5), ("b", 2, 7.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, n long, v double")
+
+    def roll(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("sum_n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    base = roll(df.filter(F.col("n") <= 2))
+    delta = roll(df.filter(F.col("n") > 2))  # 'c' only in delta, 'b' only in base
+    merged = rollup_merge(
+        base, delta, keys=["k"],
+        metrics={"n_rows": "sum", "sum_n": "sum", "min_v": "min", "max_v": "max"},
+    )
+    got = {r["k"]: (r["n_rows"], r["sum_n"], r["min_v"], r["max_v"]) for r in merged.collect()}
+    exp = {r["k"]: (r["n_rows"], r["sum_n"], r["min_v"], r["max_v"]) for r in roll(df).collect()}
+    assert got == exp
+    # unsupported combiner rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rollup_merge(base, delta, keys=["k"], metrics={"n_rows": "avg"})
