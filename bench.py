@@ -91,6 +91,7 @@ HEADLINE = [
     "media_phash_dups",
     "media_frame_plan",
     "events_rollup_incremental",
+    "bpe_tokenize_stats",
 ]
 
 

@@ -410,3 +410,83 @@ def hybrid_rrf(
     )
     w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return fused.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# Fixed BPE merge table (standard English pairs; any ordered list works —
+# `bpe_pair_counts` is the training step that would produce one from the
+# corpus).  Applied IN ORDER, each merge replacing all adjacent
+# occurrences left-to-right — textbook BPE inference (Sennrich et al.
+# 2016 §3).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+)
+
+# Token delimiter for the spelled representation: codepoint 124 ('|')
+# never appears in the corpus (ASCII ≤ 'y'); delimiters INSIDE the
+# search pattern ('|a|b|' → '|ab|') make merges boundary-safe — 'l lo'
+# can never match the tail of an 'll' token.
+_BPE_SEP = "|"
+
+
+def bpe_apply(
+    words: "F.Column", merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> "F.Column":
+    """Apply a fixed BPE merge table to an ARRAY of words, returning the
+    array of subword tokens — ENTIRELY native (no UDF): each word is
+    spelled into a delimited char sequence ('|h|e|l|l|o|') and each
+    merge is one boundary-safe ``replace`` ('|a|b|' → '|ab|');
+    ``replace`` scans left-to-right past each substitution, which is
+    exactly BPE's greedy all-occurrences semantics (('a','a') on
+    'a a a' merges the first pair only).
+
+    Cost: |merges| string passes per word, whole-stage-codegen'd — the
+    map-only shape that scales by partition count; contrast a
+    row-at-a-time Python tokenizer at ~100× the cost.
+    """
+    def encode_word(w: F.Column) -> F.Column:
+        spelled = F.concat(F.lit(_BPE_SEP), F.regexp_replace(w, "(.)", "$1" + _BPE_SEP))
+        for a, b in merges:
+            # Each merge applies TWICE: back-to-back occurrences of the
+            # same pair ('|a|n|a|n|') share their boundary delimiter, so
+            # one non-overlapping replace pass merges every other
+            # occurrence; the survivors are isolated by construction and
+            # the second pass catches them all.  (Self-pairs a==b over
+            # runs ≥ 3 keep replace's leftmost-nonoverlapping grouping —
+            # 'aaaaa' → aa,a,aa — a documented deviation from
+            # iterative-leftmost BPE's aa,aa,a; the default table has no
+            # self-pairs.)
+            pat = F.lit(_BPE_SEP + a + _BPE_SEP + b + _BPE_SEP)
+            rep = F.lit(_BPE_SEP + a + b + _BPE_SEP)
+            spelled = F.replace(F.replace(spelled, pat, rep), pat, rep)
+        return F.filter(F.split(spelled, "\\" + _BPE_SEP), lambda t: t != "")
+
+    return F.flatten(F.transform(words, encode_word))
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus subword-frequency profile under a fixed BPE merge table:
+    top-``top_n`` subwords by occurrence count (the post-merge twin of
+    ``vocab_coverage``'s word-level view).  One corpus hash-agg after
+    the map-only encode; TakeOrdered top-n."""
+    occ = spread(docs).select(
+        F.explode(bpe_apply(tokens(F.col(text_col)), merges)).alias("subword")
+    )
+    agg = occ.groupBy("subword").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("subword"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("subword", "n", "rank")
+    )

@@ -276,9 +276,48 @@ SELECT doc_id, lex_rank, dense_rank, rrf_score, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# bpe_tokenize_stats — corpus subword frequencies under the fixed BPE
+# merge table, applied natively (chained boundary-safe replaces; no UDF).
+# The oracle mirrors the same replace chain (replace() semantics are
+# identical in both engines); the SEMANTIC pin against true iterative
+# BPE is the pure-Python parity test in tests/test_retrieval_ops.py.
+_BPE_TOP = 20
+
+
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return rt.bpe_token_stats(docs, top_n=_BPE_TOP)
+
+
+def _bpe_chain_sql() -> str:
+    expr = "'|' || regexp_replace(w, '(.)', '\\1|', 'g')"
+    for a, b in rt.BPE_MERGES:
+        pat, rep = f"'|{a}|{b}|'", f"'|{a}{b}|'"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr
+
+
+BPE_TOKENIZE_STATS_SQL = f"""
+WITH words AS (SELECT unnest({_TOKENS}) AS w FROM documents),
+enc AS (SELECT {_bpe_chain_sql()} AS s FROM words),
+occ AS (
+  SELECT unnest(list_filter(string_split(s, '|'), x -> x != '')) AS subword
+  FROM enc
+),
+agg AS (SELECT subword, count(*) AS n FROM occ GROUP BY subword)
+SELECT subword, n, rank FROM (
+  SELECT subword, n,
+         row_number() OVER (ORDER BY n DESC, subword) AS rank
+  FROM agg
+) WHERE rank <= {_BPE_TOP}
+"""
+
+
 QUERIES = {
     "bm25_search": bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "bpe_tokenize_stats": bpe_tokenize_stats,
     "random_projection": random_projection,
     "dataset_mixing_plan": dataset_mixing_plan,
     "vocab_pair_counts": vocab_pair_counts,
@@ -289,6 +328,7 @@ QUERIES = {
 ORACLES = {
     "bm25_search": BM25_SEARCH_SQL,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_SQL,
+    "bpe_tokenize_stats": BPE_TOKENIZE_STATS_SQL,
     "random_projection": RANDOM_PROJECTION_SQL,
     "dataset_mixing_plan": DATASET_MIXING_PLAN_SQL,
     "vocab_pair_counts": VOCAB_PAIR_COUNTS_SQL,

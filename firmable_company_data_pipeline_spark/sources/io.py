@@ -435,3 +435,32 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed, sorted table layout — the co-located-join primitive:
+    two tables bucketed the same way on the join key sort-merge-join
+    with NO exchange on either side (each bucket pair joins locally),
+    and single-table aggregations on the bucket key skip their shuffle
+    too.  At 100 TB this turns every repeated fact⋈fact or fact⋈big-dim
+    join on a stable key into a shuffle-free operation — the layout is
+    paid once at write time.
+
+    Spark bucketing lives in the session catalog (``saveAsTable``; plain
+    ``parquet(path)`` cannot carry bucket metadata).  Read back with
+    ``spark.table(table)``.  ``sort_cols`` defaults to the bucket
+    columns so merge-joins also skip their per-task sort.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -11,6 +11,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from firmable_company_data_pipeline_spark.sources.io import (
     read_csv_lenient,
+    write_bucketed,
     write_sorted,
     write_zorder,
 )
@@ -106,3 +107,29 @@ def test_write_zorder_clusters_both_dims(spark, tmp_path):
     for c in ("x", "y"):
         mean_span = sum(spans[c]) / len(spans[c])
         assert mean_span <= 0.6, (c, spans[c])
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    big = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    other = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+    )
+    try:
+        write_bucketed(big, "t_big", ["k"], n_buckets=4)
+        write_bucketed(other, "t_other", ["k"], n_buckets=4)
+        l, r = spark.table("t_big"), spark.table("t_other")
+        joined = l.join(r.hint("merge"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: sort-merge join with ZERO shuffles on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 10_000
+        # bucket-key aggregation also skips its shuffle
+        agg = l.groupBy("k").agg(F.sum("a").alias("s"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_big")
+        spark.sql("DROP TABLE IF EXISTS t_other")

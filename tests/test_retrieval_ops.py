@@ -179,3 +179,56 @@ def test_hybrid_rrf_fusion_math(spark):
     assert out[10]["rrf_score"] == pytest.approx(1 / 61, abs=1e-6)
     # doc 10 (rank 1 lexical) beats doc 40 (rank 2 dense)
     assert out[10]["rank"] < out[40]["rank"]
+
+
+def _bpe_py(word, merges):
+    """Reference BPE apply: per merge (in rank order), left-to-right
+    non-overlapping pair replacement — the Sennrich inference step."""
+    toks = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    import pyspark.sql.functions as F
+
+    words = [
+        "the", "thunder", "and", "banana", "anandan", "rethethere",
+        "in", "on", "i", "", "anananan", "interband",
+    ]
+    df = spark.createDataFrame([(w, [w]) for w in words], "w string, arr array<string>")
+    got = {
+        r["w"]: r["enc"]
+        for r in df.select("w", rt.bpe_apply(F.col("arr")).alias("enc")).collect()
+    }
+    for w in words:
+        assert got[w] == _bpe_py(w, rt.BPE_MERGES), w
+
+
+def test_bpe_apply_matches_python_on_corpus_vocab(spark, docs):
+    import pyspark.sql.functions as F
+    from firmable_company_data_pipeline_spark.functions.textstats import tokens
+
+    vocab = [
+        r["w"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .collect()
+    ]
+    df = spark.createDataFrame([(w, [w]) for w in vocab], "w string, arr array<string>")
+    got = {
+        r["w"]: r["enc"]
+        for r in df.select("w", rt.bpe_apply(F.col("arr")).alias("enc")).collect()
+    }
+    for w in vocab:
+        assert got[w] == _bpe_py(w, rt.BPE_MERGES), w
+        assert "".join(got[w]) == w  # lossless
