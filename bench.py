@@ -92,6 +92,7 @@ HEADLINE = [
     "media_frame_plan",
     "events_rollup_incremental",
     "bpe_tokenize_stats",
+    "incremental_distinct_users",
 ]
 
 

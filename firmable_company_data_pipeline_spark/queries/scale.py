@@ -197,9 +197,49 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental_distinct_users — MERGEABLE distinct via Datasketches HLL:
+# per-day sketches (the stored per-partition sketch table a continuous
+# aggregate would maintain — exact distinct is NOT mergeable, sketches
+# are) unioned with hll_union_agg per event_type.  Error-contract oracle
+# (the approx_distinct_users pattern): the exact count hash-matches,
+# a boolean pins the merged estimate within 5%; the estimate itself is
+# engine-specific and never compared.  At 100 TB the refresh cost is
+# O(new partition) + a union of kilobyte sketches — pairs with
+# merge.rollup_merge, which handles the algebraic metrics.
+def incremental_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("approx") - F.col("n_exact")) / F.col("n_exact") <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+INCREMENTAL_DISTINCT_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "skew_report_events": skew_report_events,
     "salted_user_event_stats": salted_user_event_stats,
+    "incremental_distinct_users": incremental_distinct_users,
     "order_price_band_stats": order_price_band_stats,
     "approx_distinct_users": approx_distinct_users,
     "approx_median_value": approx_median_value,
@@ -208,6 +248,7 @@ QUERIES = {
 ORACLES = {
     "skew_report_events": SKEW_REPORT_EVENTS_SQL,
     "salted_user_event_stats": SALTED_USER_EVENT_STATS_SQL,
+    "incremental_distinct_users": INCREMENTAL_DISTINCT_USERS_SQL,
     "order_price_band_stats": ORDER_PRICE_BAND_STATS_SQL,
     "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
     "approx_median_value": APPROX_MEDIAN_VALUE_SQL,
