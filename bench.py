@@ -93,6 +93,8 @@ HEADLINE = [
     "events_rollup_incremental",
     "bpe_tokenize_stats",
     "incremental_distinct_users",
+    "customer_360",
+    "events_late_audit",
 ]
 
 

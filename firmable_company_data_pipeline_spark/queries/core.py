@@ -783,6 +783,79 @@ SELECT part_a, part_b, n_together, lift, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# customer_360 — the denormalized serving mart: one wide row per customer
+# composing order aggregates, event aggregates, and the nation dim.  The
+# canonical ETL "gold layer" build: each fact aggregates AT ITS OWN GRAIN
+# first (orders → per-customer, events → per-user), then joins land on
+# customer-key-sized tables — never a fact⋈fact join; the nation dim
+# broadcasts.  LEFT joins keep customers with no orders/events (zeros).
+def customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "events", "nation")
+    ord_agg = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+        )
+    )
+    ev_agg = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        )
+    )
+    return (
+        t["customer"]
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(ord_agg, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .join(ev_agg, F.col("c_custkey") == F.col("user_id"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            "last_order_date",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+    )
+
+
+CUSTOMER_360_SQL = """
+WITH ord_agg AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_spend,
+         max(CAST(o_orderdate AS DATE)) AS last_order_date
+  FROM orders GROUP BY o_custkey
+),
+ev_agg AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_purchases
+  FROM events GROUP BY user_id
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_mktsegment,
+       round(c.c_acctbal, 2) AS acctbal,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.total_spend, 0.0) AS total_spend,
+       o.last_order_date,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.n_purchases, 0) AS n_purchases
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN ord_agg o ON c.c_custkey = o.o_custkey
+LEFT JOIN ev_agg e ON c.c_custkey = e.user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -805,9 +878,11 @@ QUERIES = {
     "customer_order_histogram": customer_order_histogram,
     "lineitem_correlations": lineitem_correlations,
     "part_affinity": part_affinity,
+    "customer_360": customer_360,
 }
 
 ORACLES = {
+    "customer_360": CUSTOMER_360_SQL,
     "nation_trade_volume": NATION_TRADE_VOLUME_SQL,
     "market_share": MARKET_SHARE_SQL,
     "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,

@@ -190,9 +190,55 @@ WHERE prev_max IS NULL OR value > prev_max
 """
 
 
+def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data audit — the batch view of exactly which rows a
+    10-minute watermark WOULD drop if the table replayed as a stream in
+    arrival order (event_id): a row is late iff its event time is below
+    the watermark its arrival-time predecessor set
+    (``max(ts) so far − delay``).  The pre-flight run before picking a
+    watermark delay: counts the data loss each candidate delay buys.
+    One window exchange (global arrival order at audit grain; shard by
+    source partition for the 100-TB run — watermarks are per-partition
+    pre-coalesce in Spark anyway)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    delay = F.expr("INTERVAL 10 MINUTES")
+    ev = _events(spark, sf_dir).withColumn("_hwm", F.max("ts").over(w))
+    return (
+        ev.withColumn("_late", (F.col("ts") < F.col("_hwm") - delay).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_late").alias("n_late"),
+            F.round(F.sum("_late") / F.count(F.lit(1)), 6).alias("late_frac"),
+        )
+    )
+
+
+EVENTS_LATE_AUDIT_SQL = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN ts < max(ts) OVER (ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+                   - INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS late
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       sum(late)::BIGINT AS n_late,
+       round(sum(late) / count(*)::DOUBLE, 6) AS late_frac
+FROM flagged
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling_1h": events_tumbling_1h,
     "user_value_records": user_value_records,
+    "events_late_audit": events_late_audit,
     "events_sliding_10m": events_sliding_10m,
     "events_session_5m": events_session_5m,
     "events_dedup_union": events_dedup_union,
@@ -203,6 +249,7 @@ QUERIES = {
 ORACLES = {
     "events_tumbling_1h": EVENTS_TUMBLING_1H_SQL,
     "user_value_records": USER_VALUE_RECORDS_SQL,
+    "events_late_audit": EVENTS_LATE_AUDIT_SQL,
     "events_sliding_10m": EVENTS_SLIDING_10M_SQL,
     "events_session_5m": EVENTS_SESSION_5M_SQL,
     "events_dedup_union": EVENTS_DEDUP_UNION_SQL,
