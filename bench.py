@@ -95,6 +95,10 @@ HEADLINE = [
     "incremental_distinct_users",
     "customer_360",
     "events_late_audit",
+    "customer_hierarchy_rollup",
+    "events_daily_gapfill",
+    "part_revenue_pareto",
+    "user_week_over_week",
 ]
 
 

@@ -347,6 +347,61 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# customer_hierarchy_rollup — recursive CTE (Spark 4 WITH RECURSIVE): the
+# canonical hierarchy ascent.  A synthetic reporting DAG over customers
+# (parent(k) = k/10, roots below 10) is walked to its root with depth —
+# per-level UNION ALL recursion, bounded by the key width (≤ 7 levels),
+# never a driver loop.  Spark's recursion supports UNION ALL only, so
+# cyclic closures stay on the iterative operator (`dedup_clusters`);
+# acyclic hierarchies — org charts, BOM explosions, category trees — are
+# exactly what the SQL surface now covers, identically on both engines.
+# The whole query is ONE spark.sql string over a registered view: the
+# engine's pure-SQL surface, no DataFrame composition.
+_HIERARCHY_SQL = """
+WITH RECURSIVE walk(custkey, node, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer_v
+  UNION ALL
+  SELECT custkey, node div 10, depth + 1
+  FROM walk WHERE node >= 10
+),
+rooted AS (
+  SELECT custkey, node AS root_key, depth
+  FROM walk WHERE node < 10
+)
+SELECT root_key, count(*) AS n_customers, max(depth) AS max_depth,
+       min(custkey) AS min_custkey
+FROM rooted
+GROUP BY root_key
+"""
+
+
+def customer_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    cust.select((F.col("c_custkey")).alias("c_custkey")).createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(_HIERARCHY_SQL)
+
+
+CUSTOMER_HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE walk(custkey, node, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT custkey, node // 10, depth + 1
+  FROM walk WHERE node >= 10
+),
+rooted AS (
+  SELECT custkey, node AS root_key, depth
+  FROM walk WHERE node < 10
+)
+SELECT root_key, count(*) AS n_customers, max(depth) AS max_depth,
+       min(custkey) AS min_custkey
+FROM rooted
+GROUP BY root_key
+"""
+
+
 QUERIES = {
     "asof_purchase_attribution": asof_purchase_attribution,
     "priority_year_pivot": priority_year_pivot,
@@ -354,6 +409,7 @@ QUERIES = {
     "events_hourly_daily_rollup": events_hourly_daily_rollup,
     "doc_top_terms": doc_top_terms,
     "events_variant_stats": events_variant_stats,
+    "customer_hierarchy_rollup": customer_hierarchy_rollup,
 }
 
 ORACLES = {
@@ -363,4 +419,5 @@ ORACLES = {
     "nation_order_quantiles": NATION_ORDER_QUANTILES_SQL,
     "events_hourly_daily_rollup": EVENTS_HOURLY_DAILY_ROLLUP_SQL,
     "doc_top_terms": DOC_TOP_TERMS_SQL,
+    "customer_hierarchy_rollup": CUSTOMER_HIERARCHY_ROLLUP_SQL,
 }

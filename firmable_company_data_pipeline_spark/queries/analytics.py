@@ -580,6 +580,148 @@ FROM deg d LEFT JOIN pern p USING (id)
 """
 
 
+# --------------------------------------------------------------------------
+# events_daily_gapfill — time-series resample with a generated date spine:
+# days with NO events appear with zeros (aggregations alone silently skip
+# empty buckets — the spine is what makes downstream window math, EWMA,
+# anomaly frames calendar-correct).  Spine = sequence(min_day, max_day)
+# from a broadcast 1-row bounds agg, crossed with the distinct type dim;
+# facts left-join onto it.  Spine size = days × types, independent of
+# event volume.
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    ).crossJoin(ev.select("event_type").distinct())
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return spine.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+EVENTS_DAILY_GAPFILL_SQL = """
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM ev),
+daily AS (
+  SELECT day, event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM ev GROUP BY 1, 2
+)
+SELECT s.day, t.event_type,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.sum_value, 0.0) AS sum_value
+FROM spine s CROSS JOIN types t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# part_revenue_pareto — cumulative-share concentration analysis: parts
+# ranked by revenue, how many cover 50/80/95% of total.  The rank/cumsum
+# window runs over the PART-GRAIN aggregate (dimension-sized — a
+# deliberate single-partition window, same contract as customer_rfm's
+# ntile; the fact-sized input never sees a global sort).
+def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    total = per_part.agg(F.sum("rev").alias("tot"))
+    ranked = (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_rev",
+            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    share = F.col("cum_rev") / F.col("tot")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(F.when(share >= 0.5, F.col("rank"))).cast("long").alias("parts_for_50pct"),
+        F.min(F.when(share >= 0.8, F.col("rank"))).cast("long").alias("parts_for_80pct"),
+        F.min(F.when(share >= 0.95, F.col("rank"))).cast("long").alias("parts_for_95pct"),
+    )
+
+
+PART_REVENUE_PARETO_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rank,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(rev) OVER () AS tot
+  FROM per_part
+)
+SELECT count(*) AS n_parts,
+       min(CASE WHEN cum_rev / tot >= 0.5 THEN rank END)::BIGINT AS parts_for_50pct,
+       min(CASE WHEN cum_rev / tot >= 0.8 THEN rank END)::BIGINT AS parts_for_80pct,
+       min(CASE WHEN cum_rev / tot >= 0.95 THEN rank END)::BIGINT AS parts_for_95pct
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# user_week_over_week — §2.7 set operations (INTERSECT / EXCEPT) as user
+# cohort algebra: users active in both halves of the month (retained),
+# first half only (churned), second half only (new).  Spark plans
+# INTERSECT/EXCEPT as left-semi/anti aggregates — one shuffle each over
+# the DISTINCT user sets, never row-level.
+_WOW_SPLIT = "2024-01-16"
+
+
+def user_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    cut = F.lit(_WOW_SPLIT).cast("timestamp")
+    h1 = ev.filter(F.col("ts") < cut).select("user_id").distinct()
+    h2 = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    retained = h1.intersect(h2).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("retained").alias("cohort"), "n"
+    )
+    churned = h1.exceptAll(h2).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("churned").alias("cohort"), "n"
+    )
+    new = h2.exceptAll(h1).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("new").alias("cohort"), "n"
+    )
+    return retained.unionByName(churned).unionByName(new)
+
+
+USER_WEEK_OVER_WEEK_SQL = f"""
+WITH h1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{_WOW_SPLIT}'),
+h2 AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{_WOW_SPLIT}')
+SELECT 'retained' AS cohort,
+       (SELECT count(*) FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)) AS n
+UNION ALL
+SELECT 'churned',
+       (SELECT count(*) FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2))
+UNION ALL
+SELECT 'new',
+       (SELECT count(*) FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1))
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
@@ -592,6 +734,9 @@ QUERIES = {
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
     "copurchase_triangles": copurchase_triangles,
+    "events_daily_gapfill": events_daily_gapfill,
+    "part_revenue_pareto": part_revenue_pareto,
+    "user_week_over_week": user_week_over_week,
 }
 
 ORACLES = {
@@ -606,4 +751,7 @@ ORACLES = {
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,
     "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
+    "events_daily_gapfill": EVENTS_DAILY_GAPFILL_SQL,
+    "part_revenue_pareto": PART_REVENUE_PARETO_SQL,
+    "user_week_over_week": USER_WEEK_OVER_WEEK_SQL,
 }
