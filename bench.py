@@ -99,6 +99,8 @@ HEADLINE = [
     "events_daily_gapfill",
     "part_revenue_pareto",
     "user_week_over_week",
+    "fn_jaro_winkler",
+    "match_quality_report",
 ]
 
 

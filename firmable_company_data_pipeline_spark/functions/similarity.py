@@ -148,3 +148,55 @@ def phonetic_key(col: Column, max_len: int = 5, n_tokens: int = 2) -> Column:
         ),
     )
     return F.array_join(skel, " ")
+
+
+def py_jaro_winkler(s1: str, s2: str) -> float:
+    """Pure-Python Jaro-Winkler similarity (0..1), matching the classic
+    definition DuckDB's ``jaro_winkler_similarity`` implements: 0.0 when
+    either string is empty (including both — DuckDB convention), prefix
+    boost (≤ 4 chars, weight 0.1) applied only when jaro > 0.7.
+
+    Used by the Arrow-batched ``fn_jaro_winkler`` scorer; the oracle is
+    DuckDB's own INDEPENDENT C++ implementation, making this one of the
+    strongest cross-checks in the suite (two from-scratch codebases must
+    agree to 4 dp).
+    """
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags1 = [False] * l1
+    flags2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(l1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions // 2
+    jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b or prefix == 4:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1 - jaro)

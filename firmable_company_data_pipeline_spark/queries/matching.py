@@ -320,12 +320,74 @@ FROM (
 )
 
 
+# ---------------------------------------------------------------------------
+# match_quality_report — entity-resolution evaluation against the fixture
+# ground truth (domain 'p<k>.com.au' ↔ abn lpad(k)): per-method match
+# count, correctness, precision, and corpus coverage.  The evaluation
+# harness the reference lacks entirely (its only quality signal is the
+# score threshold) — precision/coverage per cascade stage is what decides
+# thresholds and blocking keys in production.  Plan: the cascade itself +
+# one method-grain hash-agg + a broadcast 1-row corpus total.
+def match_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    cc = _cc_side(part)
+    cascade = match_cascade(cc, _abr_side(part), enable_llm=True, with_timestamp=False)
+    true_abn = F.lpad(F.regexp_extract(F.col("domain"), r"^p(\d+)\.", 1), 11, "0")
+    total = cc.agg(F.count(F.lit(1)).alias("n_cc"))
+    per = (
+        cascade.withColumn("_ok", (F.col("abr_abn") == true_abn).cast("long"))
+        .groupBy("match_method")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("_ok").alias("n_correct"),
+        )
+        .crossJoin(broadcast(total))
+    )
+    return per.select(
+        "match_method",
+        "n_matches",
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n_matches"), 6).alias("precision"),
+        F.round(F.col("n_matches") / F.col("n_cc"), 6).alias("coverage"),
+    )
+
+
+MATCH_QUALITY_REPORT_SQL = (
+    _DUCK_SIDES
+    + ", rule AS (" + _DUCK_RULE + ")\n"
+    + ", fuzzy AS (" + _DUCK_FUZZY + ")\n"
+    + """, residual AS (
+  SELECT * FROM cc
+  WHERE NOT EXISTS (SELECT 1 FROM rule r WHERE r.domain = cc.domain)
+    AND NOT EXISTS (SELECT 1 FROM fuzzy f WHERE f.domain = cc.domain)
+)
+, llm AS (""" + _DUCK_LLM + """)
+, cascade AS (
+  SELECT * FROM rule UNION ALL SELECT * FROM fuzzy UNION ALL SELECT * FROM llm
+)
+, total AS (SELECT count(*) AS n_cc FROM cc)
+SELECT match_method,
+       count(*) AS n_matches,
+       sum(CASE WHEN abr_abn = lpad(regexp_extract(domain, '^p(\\d+)\\.', 1), 11, '0')
+                THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(sum(CASE WHEN abr_abn = lpad(regexp_extract(domain, '^p(\\d+)\\.', 1), 11, '0')
+                      THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS precision,
+       round(count(*) / (SELECT n_cc FROM total)::DOUBLE, 6) AS coverage
+FROM cascade
+GROUP BY match_method
+"""
+)
+
+
 QUERIES = {
     "match_rule_based": match_rule_based,
     "match_phonetic_blocked": match_phonetic_blocked,
     "match_fuzzy_blocked": match_fuzzy_blocked,
     "match_llm_stub": match_llm_stub,
     "match_cascade_full": match_cascade_full,
+    "match_quality_report": match_quality_report,
 }
 
 ORACLES = {
@@ -334,4 +396,5 @@ ORACLES = {
     "match_fuzzy_blocked": MATCH_FUZZY_BLOCKED_SQL,
     "match_llm_stub": MATCH_LLM_STUB_SQL,
     "match_cascade_full": MATCH_CASCADE_FULL_SQL,
+    "match_quality_report": MATCH_QUALITY_REPORT_SQL,
 }

@@ -11,6 +11,11 @@ decimals are cast to DOUBLE explicitly.
 
 from __future__ import annotations
 
+# pandas is module-level (not function-local) because
+# `from __future__ import annotations` stringifies the pandas_udf
+# type hints and pyspark resolves them via this module's globals.
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -362,7 +367,60 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# fn_jaro_winkler — Jaro-Winkler name similarity as an Arrow-batched
+# pandas UDF (pure-Python implementation, functions/similarity.py
+# py_jaro_winkler).  The oracle is DuckDB's own jaro_winkler_similarity —
+# an INDEPENDENT C++ implementation — so this is a genuine two-codebase
+# cross-check, not a mirrored formula.  UDF cost is per-name-pair and
+# Arrow-batched (UD1/UD3 pattern); the native token-sort ratio remains
+# the default cascade scorer.
+def fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from firmable_company_data_pipeline_spark.functions.similarity import (
+        py_jaro_winkler,
+    )
+
+    @pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [py_jaro_winkler(x or "", y or "") for x, y in zip(a, b)]
+        )
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    words = F.split(F.col("p_name"), " ")
+    scrambled = F.lower(
+        F.concat_ws(" ", F.element_at(words, 2), F.element_at(words, 1))
+    )
+    pairs = part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.lower(F.col("p_name")).alias("a"),
+        scrambled.alias("b"),
+        F.lower(F.col("p_type")).alias("c"),
+    )
+    return pairs.select(
+        "partkey",
+        F.round(jw(F.col("a"), F.col("b")), 4).alias("jw_scrambled"),
+        F.round(jw(F.col("a"), F.col("c")), 4).alias("jw_type"),
+    )
+
+
+FN_JARO_WINKLER_SQL = """
+SELECT p_partkey AS partkey,
+       round(jaro_winkler_similarity(a, b), 4) AS jw_scrambled,
+       round(jaro_winkler_similarity(a, c), 4) AS jw_type
+FROM (
+  SELECT p_partkey, lower(p_name) AS a,
+         lower(string_split(p_name, ' ')[2] || ' ' || string_split(p_name, ' ')[1]) AS b,
+         lower(p_type) AS c
+  FROM part
+)
+"""
+
+
 QUERIES = {
+    "fn_jaro_winkler": fn_jaro_winkler,
     "fn_clean_text": fn_clean_text,
     "fn_domain_company": fn_domain_company,
     "fn_abn_checksum": fn_abn_checksum,
@@ -376,6 +434,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_jaro_winkler": FN_JARO_WINKLER_SQL,
     "fn_clean_text": FN_CLEAN_TEXT_SQL,
     "fn_domain_company": FN_DOMAIN_COMPANY_SQL,
     "fn_abn_checksum": FN_ABN_CHECKSUM_SQL,
