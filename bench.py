@@ -101,6 +101,9 @@ HEADLINE = [
     "user_week_over_week",
     "fn_jaro_winkler",
     "match_quality_report",
+    "promo_revenue_share",
+    "disjunctive_predicate_revenue",
+    "funnel_time_to_convert",
 ]
 
 

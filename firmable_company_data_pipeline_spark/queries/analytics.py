@@ -722,6 +722,69 @@ SELECT 'new',
 """
 
 
+# --------------------------------------------------------------------------
+# funnel_time_to_convert — the time-dimension the funnel report lacks:
+# per converting user, minutes from FIRST click to the first purchase at
+# or after it; distribution summarized with exact discrete percentiles
+# (percentile_disc — interpolated quantiles land on engine-divergent
+# rounding, §8 of ARCHITECTURE).  Two type-filtered per-user min-aggs +
+# one user equi-join; the summary is one global agg.
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        first_click.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+        .select(
+            # NTZ timestamps don't cast to double; integer-microsecond
+            # diff (timestampdiff) ÷ 60e6 is IEEE-identical to the
+            # oracle's epoch_us(...)/60e6.
+            (
+                F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)")
+                / 60_000_000.0
+            ).alias("mins")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY mins)"), 4).alias(
+            "median_minutes"
+        ),
+        F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY mins)"), 4).alias(
+            "p90_minutes"
+        ),
+    )
+
+
+FUNNEL_TIME_TO_CONVERT_SQL = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS click_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         epoch_us(min(e.ts) - f.click_ts) / 60000000.0 AS mins
+  FROM events e JOIN first_click f
+    ON e.user_id = f.user_id AND e.ts >= f.click_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id, f.click_ts
+)
+SELECT count(*) AS n_converted,
+       round(quantile_disc(mins, 0.5), 4) AS median_minutes,
+       round(quantile_disc(mins, 0.9), 4) AS p90_minutes
+FROM conv
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
@@ -737,6 +800,7 @@ QUERIES = {
     "events_daily_gapfill": events_daily_gapfill,
     "part_revenue_pareto": part_revenue_pareto,
     "user_week_over_week": user_week_over_week,
+    "funnel_time_to_convert": funnel_time_to_convert,
 }
 
 ORACLES = {
@@ -754,4 +818,5 @@ ORACLES = {
     "events_daily_gapfill": EVENTS_DAILY_GAPFILL_SQL,
     "part_revenue_pareto": PART_REVENUE_PARETO_SQL,
     "user_week_over_week": USER_WEEK_OVER_WEEK_SQL,
+    "funnel_time_to_convert": FUNNEL_TIME_TO_CONVERT_SQL,
 }

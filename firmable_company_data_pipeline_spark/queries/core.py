@@ -856,6 +856,116 @@ LEFT JOIN ev_agg e ON c.c_custkey = e.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# promo_revenue_share — TPC-H Q14 shape: conditional-aggregate share of
+# revenue from one part type inside a date window.  Part dim broadcasts;
+# the share is a single conditional agg (never two scans or a self-join);
+# DECIMAL-exact sums so the ratio is engine-stable.
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = li.join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+                / F.sum(rev)
+                * 100
+            ).cast("double"),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                           ELSE 0 END)
+                / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 100
+              AS DOUBLE), 4) AS promo_share_pct,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# disjunctive_predicate_revenue — TPC-H Q19 shape: a disjunction of
+# (brand, size-range, quantity-range) conjunct groups.  The dim side
+# broadcasts; the OR-of-ANDs evaluates post-join inside codegen — the
+# common-conjunct parts (quantity floor, size floor) still push to the
+# scans.  The shape optimizers historically fumbled into cross products;
+# the plan test pins no nested-loop.
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    j = t["lineitem"].join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    q, sz, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(10, 30) & q.between(10, 40))
+        | ((b == "Brand#3") & sz.between(20, 50) & q.between(20, 60))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return j.filter(cond).agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+DISJUNCTIVE_PREDICATE_REVENUE_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 60)
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_page_keyset — keyset (seek) pagination: the scale-correct twin of
+# `orders_page`'s OFFSET/FETCH.  OFFSET must compute and discard every
+# earlier row (O(page_number) per page); the keyset form pushes
+# `o_orderkey > cursor` INTO the parquet scan and takes the next page
+# with TakeOrdered — O(page) regardless of depth.
+_KEYSET_CURSOR = 30_000
+_KEYSET_PAGE = 50
+
+
+def orders_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") > _KEYSET_CURSOR)
+        .orderBy("o_orderkey")
+        .limit(_KEYSET_PAGE)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+    )
+
+
+ORDERS_PAGE_KEYSET_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS totalprice,
+       CAST(o_orderdate AS DATE) AS orderdate
+FROM orders
+WHERE o_orderkey > {_KEYSET_CURSOR}
+ORDER BY o_orderkey
+LIMIT {_KEYSET_PAGE}
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -879,10 +989,16 @@ QUERIES = {
     "lineitem_correlations": lineitem_correlations,
     "part_affinity": part_affinity,
     "customer_360": customer_360,
+    "promo_revenue_share": promo_revenue_share,
+    "disjunctive_predicate_revenue": disjunctive_predicate_revenue,
+    "orders_page_keyset": orders_page_keyset,
 }
 
 ORACLES = {
     "customer_360": CUSTOMER_360_SQL,
+    "promo_revenue_share": PROMO_REVENUE_SHARE_SQL,
+    "disjunctive_predicate_revenue": DISJUNCTIVE_PREDICATE_REVENUE_SQL,
+    "orders_page_keyset": ORDERS_PAGE_KEYSET_SQL,
     "nation_trade_volume": NATION_TRADE_VOLUME_SQL,
     "market_share": MARKET_SHARE_SQL,
     "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
