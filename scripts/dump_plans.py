@@ -98,8 +98,42 @@ SHOWCASE = [
         " the join key); each power iteration is one edge-rank join plus"
         " a contribution hash-agg.",
     ),
+    (
+        "salted_user_event_stats",
+        "Skew-salted join: the join keys include _salt, no broadcast —"
+        " each hot user spreads over 8 reducers; results identical to the"
+        " plain join (its oracle).",
+    ),
+    (
+        "copurchase_triangles",
+        "Degree-ordered triangle counting: orientation filter before the"
+        " wedge self-join (hubs emit no wedges), closing LEFT SEMI, then"
+        " per-corner explode + hash-agg.",
+    ),
+    (
+        "small_quantity_revenue",
+        "Q17 decorrelation: the correlated scalar avg is a per-part"
+        " hash-agg joined back on the part key; brand dim broadcast; no"
+        " nested-loop anywhere.",
+    ),
+    (
+        "hybrid_search_rrf",
+        "RRF fusion: both retrieval branches end in <=20-row lists before"
+        " the full-outer fusion join — the heavy plans are the branches,"
+        " fusion is free.",
+    ),
+    (
+        "events_rollup_incremental",
+        "Continuous-aggregate refresh: base and delta rollups meet in ONE"
+        " full-outer join on the rollup keys; DECIMAL sums make the merge"
+        " bit-equal to a from-scratch recompute (its oracle).",
+    ),
+    (
+        "customer_hierarchy_rollup",
+        "Spark 4 WITH RECURSIVE (UNION ALL loop): per-level self-union"
+        " bounded by key width; pure spark.sql surface.",
+    ),
 ]
-
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"

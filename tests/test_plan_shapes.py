@@ -381,3 +381,22 @@ def test_decorrelated_q20_semi_chain(plans):
 def test_salted_query_shuffles_on_salt(plans):
     p = plans("salted_user_event_stats")
     assert "_salt" in p and "BroadcastHashJoin" not in p
+
+
+def test_keyset_pagination_pushes_cursor(plans):
+    p = plans("orders_page_keyset")
+    # the cursor predicate reaches the parquet scan; page via TakeOrdered
+    assert "GreaterThan(o_orderkey,30000)" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_disjunctive_join_no_nested_loop(plans):
+    p = plans("disjunctive_predicate_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_gapfill_spine_is_broadcast(plans):
+    p = plans("events_daily_gapfill")
+    # the bounds/spine side broadcasts; no cartesian on the fact table
+    assert "CartesianProduct" not in p
