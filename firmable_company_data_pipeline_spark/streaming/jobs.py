@@ -257,3 +257,58 @@ def streaming_minhash_dedup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_rollup_refresh(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str | None = None,
+):
+    """Streaming continuous aggregate: each micro-batch aggregates to the
+    (day, event_type) grain and merges into the parquet-resident rollup
+    via ``operators/merge.rollup_merge`` — history is NEVER rescanned;
+    per-batch cost is O(batch + key-space), the streaming twin of the
+    batch ``events_rollup_incremental`` refresh.
+
+    DECIMAL(18,6) value sums make the merge associative and exact, so
+    after the stream drains the stored rollup equals the from-scratch
+    batch rollup bit-for-bit (pinned by test).  Same single-writer /
+    replay-idempotent parquet contract as ``foreach_batch_upsert``
+    (idempotence: an atomic staging swap per batch; a replayed batch
+    overwrites with identical content).
+    """
+    from firmable_company_data_pipeline_spark.operators.merge import rollup_merge
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = (
+            batch_df.select(
+                F.to_date("ts").alias("day"),
+                "event_type",
+                F.col("value").cast("decimal(18,6)").alias("v"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("v").alias("sum_v"),
+                F.max("v").alias("max_v"),
+            )
+        )
+        if os.path.exists(target_dir):
+            base = spark.read.parquet(target_dir)
+            merged = rollup_merge(
+                base,
+                delta,
+                keys=["day", "event_type"],
+                metrics={"n_events": "sum", "sum_v": "sum", "max_v": "max"},
+            )
+        else:
+            merged = delta
+        tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
+
+    writer = events.writeStream.foreachBatch(refresh).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -299,3 +299,39 @@ def test_transform_with_state_new_maxima_matches_batch(spark, sf_dir, events_dir
         for r in user_value_records(spark, sf_dir).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """The foreachBatch continuous aggregate equals the from-scratch
+    batch rollup after the stream drains (DECIMAL sums: bit-exact)."""
+    target = str(tmp_path / "rollup")
+    # max_files=1 → many micro-batches → the merge path actually runs
+    stream = jobs.read_events_stream(spark, events_dir, fmt="parquet", max_files=1)
+    q = jobs.streaming_rollup_refresh(
+        stream, target, checkpoint=str(tmp_path / "ckpt")
+    )
+    _drain(q)
+    stored = spark.read.parquet(target)
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    exp = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
+        for r in stored.collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
+        for r in exp.collect()
+    }
+    assert got == want and len(want) > 10
