@@ -102,6 +102,12 @@ def triangle_count(
 
     Output: (id, degree, n_triangles, clustering) where clustering =
     2·T / (deg·(deg−1)), 0.0 for degree-1 nodes; rounded to 6 dp.
+
+    The undirected edge set is ``persist()``-ed (it feeds the degree
+    build, the orientation, and the final id join); same cache contract
+    as the MinHash signature/PageRank edge persists — the CALLER owns
+    cache lifetime and clears it between logical runs
+    (``spark.catalog.clearCache()``).
     """
     a, b = F.col(id_a), F.col(id_b)
     und = (

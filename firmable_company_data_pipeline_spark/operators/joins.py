@@ -35,13 +35,21 @@ def salted_join(
     enough to replicate ``n_salt``×, too big or deliberately not
     broadcast) with a salted key.
 
-    The left side gets a deterministic per-row salt —
-    ``xxhash64(salt_cols) mod n_salt`` over (default) its non-key
-    columns, so one hot key's rows spread evenly; the right side is
-    exploded once per salt value (``n_salt``× replication ≪ broadcast
-    for mid-sized dims since each reducer still receives only 1/n_salt
-    of the big side's rows per key).  The join runs on
-    ``(key…, _salt)`` and the salt column is dropped.
+    The left side gets a per-row salt and the right side is exploded
+    once per salt value (``n_salt``× replication ≪ broadcast for
+    mid-sized dims since each reducer still receives only 1/n_salt of
+    the big side's rows per key).  The join runs on ``(key…, _salt)``
+    and the salt column is dropped.
+
+    Salt derivation: by default ``monotonically_increasing_id() mod
+    n_salt`` — a genuinely per-ROW value, so even a hot key whose rows
+    are byte-identical (the NULL-placeholder-customer case this
+    operator exists for) spreads across reducers.  ANY salt assignment
+    yields identical join results (the right side exists under every
+    salt), so the id's task-dependent numbering is semantics-free.
+    Pass ``salt_cols`` to derive the salt from data instead when a
+    reproducible physical row placement matters (e.g. plan diffing);
+    note value-duplicate rows then share a salt.
 
     ``how`` must be one of inner/left/left_semi/left_anti: right-side
     replication would duplicate unmatched right rows under right/full
@@ -52,12 +60,11 @@ def salted_join(
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    salt_cols = salt_cols or [c for c in left.columns if c not in keys]
-    if not salt_cols:
-        raise ValueError("need at least one non-key column to derive the salt")
-    l_salted = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt)).cast("int")
-    )
+    if salt_cols:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    l_salted = left.withColumn("_salt", salt.cast("int"))
     r_salted = right.withColumn(
         "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))
     )

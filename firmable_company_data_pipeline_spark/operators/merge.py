@@ -203,7 +203,12 @@ def rollup_merge(
     for c, how in metrics.items():
         bcol, dcol = F.col(f"b.{c}"), F.col(f"d.{c}")
         if how in ("sum", "count"):
-            merged = F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0))
+            # NULL-on-both-sides must stay NULL (a full recompute's sum()
+            # over all-NULL values is NULL, not 0) — coalesce only when at
+            # least one side carries a partial.
+            merged = F.when(
+                bcol.isNull() & dcol.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0)))
         elif how == "min":
             merged = F.least(bcol, dcol)  # least/greatest skip NULLs
         elif how == "max":

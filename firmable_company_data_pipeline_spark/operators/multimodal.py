@@ -253,7 +253,7 @@ def frame_sample_plan(
     """
     n_frames = F.floor(F.col("meta.n_bytes") / frame_bytes).cast("long")
     return (
-        media.select("media_id", F.col("meta.n_bytes").alias("_nb"), n_frames.alias("_nf"))
+        media.select("media_id", n_frames.alias("_nf"))
         .filter(F.col("_nf") > 0)
         .select(
             "media_id",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 # This ordering keeps never-driver-checked queries first regardless: if
 # rotation ever takes effect, the newest operators get rows first, and
 # every displaced original query carries THREE rounds of green driver
-# rows (r01-r03) plus the local contract gate.  All 114 queries are
+# rows (r01-r03) plus the local contract gate.  Every registered query is
 # locally gated every round via scripts/check_contract.py.
 _DRIVER_WINDOW_PRIORITY = (
     "hybrid_search_rrf",

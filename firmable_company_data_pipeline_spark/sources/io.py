@@ -353,9 +353,7 @@ def write_sorted(
     )
 
 
-def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = 10
-) -> "F.Column":
+def zorder_key(cols: list[str], bits: int = 10) -> "F.Column":
     """Morton (Z-order) key interleaving ``bits`` quantized bits per
     column: column i's bit b lands at position ``b*len(cols)+i`` of the
     key, so a range of z-values is simultaneously a narrow range in
@@ -422,7 +420,7 @@ def write_zorder(
         ]
     )
     keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "_z", zorder_key(df, zorder_cols, bits)
+        "_z", zorder_key(zorder_cols, bits)
     )
     parts = (
         keyed.repartitionByRange(target_partitions, "_z")

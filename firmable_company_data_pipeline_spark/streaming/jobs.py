@@ -182,10 +182,15 @@ def foreach_batch_upsert(
             merged = incoming.unionByName(current).dropDuplicates([key])
         else:
             merged = incoming
+        import shutil
+
         tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(target_dir)
+        # the overwrite above fully materialized the target; drop the
+        # staging copy so long streams don't accumulate one per batch
+        shutil.rmtree(tmp, ignore_errors=True)
 
     writer = events.writeStream.foreachBatch(upsert).trigger(availableNow=True)
     if checkpoint:
@@ -264,23 +269,25 @@ def streaming_rollup_refresh(
     target_dir: str,
     checkpoint: str | None = None,
 ):
-    """Streaming continuous aggregate: each micro-batch aggregates to the
-    (day, event_type) grain and merges into the parquet-resident rollup
-    via ``operators/merge.rollup_merge`` — history is NEVER rescanned;
-    per-batch cost is O(batch + key-space), the streaming twin of the
-    batch ``events_rollup_incremental`` refresh.
+    """Streaming continuous aggregate, REPLAY-IDEMPOTENT by layout: each
+    micro-batch's partial rollup lands in its own ``batch=<id>``
+    partition directory (overwrite of that one directory — foreachBatch
+    is at-least-once, and a replayed batch simply rewrites identical
+    content; an additive read-merge-overwrite design would double-count
+    on replay, and its whole-target overwrite could destroy history on a
+    mid-write crash).  History is never rescanned; per-batch cost is
+    O(batch).
 
-    DECIMAL(18,6) value sums make the merge associative and exact, so
-    after the stream drains the stored rollup equals the from-scratch
-    batch rollup bit-for-bit (pinned by test).  Same single-writer /
-    replay-idempotent parquet contract as ``foreach_batch_upsert``
-    (idempotence: an atomic staging swap per batch; a replayed batch
-    overwrites with identical content).
+    ``read_rollup`` merges the partials at read time (sum/sum/max — the
+    same combiners ``rollup_merge`` applies); DECIMAL(18,6) sums keep
+    that merge exactly equal to a from-scratch batch rollup (pinned by
+    test).  Compact periodically with ``compact_rollup`` (re-aggregates
+    all partials into one ``batch=-1`` base partition — itself an
+    idempotent single-directory overwrite) so read cost stays
+    O(key-space), not O(batches).
     """
-    from firmable_company_data_pipeline_spark.operators.merge import rollup_merge
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         delta = (
             batch_df.select(
                 F.to_date("ts").alias("day"),
@@ -294,21 +301,46 @@ def streaming_rollup_refresh(
                 F.max("v").alias("max_v"),
             )
         )
-        if os.path.exists(target_dir):
-            base = spark.read.parquet(target_dir)
-            merged = rollup_merge(
-                base,
-                delta,
-                keys=["day", "event_type"],
-                metrics={"n_events": "sum", "sum_v": "sum", "max_v": "max"},
-            )
-        else:
-            merged = delta
-        tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
+        delta.write.mode("overwrite").parquet(
+            target_dir.rstrip("/") + f"/batch={batch_id}"
+        )
 
     writer = events.writeStream.foreachBatch(refresh).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def read_rollup(spark, target_dir: str) -> DataFrame:
+    """Merged view of a ``streaming_rollup_refresh`` target: re-aggregate
+    the per-batch partials with the rollup's combiners."""
+    return (
+        spark.read.option("basePath", target_dir)
+        .parquet(target_dir + "/batch=*")
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_v").alias("sum_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def compact_rollup(spark, target_dir: str) -> None:
+    """Collapse all per-batch partials into one ``batch=-1`` base
+    partition via ``operators/merge.rollup_merge`` semantics (the
+    read-side merge IS the pairwise merge applied n-ways), then drop the
+    compacted partials.  Run between batches / streams — same
+    single-writer contract as the refresh itself."""
+    import shutil
+
+    merged = read_rollup(spark, target_dir)
+    tmp = target_dir.rstrip("/") + "._compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    for d in os.listdir(target_dir):
+        if d.startswith("batch="):
+            shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(
+        target_dir.rstrip("/") + "/batch=-1"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -81,13 +81,21 @@ class _NewMaxProcessor:
     def handleInputRows(self, key, rows, timerValues):
         mx = self._max.get()[0] if self._max.exists() else None
         out_eid, out_val = [], []
-        for pdf in rows:
-            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
-                v = r.value
-                if v is not None and v == v and (mx is None or v > mx):
-                    mx = v
-                    out_eid.append(r.event_id)
-                    out_val.append(v)
+        # Buffer ALL Arrow chunks before sorting: a key whose batch spans
+        # multiple chunks (> arrow.maxRecordsPerBatch rows) would
+        # otherwise be ordered only within each chunk, and a later-chunk
+        # earlier-ts row would be wrongly suppressed by a maximum the
+        # earlier chunk set.
+        chunks = list(rows)
+        if not chunks:
+            return
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        for r in batch.sort_values(["ts", "event_id"]).itertuples():
+            v = r.value
+            if v is not None and v == v and (mx is None or v > mx):
+                mx = v
+                out_eid.append(r.event_id)
+                out_val.append(v)
         if mx is not None:
             self._max.update((float(mx),))
         if out_eid:

@@ -311,7 +311,7 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
         stream, target, checkpoint=str(tmp_path / "ckpt")
     )
     _drain(q)
-    stored = spark.read.parquet(target)
+    stored = jobs.read_rollup(spark, target)
     ev = load_tables(spark, sf_dir, "events")["events"]
     exp = (
         ev.select(
@@ -335,3 +335,16 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
         for r in exp.collect()
     }
     assert got == want and len(want) > 10
+    # per-batch partial partitions exist (replay-idempotent layout) ...
+    import glob as _glob
+    assert len(_glob.glob(f"{target}/batch=*")) >= 2
+    # ... and compaction collapses them without changing the merged view
+    jobs.compact_rollup(spark, target)
+    assert _glob.glob(f"{target}/batch=*") and all(
+        d.endswith("batch=-1") for d in _glob.glob(f"{target}/batch=*")
+    )
+    got2 = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
+        for r in jobs.read_rollup(spark, target).collect()
+    }
+    assert got2 == want
