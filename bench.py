@@ -104,6 +104,8 @@ HEADLINE = [
     "promo_revenue_share",
     "disjunctive_predicate_revenue",
     "funnel_time_to_convert",
+    "media_resize_checksum",
+    "embedding_standardize",
 ]
 
 

@@ -718,6 +718,97 @@ FROM sized WHERE nf > 0
 
 
 # --------------------------------------------------------------------------
+# media_resize_checksum — the resize operator end-to-end with an oracle:
+# nearest-neighbor 16×h → 8×8 over the fake-decoded byte grid, checksum
+# of the resized bytes.  The oracle recomputes every resampled byte from
+# the source text with the same integer index arithmetic
+# (src = (dst·src_dim) // dst_dim), so the binary→binary Arrow stage is
+# value-checked, not just shape-checked.  Spark side reads the resized
+# payload back out of the binary column via hex pairs — native
+# expressions, no second Python stage.
+def media_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    resized = mm.resize_image(mm.as_media_table(docs), width=8, height=8)
+    return resized.select(
+        "media_id",
+        "n_bytes",
+        F.expr(
+            "aggregate(transform(sequence(0, 63), "
+            "k -> cast(conv(substr(hex(content), k*2+1, 2), 16, 10) AS BIGINT)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("byte_sum"),
+    )
+
+
+MEDIA_RESIZE_CHECKSUM_SQL = """
+WITH sized AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) // 16 AS h
+  FROM documents
+)
+SELECT media_id, 64::BIGINT AS n_bytes,
+       (list_aggregate(list_transform(range(64),
+          k -> ascii(substr(text,
+                 ((((k // 8) * h) // 8) * 16 + (((k % 8) * 16) // 8)) + 1,
+                 1))::BIGINT), 'sum'))::BIGINT AS byte_sum
+FROM sized WHERE h > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding_standardize — per-dimension z-normalization of the embedding
+# corpus (the ML-prep step before quantization/projection assumes zero
+# mean, unit variance per dim).  Shape: posexplode → per-dim moment agg
+# (64 groups regardless of corpus size) → broadcast back onto the
+# explode.  Moments ride DECIMAL sums (exact, order-free) and convert to
+# double ONCE, so z-scores are IEEE-identical across engines.
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    x = F.col("x").cast("double")
+    long_form = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    moments = long_form.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(27,10)")).alias("s"),
+        F.sum((x * x).cast("decimal(27,10)")).alias("s2"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    stats = moments.select("dim", mu.alias("mu"), F.sqrt(var).alias("sd"))
+    return long_form.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((x - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
+
+
+EMBEDDING_STANDARDIZE_SQL = """
+WITH long_form AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i+1] AS DOUBLE) AS x
+  FROM embeddings, range(64) r(i)
+),
+moments AS (
+  SELECT dim, count(*) AS n,
+         sum(CAST(x AS DECIMAL(27,10))) AS s,
+         sum(CAST(x * x AS DECIMAL(27,10))) AS s2
+  FROM long_form GROUP BY dim
+),
+stats AS (
+  SELECT dim,
+         CAST(s AS DOUBLE) / n AS mu,
+         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           AS sd
+  FROM moments
+)
+SELECT l.vec_id, l.dim, round((l.x - st.mu) / st.sd, 6) AS z
+FROM long_form l JOIN stats st USING (dim)
+"""
+
+
+# --------------------------------------------------------------------------
 # pagerank_neardup — centrality over the near-dup graph (iterative; no
 # SQL oracle: the contribution sum's float order is engine-dependent, so
 # the driver records a rows-only check — semantics pinned by
@@ -746,6 +837,8 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "multimodal_features": multimodal_features,
     "media_phash_dups": media_phash_dups,
+    "media_resize_checksum": media_resize_checksum,
+    "embedding_standardize": embedding_standardize,
     "media_frame_plan": media_frame_plan,
     "label_centroids": label_centroids,
     "embedding_norm_histogram": embedding_norm_histogram,
@@ -770,6 +863,8 @@ ORACLES = {
     "ann_ivf": ANN_IVF_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "media_phash_dups": MEDIA_PHASH_DUPS_SQL,
+    "media_resize_checksum": MEDIA_RESIZE_CHECKSUM_SQL,
+    "embedding_standardize": EMBEDDING_STANDARDIZE_SQL,
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,
     "embedding_norm_histogram": EMBEDDING_NORM_HISTOGRAM_SQL,
     # pagerank_neardup intentionally absent: rows-only check (see its

@@ -46,13 +46,27 @@ def test_decode_stub_gated():
     assert mm.decode_media(b"abc", "image/png", fake=True) == b"abc"
 
 
-def test_resize_and_frames_stubbed(spark, sf_dir):
+def test_frames_decode_stubbed(spark, sf_dir):
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     media = mm.as_media_table(docs)
     with pytest.raises(NotImplementedError):
-        mm.resize_image(media, 224, 224)
-    with pytest.raises(NotImplementedError):
         mm.sample_frames(media)
+
+
+def test_resize_image_nearest_neighbor(spark):
+    import numpy as np
+
+    # 16x4 gradient image; resize to 8x2 must pick rows 0,2 and every
+    # other column (integer nearest-neighbor indices)
+    img = np.arange(64, dtype=np.uint8).reshape(4, 16)
+    media = _media_df(spark, [(1, img.tobytes()), (2, b"short")])
+    out = {r["media_id"]: r for r in mm.resize_image(media, 8, 2).collect()}
+    got = np.frombuffer(bytes(out[1]["content"]), dtype=np.uint8).reshape(2, 8)
+    rows = (np.arange(2) * 4) // 2
+    cols = (np.arange(8) * 16) // 8
+    assert (got == img[np.ix_(rows, cols)]).all()
+    assert out[1]["n_bytes"] == 16
+    assert 2 not in out  # sub-one-row payload dropped
 
 
 def _media_df(spark, rows):
