@@ -37,6 +37,26 @@ _DRIVER_WINDOW_PRIORITY = (
     "global_sales_opportunity",
     "excess_suppliers",
     "user_value_records",
+    "copurchase_triangles",
+    "media_phash_dups",
+    "media_frame_plan",
+    "media_resize_checksum",
+    "embedding_standardize",
+    "events_rollup_incremental",
+    "bpe_tokenize_stats",
+    "incremental_distinct_users",
+    "customer_360",
+    "events_late_audit",
+    "customer_hierarchy_rollup",
+    "events_daily_gapfill",
+    "part_revenue_pareto",
+    "user_week_over_week",
+    "fn_jaro_winkler",
+    "match_quality_report",
+    "promo_revenue_share",
+    "disjunctive_predicate_revenue",
+    "orders_page_keyset",
+    "funnel_time_to_convert",
     "events_daily_anomalies",
     "events_ewma_daily",
     "part_affinity",
