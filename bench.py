@@ -106,6 +106,8 @@ HEADLINE = [
     "funnel_time_to_convert",
     "media_resize_checksum",
     "embedding_standardize",
+    "order_percentile_ranks",
+    "unshipped_order_revenue",
 ]
 
 

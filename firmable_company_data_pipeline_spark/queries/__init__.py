@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 # rows (r01-r03) plus the local contract gate.  Every registered query is
 # locally gated every round via scripts/check_contract.py.
 _DRIVER_WINDOW_PRIORITY = (
+    "order_percentile_ranks",
+    "unshipped_order_revenue",
     "hybrid_search_rrf",
     "bigram_surprise_score",
     "salted_user_event_stats",

@@ -966,6 +966,98 @@ LIMIT {_KEYSET_PAGE}
 """
 
 
+# ---------------------------------------------------------------------------
+# order_percentile_ranks — relative-rank window functions (percent_rank /
+# cume_dist, the §2.5 members no other query exercised): each order's
+# price position within its priority class.  One window exchange on the
+# priority key; ties break identically in both engines because the rank
+# functions are value-deterministic (no row_number in the output).
+def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORDER_PERCENTILE_RANKS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS totalprice,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice), 6) AS cume
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# unshipped_order_revenue — TPC-H Q3 shape: revenue of orders placed
+# before a cutoff whose items ship after it, for one market segment.
+# All three predicates push into their scans (plan-checked pattern);
+# the segment-filtered customer side broadcasts; top-10 via TakeOrdered.
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1996-06-01"
+
+
+def unshipped_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = F.lit(_Q3_DATE).cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == _Q3_SEGMENT).select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)").alias("rev"),
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum("rev").cast("double"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+            "rank",
+        )
+    )
+
+
+UNSHIPPED_ORDER_REVENUE_SQL = f"""
+WITH agg AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+    AND EXISTS (SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = '{_Q3_SEGMENT}')
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+       revenue, rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+  FROM agg
+) WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -992,6 +1084,8 @@ QUERIES = {
     "promo_revenue_share": promo_revenue_share,
     "disjunctive_predicate_revenue": disjunctive_predicate_revenue,
     "orders_page_keyset": orders_page_keyset,
+    "order_percentile_ranks": order_percentile_ranks,
+    "unshipped_order_revenue": unshipped_order_revenue,
 }
 
 ORACLES = {
@@ -999,6 +1093,8 @@ ORACLES = {
     "promo_revenue_share": PROMO_REVENUE_SHARE_SQL,
     "disjunctive_predicate_revenue": DISJUNCTIVE_PREDICATE_REVENUE_SQL,
     "orders_page_keyset": ORDERS_PAGE_KEYSET_SQL,
+    "order_percentile_ranks": ORDER_PERCENTILE_RANKS_SQL,
+    "unshipped_order_revenue": UNSHIPPED_ORDER_REVENUE_SQL,
     "nation_trade_volume": NATION_TRADE_VOLUME_SQL,
     "market_share": MARKET_SHARE_SQL,
     "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
