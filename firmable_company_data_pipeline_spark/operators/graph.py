@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+# Fixed-point rank scale: ranks are carried as SCALED 64-bit integers
+# (1 rank unit = 10^-12) so every sum is exact integer addition —
+# order-independent across partitionings AND engines, which is what
+# lets pagerank carry a real DuckDB oracle (PAGERANK_NEARDUP_SQL,
+# queries/llmops.py) instead of a rows-only check.  Headroom: total
+# rank mass ≈ PR_SCALE = 10^12, so damping_num·Σcontrib ≤ 850·10^12
+# ≪ 2^63.  Truncating division loses < 1 ulp (10^-12) per incoming
+# edge per iteration — invisible at the 6-dp output rounding.
+PR_SCALE = 10**12
+
+
 def pagerank(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -33,11 +44,16 @@ def pagerank(
     ``pr(v) = (1-d)/N + d·Σ_{u~v} pr(u)/deg(u)``; isolated nodes never
     appear (pairs define the node set).
 
-    Output (id, pagerank) rounded to 6 dp.  Float note: the
-    contribution sum's partition order is engine-dependent, so this
-    operator is checked rows-only (no SQL oracle) — the semantics are
-    pinned by the fixture test instead.
+    Output (id, pagerank) rounded to 6 dp.  Arithmetic (round 5): ranks
+    are scaled integers (see ``PR_SCALE``) with truncating ``div``, so
+    the result is bit-identical in any engine — the r1-r4 "float
+    summation order is engine-dependent" limitation is gone and the
+    registered query is hash-checked against an unrolled-CTE DuckDB
+    mirror.  ``damping`` is interpreted as a rational with denominator
+    1000 (0.85 → 850/1000).
     """
+    d_num = int(round(damping * 1000))
+    d_den = 1000
     a, b = F.col(id_a), F.col(id_b)
     # Persisted: the edge list appears in EVERY iteration's lineage (the
     # join) plus the degree/node builds — without the persist the pair
@@ -62,23 +78,35 @@ def pagerank(
     # stage) from EVERY iteration: with 5 iterations that halved the
     # stage count of the whole query.
     n = deg.count()
-    pr = deg.select("src", "deg", F.lit(1.0 / n).alias("pr"))
-    base = (1.0 - damping) / n
+    if n == 0:
+        return deg.select(
+            F.col("src").alias("id"), F.lit(0.0).alias("pagerank")
+        )
+    pr = deg.select("src", "deg", F.lit(PR_SCALE // n).alias("pr"))
+    base = ((d_den - d_num) * PR_SCALE) // (d_den * n)
     for _ in range(iters):
         contrib = (
             edges.join(pr, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("in_sum"))
+            # pr div deg truncates identically in Spark and DuckDB for
+            # the (positive) values here; the long sum is exact.
+            .agg(F.sum(F.expr("pr div deg")).alias("in_sum"))
         )
         pr = deg.join(contrib, deg.src == contrib.dst, "left").select(
             "src",
             "deg",
-            (
-                F.lit(base)
-                + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            F.expr(
+                f"{base}L + ({d_num}L * coalesce(in_sum, 0L)) div {d_den}L"
             ).alias("pr"),
         )
-    return pr.select(F.col("src").alias("id"), F.round("pr", 6).alias("pagerank"))
+    # Half-up rounding to 6 dp done in integer space, then one exact
+    # long→double conversion — both engines produce the same double.
+    return pr.select(
+        F.col("src").alias("id"),
+        (F.expr("(pr + 500000L) div 1000000L").cast("double") / F.lit(1e6)).alias(
+            "pagerank"
+        ),
+    )
 
 
 def triangle_count(
@@ -113,6 +141,11 @@ def triangle_count(
     und = (
         pairs.select(a.alias("u"), b.alias("v"))
         .unionByName(pairs.select(b.alias("u"), a.alias("v")))
+        # Self-loops form no triangle (the orientation filter drops
+        # them) but would inflate `degree` and deflate `clustering`
+        # vs the standard simple-graph definition — drop them here so
+        # arbitrary caller pair-streams behave.
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )

@@ -809,15 +809,65 @@ FROM long_form l JOIN stats st USING (dim)
 
 
 # --------------------------------------------------------------------------
-# pagerank_neardup — centrality over the near-dup graph (iterative; no
-# SQL oracle: the contribution sum's float order is engine-dependent, so
-# the driver records a rows-only check — semantics pinned by
-# tests/test_graph_ops.py against hand-computed fixtures).
+# pagerank_neardup — centrality over the near-dup graph.  Round 5: the
+# rank arithmetic is scaled-integer (operators/graph.py PR_SCALE), so
+# every contribution sum is exact and order-independent and the query
+# carries a REAL hash-checked oracle — a 5-iteration unrolled-CTE DuckDB
+# mirror over the same integer ops (the r1-r4 rows-only limitation is
+# gone).  Semantics vs float PageRank pinned by tests/test_graph_ops.py
+# (error < 1e-9 at fixture scale).
 def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.operators.graph import pagerank
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return pagerank(dd.ngram_jaccard_pairs(docs, threshold=0.8), iters=5)
+
+
+def _pagerank_sql(iters: int = 5, d_num: int = 850, d_den: int = 1000) -> str:
+    """Unrolled power-iteration mirror of operators/graph.pagerank in
+    DuckDB SQL — same scaled-integer arithmetic (PR_SCALE = 10^12,
+    truncating ``//``), so the hash check is exact.  sum(BIGINT) is
+    HUGEINT in DuckDB — cast back before reuse (the r1 lesson)."""
+    scale = 10**12
+    its = []
+    for k in range(1, iters + 1):
+        prev = f"it{k - 1}"
+        its.append(
+            f"""it{k} AS (
+  SELECT d.src, d.deg,
+         (({(d_den - d_num) * scale} // ({d_den} * nn.n))
+          + ({d_num} * COALESCE(c.in_sum, 0)) // {d_den})::BIGINT AS pr
+  FROM deg d
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, CAST(sum(p.pr // p.deg) AS BIGINT) AS in_sum
+    FROM edges e JOIN {prev} p ON e.src = p.src
+    GROUP BY e.dst
+  ) c ON d.src = c.dst
+)"""
+        )
+    its_sql = ",\n".join(its)
+    return f"""
+WITH pr_pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr_pairs
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+it0 AS (
+  SELECT d.src, d.deg, ({scale} // nn.n)::BIGINT AS pr
+  FROM deg d CROSS JOIN nn
+),
+{its_sql}
+SELECT src AS id,
+       CAST((pr + 500000) // 1000000 AS DOUBLE) / 1e6 AS pagerank
+FROM it{iters}
+"""
+
+
+PAGERANK_NEARDUP_SQL = _pagerank_sql(iters=5)
 
 
 QUERIES = {
@@ -867,6 +917,5 @@ ORACLES = {
     "embedding_standardize": EMBEDDING_STANDARDIZE_SQL,
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,
     "embedding_norm_histogram": EMBEDDING_NORM_HISTOGRAM_SQL,
-    # pagerank_neardup intentionally absent: rows-only check (see its
-    # docstring).
+    "pagerank_neardup": PAGERANK_NEARDUP_SQL,
 }
