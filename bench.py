@@ -204,6 +204,22 @@ def main():
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # Second, compact, total-only line printed LAST: the detailed line
+    # above grows with the suite (~90 queries) and exceeded the driver's
+    # tail capture in round 4, truncating the leading "value" field —
+    # whatever the capture window, the headline total survives here.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "n": len(timings),
+                "n_errors": len(errors),
+                "sf": payload["sf"],
+            }
+        )
+    )
     if not timings:
         sys.exit(1)
 

@@ -41,15 +41,20 @@ def salted_join(
     the big side's rows per key).  The join runs on ``(key…, _salt)``
     and the salt column is dropped.
 
-    Salt derivation: by default ``monotonically_increasing_id() mod
-    n_salt`` — a genuinely per-ROW value, so even a hot key whose rows
-    are byte-identical (the NULL-placeholder-customer case this
-    operator exists for) spreads across reducers.  ANY salt assignment
-    yields identical join results (the right side exists under every
-    salt), so the id's task-dependent numbering is semantics-free.
-    Pass ``salt_cols`` to derive the salt from data instead when a
-    reproducible physical row placement matters (e.g. plan diffing);
-    note value-duplicate rows then share a salt.
+    Salt derivation: by default ``xxhash64(all left columns) mod
+    n_salt`` — DETERMINISTIC under task retry and stage recompute.  A
+    per-row nondeterministic salt (``monotonically_increasing_id``,
+    ``rand``) was rejected on purpose: it is a shuffle key, and if a
+    left partition is recomputed after a shuffle-fetch failure its rows
+    can re-salt differently and land on different reducers — the
+    classic lost/duplicated-row hazard, at exactly the failure-prone
+    scale this operator targets.  The cost of determinism: rows that
+    are byte-identical across ALL columns share a salt and don't
+    spread; in practice hot-key rows differ in their other attributes
+    (the placeholder customer's orders still have distinct orderkeys).
+    Pass ``salt_cols`` to pick the distinguishing columns explicitly
+    when the full-row hash is wasteful or the frame carries huge
+    payload columns.
 
     ``how`` must be one of inner/left/left_semi/left_anti: right-side
     replication would duplicate unmatched right rows under right/full
@@ -60,10 +65,8 @@ def salted_join(
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    if salt_cols:
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt))
-    else:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    hash_cols = salt_cols if salt_cols else left.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(n_salt))
     l_salted = left.withColumn("_salt", salt.cast("int"))
     r_salted = right.withColumn(
         "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))

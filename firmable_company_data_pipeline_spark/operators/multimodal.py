@@ -79,18 +79,35 @@ def as_media_table(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = False):
-    """Decode a binary payload into a media object.
+    """Decode a binary payload into a raw byte signal.
 
-    STUB: real decoding needs PIL/librosa/av, absent here.  ``fake=True``
-    selects the deterministic fake decoder used by tests and the oracle
-    query: it treats the raw bytes as the "decoded" signal.
+    ``fake=True`` selects the deterministic fake decoder used by tests
+    and the oracle queries: it treats the raw bytes as the "decoded"
+    signal.  ``fake=False`` is the REAL arm: for ``image/*`` it decodes
+    with PIL to an 8-bit grayscale pixel buffer (the byte-grid shape the
+    downstream feature/resize/pHash stages consume); audio/video still
+    need librosa/av.  In environments without the codec libraries the
+    real arm raises ``NotImplementedError`` — exercised by a
+    PIL-importorskip test so any future environment with codecs tests
+    it with no code change.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio codecs not present in this "
-            "environment; pass fake=True for the deterministic test decoder"
-        )
-    return payload
+    if fake:
+        return payload
+    if (media_type or "").startswith("image/"):
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decoding requires PIL, not present in this "
+                "environment; pass fake=True for the deterministic test decoder"
+            ) from exc
+        import io as _io
+
+        return Image.open(_io.BytesIO(payload)).convert("L").tobytes()
+    raise NotImplementedError(
+        "audio/video decoding requires librosa/av codecs not present in "
+        "this environment; pass fake=True for the deterministic test decoder"
+    )
 
 
 def extract_features(
@@ -194,12 +211,15 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 # Perceptual block-hash (pHash-lite): PHASH_BITS equal byte-range chunks,
-# one bit per chunk = (chunk mean > global mean).  16 bits keeps the
-# DuckDB oracle's inlined chunk expressions readable; real deployments
-# widen to 64 and add a DCT — the PLAN SHAPE (Arrow-batch hash → banded
-# self-join → bit_count verify) is identical.
-PHASH_BITS = 16
-PHASH_BANDS = 3  # pigeonhole: ≥ max_hamming+1 bands → recall 1 at the cap
+# one bit per chunk = (chunk mean > global mean).  64 bits / 4 bands of
+# 16 → 65 536 buckets per band, so per-band candidate volume Σ|bucket|²
+# stays sub-quadratic to ~10⁸ media rows (the former 16-bit/64-bucket
+# setting saturated exactly like the r1 SimHash finding; widened the
+# same way).  A production variant would swap the block means for a DCT
+# — the PLAN SHAPE (Arrow-batch hash → banded self-join → bit_count
+# verify) is identical.
+PHASH_BITS = 64
+PHASH_BANDS = 4  # pigeonhole: ≥ max_hamming+1 bands → recall 1 at the cap
 
 
 def extract_phash(
@@ -231,12 +251,17 @@ def extract_phash(
                         hi = ((i + 1) * n) // PHASH_BITS
                         if hi > lo and arr[lo:hi].mean() > gm:
                             h |= 1 << i
+                # Two's-complement fold: bit 63 set must land in int64
+                # (the long column type) — same signed value the oracle's
+                # BIGINT arithmetic produces.
+                if h >= 1 << 63:
+                    h -= 1 << 64
                 hashes.append(h)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "phash": hashes,
+                    "phash": pd.Series(hashes, dtype="int64"),
                 }
             )
 

@@ -972,6 +972,11 @@ LIMIT {_KEYSET_PAGE}
 # price position within its priority class.  One window exchange on the
 # priority key; ties break identically in both engines because the rank
 # functions are value-deterministic (no row_number in the output).
+# Scale note: the partition key has only 5 distinct values, so at 100×
+# each priority class lands on a single reducer — that bound is inherent
+# to percent_rank/cume_dist semantics over coarse classes (every row of
+# a class must see the class's total ordering), not a plan defect; for
+# finer keys the same window scales with key cardinality.
 def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
@@ -999,7 +1004,11 @@ FROM orders
 # unshipped_order_revenue — TPC-H Q3 shape: revenue of orders placed
 # before a cutoff whose items ship after it, for one market segment.
 # All three predicates push into their scans (plan-checked pattern);
-# the segment-filtered customer side broadcasts; top-10 via TakeOrdered.
+# the segment-filtered customer side broadcasts; the top-10 is a
+# global-window row_number + rank<=10 filter, which Spark 4 compiles to
+# WindowGroupLimit — the limit is pushed below the final exchange, so
+# each partition forwards at most 10 rows (TakeOrdered economics without
+# leaving the declarative plan).
 _Q3_SEGMENT = "BUILDING"
 _Q3_DATE = "1996-06-01"
 

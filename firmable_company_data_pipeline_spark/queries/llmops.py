@@ -648,11 +648,13 @@ FROM e GROUP BY bin
 # --------------------------------------------------------------------------
 # media_phash_dups — perceptual-hash near-dup pairs over the binary media
 # table (the SimHash pattern at the media layer: Arrow-batch hash, banded
-# self-join, bit_count verify).  Oracle recomputes the 16-bit block hash
+# self-join, bit_count verify).  Oracle recomputes the 64-bit block hash
 # from the source text (payload bytes == ASCII codepoints) and applies
 # the Hamming predicate naively — banding changes candidate COST, not the
 # pair set.  Chunk sums are exact integer-valued doubles (< 2^53) in both
-# engines, so the mean comparisons are bit-deterministic.
+# engines, so the mean comparisons are bit-deterministic; bit 63 is added
+# as the signed two's-complement value so the sum stays in BIGINT and
+# matches Spark's long column exactly.
 def media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.operators import multimodal as mm
 
@@ -660,13 +662,16 @@ def media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.phash_dup_pairs(mm.as_media_table(docs), max_hamming=2)
 
 
-def _phash_bit_sql(i: int, bits: int = 16) -> str:
+def _phash_bit_sql(i: int, bits: int = 64) -> str:
     lo = f"(({i} * n) // {bits})"
     hi = f"((({i} + 1) * n) // {bits})"
     chunk_avg = f"list_aggregate(codes[{lo} + 1 : {hi}], 'avg')"
+    # 1<<63 overflows BIGINT; emit its two's-complement value instead
+    # (disjoint-bit addition keeps every partial sum in range).
+    term = "(-9223372036854775807 - 1)" if i == 63 else str(1 << i)
     return (
         f"CASE WHEN {hi} > {lo} AND {chunk_avg} > gm"
-        f" THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        f" THEN {term}::BIGINT ELSE 0::BIGINT END"
     )
 
 
@@ -683,7 +688,7 @@ sized AS (
 ),
 hashed AS (
   SELECT media_id,
-         ({" + ".join(_phash_bit_sql(i) for i in range(16))}) AS phash
+         ({" + ".join(_phash_bit_sql(i) for i in range(64))}) AS phash
   FROM sized
 )
 SELECT a.media_id AS id_a, b.media_id AS id_b,

@@ -393,7 +393,12 @@ def fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrambled = F.lower(
         F.concat_ws(" ", F.element_at(words, 2), F.element_at(words, 1))
     )
-    pairs = part.select(
+    # Two-token guard: concat_ws SKIPS a NULL token while the oracle's
+    # `||` propagates NULL, so a one-word p_name would score on the
+    # Spark side vs NULL in DuckDB.  TPC-H names are always multi-word;
+    # the explicit filter (mirrored in the SQL) makes the degenerate
+    # case agree by construction rather than by fixture luck.
+    pairs = part.filter(F.size(words) >= 2).select(
         F.col("p_partkey").alias("partkey"),
         F.lower(F.col("p_name")).alias("a"),
         scrambled.alias("b"),
@@ -415,6 +420,7 @@ FROM (
          lower(string_split(p_name, ' ')[2] || ' ' || string_split(p_name, ' ')[1]) AS b,
          lower(p_type) AS c
   FROM part
+  WHERE len(string_split(p_name, ' ')) >= 2
 )
 """
 

@@ -69,34 +69,6 @@ def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = N
     w.parquet(path)
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_cols: list[str],
-    n_buckets: int = 32,
-    sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
-    fmt: str = "parquet",
-) -> None:
-    """Bucketed managed-table write: the Spark analog of the reference's
-    B-tree indexes on join keys (``db/ddl_scripts.sql:93-120``).
-
-    Two tables bucketed on the same keys with the same bucket count
-    join WITHOUT a shuffle — each bucket pairs up by file, which is the
-    layout to give a 100 TB fact table that is repeatedly joined on the
-    same key (e.g. lineitem/orders on orderkey, or the matching layers
-    on abn/postcode).  ``sort_cols`` additionally pre-sorts within
-    buckets so sort-merge joins skip their sort.
-
-    Bucketing requires the table-catalog write path (``saveAsTable``);
-    plain ``.parquet(path)`` writes cannot carry bucket metadata.
-    """
-    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
-
-
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -442,13 +414,14 @@ def write_bucketed(
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
 ) -> None:
-    """Bucketed, sorted table layout — the co-located-join primitive:
-    two tables bucketed the same way on the join key sort-merge-join
-    with NO exchange on either side (each bucket pair joins locally),
-    and single-table aggregations on the bucket key skip their shuffle
-    too.  At 100 TB this turns every repeated fact⋈fact or fact⋈big-dim
-    join on a stable key into a shuffle-free operation — the layout is
-    paid once at write time.
+    """Bucketed, sorted table layout — the co-located-join primitive
+    and the Spark analog of the reference's B-tree indexes on join keys
+    (``db/ddl_scripts.sql:93-120``): two tables bucketed the same way
+    on the join key sort-merge-join with NO exchange on either side
+    (each bucket pair joins locally), and single-table aggregations on
+    the bucket key skip their shuffle too.  At 100 TB this turns every
+    repeated fact⋈fact or fact⋈big-dim join on a stable key into a
+    shuffle-free operation — the layout is paid once at write time.
 
     Spark bucketing lives in the session catalog (``saveAsTable``; plain
     ``parquet(path)`` cannot carry bucket metadata).  Read back with

@@ -279,12 +279,13 @@ def streaming_rollup_refresh(
     O(batch).
 
     ``read_rollup`` merges the partials at read time (sum/sum/max — the
-    same combiners ``rollup_merge`` applies); DECIMAL(18,6) sums keep
-    that merge exactly equal to a from-scratch batch rollup (pinned by
-    test).  Compact periodically with ``compact_rollup`` (re-aggregates
-    all partials into one ``batch=-1`` base partition — itself an
-    idempotent single-directory overwrite) so read cost stays
-    O(key-space), not O(batches).
+    same combiners ``rollup_merge`` applies); DECIMAL sums keep that
+    merge exactly equal to a from-scratch batch rollup (pinned by
+    test).  Compact periodically with ``compact_rollup`` (folds the
+    partials into a ``compacted=<gen>`` base published via an
+    atomically-renamed manifest) so read cost stays O(key-space), not
+    O(batches); batches the manifest marks folded stay excluded from
+    reads even if a restarted stream replays and rewrites them.
     """
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
@@ -311,36 +312,102 @@ def streaming_rollup_refresh(
     return writer.start()
 
 
+# Compaction manifest: names the live base dir and the highest batch id
+# folded into it.  Readers treat batch dirs with id <= "through" as
+# superseded, which is what makes BOTH crash windows safe (the new base
+# is invisible until the manifest rename publishes it; deletes after the
+# rename are pure cleanup) and post-compaction replays double-count-free
+# (a replayed folded batch rewrites its dir, but reads exclude it).  At
+# 100 TB this layout is what a Delta/Iceberg snapshot+manifest gives you
+# for free; this is the dependency-free stand-in with the same contract.
+_COMPACT_MANIFEST = "_compacted.json"
+
+
+def _read_compact_manifest(target_dir: str) -> dict | None:
+    import json
+
+    try:
+        with open(os.path.join(target_dir, _COMPACT_MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _rollup_batch_dirs(target_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for d in os.listdir(target_dir):
+        if d.startswith("batch="):
+            try:
+                out.append((int(d.split("=", 1)[1]), d))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def read_rollup(spark, target_dir: str) -> DataFrame:
-    """Merged view of a ``streaming_rollup_refresh`` target: re-aggregate
-    the per-batch partials with the rollup's combiners."""
+    """Merged view of a ``streaming_rollup_refresh`` target: the
+    manifest's compacted base (if any) plus every batch partial NOT yet
+    folded into it, re-aggregated with the rollup's combiners."""
+    manifest = _read_compact_manifest(target_dir)
+    through = manifest["through"] if manifest else None
+    paths = [os.path.join(target_dir, manifest["base"])] if manifest else []
+    paths += [
+        os.path.join(target_dir, d)
+        for bid, d in _rollup_batch_dirs(target_dir)
+        if through is None or bid > through
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no rollup data under {target_dir}")
     return (
-        spark.read.option("basePath", target_dir)
-        .parquet(target_dir + "/batch=*")
+        spark.read.parquet(*paths)
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.sum("sum_v").alias("sum_v"),
+            # widen once so base (already re-summed) and fresh partials
+            # union to the same decimal type across compaction generations
+            F.sum("sum_v").cast("decimal(38,6)").alias("sum_v"),
             F.max("max_v").alias("max_v"),
         )
     )
 
 
 def compact_rollup(spark, target_dir: str) -> None:
-    """Collapse all per-batch partials into one ``batch=-1`` base
-    partition via ``operators/merge.rollup_merge`` semantics (the
-    read-side merge IS the pairwise merge applied n-ways), then drop the
-    compacted partials.  Run between batches / streams — same
-    single-writer contract as the refresh itself."""
+    """Fold the un-compacted batch partials (plus the previous base)
+    into a new ``compacted=<gen>`` base and publish it with an atomic
+    manifest rename.  Crash-safe at every step: the new base dir is
+    invisible to ``read_rollup`` until the manifest flips (a crash
+    before the rename leaves the old view intact, merely leaking a dir
+    that the next compaction removes), and the superseded partials are
+    deleted only AFTER the rename (a crash between rename and delete
+    changes nothing the reader sees).  Run under the same single-writer
+    contract as the refresh itself."""
+    import json
     import shutil
 
-    merged = read_rollup(spark, target_dir)
-    tmp = target_dir.rstrip("/") + "._compact"
-    merged.write.mode("overwrite").parquet(tmp)
-    for d in os.listdir(target_dir):
-        if d.startswith("batch="):
+    manifest = _read_compact_manifest(target_dir)
+    through = manifest["through"] if manifest else None
+    fresh = [
+        (bid, d)
+        for bid, d in _rollup_batch_dirs(target_dir)
+        if through is None or bid > through
+    ]
+    if fresh:
+        merged = read_rollup(spark, target_dir)
+        gen = manifest["gen"] + 1 if manifest else 1
+        base = f"compacted={gen}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_dir, base))
+        manifest = {"base": base, "through": max(bid for bid, _ in fresh), "gen": gen}
+        tmp = os.path.join(target_dir, _COMPACT_MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(target_dir, _COMPACT_MANIFEST))
+    if manifest is None:
+        return
+    # cleanup (idempotent, safe to re-run after any crash): folded
+    # partials and superseded/orphaned compaction generations
+    for bid, d in _rollup_batch_dirs(target_dir):
+        if bid <= manifest["through"]:
             shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(
-        target_dir.rstrip("/") + "/batch=-1"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    for d in os.listdir(target_dir):
+        if d.startswith("compacted=") and d != manifest["base"]:
+            shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)

@@ -136,7 +136,16 @@ def user_new_maxima(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     # Subclass dynamically so the module imports even on Spark < 4.
-    proc = type("NewMaxProcessor", (StatefulProcessor,), dict(_NewMaxProcessor.__dict__))()
+    # Dunder descriptors (__dict__/__weakref__) must NOT be copied onto
+    # the new class: cloudpickle round-trips the instance to ship it to
+    # Python workers, and a copied '__dict__' descriptor bound to the
+    # donor class fails on load with "descriptor '__dict__' ... doesn't
+    # apply" — i.e. the operator would crash at task start exactly in
+    # the protobuf-enabled environments it exists for.
+    members = {
+        k: v for k, v in _NewMaxProcessor.__dict__.items() if not k.startswith("__")
+    }
+    proc = type("NewMaxProcessor", (StatefulProcessor,), members)()
     return events.select("user_id", "ts", "event_id", "value").groupBy(
         "user_id"
     ).transformWithStateInPandas(

@@ -338,13 +338,26 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
     # per-batch partial partitions exist (replay-idempotent layout) ...
     import glob as _glob
     assert len(_glob.glob(f"{target}/batch=*")) >= 2
-    # ... and compaction collapses them without changing the merged view
+    # ... and compaction collapses them without changing the merged view:
+    # partials folded into a manifest-published compacted=<gen> base
     jobs.compact_rollup(spark, target)
-    assert _glob.glob(f"{target}/batch=*") and all(
-        d.endswith("batch=-1") for d in _glob.glob(f"{target}/batch=*")
-    )
+    assert not _glob.glob(f"{target}/batch=*")
+    assert _glob.glob(f"{target}/compacted=*")
     got2 = {
         (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
         for r in jobs.read_rollup(spark, target).collect()
     }
     assert got2 == want
+    # a restarted stream replaying an already-folded batch rewrites its
+    # batch dir; the manifest excludes it from reads — no double count
+    jobs.read_rollup(spark, target).limit(1).write.mode("overwrite").parquet(
+        f"{target}/batch=0"
+    )
+    got3 = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
+        for r in jobs.read_rollup(spark, target).collect()
+    }
+    assert got3 == want
+    # second compaction folds nothing new but cleans the replayed dir
+    jobs.compact_rollup(spark, target)
+    assert not _glob.glob(f"{target}/batch=*")
