@@ -108,6 +108,20 @@ HEADLINE = [
     "embedding_standardize",
     "order_percentile_ranks",
     "unshipped_order_revenue",
+    # round 5
+    "forecast_revenue_change",
+    "product_type_profit",
+    "returned_item_customers",
+    "late_shipment_priority_counts",
+    "supplier_part_brands",
+    "supplier_nation_cube",
+    "event_transition_matrix",
+    "customer_order_gaps",
+    "dup_cluster_size_histogram",
+    "cross_source_shingle_overlap",
+    "doc_length_deciles",
+    "source_lang_confusion",
+    "tokenizer_fertility",
 ]
 
 

@@ -785,7 +785,99 @@ FROM conv
 """
 
 
+# --------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov estimate of the event
+# stream: P(next event type | current), from per-user lead() sequences
+# (round 5; the n-gram sibling of common_event_paths, but normalized
+# per source state — the input for session-simulation / anomaly work).
+# Scale: one window shuffle on user_id, one hash-agg over ≤|types|²
+# cells, then a broadcast-sized window for the row-normalize.
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    agg = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wf = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(wf), 6).alias("p_trans"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+agg AS (
+  SELECT from_type, to_type, count(*) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_trans,
+       round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY from_type), 6)
+         AS p_trans
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_order_gaps — inter-purchase cadence per customer: average and
+# maximum days between consecutive orders (round 5; the lag() twin of
+# customer_rfm's recency).  One window shuffle on o_custkey doubling as
+# the aggregation shuffle (same key → AQE plans one exchange).  Tie
+# dates order by o_orderkey; the gap multiset is tie-order-invariant
+# anyway (equal dates contribute 0 either way).
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    od = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey", od.alias("od"), F.lag(od).over(w).alias("prev_od")
+    )
+    gap = F.datediff(F.col("od"), F.col("prev_od"))
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg(gap), 4).alias("avg_gap_days"),
+            F.max(gap).alias("max_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_od
+  FROM orders
+)
+SELECT o_custkey, n_orders, avg_gap_days, max_gap_days FROM (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(avg(date_diff('day', prev_od, od)), 4) AS avg_gap_days,
+         max(date_diff('day', prev_od, od)) AS max_gap_days
+  FROM seq GROUP BY 1
+) WHERE n_orders >= 2
+"""
+
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
+    "customer_order_gaps": customer_order_gaps,
     "funnel_conversion": funnel_conversion,
     "funnel_user_stages": funnel_user_stages,
     "common_event_paths": common_event_paths,
@@ -804,6 +896,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
+    "customer_order_gaps": CUSTOMER_ORDER_GAPS_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "funnel_user_stages": FUNNEL_USER_STAGES_SQL,
     "common_event_paths": COMMON_EVENT_PATHS_SQL,

@@ -875,6 +875,165 @@ FROM it{iters}
 PAGERANK_NEARDUP_SQL = _pagerank_sql(iters=5)
 
 
+# --------------------------------------------------------------------------
+# dup_cluster_size_histogram — duplicate-cluster size distribution over
+# the connected components of the near-dup graph (round 5): the one-look
+# health metric of a dedup run (a fat tail = template farms; all-2s =
+# pairwise noise).  Two tiny hash-aggs on top of the CC output; the CC
+# itself is the iterative min-label propagation, oracle-mirrored by the
+# recursive CTE.
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    clusters = dd.connected_components(dd.ngram_jaccard_pairs(docs, threshold=0.8))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+DUP_CLUSTER_SIZE_HISTOGRAM_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# cross_source_shingle_overlap — pairwise content overlap between
+# sources, as Jaccard over each source's distinct shingle set (round 5):
+# the dataset-curation signal for "these two crawls are the same site" /
+# "benchmark X leaked into source Y", one level above per-document
+# dedup.  Inverted-index shape: distinct (source, shingle) rows join on
+# shingle — Σdf² like ngram_jaccard_pairs, never |sources|²·|corpus|;
+# per-source totals broadcast.  Pairs with zero shared shingles are
+# omitted (inner join semantics, mirrored in the oracle).
+def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    ex = docs.select(
+        "source", F.explode(dd.shingle_array(F.col("text"))).alias("shingle")
+    ).distinct()
+    tot = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+CROSS_SOURCE_SHINGLE_OVERLAP_SQL = f"""
+WITH tok2 AS (SELECT source, {_TOKENS} AS t FROM documents),
+sh2 AS (SELECT source, {_SHINGLES} AS s FROM tok2),
+ex AS (SELECT DISTINCT source, unnest(s) AS shingle FROM sh2),
+tot AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
+com AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       round(n_common::DOUBLE / (ta.n + tb.n - n_common), 6) AS jaccard
+FROM com
+JOIN tot ta ON com.src_a = ta.source
+JOIN tot tb ON com.src_b = tb.source
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_length_deciles — exact length-decile boundaries of the corpus
+# (round 5): NTILE(10) over (n_chars, doc_id).  The deterministic
+# tie-break makes the assignment engine-independent.  Scale note: exact
+# global quantiles need a total order (one reducer for the ntile pass —
+# fine for the boundary table's O(N) single pass at report cadence);
+# approx_median_value / nation_order_quantiles are the sketch-based
+# scale path when exactness isn't contractual.
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = Window.orderBy("n_chars", "doc_id")
+    tiled = docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+DOC_LENGTH_DECILES_SQL = """
+WITH tiled AS (
+  SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM tiled GROUP BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# source_lang_confusion — language-ID confusion matrix: ground-truth
+# ``lang`` column × the n-gram heuristic's ``lang_pred``, with per-truth
+# row shares (round 5).  The standing evaluation harness for the
+# curation pipeline's language filter — row shares come from a
+# broadcast-sized window over ≤|langs|² cells.
+def source_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    feat = ts.text_features(docs, keep=("doc_id", "lang"))
+    agg = feat.groupBy(
+        F.col("lang").alias("lang_true"), F.col("lang_pred")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang_true")
+    return agg.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+SOURCE_LANG_CONFUSION_SQL = f"""
+WITH tsx AS ({TEXT_STATS_SQL}),
+j AS (
+  SELECT d.lang AS lang_true, tsx.lang_pred
+  FROM documents d JOIN tsx ON d.doc_id = tsx.doc_id
+),
+agg AS (
+  SELECT lang_true, lang_pred, count(*) AS n_docs FROM j GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n_docs,
+       round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang_true), 6)
+         AS share
+FROM agg
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_profile_by_source": corpus_profile_by_source,
@@ -898,6 +1057,10 @@ QUERIES = {
     "label_centroids": label_centroids,
     "embedding_norm_histogram": embedding_norm_histogram,
     "pagerank_neardup": pagerank_neardup,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
+    "cross_source_shingle_overlap": cross_source_shingle_overlap,
+    "doc_length_deciles": doc_length_deciles,
+    "source_lang_confusion": source_lang_confusion,
 }
 
 ORACLES = {
@@ -923,4 +1086,8 @@ ORACLES = {
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,
     "embedding_norm_histogram": EMBEDDING_NORM_HISTOGRAM_SQL,
     "pagerank_neardup": PAGERANK_NEARDUP_SQL,
+    "dup_cluster_size_histogram": DUP_CLUSTER_SIZE_HISTOGRAM_SQL,
+    "cross_source_shingle_overlap": CROSS_SOURCE_SHINGLE_OVERLAP_SQL,
+    "doc_length_deciles": DOC_LENGTH_DECILES_SQL,
+    "source_lang_confusion": SOURCE_LANG_CONFUSION_SQL,
 }

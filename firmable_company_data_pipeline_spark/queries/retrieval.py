@@ -314,7 +314,50 @@ SELECT subword, n, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# tokenizer_fertility — subwords per whitespace word, per source (round
+# 5): the tokenizer-efficiency metric that decides how many TRAINING
+# tokens a source actually costs (fertility ≈ 1 = merges cover the
+# domain; high fertility = the source is expensive per word).  Map-only
+# native BPE encode (operators/retrieval.bpe_apply — no UDF) + one
+# per-source hash-agg; the oracle re-runs the same boundary-safe replace
+# chain per word.
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.functions.textstats import tokens
+    from firmable_company_data_pipeline_spark.session import spread
+
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    t = tokens(F.col("text"))
+    per = docs.select(
+        "source",
+        F.size(t).alias("nw"),
+        F.size(rt.bpe_apply(t)).alias("ns"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("ns").cast("long").alias("n_subwords"),
+        F.round(F.sum("ns") / F.sum("nw"), 6).alias("fertility"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH words AS (SELECT source, unnest({_TOKENS}) AS w FROM documents),
+enc AS (SELECT source, {_bpe_chain_sql()} AS s FROM words),
+cnt AS (
+  SELECT source,
+         len(list_filter(string_split(s, '|'), x -> x != '')) AS ns
+  FROM enc
+)
+SELECT source, count(*)::BIGINT AS n_words, sum(ns)::BIGINT AS n_subwords,
+       round(sum(ns)::DOUBLE / count(*), 6) AS fertility
+FROM cnt GROUP BY source
+"""
+
+
 QUERIES = {
+    "tokenizer_fertility": tokenizer_fertility,
     "bm25_search": bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
     "bpe_tokenize_stats": bpe_tokenize_stats,
@@ -326,6 +369,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "bm25_search": BM25_SEARCH_SQL,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_SQL,
     "bpe_tokenize_stats": BPE_TOKENIZE_STATS_SQL,

@@ -1,0 +1,373 @@
+"""Warehouse analytics pack, round 5: the remaining classic TPC-H
+query shapes the registry had not yet covered — Q6 (predicate-dense
+scan-agg), Q9 (multi-way star profit rollup), Q10 (returned-item top
+customers), Q12 (join + conditional counts), Q16 (distinct-count with
+anti-join exclusion) — plus a CUBE grouping-sets rollup, all adapted to
+the driver's reduced schemas (no partsupp/shipmode columns; adaptations
+noted per query).
+
+Scale notes follow each query; the common pattern: dimension joins
+broadcast, facts never shuffle more than once, revenue sums ride
+DECIMAL so partial-aggregate addition is exact and order-independent
+(the ``embedding_standardize`` precedent — accumulate exact, convert to
+double once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from firmable_company_data_pipeline_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    return load_tables(spark, sf_dir, *names)
+
+
+def _dec_sum(col: F.Column) -> F.Column:
+    """Order-independent revenue sum: per-row double product (exact and
+    identical per row in any engine) cast to DECIMAL(27,10), summed
+    exactly, converted to double once by the caller."""
+    return F.sum(col.cast("decimal(27,10)"))
+
+
+# ---------------------------------------------------------------------------
+# forecast_revenue_change — TPC-H Q6: revenue delta a discount-band
+# change would produce, over one ship-year.  Pure scan-agg: every
+# predicate (year range, discount band, quantity cap) pushes into the
+# parquet scan, so at 100 TB this reads only the row groups whose
+# min/max stats overlap the band — the canonical pushdown showcase.
+_Q6_YEAR = 1997
+_Q6_DISC_LO, _Q6_DISC_HI = 0.04, 0.08
+_Q6_QTY = 24
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    f = li.filter(
+        (F.year("l_shipdate") == _Q6_YEAR)
+        & (F.col("l_discount") >= _Q6_DISC_LO)
+        & (F.col("l_discount") <= _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_QTY)
+    )
+    return f.agg(
+        F.round(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).cast("double"), 2
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = f"""
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,10))) AS DOUBLE), 2)
+         AS revenue_delta,
+       count(*) AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = {_Q6_YEAR}
+  AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+  AND l_quantity < {_Q6_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# product_type_profit — TPC-H Q9 shape: per (supplier-nation, order-year)
+# profit over a part-type slice.  Adaptation: the driver schema has no
+# partsupp, so supply cost is proxied as 10% of p_retailprice per unit
+# (same join/agg topology: lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders).
+# Plan: part filter broadcasts and prunes the fact scan early; supplier/
+# nation broadcast; the orders join is the only fact-sized shuffle; one
+# hash-agg on (nation, year) with DECIMAL-exact partials.
+_Q9_TYPES = ("ECONOMY", "PROMO")
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    parts = t["part"].filter(F.col("p_type").isin(*_Q9_TYPES)).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = t["lineitem"].join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    li = li.join(
+        broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).join(
+        broadcast(t["nation"].select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    joined = li.join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.1) * F.col("l_quantity")
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(_dec_sum(amount).cast("double"), 2).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q9_TYPES_SQL = ", ".join(f"'{t}'" for t in _Q9_TYPES)
+
+PRODUCT_TYPE_PROFIT_SQL = f"""
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * 0.1 * l_quantity
+                           AS DECIMAL(27,10))) AS DOUBLE), 2) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type IN ({_Q9_TYPES_SQL})
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# returned_item_customers — TPC-H Q10: top-20 customers by revenue lost
+# to returns in one quarter.  Orders window-filter pushes down; the
+# customer/nation dims broadcast; the top-20 is a row_number window that
+# Spark 4 compiles to WindowGroupLimit (limit below the exchange).
+# Tie-break on c_custkey keeps the cut deterministic in both engines.
+_Q10_FROM, _Q10_TO = "1997-01-01", "1997-04-01"
+_Q10_K = 20
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                _dec_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+    out = rev.join(
+        broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    ).join(
+        broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        out.select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q10_K)
+    )
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,10))) AS DOUBLE), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{_Q10_FROM}'
+    AND o_orderdate <  TIMESTAMP '{_Q10_TO}'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, nation, acctbal, revenue, rank FROM (
+  SELECT c_custkey, c_name, n_name AS nation,
+         round(c_acctbal, 2) AS acctbal, revenue,
+         row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+  FROM rev
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+) WHERE rank <= {_Q10_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# late_shipment_priority_counts — TPC-H Q12 shape (join + conditional
+# counts).  Adaptation: the driver lineitem has no shipmode/commitdate,
+# so the class column is l_linestatus and "late" means shipped > 90 days
+# after the order date.  One fact⋈fact equi-join (orderkey), then a
+# 2-row conditional aggregate — the CASE counts are map-side partials.
+_Q12_LATE_DAYS = 90
+_URGENT = ("1-URGENT", "2-HIGH")
+
+
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > _Q12_LATE_DAYS
+    )
+    urgent = F.col("o_orderpriority").isin(*_URGENT).cast("long")
+    return joined.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.sum(urgent).alias("high_priority_late"),
+        F.sum(1 - urgent).alias("low_priority_late"),
+    )
+
+
+_URGENT_SQL = ", ".join(f"'{p}'" for p in _URGENT)
+
+LATE_SHIPMENT_PRIORITY_COUNTS_SQL = f"""
+SELECT l_linestatus AS linestatus,
+       sum(CASE WHEN o_orderpriority IN ({_URGENT_SQL}) THEN 1 ELSE 0 END)::BIGINT
+         AS high_priority_late,
+       sum(CASE WHEN o_orderpriority IN ({_URGENT_SQL}) THEN 0 ELSE 1 END)::BIGINT
+         AS low_priority_late
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      > {_Q12_LATE_DAYS}
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_part_brands — TPC-H Q16 shape: how many distinct suppliers
+# offer each (brand, type, size) combination, excluding one brand and
+# suppliers on a complaint list.  Adaptation: the part↔supplier relation
+# is the distinct (l_partkey, l_suppkey) pairs observed in lineitem (no
+# partsupp table), and the "complaint" exclusion is suppliers with
+# negative account balance — preserving the NOT IN anti-join + distinct
+# count topology.  Plan: the pair-dedup and the count-distinct share the
+# same keys, the excluded-supplier list broadcasts as an anti-join.
+_Q16_EXCL_BRAND = "Brand#1"
+_Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+def supplier_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = pairs.join(
+        broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    parts = t["part"].filter(
+        (F.col("p_brand") != _Q16_EXCL_BRAND) & F.col("p_size").isin(*_Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_Q16_SIZES_SQL = ", ".join(str(s) for s in _Q16_SIZES)
+
+SUPPLIER_PART_BRANDS_SQL = f"""
+SELECT p_brand AS brand, p_type AS type, p_size AS size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p_size IN ({_Q16_SIZES_SQL})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_nation_cube — CUBE grouping sets (the §2.4 rollup's full-cube
+# sibling): revenue by (supplier nation × order year), every subtotal
+# and the grand total in one pass.  Spark evaluates CUBE as a single
+# expand+hash-agg (rows replicated 4×, one shuffle) — at 100 TB prefer
+# cube only on low-cardinality keys like these (25 nations × 7 years).
+# NULL group keys are coalesced to sentinel labels so the gid semantics
+# stay readable; grouping_id bit order (first key = MSB) matches
+# DuckDB's GROUPING(a, b).
+def supplier_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "orders")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(
+            broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
+        )
+    )
+    return (
+        joined.cube("nation", "o_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(_dec_sum(F.col("amt")).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("nation"), F.lit("(all)")).alias("nation"),
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            "gid",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+SUPPLIER_NATION_CUBE_SQL = """
+SELECT coalesce(n_name, '(all)') AS nation,
+       coalesce(year(o_orderdate), -1) AS o_year,
+       GROUPING(n_name, year(o_orderdate)) AS gid,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(27,10))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY CUBE (n_name, year(o_orderdate))
+"""
+
+
+QUERIES = {
+    "forecast_revenue_change": forecast_revenue_change,
+    "product_type_profit": product_type_profit,
+    "returned_item_customers": returned_item_customers,
+    "late_shipment_priority_counts": late_shipment_priority_counts,
+    "supplier_part_brands": supplier_part_brands,
+    "supplier_nation_cube": supplier_nation_cube,
+}
+
+ORACLES = {
+    "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
+    "product_type_profit": PRODUCT_TYPE_PROFIT_SQL,
+    "returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
+    "late_shipment_priority_counts": LATE_SHIPMENT_PRIORITY_COUNTS_SQL,
+    "supplier_part_brands": SUPPLIER_PART_BRANDS_SQL,
+    "supplier_nation_cube": SUPPLIER_NATION_CUBE_SQL,
+}

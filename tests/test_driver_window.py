@@ -22,9 +22,8 @@ def test_first_50_queries_match_priority_window():
     )
     assert names[: len(window)] == window
     assert len(set(window)) == len(window), "duplicate names in the window"
-    # every registered query has an oracle (full gate coverage), except
-    # the explicit rows-only set: iterative float algorithms whose
-    # summation order is engine-dependent (semantics pinned by fixture
-    # tests instead — see each query's docstring).
-    rows_only = {"pagerank_neardup"}
-    assert set(e.oracle_sql()) == set(names) - rows_only
+    # every registered query has an oracle (full gate coverage).  The
+    # rows-only set is EMPTY as of round 5: pagerank, the last member,
+    # was reformulated in scaled-integer arithmetic so its sums are
+    # order-independent and hash-checkable (operators/graph.py).
+    assert set(e.oracle_sql()) == set(names)
