@@ -294,12 +294,13 @@ GROUP BY 1, 2, 3
 # ---------------------------------------------------------------------------
 # supplier_nation_cube — CUBE grouping sets (the §2.4 rollup's full-cube
 # sibling): revenue by (supplier nation × order year), every subtotal
-# and the grand total in one pass.  Spark evaluates CUBE as a single
-# expand+hash-agg (rows replicated 4×, one shuffle) — at 100 TB prefer
-# cube only on low-cardinality keys like these (25 nations × 7 years).
-# NULL group keys are coalesced to sentinel labels so the gid semantics
-# stay readable; grouping_id bit order (first key = MSB) matches
-# DuckDB's GROUPING(a, b).
+# and the grand total in one pass.  The cube runs over PRE-AGGREGATED
+# (nation, year) cells, not fact rows: Expand replicates ~175 cells 4×
+# instead of the whole join output (measured 3.2 s → sub-second at
+# sf0.1; at 100 TB the difference is the whole query) — DECIMAL sums
+# are associative, so sum-of-cell-sums is bit-identical to the single
+# pass.  NULL group keys are coalesced to sentinel labels; grouping_id
+# bit order (first key = MSB) matches DuckDB's GROUPING(a, b).
 def supplier_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "orders")
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -322,12 +323,16 @@ def supplier_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
         )
     )
+    cells = joined.groupBy("nation", "o_year").agg(
+        _dec_sum(F.col("amt")).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_c"),
+    )
     return (
-        joined.cube("nation", "o_year")
+        cells.cube("nation", "o_year")
         .agg(
             F.grouping_id().alias("gid"),
-            F.round(_dec_sum(F.col("amt")).cast("double"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev_c").cast("double"), 2).alias("revenue"),
+            F.sum("n_c").cast("long").alias("n_items"),
         )
         .select(
             F.coalesce(F.col("nation"), F.lit("(all)")).alias("nation"),

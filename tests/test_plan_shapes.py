@@ -400,3 +400,55 @@ def test_gapfill_spine_is_broadcast(plans):
     p = plans("events_daily_gapfill")
     # the bounds/spine side broadcasts; no cartesian on the fact table
     assert "CartesianProduct" not in p
+
+
+# ---- round-5 additions ----
+
+
+def test_q6_pushes_all_predicates(plans):
+    p = plans("forecast_revenue_change")
+    # discount band and quantity cap reach the scan (row-group pruning
+    # at scale); no join anywhere in a pure scan-agg
+    assert "GreaterThanOrEqual(l_discount" in p and "LessThan(l_quantity" in p
+    assert "Join" not in p
+
+
+def test_q10_top20_is_take_ordered(plans):
+    p = plans("returned_item_customers")
+    # the row_number <= 20 compiles to a top-k below the final exchange
+    # (TakeOrderedAndProject or WindowGroupLimit, whichever Catalyst
+    # picks) — never a global sort of the full aggregate
+    assert ("TakeOrderedAndProject" in p) or ("WindowGroupLimit" in p)
+    assert "BroadcastHashJoin" in p  # customer/nation dims broadcast
+
+
+def test_q16_excludes_suppliers_via_broadcast_anti_join(plans):
+    p = plans("supplier_part_brands")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cube_is_single_expand_single_agg_exchange(plans):
+    p = plans("supplier_nation_cube")
+    # CUBE = ONE Expand node feeding ONE aggregation exchange (plus
+    # broadcast exchanges for the dims) — not one pass per grouping set
+    # formatted explain prints each operator once in the tree and once
+    # as a numbered detail header — count the detail headers.  ONE
+    # Expand sitting ABOVE the (nation, year) pre-aggregation (it
+    # replicates ~175 cells, never fact rows) and exactly two hash
+    # exchanges: the cell agg and the cube agg.
+    assert p.count(") Expand") == 1
+    assert p.count(") Exchange") == 2 and "hashpartitioning" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cross_source_overlap_no_cartesian(plans):
+    p = plans("cross_source_shingle_overlap")
+    # inverted-index self-join on the shingle key, never a cross product
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_transition_matrix_single_user_window(plans):
+    p = plans("event_transition_matrix")
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
