@@ -206,8 +206,61 @@ def resize_image(
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling requires av/ffmpeg."""
-    raise NotImplementedError("frame sampling requires av/ffmpeg (not in this environment)")
+    """Decode every ``every_n``-th video frame to an 8-bit grayscale
+    pixel buffer: (media_id, frame_idx, width, height, frame binary).
+
+    Real arm requires PyAV; in environments without it this raises
+    ``NotImplementedError`` at plan time (eager import check) — the
+    importorskip test exercises the real arm wherever codecs exist,
+    with zero code change (same gating as ``decode_media``'s PIL arm).
+    The metadata-only planning half (``frame_sample_plan``) runs
+    anywhere and is oracle-checked.
+
+    Plan shape: Arrow-batched ``mapInPandas`` — decode is per-row CPU
+    that scales by partition count; at 100 TB pair this with
+    ``frame_sample_plan``-driven ranged fetches so only the sampled
+    byte ranges are ever read.
+    """
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "frame sampling requires av/ffmpeg (not in this environment); "
+            "use frame_sample_plan for the metadata-only planning half"
+        ) from exc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import av as _av
+
+        for pdf in it:
+            ids, idxs, ws, hs, frames = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                with _av.open(_io.BytesIO(payload)) as container:
+                    for i, frame in enumerate(container.decode(video=0)):
+                        if i % every_n:
+                            continue
+                        g = frame.reformat(format="gray")
+                        ids.append(mid)
+                        idxs.append(i)
+                        ws.append(g.width)
+                        hs.append(g.height)
+                        frames.append(bytes(g.planes[0]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, frame_idx long, width int, height int, frame binary",
+    )
 
 
 # Perceptual block-hash (pHash-lite): PHASH_BITS equal byte-range chunks,
