@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_length_deciles",
     "source_lang_confusion",
     "tokenizer_fertility",
+    "term_cms_heavy_hitters",
 ]
 
 

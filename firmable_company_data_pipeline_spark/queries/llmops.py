@@ -905,15 +905,25 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
 # sources, as Jaccard over each source's distinct shingle set (round 5):
 # the dataset-curation signal for "these two crawls are the same site" /
 # "benchmark X leaked into source Y", one level above per-document
-# dedup.  Inverted-index shape: distinct (source, shingle) rows join on
-# shingle — Σdf² like ngram_jaccard_pairs, never |sources|²·|corpus|;
-# per-source totals broadcast.  Pairs with zero shared shingles are
-# omitted (inner join semantics, mirrored in the oracle).
+# dedup.  Inverted-index shape: distinct (source, shingle-hash) rows
+# join on the hash — Σdf² like ngram_jaccard_pairs, never
+# |sources|²·|corpus|; per-source totals broadcast.  The join/distinct
+# key is the 8-byte char-fold HASH of the shingle, not the ~30-byte
+# string (≈4× less shuffle volume; measured the difference between a
+# stable ~3 s and GC-bound double-digit runs at sf0.1): collisions
+# (~|shingles|²/2·10⁻⁹ expected) merge the same shingles in BOTH
+# engines, so the overlap is a deterministic, hash-checkable estimate
+# with ~1e-3 relative error at worst.  Pairs with zero shared shingles
+# are omitted (inner join semantics, mirrored in the oracle).
 def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    # Persisted: the (source, hash) set feeds the totals and BOTH join
+    # sides — without it the tokenize/shingle/hash pipeline (the real
+    # cost; the joins are tiny) executes three times.  Caller owns cache
+    # lifetime — the standing signature-table contract.
     ex = docs.select(
-        "source", F.explode(dd.shingle_array(F.col("text"))).alias("shingle")
-    ).distinct()
+        "source", F.explode(dd.shingle_hashes(F.col("text"))).alias("shingle")
+    ).distinct().persist()
     tot = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     common = (
         ex.alias("a")
@@ -948,7 +958,8 @@ def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 CROSS_SOURCE_SHINGLE_OVERLAP_SQL = f"""
 WITH tok2 AS (SELECT source, {_TOKENS} AS t FROM documents),
 sh2 AS (SELECT source, {_SHINGLES} AS s FROM tok2),
-ex AS (SELECT DISTINCT source, unnest(s) AS shingle FROM sh2),
+hs2 AS (SELECT source, list_transform(s, g -> {_fold("g")}) AS hs FROM sh2),
+ex AS (SELECT DISTINCT source, unnest(hs) AS shingle FROM hs2),
 tot AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
 com AS (
   SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common

@@ -236,7 +236,117 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# term_cms_heavy_hitters — count-min-sketch frequency estimation for the
+# corpus term stream (round 5): the third mergeable-sketch family next
+# to HLL (distinct) and t-digest (quantiles).  A CMS is D×W counters; an
+# occurrence increments one bucket per hash row, an estimate is the MIN
+# over its D buckets — always an OVERcount (collisions only add), with
+# E[overcount] ≤ N/W per row.  Unlike Spark's built-in sketches the
+# arithmetic here is explicit (char-fold hash + per-row affine permute,
+# the MinHash constant pattern), so BOTH engines compute bit-identical
+# estimates and the driver hash-checks estimate AND exact side by side
+# (no error-contract indirection needed).
+#
+# 100 TB shape: the sketch build is one (d, bucket) hash-agg whose
+# output is D·W rows (kilobytes) regardless of corpus size — THE
+# mergeable heavy-hitter structure for a streaming/partitioned refresh
+# (counters add across partitions; rollup_merge handles them like any
+# algebraic metric).  The estimate join broadcasts the sketch.
+_CMS_D, _CMS_W = 3, 512
+_CMS_K = 20
+_CMS_A = [(2654435761 * (d + 13)) % 1_000_000_007 for d in range(_CMS_D)]
+_CMS_B = [(40503 * (d + 7) * (d + 7) + 29) % 1_000_000_007 for d in range(_CMS_D)]
+
+
+def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from firmable_company_data_pipeline_spark.functions import textstats as ts
+    from firmable_company_data_pipeline_spark.session import spread
+
+    docs = spread(_t(spark, sf_dir, "documents")["documents"])
+    # Persisted: the occurrence stream feeds the sketch build (D passes)
+    # and the exact counts; caller owns cache lifetime (the standing
+    # signature-table contract).
+    occ = docs.select(F.explode(ts.tokens(F.col("text"))).alias("term")).select(
+        "term", ts.char_fold_hash(F.col("term")).alias("h")
+    ).persist()
+
+    def bucket(d: int) -> F.Column:
+        return F.pmod(
+            F.pmod(
+                F.lit(_CMS_A[d]) * F.col("h") + F.lit(_CMS_B[d]),
+                F.lit(ts.HASH_MOD),
+            ),
+            F.lit(_CMS_W),
+        )
+
+    rows = None
+    for d in range(_CMS_D):
+        r = occ.select(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+        rows = r if rows is None else rows.unionByName(r)
+    sketch = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = occ.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_n"), F.min("h").alias("h")
+    )
+    cand = None
+    for d in range(_CMS_D):
+        r = exact.select("term", "exact_n", F.lit(d).alias("d"), bucket(d).alias("bucket"))
+        cand = r if cand is None else cand.unionByName(r)
+    est = (
+        cand.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    w = Window.orderBy(F.desc("est_n"), F.asc("term"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CMS_K)
+        .select("rank", "term", "est_n", "exact_n", (F.col("est_n") - F.col("exact_n")).alias("overcount"))
+    )
+
+
+_CMS_TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_CMS_FOLD = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term, ''), "
+    "c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % 1000000007)"
+)
+_CMS_A_SQL = "[" + ", ".join(str(a) for a in _CMS_A) + "]"
+_CMS_B_SQL = "[" + ", ".join(str(b) for b in _CMS_B) + "]"
+
+TERM_CMS_HEAVY_HITTERS_SQL = f"""
+WITH occ AS (SELECT unnest({_CMS_TOKENS}) AS term FROM documents),
+oh AS (SELECT term, {_CMS_FOLD} AS h FROM occ),
+buckets AS (
+  SELECT d.d,
+         ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * h + ({_CMS_B_SQL}::BIGINT[])[d.d+1])
+          % 1000000007) % {_CMS_W} AS bucket
+  FROM oh CROSS JOIN range({_CMS_D}) AS d(d)
+),
+sketch AS (SELECT d, bucket, count(*) AS cnt FROM buckets GROUP BY 1, 2),
+exact AS (SELECT term, count(*) AS exact_n, min(h) AS h FROM oh GROUP BY term),
+est AS (
+  SELECT e.term, e.exact_n, min(s.cnt) AS est_n
+  FROM exact e
+  CROSS JOIN range({_CMS_D}) AS d(d)
+  JOIN sketch s
+    ON s.d = d.d
+   AND s.bucket = ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * e.h
+                    + ({_CMS_B_SQL}::BIGINT[])[d.d+1]) % 1000000007) % {_CMS_W}
+  GROUP BY 1, 2
+)
+SELECT rank, term, est_n, exact_n, est_n - exact_n AS overcount FROM (
+  SELECT term, est_n, exact_n,
+         row_number() OVER (ORDER BY est_n DESC, term) AS rank
+  FROM est
+) WHERE rank <= {_CMS_K}
+"""
+
+
 QUERIES = {
+    "term_cms_heavy_hitters": term_cms_heavy_hitters,
     "skew_report_events": skew_report_events,
     "salted_user_event_stats": salted_user_event_stats,
     "incremental_distinct_users": incremental_distinct_users,
@@ -246,6 +356,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "term_cms_heavy_hitters": TERM_CMS_HEAVY_HITTERS_SQL,
     "skew_report_events": SKEW_REPORT_EVENTS_SQL,
     "salted_user_event_stats": SALTED_USER_EVENT_STATS_SQL,
     "incremental_distinct_users": INCREMENTAL_DISTINCT_USERS_SQL,
