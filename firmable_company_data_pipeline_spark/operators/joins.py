@@ -65,7 +65,27 @@ def salted_join(
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    hash_cols = salt_cols if salt_cols else left.columns
+    if salt_cols:
+        hash_cols = salt_cols
+    else:
+        # xxhash64 rejects map-typed inputs (at any nesting depth) at
+        # analysis time — exclude them from the default full-row hash so
+        # the operator keeps working on frames with properties maps; the
+        # join keys are always hashable, so the fallback is never empty.
+        def _hashable(dt) -> bool:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        hash_cols = [f.name for f in left.schema.fields if _hashable(f.dataType)]
+        if not hash_cols:
+            hash_cols = keys
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(n_salt))
     l_salted = left.withColumn("_salt", salt.cast("int"))
     r_salted = right.withColumn(

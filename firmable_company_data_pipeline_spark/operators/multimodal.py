@@ -241,12 +241,16 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
                     for i, frame in enumerate(container.decode(video=0)):
                         if i % every_n:
                             continue
-                        g = frame.reformat(format="gray")
+                        # to_ndarray strips ffmpeg's per-row linesize
+                        # padding (raw plane buffers are stride-aligned
+                        # to 16/32 bytes — width*height slicing of
+                        # planes[0] is WRONG for non-aligned widths)
+                        arr = frame.to_ndarray(format="gray")
                         ids.append(mid)
                         idxs.append(i)
-                        ws.append(g.width)
-                        hs.append(g.height)
-                        frames.append(bytes(g.planes[0]))
+                        ws.append(arr.shape[1])
+                        hs.append(arr.shape[0])
+                        frames.append(arr.tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -289,20 +289,7 @@ def streaming_rollup_refresh(
     """
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        delta = (
-            batch_df.select(
-                F.to_date("ts").alias("day"),
-                "event_type",
-                F.col("value").cast("decimal(18,6)").alias("v"),
-            )
-            .groupBy("day", "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum("v").alias("sum_v"),
-                F.max("v").alias("max_v"),
-            )
-        )
-        delta.write.mode("overwrite").parquet(
+        _batch_rollup(batch_df).write.mode("overwrite").parquet(
             target_dir.rstrip("/") + f"/batch={batch_id}"
         )
 
@@ -310,6 +297,30 @@ def streaming_rollup_refresh(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _batch_rollup(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's partial rollup — the SINGLE definition of the
+    partial-file schema, shared by the streaming refresh and the tests.
+    ``sum_v`` is pinned to DECIMAL(38,6): Spark's sum over the
+    DECIMAL(18,6) rows naturally yields (28,6), but the compacted base
+    (a re-sum of partials) is (38,6) — without the explicit widen, a
+    post-compaction read binds whichever file it lists first and fails
+    on the other with a parquet decimal-width mismatch (found by review;
+    pinned by test_rollup_new_batch_after_compaction)."""
+    return (
+        batch_df.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("decimal(38,6)").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
 
 
 # Compaction manifest: names the live base dir and the highest batch id

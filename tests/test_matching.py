@@ -216,3 +216,19 @@ def test_salted_join_matches_plain(spark):
     # left join keeps unmatched left rows exactly once
     lj = salted_join(left, right, on="k", n_salt=4, how="left")
     assert lj.count() == 200
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    # the default full-row salt must skip map-typed columns (xxhash64
+    # rejects them at analysis time) instead of erroring
+    from firmable_company_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.range(0, 60).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("v"),
+        F.create_map(F.lit("a"), F.col("id")).alias("props"),
+    )
+    right = spark.createDataFrame([(0, "x"), (1, "y")], "k long, tag string")
+    out = salted_join(left, right, on="k", n_salt=4).select("k", "v", "tag")
+    plain = left.join(right, "k").select("k", "v", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, out.collect()))

@@ -349,8 +349,11 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
     }
     assert got2 == want
     # a restarted stream replaying an already-folded batch rewrites its
-    # batch dir; the manifest excludes it from reads — no double count
-    jobs.read_rollup(spark, target).limit(1).write.mode("overwrite").parquet(
+    # batch dir WITH THE GENUINE PARTIAL SCHEMA (jobs._batch_rollup —
+    # not read_rollup's output shape, which would mask schema-mismatch
+    # bugs between partials and the compacted base); the manifest
+    # excludes it from reads — no double count
+    jobs._batch_rollup(ev.limit(100)).write.mode("overwrite").parquet(
         f"{target}/batch=0"
     )
     got3 = {
@@ -361,3 +364,27 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
     # second compaction folds nothing new but cleans the replayed dir
     jobs.compact_rollup(spark, target)
     assert not _glob.glob(f"{target}/batch=*")
+    # THE post-compaction lifecycle: a NEW batch lands after compaction
+    # (base + fresh partial must read together — the decimal-width
+    # mismatch regression), reads merge it, and a second compaction
+    # folds it into the next generation
+    new_events = ev.limit(500)
+    jobs._batch_rollup(new_events).write.mode("overwrite").parquet(
+        f"{target}/batch=999"
+    )
+    want2 = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
+        for r in jobs._batch_rollup(ev.unionByName(new_events)).collect()
+    }
+    got4 = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
+        for r in jobs.read_rollup(spark, target).collect()
+    }
+    assert got4 == want2
+    jobs.compact_rollup(spark, target)
+    assert not _glob.glob(f"{target}/batch=*")
+    got5 = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v"], r["max_v"])
+        for r in jobs.read_rollup(spark, target).collect()
+    }
+    assert got5 == want2
