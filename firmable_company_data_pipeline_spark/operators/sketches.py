@@ -1,0 +1,73 @@
+"""Mergeable count-min sketch building blocks (round 5).
+
+A CMS is ``CMS_D × CMS_W`` counters; an occurrence increments one
+bucket per hash row, an estimate is the MIN over its D buckets —
+always an overcount (collisions only add), E[overcount] ≤ N/W per row.
+The hashes are the repo's explicit cross-engine arithmetic (char-fold
++ per-row affine permute, the MinHash constant pattern), so a DuckDB
+oracle reproduces every counter bit-for-bit.
+
+Why it lives here and not inline in a query: counters ADD across
+partitions/batches — `cms_partial` is the per-batch map-side build,
+`cms_merge` the combiner — which makes the sketch the heavy-hitter
+structure a streaming refresh can maintain incrementally
+(`streaming/jobs.streaming_cms_refresh`).  At 100 TB the partial per
+batch is at most D·W rows (kilobytes) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from firmable_company_data_pipeline_spark.functions.textstats import HASH_MOD
+
+CMS_D, CMS_W = 3, 512
+CMS_A = [(2654435761 * (d + 13)) % HASH_MOD for d in range(CMS_D)]
+CMS_B = [(40503 * (d + 7) * (d + 7) + 29) % HASH_MOD for d in range(CMS_D)]
+
+
+def cms_bucket(d: int, h: F.Column) -> F.Column:
+    """Row-``d`` bucket of a pre-hashed key (a char-fold long)."""
+    return F.pmod(
+        F.pmod(F.lit(CMS_A[d]) * h + F.lit(CMS_B[d]), F.lit(HASH_MOD)),
+        F.lit(CMS_W),
+    )
+
+
+def cms_partial(hashed: DataFrame, h_col: str = "h") -> DataFrame:
+    """(d, bucket, cnt) counters for one occurrence stream — the
+    map-side/per-batch build; ≤ D·W output rows."""
+    rows = None
+    for d in range(CMS_D):
+        r = hashed.select(
+            F.lit(d).alias("d"), cms_bucket(d, F.col(h_col)).alias("bucket")
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Fold any union of partial counter tables into one sketch —
+    counters add, which is the mergeability contract the streaming
+    refresh relies on."""
+    return partials.groupBy("d", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_lookup(keys: DataFrame, sketch: DataFrame, h_col: str = "h") -> DataFrame:
+    """Point estimates for pre-hashed keys: min over the D broadcast-
+    joined buckets, appended as ``est_n``."""
+    cand = None
+    for d in range(CMS_D):
+        r = keys.withColumn("d", F.lit(d)).withColumn(
+            "bucket", cms_bucket(d, F.col(h_col))
+        )
+        cand = r if cand is None else cand.unionByName(r)
+    group_cols = [c for c in keys.columns]
+    return (
+        cand.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(*group_cols)
+        .agg(F.min("cnt").alias("est_n"))
+    )

@@ -251,12 +251,15 @@ GROUP BY event_type
 # 100 TB shape: the sketch build is one (d, bucket) hash-agg whose
 # output is D·W rows (kilobytes) regardless of corpus size — THE
 # mergeable heavy-hitter structure for a streaming/partitioned refresh
-# (counters add across partitions; rollup_merge handles them like any
-# algebraic metric).  The estimate join broadcasts the sketch.
-_CMS_D, _CMS_W = 3, 512
+# (operators/sketches.py `cms_partial`/`cms_merge`;
+# `streaming/jobs.streaming_cms_refresh` maintains it incrementally and
+# the stream-vs-batch test pins partial-sum == full-build).  The
+# estimate join broadcasts the sketch.
+from firmable_company_data_pipeline_spark.operators import sketches as sk  # noqa: E402
+
+_CMS_D, _CMS_W = sk.CMS_D, sk.CMS_W
 _CMS_K = 20
-_CMS_A = [(2654435761 * (d + 13)) % 1_000_000_007 for d in range(_CMS_D)]
-_CMS_B = [(40503 * (d + 7) * (d + 7) + 29) % 1_000_000_007 for d in range(_CMS_D)]
+_CMS_A, _CMS_B = sk.CMS_A, sk.CMS_B
 
 
 def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,33 +276,11 @@ def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", ts.char_fold_hash(F.col("term")).alias("h")
     ).persist()
 
-    def bucket(d: int) -> F.Column:
-        return F.pmod(
-            F.pmod(
-                F.lit(_CMS_A[d]) * F.col("h") + F.lit(_CMS_B[d]),
-                F.lit(ts.HASH_MOD),
-            ),
-            F.lit(_CMS_W),
-        )
-
-    rows = None
-    for d in range(_CMS_D):
-        r = occ.select(F.lit(d).alias("d"), bucket(d).alias("bucket"))
-        rows = r if rows is None else rows.unionByName(r)
-    sketch = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-
+    sketch = sk.cms_partial(occ)
     exact = occ.groupBy("term").agg(
         F.count(F.lit(1)).alias("exact_n"), F.min("h").alias("h")
     )
-    cand = None
-    for d in range(_CMS_D):
-        r = exact.select("term", "exact_n", F.lit(d).alias("d"), bucket(d).alias("bucket"))
-        cand = r if cand is None else cand.unionByName(r)
-    est = (
-        cand.join(F.broadcast(sketch), ["d", "bucket"])
-        .groupBy("term", "exact_n")
-        .agg(F.min("cnt").alias("est_n"))
-    )
+    est = sk.cms_lookup(exact, sketch).drop("h")
     w = Window.orderBy(F.desc("est_n"), F.asc("term"))
     return (
         est.withColumn("rank", F.row_number().over(w))

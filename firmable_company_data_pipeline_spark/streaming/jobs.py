@@ -299,6 +299,51 @@ def streaming_rollup_refresh(
     return writer.start()
 
 
+def streaming_cms_refresh(
+    docs: DataFrame,
+    target_dir: str,
+    checkpoint: str | None = None,
+    text_col: str = "text",
+):
+    """Incrementally maintained count-min sketch of corpus term
+    frequencies: each micro-batch writes ITS OWN ``batch=<id>`` partial
+    counter table (≤ D·W rows — kilobytes — regardless of batch size),
+    and ``read_cms`` folds the partials by summing counters.  This is
+    the executable form of the sketch's mergeability claim
+    (``operators/sketches.py``): history is never rescanned, a replayed
+    batch overwrites its own partition (idempotent), and the merged
+    sketch is IDENTICAL to one built over the full corpus in one pass
+    (pinned by the stream-vs-batch test).  Pair with
+    ``queries/scale.term_cms_heavy_hitters`` for the lookup side.
+    """
+    from firmable_company_data_pipeline_spark.functions.textstats import (
+        char_fold_hash,
+        tokens,
+    )
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        occ = batch_df.select(
+            F.explode(tokens(F.col(text_col))).alias("term")
+        ).select(char_fold_hash(F.col("term")).alias("h"))
+        sk.cms_partial(occ).write.mode("overwrite").parquet(
+            target_dir.rstrip("/") + f"/batch={batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(refresh).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_cms(spark, target_dir: str) -> DataFrame:
+    """Merged sketch of a ``streaming_cms_refresh`` target: sum the
+    per-batch counters (the CMS combiner)."""
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    return sk.cms_merge(spark.read.parquet(target_dir + "/batch=*"))
+
+
 def _batch_rollup(batch_df: DataFrame) -> DataFrame:
     """One micro-batch's partial rollup — the SINGLE definition of the
     partial-file schema, shared by the streaming refresh and the tests.

@@ -234,6 +234,53 @@ def test_streaming_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert idx.count() == idx.select("id").distinct().count()
 
 
+def test_streaming_cms_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally maintained count-min sketch (per-batch partial
+    counters summed at read) must equal the one-pass full-corpus build
+    counter-for-counter — the mergeability contract."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.functions.textstats import (
+        char_fold_hash,
+        tokens,
+    )
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "cms")
+    q = jobs.streaming_cms_refresh(stream, target, checkpoint=str(tmp_path / "ck"))
+    _drain(q)
+
+    import glob as _glob
+
+    assert len(_glob.glob(f"{target}/batch=*")) >= 2  # the merge path ran
+    merged = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in jobs.read_cms(spark, target).collect()
+    }
+    occ = docs.select(F.explode(tokens(F.col("text"))).alias("term")).select(
+        char_fold_hash(F.col("term")).alias("h")
+    )
+    full = {
+        (r["d"], r["bucket"]): r["cnt"] for r in sk.cms_partial(occ).collect()
+    }
+    # the synthetic corpus has a small vocabulary — ~30 distinct terms
+    # hit ~90 of the D*W buckets; the equality is the real pin
+    assert merged == full and 10 < len(full) <= sk.CMS_D * sk.CMS_W
+
+
 def test_streaming_funnel_matches_batch_stages(spark, sf_dir, events_dir):
     """The funnel state machine over a time-ordered stream lands every
     user on the same stage as the batch first-touch computation."""
