@@ -84,7 +84,21 @@ def salted_join(
             return True
 
         hash_cols = [f.name for f in left.schema.fields if _hashable(f.dataType)]
-        if not hash_cols:
+        # If nothing beyond the join keys is hashable, the salt is a
+        # pure function of the key — a hot key still lands on one
+        # reducer and the right-side replication buys nothing.  The
+        # results stay correct, so proceed, but tell the caller to pass
+        # salt_cols (there is no silent-degradation mode at 100 TB).
+        if set(hash_cols) <= set(keys):
+            import warnings
+
+            warnings.warn(
+                "salted_join: only the join key columns are hashable on the "
+                "left side, so the default salt cannot spread a skewed key "
+                "across reducers — pass salt_cols with a map-free "
+                "distinguishing column",
+                stacklevel=2,
+            )
             hash_cols = keys
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(n_salt))
     l_salted = left.withColumn("_salt", salt.cast("int"))

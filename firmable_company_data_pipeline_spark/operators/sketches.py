@@ -37,14 +37,27 @@ def cms_bucket(d: int, h: F.Column) -> F.Column:
 
 def cms_partial(hashed: DataFrame, h_col: str = "h") -> DataFrame:
     """(d, bucket, cnt) counters for one occurrence stream — the
-    map-side/per-batch build; ≤ D·W output rows."""
-    rows = None
-    for d in range(CMS_D):
-        r = hashed.select(
-            F.lit(d).alias("d"), cms_bucket(d, F.col(h_col)).alias("bucket")
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    map-side/per-batch build; ≤ D·W output rows.
+
+    Single-pass by construction: the D (d, bucket) cells come from ONE
+    explode over an in-row array, not a D-way union — a union would
+    re-evaluate the (possibly expensive, usually unpersisted) upstream
+    tokenize/hash pipeline once per hash row (found by review: the
+    streaming refresh paid 3× per micro-batch)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), cms_bucket(d, F.col(h_col)).alias("bucket")
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return (
+        hashed.select(F.explode(cells).alias("c"))
+        .select("c.d", "c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_merge(partials: DataFrame) -> DataFrame:
@@ -58,16 +71,26 @@ def cms_merge(partials: DataFrame) -> DataFrame:
 
 def cms_lookup(keys: DataFrame, sketch: DataFrame, h_col: str = "h") -> DataFrame:
     """Point estimates for pre-hashed keys: min over the D broadcast-
-    joined buckets, appended as ``est_n``."""
-    cand = None
-    for d in range(CMS_D):
-        r = keys.withColumn("d", F.lit(d)).withColumn(
-            "bucket", cms_bucket(d, F.col(h_col))
-        )
-        cand = r if cand is None else cand.unionByName(r)
-    group_cols = [c for c in keys.columns]
+    joined buckets, appended as ``est_n``.
+
+    LEFT join + coalesce(0): a key never counted has empty cells, and
+    an inner join would drop them — inflating the min to whatever
+    collision counts remain, or losing the key entirely (found by
+    review; a CMS estimate for an absent key is exactly 0)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), cms_bucket(d, F.col(h_col)).alias("bucket")
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    group_cols = list(keys.columns)
+    cand = keys.select(*group_cols, F.explode(cells).alias("c")).select(
+        *group_cols, "c.d", "c.bucket"
+    )
     return (
-        cand.join(F.broadcast(sketch), ["d", "bucket"])
+        cand.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(*group_cols)
-        .agg(F.min("cnt").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
     )

@@ -281,18 +281,32 @@ def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_n"), F.min("h").alias("h")
     )
     est = sk.cms_lookup(exact, sketch).drop("h")
-    w = Window.orderBy(F.desc("est_n"), F.asc("term"))
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _CMS_K)
-        .select("rank", "term", "est_n", "exact_n", (F.col("est_n") - F.col("exact_n")).alias("overcount"))
+    # Top-k via orderBy().limit() — TakeOrdered, never a global
+    # single-partition window sort over every distinct term — then rank
+    # the ≤k survivors with a degenerate-partition row_number (the
+    # operators/profile.skew_report pattern).
+    top = est.orderBy(F.desc("est_n"), F.asc("term")).limit(_CMS_K)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("est_n"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "term",
+        "est_n",
+        "exact_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
     )
 
 
+from firmable_company_data_pipeline_spark.functions.textstats import (  # noqa: E402
+    HASH_MOD as _CMS_MOD,
+)
+
 _CMS_TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+# Interpolated modulus: the Spark arm derives everything from
+# textstats.HASH_MOD, so the oracle must too — a hardcoded literal here
+# would silently desynchronize the engines if the constant ever moved.
 _CMS_FOLD = (
     "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term, ''), "
-    "c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % 1000000007)"
+    f"c -> ascii(c)::BIGINT)), (h, c) -> (h*31 + c) % {_CMS_MOD})"
 )
 _CMS_A_SQL = "[" + ", ".join(str(a) for a in _CMS_A) + "]"
 _CMS_B_SQL = "[" + ", ".join(str(b) for b in _CMS_B) + "]"
@@ -303,7 +317,7 @@ oh AS (SELECT term, {_CMS_FOLD} AS h FROM occ),
 buckets AS (
   SELECT d.d,
          ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * h + ({_CMS_B_SQL}::BIGINT[])[d.d+1])
-          % 1000000007) % {_CMS_W} AS bucket
+          % {_CMS_MOD}) % {_CMS_W} AS bucket
   FROM oh CROSS JOIN range({_CMS_D}) AS d(d)
 ),
 sketch AS (SELECT d, bucket, count(*) AS cnt FROM buckets GROUP BY 1, 2),
@@ -315,7 +329,7 @@ est AS (
   JOIN sketch s
     ON s.d = d.d
    AND s.bucket = ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * e.h
-                    + ({_CMS_B_SQL}::BIGINT[])[d.d+1]) % 1000000007) % {_CMS_W}
+                    + ({_CMS_B_SQL}::BIGINT[])[d.d+1]) % {_CMS_MOD}) % {_CMS_W}
   GROUP BY 1, 2
 )
 SELECT rank, term, est_n, exact_n, est_n - exact_n AS overcount FROM (

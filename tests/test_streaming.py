@@ -415,7 +415,9 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
     # (base + fresh partial must read together — the decimal-width
     # mismatch regression), reads merge it, and a second compaction
     # folds it into the next generation
-    new_events = ev.limit(500)
+    # materialize the sample once: limit() without an order is not
+    # guaranteed to pick the same rows across the two jobs below
+    new_events = spark.createDataFrame(ev.limit(500).collect(), ev.schema)
     jobs._batch_rollup(new_events).write.mode("overwrite").parquet(
         f"{target}/batch=999"
     )
