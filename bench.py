@@ -123,6 +123,7 @@ HEADLINE = [
     "source_lang_confusion",
     "tokenizer_fertility",
     "term_cms_heavy_hitters",
+    "cms_contamination_probe",
 ]
 
 

@@ -79,9 +79,10 @@ _DRIVER_WINDOW_PRIORITY = (
     "doc_length_deciles",
     "source_lang_confusion",
     "tokenizer_fertility",
-    # -- round-5 late addition: position 51, first rotation candidate
-    #    for the round-6 window head --
+    # -- round-5 late additions: positions 51-52, first rotation
+    #    candidates for the round-6 window head --
     "term_cms_heavy_hitters",
+    "cms_contamination_probe",
     # -- driver-green in earlier rounds (r4 window first, then r1-r3) --
     "order_percentile_ranks",
     "unshipped_order_revenue",

@@ -340,8 +340,61 @@ SELECT rank, term, est_n, exact_n, est_n - exact_n AS overcount FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# cms_contamination_probe — point-probe a fixed dictionary (benchmark /
+# eval-set terms) against the corpus CMS (round 5): the decontamination
+# pre-screen that answers "does the training corpus contain these
+# terms, roughly how often?" WITHOUT a corpus-side join — the sketch is
+# kilobytes, the probe is a broadcast lookup.  Exercises cms_lookup's
+# absent-key path: terms never counted must estimate exactly 0 (left
+# join + coalesce), which the oracle pins with the same LEFT JOIN.
+_CMS_PROBE_TERMS = ("join", "hash", "filter", "column", "zzzneverseen", "qqqabsent")
+
+
+def cms_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.functions import textstats as ts
+    from firmable_company_data_pipeline_spark.session import spread
+
+    docs = spread(_t(spark, sf_dir, "documents")["documents"])
+    occ = docs.select(F.explode(ts.tokens(F.col("text"))).alias("term")).select(
+        ts.char_fold_hash(F.col("term")).alias("h")
+    )
+    sketch = sk.cms_partial(occ)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBE_TERMS], "term string"
+    ).select("term", ts.char_fold_hash(F.col("term")).alias("h"))
+    return sk.cms_lookup(probes, sketch).drop("h")
+
+
+_CMS_PROBES_SQL = ", ".join(f"'{t}'" for t in _CMS_PROBE_TERMS)
+
+CMS_CONTAMINATION_PROBE_SQL = f"""
+WITH occ AS (SELECT unnest({_CMS_TOKENS}) AS term FROM documents),
+oh AS (SELECT {_CMS_FOLD} AS h FROM occ),
+buckets AS (
+  SELECT d.d,
+         ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * h + ({_CMS_B_SQL}::BIGINT[])[d.d+1])
+          % {_CMS_MOD}) % {_CMS_W} AS bucket
+  FROM oh CROSS JOIN range({_CMS_D}) AS d(d)
+),
+sketch AS (SELECT d, bucket, count(*) AS cnt FROM buckets GROUP BY 1, 2),
+probes AS (SELECT unnest([{_CMS_PROBES_SQL}]) AS term),
+ph AS (SELECT term, {_CMS_FOLD} AS h FROM probes)
+SELECT ph.term,
+       min(COALESCE(s.cnt, 0))::BIGINT AS est_n
+FROM ph
+CROSS JOIN range({_CMS_D}) AS d(d)
+LEFT JOIN sketch s
+  ON s.d = d.d
+ AND s.bucket = ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * ph.h
+                  + ({_CMS_B_SQL}::BIGINT[])[d.d+1]) % {_CMS_MOD}) % {_CMS_W}
+GROUP BY ph.term
+"""
+
+
 QUERIES = {
     "term_cms_heavy_hitters": term_cms_heavy_hitters,
+    "cms_contamination_probe": cms_contamination_probe,
     "skew_report_events": skew_report_events,
     "salted_user_event_stats": salted_user_event_stats,
     "incremental_distinct_users": incremental_distinct_users,
@@ -352,6 +405,7 @@ QUERIES = {
 
 ORACLES = {
     "term_cms_heavy_hitters": TERM_CMS_HEAVY_HITTERS_SQL,
+    "cms_contamination_probe": CMS_CONTAMINATION_PROBE_SQL,
     "skew_report_events": SKEW_REPORT_EVENTS_SQL,
     "salted_user_event_stats": SALTED_USER_EVENT_STATS_SQL,
     "incremental_distinct_users": INCREMENTAL_DISTINCT_USERS_SQL,
