@@ -975,23 +975,73 @@ JOIN tot tb ON com.src_b = tb.source
 
 
 # --------------------------------------------------------------------------
-# doc_length_deciles — exact length-decile boundaries of the corpus
-# (round 5): NTILE(10) over (n_chars, doc_id).  The deterministic
-# tie-break makes the assignment engine-independent.  Scale note: exact
-# global quantiles need a total order (one reducer for the ntile pass —
-# fine for the boundary table's O(N) single pass at report cadence);
-# approx_median_value / nation_order_quantiles are the sketch-based
-# scale path when exactness isn't contractual.
+# doc_length_deciles — exact length-decile boundaries of the corpus.
+# Round-6 rewrite: the round-5 version ran NTILE(10) over an
+# unpartitioned window, pushing every corpus row through ONE reducer —
+# the single scale-killer the round-5 audit flagged.  The decile table
+# is fully determined by (a) the per-length histogram and (b) the
+# n_chars value at 20 boundary ranks, so compute exactly that:
+#
+#   1. hash-agg the corpus to (n_chars, cnt) — distributed, map-side
+#      combined; output is |distinct lengths| rows, not |corpus|;
+#   2. cumulative ranks over the HISTOGRAM (a window over distinct
+#      lengths — bounded by max doc length, kilobytes at any corpus
+#      size; this is the only serial step and it never sees the corpus);
+#   3. derive each decile's [start,end] global rank from N via the
+#      NTILE sizing rule (first N%10 buckets get one extra row), then
+#      broadcast-range-join the 10 boundary rows against the histogram
+#      to read off min/max chars.
+#
+# Per-row decile ASSIGNMENT (when a downstream stage needs it) is the
+# same broadcast range-join of the corpus against the cum table — still
+# no single-reducer pass.  NTILE's (n_chars, doc_id) tie-break splits
+# equal lengths across adjacent deciles, but boundary VALUES are
+# tie-order-independent, so the histogram formulation is exact.  The
+# oracle keeps the literal NTILE spelling — at oracle scale it's fine,
+# and it pins that the two formulations agree row-for-row.
 def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    w = Window.orderBy("n_chars", "doc_id")
-    tiled = docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
-    return tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_chars",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum_end"),
+    ).withColumn("cum_start", F.col("cum_end") - F.col("cnt") + 1)
+    total = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    q = F.floor(F.col("n_total") / 10)
+    rem = F.col("n_total") % 10
+    k = F.col("decile").cast("long")
+    bounds = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            ((k - 1) * q + F.least(k - 1, rem) + 1).alias("r_start"),
+            (k * q + F.least(k, rem)).alias("r_end"),
+        )
+        # NTILE emits only min(N, 10) buckets: drop empty tail deciles.
+        .filter(F.col("r_end") >= F.col("r_start"))
+    )
+    lo = F.broadcast(bounds).join(
+        cum,
+        (F.col("cum_start") <= F.col("r_start")) & (F.col("r_start") <= F.col("cum_end")),
+    ).select("decile", "r_start", "r_end", F.col("n_chars").alias("min_chars"))
+    return (
+        F.broadcast(lo)
+        .join(
+            cum,
+            (F.col("cum_start") <= F.col("r_end")) & (F.col("r_end") <= F.col("cum_end")),
+        )
+        .select(
+            "decile",
+            (F.col("r_end") - F.col("r_start") + 1).cast("long").alias("n_docs"),
+            "min_chars",
+            F.col("n_chars").alias("max_chars"),
+        )
     )
 
 

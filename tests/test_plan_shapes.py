@@ -452,3 +452,38 @@ def test_transition_matrix_single_user_window(plans):
     p = plans("event_transition_matrix")
     assert "CartesianProduct" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_doc_length_deciles_no_corpus_wide_window(plans):
+    """Round-6 rewrite pin: exact deciles must come from the per-length
+    histogram + boundary-rank join, never an NTILE whose unpartitioned
+    window funnels the whole corpus through one reducer (the round-5
+    scale-killer).  The only Window allowed is the cumulative sum over
+    the distinct-length HISTOGRAM, i.e. its child is the hash-agg."""
+    p = plans("doc_length_deciles")
+    assert "ntile" not in p.lower()
+    # Every Window's input subtree must hit a HashAggregate before any
+    # parquet scan — i.e. the corpus is reduced to the distinct-length
+    # histogram before the (bounded) serial cumulative-sum step.  Walk
+    # the tree-rendered section: a Window's subtree is the following
+    # lines at strictly greater indentation.
+    tree = [ln for ln in p.splitlines() if "+- " in ln or ln.strip().startswith("* ")]
+    seen_window = False
+    for i, ln in enumerate(tree):
+        if "Window" not in ln:
+            continue
+        seen_window = True
+        indent = ln.index("+- ") if "+- " in ln else 0
+        agg_first = False
+        for sub in tree[i + 1 :]:
+            d = sub.index("+- ") if "+- " in sub else 0
+            if d <= indent:
+                break
+            if "HashAggregate" in sub:
+                agg_first = True
+                break
+            assert "Scan parquet" not in sub, "Window sits directly on a corpus scan"
+        assert agg_first, "Window input is not an aggregated (histogram) frame"
+    assert seen_window, "expected the histogram cumulative-sum Window"
+    # boundary lookups broadcast the 10-row decile table
+    assert "BroadcastNestedLoopJoin" in p
