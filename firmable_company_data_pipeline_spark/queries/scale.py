@@ -392,9 +392,146 @@ GROUP BY ph.term
 """
 
 
+# ---------------------------------------------------------------------------
+# cms_error_contract — grade the corpus CMS against exact counts over
+# ALL terms, not just the top-k (round 6; the round-5 verdict's natural
+# companion to term_cms_heavy_hitters).  The classic CMS guarantee for a
+# D×W sketch: with eps = e/W and delta = e^-D, each point estimate
+# overshoots its true count by more than eps*N with probability <= delta.
+# This query states that contract as data: per-term overcounts are
+# aggregated to max/mean, the eps*N bound is materialized, and the
+# guarantee becomes two boolean columns — share of terms violating
+# eps*N is <= delta, and the mean overcount is within the per-row
+# expectation N/W.  Both engines compute the identical arithmetic
+# (integer sums, one division, round(.,6), then the comparison), so the
+# booleans hash-match regardless of whether the bound is tight.
+#
+# The key stream is word BIGRAMS, not unigrams: the synthetic corpus
+# has ~31 distinct unigrams — fewer than W=512 buckets, which makes
+# every estimate collision-free and the contract trivially 0/0.  The
+# ~|V|² bigram universe exceeds W, so collisions (and nonzero
+# overcounts) actually occur and the bound logic is exercised.
+#
+# 100 TB shape: one hash-agg to exact counts (the same agg any term
+# frequency table needs), the kilobyte sketch broadcast into the
+# estimate lookup, then a single-row summary — the error report costs
+# one extra reduce over data the dedup/decontamination pipeline already
+# materializes.
+_CMS_E = 2.718281828459045  # math.e, shared literal with the oracle
+_CMS_DELTA = 0.049787068367863944  # e^-D for D=3
+
+
+def cms_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.functions import textstats as ts
+    from firmable_company_data_pipeline_spark.session import spread
+
+    docs = spread(_t(spark, sf_dir, "documents")["documents"])
+    # Materialize the token array first so the bigram HOF doesn't
+    # re-evaluate the split per element (shingles_from_tokens contract).
+    toks = docs.select(ts.tokens(F.col("text")).alias("t"))
+    t = F.col("t")
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Persisted: the occurrence stream feeds the sketch build and the
+    # exact counts (caller owns cache lifetime; the bench/check harness
+    # clears caches between queries).
+    occ = toks.select(F.explode(grams).alias("term")).select(
+        "term", ts.char_fold_hash(F.col("term")).alias("h")
+    ).persist()
+    sketch = sk.cms_partial(occ)
+    exact = occ.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_n"), F.min("h").alias("h")
+    )
+    est = sk.cms_lookup(exact, sketch)
+    tot = est.agg(F.sum("exact_n").cast("long").alias("n_occurrences"))
+    per = est.crossJoin(F.broadcast(tot)).select(
+        "n_occurrences", (F.col("est_n") - F.col("exact_n")).alias("oc")
+    )
+    eps_n = F.col("n_occurrences") * F.lit(_CMS_E) / F.lit(_CMS_W)
+    n = F.count(F.lit(1))
+    out = per.groupBy("n_occurrences").agg(
+        n.cast("long").alias("n_terms"),
+        F.max("oc").cast("long").alias("max_overcount"),
+        F.round(F.sum("oc").cast("double") / n, 6).alias("mean_overcount"),
+        F.round(
+            F.sum((F.col("oc") > eps_n).cast("int")).cast("double") / n, 6
+        ).alias("violation_share"),
+    )
+    return out.select(
+        "n_terms",
+        "n_occurrences",
+        "max_overcount",
+        "mean_overcount",
+        F.round(eps_n, 6).alias("eps_bound"),
+        "violation_share",
+        (F.col("violation_share") <= F.lit(_CMS_DELTA)).alias("within_contract"),
+        (F.col("mean_overcount") <= F.col("n_occurrences") / F.lit(_CMS_W)).alias(
+            "mean_within_expected"
+        ),
+    )
+
+
+CMS_ERROR_CONTRACT_SQL = f"""
+WITH tok AS (SELECT {_CMS_TOKENS} AS t FROM documents),
+occ AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])
+                ELSE []::VARCHAR[] END) AS term
+  FROM tok
+),
+oh AS (SELECT term, {_CMS_FOLD} AS h FROM occ),
+buckets AS (
+  SELECT d.d,
+         ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * h + ({_CMS_B_SQL}::BIGINT[])[d.d+1])
+          % {_CMS_MOD}) % {_CMS_W} AS bucket
+  FROM oh CROSS JOIN range({_CMS_D}) AS d(d)
+),
+sketch AS (SELECT d, bucket, count(*) AS cnt FROM buckets GROUP BY 1, 2),
+exact AS (SELECT term, count(*) AS exact_n, min(h) AS h FROM oh GROUP BY term),
+est AS (
+  SELECT e.term, e.exact_n, min(COALESCE(s.cnt, 0))::BIGINT AS est_n
+  FROM exact e
+  CROSS JOIN range({_CMS_D}) AS d(d)
+  LEFT JOIN sketch s
+    ON s.d = d.d
+   AND s.bucket = ((({_CMS_A_SQL}::BIGINT[])[d.d+1] * e.h
+                    + ({_CMS_B_SQL}::BIGINT[])[d.d+1]) % {_CMS_MOD}) % {_CMS_W}
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(exact_n) AS BIGINT) AS n_occurrences FROM est),
+per AS (
+  SELECT n_occurrences, est_n - exact_n AS oc FROM est CROSS JOIN tot
+),
+agg AS (
+  SELECT n_occurrences,
+         count(*)::BIGINT AS n_terms,
+         max(oc)::BIGINT AS max_overcount,
+         round(CAST(sum(oc) AS DOUBLE) / count(*), 6) AS mean_overcount,
+         round(CAST(sum(CASE WHEN oc > n_occurrences * {_CMS_E!r} / {_CMS_W}
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS violation_share
+  FROM per GROUP BY 1
+)
+SELECT n_terms, n_occurrences, max_overcount, mean_overcount,
+       round(n_occurrences * {_CMS_E!r} / {_CMS_W}, 6) AS eps_bound,
+       violation_share,
+       violation_share <= {_CMS_DELTA!r} AS within_contract,
+       mean_overcount <= n_occurrences / {_CMS_W} AS mean_within_expected
+FROM agg
+"""
+
+
 QUERIES = {
     "term_cms_heavy_hitters": term_cms_heavy_hitters,
     "cms_contamination_probe": cms_contamination_probe,
+    "cms_error_contract": cms_error_contract,
     "skew_report_events": skew_report_events,
     "salted_user_event_stats": salted_user_event_stats,
     "incremental_distinct_users": incremental_distinct_users,
@@ -406,6 +543,7 @@ QUERIES = {
 ORACLES = {
     "term_cms_heavy_hitters": TERM_CMS_HEAVY_HITTERS_SQL,
     "cms_contamination_probe": CMS_CONTAMINATION_PROBE_SQL,
+    "cms_error_contract": CMS_ERROR_CONTRACT_SQL,
     "skew_report_events": SKEW_REPORT_EVENTS_SQL,
     "salted_user_event_stats": SALTED_USER_EVENT_STATS_SQL,
     "incremental_distinct_users": INCREMENTAL_DISTINCT_USERS_SQL,
