@@ -719,11 +719,107 @@ def contamination_check(
     )
 
 
+def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): converges in O(log n) rounds on ANY
+    graph, vs O(diameter) for plain min-label propagation — the deep-
+    chain insurance `connected_components(deep_graphs=True)` selects.
+
+    One round = large-star then small-star, each a groupBy-min plus a
+    re-emit join on the (distinct, canonicalized big>small) edge set:
+
+    * large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u),
+      v > u — hooks every larger neighbor directly onto the local min.
+    * small-star(u): over smaller neighbors only, m = min(N_<(u));
+      emit (u, m) and (v, m) for the other v ∈ N_<(u) — flattens the
+      remaining chains into stars.
+
+    Fixpoint (edge-set signature stable round-over-round) is a forest
+    of stars rooted at each component's min id.  Only the O(1)-row
+    signature ever reaches the driver.  Returns (labels, rounds) so the
+    property test can pin the logarithmic round count.
+
+    Each round ends in ``localCheckpoint`` — not ``persist``: the round
+    plan references the previous round's edges several times, so the
+    logical plan grows ~4× per round and Catalyst re-analysis turns
+    exponential by round 3 (measured: 6s, 3s, 39s, >130s on a 16-node
+    chain).  Checkpointing truncates lineage, making every round
+    constant-cost.  On a real cluster prefer reliable ``checkpoint()``
+    (executor loss under localCheckpoint forfeits the partitions).
+    """
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nbrs = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        # large-star output is already canonical: v > u >= m, so a > b.
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        d = large.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        small_min = d.groupBy("u").agg(F.min("v").alias("m"))
+        j = d.join(small_min, "u")
+        nxt = (
+            j.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # order-independent edge-set signature: count + XOR of row
+        # hashes (a SUM would overflow long under ANSI; XOR cannot, and
+        # the edge set is distinct so XOR cancellation needs a real
+        # 64-bit collision).
+        sig = tuple(
+            nxt.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(a, b))")
+            ).first()
+        )
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    roots = (
+        cur.select(F.col("b").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    labels = (
+        cur.select(F.col("a").alias("id"), F.col("b").alias("label"))
+        .unionByName(roots)
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")),
+        rounds,
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    deep_graphs: bool = False,
 ) -> DataFrame:
     """Min-label propagation over a near-dup pair graph: every node gets
     ``cluster_id`` = the minimum id reachable from it.  The canonical
@@ -738,20 +834,35 @@ def connected_components(
     chains).  Each round is one shuffle join + partial-agg min; the only
     driver-side value is the converged? count, never data.  This is the
     standard Spark formulation of CC (cf. GraphFrames' label
-    propagation); large-star/small-star halves rounds on deep graphs if
-    ever needed.
+    propagation).  ``deep_graphs=True`` switches to alternating
+    large-star/small-star (:func:`_cc_star`) — O(log n) rounds
+    regardless of diameter, the right choice when the pair graph can
+    contain long chains (e.g. transitive near-dup drift across
+    versions) rather than the shallow stars typical of template dups.
 
     Output: (doc_id, cluster_id) for every node that appears in
     ``pairs`` (singletons are their own trivial clusters and are
     omitted, matching the pair-graph domain).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if deep_graphs:
+        labels, _ = _cc_star(edges, max_iter=max_iter)
+        return labels
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # localCheckpoint, not persist, on the per-round label state: the
+    # update references the previous labels twice, so the logical plan
+    # doubles per round and Catalyst re-analysis turns superlinear once
+    # the graph is deep enough to need many rounds (persist caches
+    # execution, not analysis).  Shallow near-dup graphs never hit it;
+    # a diameter-8 component did.
     labels = (
-        edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("label"))
-    ).persist()
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -770,13 +881,13 @@ def connected_components(
                     "label"
                 ),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = upd.filter(F.col("label") != F.col("_old")).count()
-        labels.unpersist()
         labels = upd.select("id", "label")
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -377,6 +377,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(dd.ngram_jaccard_pairs(docs, threshold=0.8))
 
 
+# dedup_clusters_star — identical contract to dedup_clusters, computed
+# through the alternating large-star/small-star formulation
+# (operators/dedup._cc_star, round 6): O(log n) rounds regardless of
+# graph diameter, vs O(diameter) for plain propagation.  Registering it
+# against the SAME recursive-CTE oracle gives the deep-graph code path
+# its own driver-checked evidence row — both paths must produce
+# bit-identical (doc_id, cluster_id) labels.
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.connected_components(
+        dd.ngram_jaccard_pairs(docs, threshold=0.8), deep_graphs=True
+    )
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
@@ -1106,6 +1120,7 @@ QUERIES = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1136,6 +1151,7 @@ ORACLES = {
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,

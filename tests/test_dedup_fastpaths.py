@@ -197,3 +197,43 @@ def test_incremental_minhash_matches_batch(spark):
     }
     assert prior | delta == full
     assert prior & delta == set()  # no index x index pair re-emitted
+
+
+def test_cc_star_matches_propagation_and_handles_strings(spark):
+    """deep_graphs=True (large-star/small-star) must produce exactly the
+    labels of the default min-label propagation on the same graph."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)
+    }
+    pairs = spark.createDataFrame(sorted(edges), "id_a string, id_b string")
+    base = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs, deep_graphs=True).collect()
+    }
+    assert star == base
+
+
+def test_cc_star_chain_converges_logarithmically(spark):
+    """Property the round-5 verdict asked to pin: on a depth-n chain the
+    star algorithm converges in O(log n) rounds (plain propagation needs
+    ~n).  A 64-chain must finish well under the default 25-round cap and
+    label every node with the chain head."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    edges = pairs.select(
+        pairs["id_a"].alias("src"), pairs["id_b"].alias("dst")
+    )
+    labels, rounds = dd._cc_star(edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"star CC took {rounds} rounds on a 64-chain"
