@@ -86,19 +86,21 @@ def salted_join(
         hash_cols = [f.name for f in left.schema.fields if _hashable(f.dataType)]
         # If nothing beyond the join keys is hashable, the salt is a
         # pure function of the key — a hot key still lands on one
-        # reducer and the right-side replication buys nothing.  The
-        # results stay correct, so proceed, but tell the caller to pass
-        # salt_cols (there is no silent-degradation mode at 100 TB).
+        # reducer, so the n_salt-fold right-side replication buys zero
+        # skew spreading.  Don't pay for nothing (advice r5): warn and
+        # fall back to a plain shuffle-hash join (the n_salt=1
+        # degenerate), and tell the caller to pass salt_cols.
         if set(hash_cols) <= set(keys):
             import warnings
 
             warnings.warn(
                 "salted_join: only the join key columns are hashable on the "
                 "left side, so the default salt cannot spread a skewed key "
-                "across reducers — pass salt_cols with a map-free "
-                "distinguishing column",
+                "across reducers — falling back to an unsalted join; pass "
+                "salt_cols with a map-free distinguishing column to salt",
                 stacklevel=2,
             )
+            n_salt = 1
             hash_cols = keys
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(n_salt))
     l_salted = left.withColumn("_salt", salt.cast("int"))

@@ -271,7 +271,8 @@ def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents")["documents"])
     # Persisted: the occurrence stream feeds the sketch build (D passes)
     # and the exact counts; caller owns cache lifetime (the standing
-    # signature-table contract).
+    # signature-table contract — bench.py and check_contract.py, the
+    # long-session callers, clearCache() between queries).
     occ = docs.select(F.explode(ts.tokens(F.col("text"))).alias("term")).select(
         "term", ts.char_fold_hash(F.col("term")).alias("h")
     ).persist()

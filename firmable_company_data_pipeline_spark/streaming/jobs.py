@@ -380,13 +380,25 @@ _COMPACT_MANIFEST = "_compacted.json"
 
 
 def _read_compact_manifest(target_dir: str) -> dict | None:
+    """Absent manifest -> None (nothing compacted yet).  A PRESENT but
+    unparseable manifest must raise, not degrade: treating corruption as
+    'no manifest' would make read_rollup return only the un-folded batch
+    partials — a silent undercount, because the batch dirs folded into
+    the compacted base were deleted at compaction (advice r5)."""
     import json
 
+    path = os.path.join(target_dir, _COMPACT_MANIFEST)
     try:
-        with open(os.path.join(target_dir, _COMPACT_MANIFEST)) as fh:
+        with open(path) as fh:
             return json.load(fh)
-    except (FileNotFoundError, ValueError):
+    except FileNotFoundError:
         return None
+    except ValueError as exc:
+        raise ValueError(
+            f"corrupt rollup compaction manifest {path!r}: refusing to read "
+            "the rollup without its compacted base (folded batch partials "
+            "were deleted at compaction)"
+        ) from exc
 
 
 def _rollup_batch_dirs(target_dir: str) -> list[tuple[int, str]]:

@@ -141,6 +141,11 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # registered queries persist intermediates (signature tables,
+        # occurrence streams) under a caller-owns-lifetime contract;
+        # this loop is that caller — drop them so a full 150+-query
+        # session doesn't accumulate cached blocks (advice r5)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -232,3 +232,29 @@ def test_salted_join_tolerates_map_columns(spark):
     out = salted_join(left, right, on="k", n_salt=4).select("k", "v", "tag")
     plain = left.join(right, "k").select("k", "v", "tag")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_salted_join_key_only_salt_warns_and_skips_replication(spark):
+    # when nothing beyond the join keys is hashable the salt is a pure
+    # function of the key: the operator must warn AND fall back to the
+    # unsalted n_salt=1 shape instead of paying n_salt-fold right-side
+    # replication for zero skew spreading (advice r5)
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from firmable_company_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.range(0, 60).select(
+        (F.col("id") % 3).alias("k"),
+        F.create_map(F.lit("a"), F.col("id")).alias("props"),
+    )
+    right = spark.createDataFrame([(0, "x"), (1, "y")], "k long, tag string")
+    with _pytest.warns(UserWarning, match="falling back to an unsalted join"):
+        out = salted_join(left, right, on="k", n_salt=4).select("k", "tag")
+    plain = left.join(right, "k").select("k", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, out.collect()))
+    # the degenerate salt literally enumerates a single salt value — the
+    # right side is not replicated
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "[0]" in plan and "[0, 1, 2, 3]" not in plan

@@ -437,3 +437,12 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
         for r in jobs.read_rollup(spark, target).collect()
     }
     assert got5 == want2
+    # a corrupt manifest must fail LOUDLY, never degrade to 'no
+    # manifest' (which would silently drop the compacted base — the
+    # folded batch partials are gone)
+    import os as _os
+
+    with open(_os.path.join(target, jobs._COMPACT_MANIFEST), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt rollup compaction manifest"):
+        jobs.read_rollup(spark, target)
