@@ -323,6 +323,121 @@ def stub_llm_client(crawl_names: list[str], candidates: list[dict]) -> list[str 
     return out
 
 
+def _llm_match_prompt(crawl_names: list[str], candidates: list[dict]) -> str:
+    """Chat prompt for one block's batch — the whole candidate list plus
+    every unresolved crawl name, answered as one ABN-or-NONE per line.
+    Mirrors the reference's per-chunk prompt content
+    (transform/entity_matching.py:177-258) but batches the block in one
+    call instead of re-serializing the candidates per row."""
+    cand_lines = "\n".join(
+        f"- ABN {c['abn']}: {c['entity_name']}" for c in candidates
+    )
+    name_lines = "\n".join(f"{i + 1}. {n}" for i, n in enumerate(crawl_names))
+    return (
+        "You match Australian business names scraped from websites to a "
+        "register of candidate entities.\n\nCandidates:\n"
+        f"{cand_lines}\n\nFor each scraped name below, answer with exactly "
+        "one line in the form `<number>. <ABN>` using an ABN from the "
+        "candidate list, or `<number>. NONE` if no candidate is the same "
+        "business.  Abbreviations and initialisms of a candidate name are "
+        "matches.  No other text.\n\nScraped names:\n"
+        f"{name_lines}\n"
+    )
+
+
+def _parse_llm_match_response(
+    text: str, crawl_names: list[str], candidates: list[dict]
+) -> list[str | None]:
+    """Parse the numbered ABN-or-NONE lines back into the client's
+    return shape.  Defensive by construction: only ABNs present in the
+    candidate list are accepted (a hallucinated ABN downstream would
+    inner-join to nothing, but rejecting it here keeps the contract
+    honest), anything unparseable resolves to None."""
+    import re as _re
+
+    valid = {str(c["abn"]) for c in candidates}
+    out: list[str | None] = [None] * len(crawl_names)
+    for line in (text or "").splitlines():
+        m = _re.match(r"\s*(\d+)\s*[.):-]\s*(\S+)", line)
+        if not m:
+            continue
+        idx = int(m.group(1)) - 1
+        if not 0 <= idx < len(out):
+            continue
+        abn = m.group(2).strip().rstrip(".")
+        out[idx] = abn if abn in valid else None
+    return out
+
+
+class HttpLLMClient:
+    """Real model-backed arm of J5, mirroring the reference's live
+    GPT-4 call (transform/entity_matching.py:228-233) through the same
+    injectable seam as :func:`stub_llm_client` — and the same
+    environment-gated pattern as ``sources.commoncrawl.HttpFetchClient``.
+
+    Talks to any OpenAI-compatible chat-completions endpoint, configured
+    entirely via constructor args or generic environment variables:
+    ``LLM_API_URL`` (full endpoint URL), ``LLM_API_KEY`` (optional
+    bearer token), ``LLM_MODEL`` (model name sent in the payload).
+    Raises ``NotImplementedError`` when no endpoint is configured or
+    ``requests`` is absent, so the deterministic stub remains the
+    default everywhere the oracle gate runs; the prompt/parse halves
+    are pure functions tested offline.
+
+    Usage: ``match_cascade(cc, abr, enable_llm=True,
+    llm_client=HttpLLMClient())`` on a machine with the env configured.
+    """
+
+    def __init__(
+        self,
+        url: str | None = None,
+        api_key: str | None = None,
+        model: str | None = None,
+        timeout: float = 60.0,
+    ) -> None:
+        import os as _os
+
+        self.url = url or _os.environ.get("LLM_API_URL")
+        self.api_key = api_key or _os.environ.get("LLM_API_KEY")
+        self.model = model or _os.environ.get("LLM_MODEL", "")
+        self.timeout = timeout
+
+    def __call__(
+        self, crawl_names: list[str], candidates: list[dict]
+    ) -> list[str | None]:
+        if not self.url:
+            raise NotImplementedError(
+                "HttpLLMClient needs LLM_API_URL (an OpenAI-compatible "
+                "chat-completions endpoint); use stub_llm_client offline"
+            )
+        try:
+            import requests
+        except ImportError as exc:  # pragma: no cover - env without requests
+            raise NotImplementedError(
+                "HttpLLMClient requires the requests package; use "
+                "stub_llm_client offline"
+            ) from exc
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        payload = {
+            "model": self.model,
+            "temperature": 0,
+            "messages": [
+                {
+                    "role": "user",
+                    "content": _llm_match_prompt(crawl_names, candidates),
+                }
+            ],
+        }
+        resp = requests.post(
+            self.url, json=payload, headers=headers, timeout=self.timeout
+        )
+        resp.raise_for_status()
+        content = resp.json()["choices"][0]["message"]["content"]
+        return _parse_llm_match_response(content, crawl_names, candidates)
+
+
 def llm_match(
     cc: DataFrame,
     abr: DataFrame,

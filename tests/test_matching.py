@@ -258,3 +258,60 @@ def test_salted_join_key_only_salt_warns_and_skips_replication(spark):
     # right side is not replicated
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "[0]" in plan and "[0, 1, 2, 3]" not in plan
+
+
+def test_llm_prompt_and_parse_roundtrip():
+    # pure halves of HttpLLMClient: prompt lists every candidate and
+    # numbered name; the parser accepts only candidate ABNs, maps NONE /
+    # hallucinated ABNs / junk lines to None, and keeps positions
+    from firmable_company_data_pipeline_spark.operators.matching import (
+        _llm_match_prompt,
+        _parse_llm_match_response,
+    )
+
+    cands = [
+        {"abn": "11111111111", "entity_name": "Acme Holdings Pty"},
+        {"abn": "22222222222", "entity_name": "Bayside Plumbing"},
+    ]
+    names = ["AHP", "Bayside Plumbing", "Unrelated Co"]
+    prompt = _llm_match_prompt(names, cands)
+    assert "11111111111" in prompt and "3. Unrelated Co" in prompt
+
+    text = "1. 11111111111\n2. 22222222222\n3. NONE"
+    assert _parse_llm_match_response(text, names, cands) == [
+        "11111111111", "22222222222", None,
+    ]
+    # hallucinated ABN, out-of-range index, junk lines -> None, ignored
+    messy = "0. 11111111111\n1. 99999999999\nnot a line\n2: 22222222222.\n9. 1"
+    assert _parse_llm_match_response(messy, names, cands) == [
+        None, "22222222222", None,
+    ]
+    assert _parse_llm_match_response(None, names, cands) == [None, None, None]
+
+
+def test_http_llm_client_gating(monkeypatch):
+    # no endpoint configured -> NotImplementedError (the stub stays the
+    # deterministic default in every oracle-gated path)
+    import pytest as _pytest
+
+    from firmable_company_data_pipeline_spark.operators.matching import HttpLLMClient
+
+    monkeypatch.delenv("LLM_API_URL", raising=False)
+    with _pytest.raises(NotImplementedError, match="LLM_API_URL"):
+        HttpLLMClient()(["A"], [{"abn": "1", "entity_name": "A"}])
+
+
+def test_http_llm_client_against_live_endpoint():
+    # env-gated REAL arm: runs only where an OpenAI-compatible endpoint
+    # is configured (mirrors the HttpFetchClient pattern)
+    import os
+
+    import pytest as _pytest
+
+    if not os.environ.get("LLM_API_URL"):
+        _pytest.skip("LLM_API_URL not configured; live LLM arm untestable here")
+    from firmable_company_data_pipeline_spark.operators.matching import HttpLLMClient
+
+    cands = [{"abn": "11111111111", "entity_name": "Acme Holdings Pty"}]
+    out = HttpLLMClient()(["Acme Holdings Pty"], cands)
+    assert out[0] in ("11111111111", None)

@@ -194,3 +194,33 @@ def test_frame_sample_plan_arithmetic(spark):
     assert not any(m == 2 for (m, _) in rows)
     # payload exactly one frame
     assert (3, 0) in rows
+
+
+def test_real_image_resize_with_pil(spark):
+    """Real-codec arm of the resize pipeline: PNG -> PIL grayscale
+    decode -> integer nearest-neighbor resample, end-to-end through the
+    Arrow mapInPandas stage via the same decoder seam the fake arm uses
+    (the PyAV frame-sampling pattern).  Skipped with reason where PIL
+    is absent; green with zero code change wherever codecs exist."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = np.arange(64, dtype=np.uint8).reshape(4, 16)
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, format="PNG")
+    media = _media_df(spark, [(1, buf.getvalue())])
+
+    def real(payload, mt, fake=True):
+        return mm.decode_media(payload, mt, fake=False)
+
+    out = {
+        r["media_id"]: r
+        for r in mm.resize_image(media, 8, 2, in_width=16, decoder=real).collect()
+    }
+    got = np.frombuffer(bytes(out[1]["content"]), dtype=np.uint8).reshape(2, 8)
+    rows = (np.arange(2) * 4) // 2
+    cols = (np.arange(8) * 16) // 8
+    assert (got == img[np.ix_(rows, cols)]).all()
