@@ -19,6 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one per operator family (scan+agg, join+topN, star join,
 # semi join, window, similarity-match cascade, dedup, ANN — extended as
 # milestones land).
+#
+# MEMBERSHIP RULE (round 6, ending the drift class): every registered
+# query belongs here EXCEPT (a) sub-second scalar-function demos whose
+# cost is session overhead, not plan execution (the fn_* family and
+# point lookups like order_lookup — fn_jaro_winkler stays as the one
+# deliberate representative), and (b) small variants fully dominated by
+# a listed query (e.g. orders_page vs orders_page_keyset, dedup_clusters
+# vs dup_cluster_size_histogram which contains it).  When adding a
+# query, add it here unless it falls under (a)/(b).  README's headline
+# count is len(HEADLINE).
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
@@ -124,6 +134,9 @@ HEADLINE = [
     "tokenizer_fertility",
     "term_cms_heavy_hitters",
     "cms_contamination_probe",
+    # round 6
+    "cms_error_contract",
+    "dedup_clusters_star",
 ]
 
 
