@@ -300,12 +300,17 @@ SELECT day, event_type, n_events, growth, rank FROM (
 
 # --------------------------------------------------------------------------
 # customer_rfm — recency/frequency/monetary segmentation over orders:
-# per-customer aggregates, quartile scores via ntile (deterministic
-# tie-break on custkey), and the classic segment labels.  One shuffle to
-# customer grain; the three ntile windows share one global sort each
-# over the CUSTOMER table (dimension-sized, not fact-sized).
+# per-customer aggregates, quartile scores via exact distributed ntile
+# (deterministic tie-break on custkey), and the classic segment labels.
+# One shuffle to customer grain; each quartile score is then a
+# range-partitioned rank (operators/ranks.exact_ntile, round 6) — the
+# previous ntile-over-unpartitioned-window spelling funneled the whole
+# customer grain through ONE reducer per metric, the doc_length_deciles
+# defect class.  At 100 TB the customer grain is itself billions of
+# rows; now each metric costs a distributed range sort + P-way window +
+# broadcast offsets instead.
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from firmable_company_data_pipeline_spark.operators.ranks import exact_ntile
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -313,22 +318,11 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r_score = F.ntile(4).over(
-        Window.orderBy(F.asc("last_order"), F.asc("custkey"))
-    )
-    f_score = F.ntile(4).over(
-        Window.orderBy(F.asc("frequency"), F.asc("custkey"))
-    )
-    m_score = F.ntile(4).over(
-        Window.orderBy(F.asc("monetary"), F.asc("custkey"))
-    )
-    scored = per_cust.select(
-        "custkey",
-        "frequency",
-        "monetary",
-        r_score.alias("r_score"),
-        f_score.alias("f_score"),
-        m_score.alias("m_score"),
+    scored = exact_ntile(per_cust, 4, ["last_order", "custkey"], out="r_score")
+    scored = exact_ntile(scored, 4, ["frequency", "custkey"], out="f_score")
+    scored = exact_ntile(scored, 4, ["monetary", "custkey"], out="m_score")
+    scored = scored.select(
+        "custkey", "frequency", "monetary", "r_score", "f_score", "m_score"
     )
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), F.lit("champion"))

@@ -197,15 +197,23 @@ def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark its arrival-time predecessor set
     (``max(ts) so far − delay``).  The pre-flight run before picking a
     watermark delay: counts the data loss each candidate delay buys.
-    One window exchange (global arrival order at audit grain; shard by
-    source partition for the 100-TB run — watermarks are per-partition
-    pre-coalesce in Spark anyway)."""
-    from pyspark.sql import Window
+    The high-water-mark is a global arrival-order prefix max over the
+    FULL event stream — fact-sized — so it runs through the distributed
+    range-partitioned prefix machinery (operators/ranks.prefix_agg,
+    round 6), never an unpartitioned window's single reducer."""
     from pyspark.sql import functions as F
 
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    from firmable_company_data_pipeline_spark.operators.ranks import prefix_agg
+
     delay = F.expr("INTERVAL 10 MINUTES")
-    ev = _events(spark, sf_dir).withColumn("_hwm", F.max("ts").over(w))
+    ev = prefix_agg(
+        _events(spark, sf_dir),
+        ["event_id"],
+        "ts",
+        fn="max",
+        inclusive=False,
+        out="_hwm",
+    )
     return (
         ev.withColumn("_late", (F.col("ts") < F.col("_hwm") - delay).cast("long"))
         .groupBy("event_type")

@@ -454,25 +454,36 @@ def test_transition_matrix_single_user_window(plans):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
-def test_doc_length_deciles_no_corpus_wide_window(plans):
-    """Round-6 rewrite pin: exact deciles must come from the per-length
-    histogram + boundary-rank join, never an NTILE whose unpartitioned
-    window funnels the whole corpus through one reducer (the round-5
-    scale-killer).  The only Window allowed is the cumulative sum over
-    the distinct-length HISTOGRAM, i.e. its child is the hash-agg."""
-    p = plans("doc_length_deciles")
-    assert "ntile" not in p.lower()
-    # Every Window's input subtree must hit a HashAggregate before any
-    # parquet scan — i.e. the corpus is reduced to the distinct-length
-    # histogram before the (bounded) serial cumulative-sum step.  Walk
-    # the tree-rendered section: a Window's subtree is the following
-    # lines at strictly greater indentation.
+def _assert_windows_bounded(p: str) -> int:
+    """Shared round-6 guard for the single-reducer-window defect class:
+    every UNPARTITIONED Window in the formatted plan must consume an
+    aggregated (hence bounded: histogram / per-partition counts) frame —
+    its tree subtree hits a HashAggregate before any parquet scan.
+    Partitioned windows (incl. the operators/ranks _rk_pid groups) are
+    parallel by construction and exempt.  Returns the Window count."""
+    import re
+
+    # node id -> partitioned? from the details section: a partition
+    # column appears in windowspecdefinition(...) as a bare reference,
+    # an order column carries ASC/DESC.
+    partitioned = {}
+    for m in re.finditer(
+        r"\((\d+)\) Window\nInput[^\n]*\nArguments: [^\n]*?windowspecdefinition\(([^\n]*)",
+        p,
+    ):
+        first_arg = m.group(2).split(",")[0]
+        partitioned[int(m.group(1))] = not (
+            " ASC" in first_arg or " DESC" in first_arg
+        )
     tree = [ln for ln in p.splitlines() if "+- " in ln or ln.strip().startswith("* ")]
-    seen_window = False
+    n_windows = 0
     for i, ln in enumerate(tree):
-        if "Window" not in ln:
+        wm = re.search(r"Window(?:GroupLimit)? \((\d+)\)", ln)
+        if not wm or "WindowGroupLimit" in ln:
             continue
-        seen_window = True
+        n_windows += 1
+        if partitioned.get(int(wm.group(1)), False):
+            continue
         indent = ln.index("+- ") if "+- " in ln else 0
         agg_first = False
         for sub in tree[i + 1 :]:
@@ -482,8 +493,42 @@ def test_doc_length_deciles_no_corpus_wide_window(plans):
             if "HashAggregate" in sub:
                 agg_first = True
                 break
-            assert "Scan parquet" not in sub, "Window sits directly on a corpus scan"
-        assert agg_first, "Window input is not an aggregated (histogram) frame"
-    assert seen_window, "expected the histogram cumulative-sum Window"
+            assert "Scan parquet" not in sub, (
+                "unpartitioned Window sits on an unaggregated scan: " + ln
+            )
+        assert agg_first, "unpartitioned Window input is not aggregated: " + ln
+    return n_windows
+
+
+def test_doc_length_deciles_no_corpus_wide_window(plans):
+    """Round-6 rewrite pin: exact deciles must come from the per-length
+    histogram + boundary-rank join, never an NTILE whose unpartitioned
+    window funnels the whole corpus through one reducer (the round-5
+    scale-killer).  The only Window allowed is the cumulative sum over
+    the distinct-length HISTOGRAM, i.e. its child is the hash-agg."""
+    p = plans("doc_length_deciles")
+    assert "ntile" not in p.lower()
+    assert _assert_windows_bounded(p) >= 1, "expected the histogram cum-sum Window"
     # boundary lookups broadcast the 10-row decile table
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_customer_rfm_distributed_ntile(plans):
+    """Round-6 rewrite pin: the three quartile scores run through
+    operators/ranks.exact_ntile — range-partitioned rank + broadcast
+    offsets — never an engine ntile whose unpartitioned window funnels
+    the customer grain through one reducer."""
+    p = plans("customer_rfm")
+    assert "ntile(" not in p.lower()  # the engine fn; _rk_ntile_rn is ours
+    assert "RangePartitioning" in p or "rangepartitioning" in p
+    assert _assert_windows_bounded(p) >= 3
+
+
+def test_events_late_audit_distributed_prefix_max(plans):
+    """Round-6 rewrite pin: the arrival-order high-water-mark is the
+    distributed prefix max (operators/ranks.prefix_agg) over the
+    fact-sized event stream — range partition + per-partition frames +
+    broadcast per-partition totals, no full-stream single reducer."""
+    p = plans("events_late_audit")
+    assert "RangePartitioning" in p or "rangepartitioning" in p
+    assert _assert_windows_bounded(p) >= 2
