@@ -331,18 +331,25 @@ def vocab_coverage(
     mass a vocab budget leaves behind).
 
     Output (vocab_size, covered_tokens, coverage) rows, one per
-    checkpoint.  Shape: corpus-sized hash-agg to the vocabulary, then a
-    rank over the VOCABULARY table (dictionary-scale; Zipf-bounded — at
-    100 TB this sort is millions of rows, not corpus-sized) and a 1-row
-    conditional rollup.
+    checkpoint.  Shape: corpus-sized hash-agg to the vocabulary, then —
+    because only ranks <= max(checkpoints) can contribute (everything
+    beyond adds 0 to every coverage sum) — a TakeOrdered top-max(cp)
+    prefilter bounds the rank window by the CHECKPOINT BUDGET, a config
+    constant, before the 1-row conditional rollup.  The full vocabulary
+    (billions of distinct typo-laden tokens at 100 TB) never flows
+    through one reducer; the previous spelling ranked it all (round-6
+    fix, the doc_length_deciles defect class).
     """
+    max_cp = max(checkpoints)
     freq = (
         spread(docs)
         .select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = freq.select(
+    # deterministic total order -> limit picks exactly the rank-filter set
+    top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(max_cp)
+    ranked = top.select(
         "n", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))).alias("r")
     )
     total = broadcast(freq.agg(F.sum("n").alias("total")))

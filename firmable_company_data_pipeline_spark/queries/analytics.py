@@ -627,22 +627,31 @@ LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
 # part_revenue_pareto — cumulative-share concentration analysis: parts
 # ranked by revenue, how many cover 50/80/95% of total.  The rank/cumsum
 # window runs over the PART-GRAIN aggregate (dimension-sized — a
-# deliberate single-partition window, same contract as customer_rfm's
-# ntile; the fact-sized input never sees a global sort).
+# the global rank and cumulative revenue run through the distributed
+# range-partitioned machinery of operators/ranks (round 6) — the part
+# grain is dimension-sized today but nothing about the query needs a
+# single-reducer window; DESC revenue is spelled as ASC on the negated
+# key so the asc-only primitives apply.
 def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from firmable_company_data_pipeline_spark.operators.ranks import (
+        exact_global_row_number,
+        prefix_agg,
+    )
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
-    )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    ).withColumn("_negrev", -F.col("rev"))
     total = per_part.agg(F.sum("rev").alias("tot"))
+    order = ["_negrev", "l_partkey"]
     ranked = (
-        per_part.withColumn("rank", F.row_number().over(w))
-        .withColumn(
-            "cum_rev",
-            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        prefix_agg(
+            exact_global_row_number(per_part, order, out="rank"),
+            order,
+            "rev",
+            fn="sum",
+            inclusive=True,
+            out="cum_rev",
         )
         .crossJoin(F.broadcast(total))
     )

@@ -532,3 +532,20 @@ def test_events_late_audit_distributed_prefix_max(plans):
     p = plans("events_late_audit")
     assert "RangePartitioning" in p or "rangepartitioning" in p
     assert _assert_windows_bounded(p) >= 2
+
+
+def test_part_revenue_pareto_distributed_rank_and_prefix(plans):
+    """Round-6 rewrite pin: rank + cumulative revenue come from the
+    range-partitioned primitives, not a single-reducer global window."""
+    p = plans("part_revenue_pareto")
+    assert "RangePartitioning" in p or "rangepartitioning" in p
+    assert _assert_windows_bounded(p) >= 2
+
+
+def test_vocab_coverage_rank_is_budget_bounded(plans):
+    """Round-6 rewrite pin: the coverage rank window sees only the
+    TakeOrdered top-max(checkpoint) tokens (a config constant), never
+    the full vocabulary."""
+    p = plans("vocab_coverage")
+    assert "TakeOrderedAndProject" in p
+    assert _assert_windows_bounded(p) >= 1
