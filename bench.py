@@ -21,14 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # milestones land).
 #
 # MEMBERSHIP RULE (round 6, ending the drift class): every registered
-# query belongs here EXCEPT (a) sub-second scalar-function demos whose
-# cost is session overhead, not plan execution (the fn_* family and
-# point lookups like order_lookup — fn_jaro_winkler stays as the one
-# deliberate representative), and (b) small variants fully dominated by
-# a listed query (e.g. orders_page vs orders_page_keyset, dedup_clusters
-# vs dup_cluster_size_histogram which contains it).  When adding a
-# query, add it here unless it falls under (a)/(b).  README's headline
-# count is len(HEADLINE).
+# query belongs here EXCEPT
+#   (a) scalar-function demos and point lookups whose cost is session
+#       overhead, not plan execution: fn_clean_text, fn_domain_company,
+#       fn_abn_checksum, fn_extract_abn_text, fn_contacts,
+#       fn_standardize_state, fn_clean_company_name, fn_dates,
+#       fn_snippet, order_lookup (fn_jaro_winkler and
+#       fn_token_sort_ratio stay as the family's representatives);
+#   (b) variants fully dominated by a listed query: orders_page
+#       (orders_page_keyset is the listed twin), dedup_clusters
+#       (contained in dup_cluster_size_histogram and run by
+#       dedup_clusters_star), match_rule_based and match_llm_stub
+#       (stages of the listed match_cascade_full).
+# When adding a query, add it here unless it falls under (a)/(b) —
+# tests/test_cli.py::test_headline_membership_rule enforces the
+# reconciliation.  README's headline count is len(HEADLINE).
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
@@ -137,6 +144,42 @@ HEADLINE = [
     # round 6
     "cms_error_contract",
     "dedup_clusters_star",
+    # round 6: the membership-rule reconciliation — every remaining
+    # registered query that executes a real plan
+    "customers_without_orders",
+    "distinct_order_dims",
+    "events_lag_delta",
+    "union_missing_columns",
+    "orders_page_keyset",
+    "priority_price_stats",
+    "events_json_k",
+    "priority_status_rollup",
+    "nation_trade_volume",
+    "market_share",
+    "top_supplier_revenue",
+    "corpus_profile_by_source",
+    "corpus_quality_filter",
+    "corpus_sample",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "label_centroids",
+    "events_tumbling_1h",
+    "events_sliding_10m",
+    "events_dedup_union",
+    "events_click_error_join",
+    "events_user_seq",
+    "events_variant_stats",
+    "large_orders",
+    "global_sales_opportunity",
+    "excess_suppliers",
+    "skew_report_events",
+    "order_price_band_stats",
+    "approx_distinct_users",
+    "approx_median_value",
+    "pii_redaction",
+    "ann_recall_report",
+    "curation_report",
+    "funnel_user_stages",
 ]
 
 

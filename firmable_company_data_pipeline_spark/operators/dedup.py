@@ -748,6 +748,15 @@ def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
     constant-cost.  On a real cluster prefer reliable ``checkpoint()``
     (executor loss under localCheckpoint forfeits the partitions).
     """
+    # Node domain from the UNFILTERED endpoints: a node whose only
+    # edges are self-loops must still appear in the output (as its own
+    # cluster), matching the propagation path's contract — the
+    # self-loop filter below would otherwise drop it (review r6).
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     cur = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b"))
@@ -808,8 +817,12 @@ def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
         .groupBy("id")
         .agg(F.min("label").alias("label"))
     )
+    # restore nodes the self-loop filter removed (their own clusters)
+    full = nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
     return (
-        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")),
+        full.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")),
         rounds,
     )
 

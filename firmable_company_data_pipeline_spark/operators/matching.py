@@ -434,7 +434,17 @@ class HttpLLMClient:
             self.url, json=payload, headers=headers, timeout=self.timeout
         )
         resp.raise_for_status()
-        content = resp.json()["choices"][0]["message"]["content"]
+        data = resp.json()
+        try:
+            content = data["choices"][0]["message"]["content"]
+        except (KeyError, IndexError, TypeError) as exc:
+            # some OpenAI-compatible servers return HTTP 200 with an
+            # {"error": ...} body (quota, bad model) — surface the
+            # payload instead of a bare KeyError inside the cascade
+            raise RuntimeError(
+                "unexpected chat-completions response shape: "
+                f"{str(data)[:300]}"
+            ) from exc
         return _parse_llm_match_response(content, crawl_names, candidates)
 
 

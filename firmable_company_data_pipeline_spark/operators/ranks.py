@@ -28,10 +28,12 @@ cache lifetime (the standing contract; bench/check_contract clearCache
 between queries).
 
 Used by ``queries.analytics.customer_rfm`` (quartile ntiles over the
-customer grain) and ``queries.streaming_batch.events_late_audit``
-(arrival-order high-water-mark over the full event stream); the
-boundary-only sibling for when per-row assignment isn't needed is the
-histogram formulation in ``queries.llmops.doc_length_deciles``.
+customer grain), ``queries.analytics.part_revenue_pareto`` (global
+rank + cumulative revenue), and
+``queries.streaming_batch.events_late_audit`` (arrival-order
+high-water-mark over the full event stream); the boundary-only sibling
+for when per-row assignment isn't needed is the histogram formulation
+in ``queries.llmops.doc_length_deciles``.
 
 Ascending order only — wrap a descending need as an ascending sort of
 the negated/complemented key, or add a sibling when one shows up.
@@ -55,6 +57,29 @@ def _range_partitioned(df: DataFrame, order_cols: list[str]) -> DataFrame:
     )
 
 
+def _ranked_with_counts(
+    df: DataFrame, order_cols: list[str], out: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core: (rows + global row number ``out``, P-row per-
+    partition counts table) — so callers needing the total row count
+    (ntile) aggregate the kilobyte counts table instead of rescanning
+    the frame (review r6)."""
+    base = _range_partitioned(df, order_cols)
+    wp = Window.partitionBy(_PID).orderBy(*[F.asc(c) for c in order_cols])
+    ranked = base.withColumn(_RN, F.row_number().over(wp))
+    counts = base.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias(_OFF)
+    )
+    out_df = (
+        ranked.join(F.broadcast(offsets), _PID)
+        .withColumn(out, (F.col(_OFF) + F.col(_RN)).cast("long"))
+        .drop(_PID, _RN, _OFF)
+    )
+    return out_df, counts
+
+
 def exact_global_row_number(
     df: DataFrame, order_cols: list[str], out: str = "rn"
 ) -> DataFrame:
@@ -64,19 +89,7 @@ def exact_global_row_number(
     ``order_cols`` must be a total order (unique tie-break included) —
     with ties the split across range boundaries would be arbitrary.
     """
-    base = _range_partitioned(df, order_cols)
-    wp = Window.partitionBy(_PID).orderBy(*[F.asc(c) for c in order_cols])
-    ranked = base.withColumn(_RN, F.row_number().over(wp))
-    counts = base.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
-    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        _PID, F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias(_OFF)
-    )
-    return (
-        ranked.join(F.broadcast(offsets), _PID)
-        .withColumn(out, (F.col(_OFF) + F.col(_RN)).cast("long"))
-        .drop(_PID, _RN, _OFF)
-    )
+    return _ranked_with_counts(df, order_cols, out)[0]
 
 
 def exact_ntile(
@@ -86,10 +99,11 @@ def exact_ntile(
     row number from :func:`exact_global_row_number` pushed through
     NTILE's sizing rule (the first N%n buckets take one extra row) in
     pure integer arithmetic — bit-identical to the engine ntile, cast to
-    int to match its type."""
+    int to match its type.  The total row count comes from the P-row
+    counts table, not another pass over the frame."""
     rn = "_rk_ntile_rn"
-    ranked = exact_global_row_number(df, order_cols, out=rn)
-    total = ranked.groupBy().agg(F.count(F.lit(1)).alias(_TOT))
+    ranked, counts = _ranked_with_counts(df, order_cols, out=rn)
+    total = counts.agg(F.sum("_n").cast("long").alias(_TOT))
     with_tot = ranked.crossJoin(F.broadcast(total))
     # N = total rows, q = N div n, rem = N % n: the first rem buckets
     # hold q+1 rows, the rest q.  Row r's bucket, in pure long
@@ -122,6 +136,7 @@ def prefix_agg(
     fn: str = "max",
     inclusive: bool = True,
     out: str = "prefix",
+    rank_out: str | None = None,
 ) -> DataFrame:
     """Running aggregate over a global total order —
     ``fn(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
@@ -133,21 +148,38 @@ def prefix_agg(
     cannot change the result).  ``inclusive=False`` gives the
     strictly-before frame (NULL for the first row overall), matching
     ``rowsBetween(unboundedPreceding, -1)``.
+
+    ``rank_out``: also emit the global row number over the same order —
+    fused into the same range partition, per-partition windows, and
+    offset table, so callers needing rank AND running aggregate
+    (``part_revenue_pareto``) pay ONE shuffle, not a chained
+    ``exact_global_row_number`` + ``prefix_agg`` double shuffle
+    (review r6).
     """
     if fn not in ("max", "sum"):
         raise ValueError(f"prefix_agg supports max/sum, got {fn!r}")
     agg = {"max": F.max, "sum": F.sum}[fn]
     base = _range_partitioned(df, order_cols)
+    order = [F.asc(c) for c in order_cols]
     end = 0 if inclusive else -1
     wp = (
         Window.partitionBy(_PID)
-        .orderBy(*[F.asc(c) for c in order_cols])
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, end)
     )
     within = base.withColumn("_rk_within", agg(F.col(value_col)).over(wp))
-    totals = base.groupBy(_PID).agg(agg(F.col(value_col)).alias("_t"))
+    if rank_out is not None:
+        wrn = Window.partitionBy(_PID).orderBy(*order)
+        within = within.withColumn(_RN, F.row_number().over(wrn))
+    totals = base.groupBy(_PID).agg(
+        agg(F.col(value_col)).alias("_t"), F.count(F.lit(1)).alias("_n")
+    )
     woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(_PID, agg(F.col("_t")).over(woff).alias(_OFF))
+    offsets = totals.select(
+        _PID,
+        agg(F.col("_t")).over(woff).alias(_OFF),
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_rk_cnt_off"),
+    )
     joined = within.join(F.broadcast(offsets), _PID)
     w, off = F.col("_rk_within"), F.col(_OFF)
     if fn == "max":
@@ -156,4 +188,9 @@ def prefix_agg(
         combined = F.when(
             off.isNull() & w.isNull(), F.lit(None)
         ).otherwise(F.coalesce(off, F.lit(0)) + F.coalesce(w, F.lit(0)))
-    return joined.withColumn(out, combined).drop(_PID, "_rk_within", _OFF)
+    joined = joined.withColumn(out, combined)
+    if rank_out is not None:
+        joined = joined.withColumn(
+            rank_out, (F.col("_rk_cnt_off") + F.col(_RN)).cast("long")
+        )
+    return joined.drop(_PID, _RN, "_rk_within", _OFF, "_rk_cnt_off")

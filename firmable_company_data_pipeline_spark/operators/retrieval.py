@@ -341,11 +341,16 @@ def vocab_coverage(
     fix, the doc_length_deciles defect class).
     """
     max_cp = max(checkpoints)
+    # Persisted: the vocabulary feeds the top-N branch AND the total-sum
+    # branch — without it the corpus tokenize+agg runs twice (caller
+    # owns cache lifetime; bench/check_contract clearCache between
+    # queries).
     freq = (
         spread(docs)
         .select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     # deterministic total order -> limit picks exactly the rank-filter set
     top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(max_cp)

@@ -633,28 +633,23 @@ LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
 # single-reducer window; DESC revenue is spelled as ASC on the negated
 # key so the asc-only primitives apply.
 def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from firmable_company_data_pipeline_spark.operators.ranks import (
-        exact_global_row_number,
-        prefix_agg,
-    )
+    from firmable_company_data_pipeline_spark.operators.ranks import prefix_agg
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
     ).withColumn("_negrev", -F.col("rev"))
     total = per_part.agg(F.sum("rev").alias("tot"))
-    order = ["_negrev", "l_partkey"]
-    ranked = (
-        prefix_agg(
-            exact_global_row_number(per_part, order, out="rank"),
-            order,
-            "rev",
-            fn="sum",
-            inclusive=True,
-            out="cum_rev",
-        )
-        .crossJoin(F.broadcast(total))
-    )
+    # fused rank + running sum: one range shuffle serves both
+    ranked = prefix_agg(
+        per_part,
+        ["_negrev", "l_partkey"],
+        "rev",
+        fn="sum",
+        inclusive=True,
+        out="cum_rev",
+        rank_out="rank",
+    ).crossJoin(F.broadcast(total))
     share = F.col("cum_rev") / F.col("tot")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_parts"),

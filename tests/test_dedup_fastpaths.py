@@ -209,6 +209,9 @@ def test_cc_star_matches_propagation_and_handles_strings(spark):
     edges = {
         tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)
     }
+    # a node whose ONLY edge is a self-loop must appear in both modes
+    # as its own cluster (review r6: the star path used to drop it)
+    edges.add(("zz_selfloop", "zz_selfloop"))
     pairs = spark.createDataFrame(sorted(edges), "id_a string, id_b string")
     base = {
         r["doc_id"]: r["cluster_id"]
