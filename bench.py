@@ -180,6 +180,7 @@ HEADLINE = [
     "ann_recall_report",
     "curation_report",
     "funnel_user_stages",
+    "l_diversity_customers",
 ]
 
 

@@ -172,3 +172,40 @@ def k_anonymity_report(
             F.sum(F.when(small, F.col("n")).otherwise(0)) / F.sum("n"), 6
         ).alias("exposed_frac"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive: Column | str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007), the
+    companion to :func:`k_anonymity_report`: k-anonymity alone still
+    leaks when every record in an equivalence class shares one
+    sensitive value, so each class must also contain at least ``l``
+    DISTINCT sensitive values.
+
+    Output one row: (l, n_groups, n_low_groups, n_exposed_rows,
+    exposed_frac, min_diversity).  Shape: one hash-groupBy on the quasi
+    tuple with a count-distinct of the sensitive attribute (Spark
+    expands the distinct into a two-phase partial aggregate — map-side
+    combined, no extra full shuffle) + a 1-row conditional rollup.
+    """
+    sens = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.countDistinct(sens).alias("ndv"), F.count(F.lit(1)).alias("n")
+    )
+    low = F.col("ndv") < l
+    return groups.agg(
+        F.lit(l).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("long").alias("n_low_groups"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).cast("long").alias(
+            "n_exposed_rows"
+        ),
+        F.round(
+            F.sum(F.when(low, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("exposed_frac"),
+        F.min("ndv").cast("long").alias("min_diversity"),
+    )

@@ -21,9 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS_r04.json exactly).  Round-6 head, in order: the 2 CMS
 # queries that landed at positions 51-52 in round 5 (the ONLY
 # registered queries without a driver-green row after r5 — closing the
-# evidence ledger), the 2 new round-6 queries, the round-6 rewritten
+# evidence ledger), the 3 new round-6 queries, the round-6 rewritten
 # doc_length_deciles (its implementation changed, so its r5 row no
-# longer covers the current plan), then 45 of the queries whose most
+# longer covers the current plan), then 44 of the queries whose most
 # recent driver evidence is oldest (green in r1-r3 windows, displaced
 # ever since) — exactly 50.  Every query outside the window carries a
 # green driver row from r4 or r5 on its current implementation; every
@@ -35,9 +35,10 @@ _DRIVER_WINDOW_PRIORITY = (
     # -- round-5 late additions, never driver-checked (2) --
     "term_cms_heavy_hitters",
     "cms_contamination_probe",
-    # -- new in round 6 (2) --
+    # -- new in round 6 (3) --
     "cms_error_contract",
     "dedup_clusters_star",
+    "l_diversity_customers",
     # -- rewritten in round 6 (1) --
     "doc_length_deciles",
     # -- oldest driver evidence: green in r1-r3, unseen since (45) --
@@ -85,7 +86,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "ann_brute_force",
     "ann_lsh_bucketed",
     "ann_ivf",
-    "multimodal_features",
 )
 
 

@@ -144,6 +144,48 @@ FROM g
 
 
 # --------------------------------------------------------------------------
+# l_diversity_customers — the l-diversity companion audit (round 6):
+# k-anonymity alone still leaks when a whole equivalence class shares
+# one sensitive value, so each (nation, segment) class must carry >= l
+# distinct sensitive values — here the account-balance thousand-band.
+# The band uses FLOOR over an IEEE double division in BOTH engines
+# (div/`//` disagree on negative balances between engines; floor on the
+# identical double does not).
+_LDIV_L = 3
+
+
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.quality import (
+        l_diversity_report,
+    )
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    band = F.floor(F.col("c_acctbal").cast("double") / 1000).cast("long")
+    return l_diversity_report(cust, _KANON_COLS, band, l=_LDIV_L)
+
+
+L_DIVERSITY_CUSTOMERS_SQL = f"""
+WITH g AS (
+  SELECT {", ".join(_KANON_COLS)},
+         count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT))
+           AS ndv,
+         count(*) AS n
+  FROM customer GROUP BY {", ".join(_KANON_COLS)}
+)
+SELECT {_LDIV_L} AS l,
+       count(*)::BIGINT AS n_groups,
+       CAST(sum(CASE WHEN ndv < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_groups,
+       CAST(sum(CASE WHEN ndv < {_LDIV_L} THEN n ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       round(sum(CASE WHEN ndv < {_LDIV_L} THEN n ELSE 0 END) / sum(n)::DOUBLE, 6)
+         AS exposed_frac,
+       min(ndv)::BIGINT AS min_diversity
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # funnel_user_stages — per-user funnel stage (the streaming operator's
 # batch twin; streaming execution proven in tests/test_streaming.py).
 def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,6 +928,7 @@ QUERIES = {
     "user_retention_cohorts": user_retention_cohorts,
     "quality_prune_per_source": quality_prune_per_source,
     "k_anonymity_customers": k_anonymity_customers,
+    "l_diversity_customers": l_diversity_customers,
     "copurchase_triangles": copurchase_triangles,
     "events_daily_gapfill": events_daily_gapfill,
     "part_revenue_pareto": part_revenue_pareto,
@@ -906,6 +949,7 @@ ORACLES = {
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "quality_prune_per_source": QUALITY_PRUNE_PER_SOURCE_SQL,
     "k_anonymity_customers": K_ANONYMITY_CUSTOMERS_SQL,
+    "l_diversity_customers": L_DIVERSITY_CUSTOMERS_SQL,
     "copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
     "events_daily_gapfill": EVENTS_DAILY_GAPFILL_SQL,
     "part_revenue_pareto": PART_REVENUE_PARETO_SQL,
