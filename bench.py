@@ -235,6 +235,15 @@ def main():
     # in one timed query exited the process with rc=1 and NO bench record).
     # Errors are retried once, then recorded per-query in an "errors" field;
     # the JSON line always prints and rc stays 0 while any query succeeded.
+    def clear_cached_state():
+        # SQL-cached relations AND RDD-level blocks: clearCache() does
+        # not release localCheckpoint storage (the iterative CC queries
+        # checkpoint per round), so drop every persistent RDD too —
+        # between queries nothing re-reads them (review r6).
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     timings = {}
     errors = {}
     for name in names:
@@ -242,7 +251,7 @@ def main():
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces errors
-        spark.catalog.clearCache()
+        clear_cached_state()
         spark.sparkContext._jvm.System.gc()
         ok = False
         for attempt in (1, 2):
@@ -255,10 +264,10 @@ def main():
                 break
             except Exception as exc:  # transient binder/AQE flakes: retry once
                 errors[name] = f"attempt {attempt}: {type(exc).__name__}: {str(exc)[:500]}"
-                spark.catalog.clearCache()
+                clear_cached_state()
         if ok:
             errors.pop(name, None)
-        spark.catalog.clearCache()
+        clear_cached_state()
         # Untimed GC hint: ~110 back-to-back heavy executions (warm +
         # timed) accumulate old-gen debt (dropped broadcasts, codegen
         # classes) faster than G1 reclaims it under load, and the

@@ -41,7 +41,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "l_diversity_customers",
     # -- rewritten in round 6 (1) --
     "doc_length_deciles",
-    # -- oldest driver evidence: green in r1-r3, unseen since (45) --
+    # -- oldest driver evidence: green in r1-r3, unseen since (44) --
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",

@@ -451,7 +451,10 @@ def cms_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_n"), F.min("h").alias("h")
     )
     est = sk.cms_lookup(exact, sketch)
-    tot = est.agg(F.sum("exact_n").cast("long").alias("n_occurrences"))
+    # N = total occurrences = row count of the persisted occ stream;
+    # summing exact_n over est would re-run the per-term agg + D-way
+    # sketch join just to add counts back up (review r6)
+    tot = occ.agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     per = est.crossJoin(F.broadcast(tot)).select(
         "n_occurrences", (F.col("est_n") - F.col("exact_n")).alias("oc")
     )
@@ -506,7 +509,7 @@ est AS (
                     + ({_CMS_B_SQL}::BIGINT[])[d.d+1]) % {_CMS_MOD}) % {_CMS_W}
   GROUP BY 1, 2
 ),
-tot AS (SELECT CAST(sum(exact_n) AS BIGINT) AS n_occurrences FROM est),
+tot AS (SELECT count(*)::BIGINT AS n_occurrences FROM oh),
 per AS (
   SELECT n_occurrences, est_n - exact_n AS oc FROM est CROSS JOIN tot
 ),

@@ -144,8 +144,13 @@ def main():
         # registered queries persist intermediates (signature tables,
         # occurrence streams) under a caller-owns-lifetime contract;
         # this loop is that caller — drop them so a full 150+-query
-        # session doesn't accumulate cached blocks (advice r5)
+        # session doesn't accumulate cached blocks (advice r5).  Also
+        # unpersist RDD-level blocks: clearCache() does not release
+        # localCheckpoint storage from the iterative CC queries
+        # (review r6).
         spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -475,7 +475,19 @@ def _assert_windows_bounded(p: str) -> int:
         partitioned[int(m.group(1))] = not (
             " ASC" in first_arg or " DESC" in first_arg
         )
-    tree = [ln for ln in p.splitlines() if "+- " in ln or ln.strip().startswith("* ")]
+
+    # A tree line's connector is '+- ' (last child) OR ':- ' (non-last
+    # child, e.g. a join's first input — where the ranks pattern puts
+    # its windows; review r6 found the first version blind to these).
+    def connector_at(ln: str) -> int:
+        idxs = [i for i in (ln.find("+- "), ln.find(":- ")) if i != -1]
+        return min(idxs) if idxs else (0 if ln.strip() else -1)
+
+    tree = [
+        ln
+        for ln in p.splitlines()
+        if "+- " in ln or ":- " in ln or ln.strip().startswith("* ")
+    ]
     n_windows = 0
     for i, ln in enumerate(tree):
         wm = re.search(r"Window(?:GroupLimit)? \((\d+)\)", ln)
@@ -484,10 +496,10 @@ def _assert_windows_bounded(p: str) -> int:
         n_windows += 1
         if partitioned.get(int(wm.group(1)), False):
             continue
-        indent = ln.index("+- ") if "+- " in ln else 0
+        indent = connector_at(ln)
         agg_first = False
         for sub in tree[i + 1 :]:
-            d = sub.index("+- ") if "+- " in sub else 0
+            d = connector_at(sub)
             if d <= indent:
                 break
             if "HashAggregate" in sub:
