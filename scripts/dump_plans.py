@@ -133,6 +133,28 @@ SHOWCASE = [
         "Spark 4 WITH RECURSIVE (UNION ALL loop): per-level self-union"
         " bounded by key width; pure spark.sql surface.",
     ),
+    (
+        "customer_rfm",
+        "Round-6 distributed ntile (operators/ranks): each quartile"
+        " score is a RangePartitioning exchange + per-spark_partition_id"
+        " window + broadcast P-row offsets — no unpartitioned Window"
+        " ever sees the customer grain.",
+    ),
+    (
+        "doc_length_deciles",
+        "Round-6 histogram deciles: the corpus reduces to the"
+        " distinct-length histogram (HashAggregate) before the only"
+        " serial step (a cumulative window over distinct lengths); the"
+        " 10 boundary rows broadcast-range-join back.  No ntile, no"
+        " corpus-wide sort.",
+    ),
+    (
+        "cms_error_contract",
+        "CMS accuracy contract: one (d,bucket) hash-agg builds the"
+        " kilobyte sketch, the exact-count agg joins against its"
+        " broadcast, and the eps/delta bound lands as booleans in a"
+        " 1-row rollup.",
+    ),
 ]
 
 def main() -> None:
