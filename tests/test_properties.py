@@ -317,3 +317,65 @@ def test_funnel_stages_match_python_simulation(spark, evs):
             stage += 1
         exp[u] = stage
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Distributed global-order primitives (operators/ranks, round 6): the
+# Spark results must match a pure-Python restatement of the semantics —
+# an oracle independent of both the engine window implementation and
+# the module's own offset arithmetic.
+
+
+def _py_ntile(vals, n):
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    big, small = divmod(len(vals), n)
+    out, pos = [0] * len(vals), 0
+    for b in range(1, n + 1):
+        size = big + (1 if b <= small else 0)
+        for _ in range(size):
+            if pos >= len(vals):
+                break
+            out[order[pos]] = b
+            pos += 1
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(-20, 20), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=11),
+)
+def test_exact_ntile_matches_python_oracle(spark, vals, n_buckets):
+    from firmable_company_data_pipeline_spark.operators import ranks as rk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["bucket"]
+        for r in rk.exact_ntile(df, n_buckets, ["v", "id"]).collect()
+    }
+    want = dict(enumerate(_py_ntile(vals, n_buckets)))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(-30, 30), min_size=1, max_size=50))
+def test_prefix_agg_and_rank_match_python_oracle(spark, vals):
+    from firmable_company_data_pipeline_spark.operators import ranks as rk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    out = {
+        r["id"]: (r["rank"], r["prefix"])
+        for r in rk.prefix_agg(
+            df, ["v", "id"], "v", fn="sum", inclusive=False, rank_out="rank"
+        ).collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    run, want = 0, {}
+    for pos, i in enumerate(order):
+        want[i] = (pos + 1, None if pos == 0 else run)
+        run += vals[i]
+    assert out == want
