@@ -274,6 +274,28 @@ def main():
         # eventual collection lands inside SOME later query's timing.
         # Collecting between queries keeps each timed window clean.
         spark.sparkContext._jvm.System.gc()
+        # Crash insurance (round 6): a ~140-query sweep runs >10 min
+        # wall; if the process is killed mid-run the final total line
+        # never prints and the round records NOTHING (the round-4
+        # failure mode).  Emit a running compact line every 20 queries
+        # — the completed-run line still prints last and supersedes;
+        # a partial line carries partial=true so it can't be mistaken
+        # for a full sweep.
+        if len(timings) % 20 == 0 and timings:
+            print(
+                json.dumps(
+                    {
+                        "metric": "headline_queries_wall_clock_total",
+                        "value": round(sum(timings.values()), 3),
+                        "unit": "sec",
+                        "n": len(timings),
+                        "n_errors": len(errors),
+                        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                        "partial": True,
+                    }
+                ),
+                flush=True,
+            )
     total = round(sum(timings.values()), 3)
 
     payload = {
