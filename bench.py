@@ -181,6 +181,7 @@ HEADLINE = [
     "curation_report",
     "funnel_user_stages",
     "l_diversity_customers",
+    "dedup_clusters_incremental",
 ]
 
 

@@ -904,6 +904,43 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def incremental_components(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected components: fold a delta pair-batch into an
+    existing ``(doc_id, cluster_id)`` labeling WITHOUT re-clustering
+    history — the daily-refresh shape of corpus dedup at 100 TB, where
+    yesterday's corpus is billions of docs and today's delta is a sliver.
+
+    Correctness: the previous labeling is a star forest over the old
+    nodes, and a star forest preserves connectivity — every old
+    component stays connected through its root — so
+    ``CC(stars ∪ delta) = CC(old_pairs ∪ delta)`` while touching only
+    ``|prev_nodes| + |delta|`` edges, never the original pair set.
+    Singleton labels (doc_id == cluster_id) become self-loops, which
+    :func:`_cc_star` keeps as their own clusters (the r6 node-domain
+    contract).  A delta edge that bridges two old clusters merges them
+    under the min cluster_id — exactly what a batch recompute over the
+    union would produce, which is the equivalence the incremental test
+    and the driver oracle pin.
+
+    Pair with ``incremental_minhash`` (delta-vs-index candidate pairs)
+    for the full incremental dedup path: new signatures probe the
+    banded index for delta pairs, and this fold turns them into the
+    refreshed clustering.
+    """
+    stars = prev_labels.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    delta = new_pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    labels, _ = _cc_star(stars.unionByName(delta), max_iter=max_iter)
+    return labels
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

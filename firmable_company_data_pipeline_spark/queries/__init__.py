@@ -21,12 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS_r04.json exactly).  Round-6 head, in order: the 2 CMS
 # queries that landed at positions 51-52 in round 5 (the ONLY
 # registered queries without a driver-green row after r5 — closing the
-# evidence ledger), the 3 new round-6 queries, the 5 queries round 6
+# evidence ledger), the 4 new round-6 queries, the 5 queries round 6
 # REWROTE (their earlier driver-green rows cover the old
 # implementations, not the current plans: doc_length_deciles'
 # histogram form, customer_rfm's distributed ntile, events_late_audit's
 # distributed prefix max, part_revenue_pareto's fused rank+prefix,
-# vocab_coverage's TakeOrdered-bounded rank), then 40 of the queries
+# vocab_coverage's TakeOrdered-bounded rank), then 39 of the queries
 # whose most recent driver evidence is oldest (green in r1-r3 windows,
 # displaced ever since; implementations unchanged, so their old rows
 # still cover them) — exactly 50.  Every query outside the window carries a
@@ -39,9 +39,10 @@ _DRIVER_WINDOW_PRIORITY = (
     # -- round-5 late additions, never driver-checked (2) --
     "term_cms_heavy_hitters",
     "cms_contamination_probe",
-    # -- new in round 6 (3) --
+    # -- new in round 6 (4) --
     "cms_error_contract",
     "dedup_clusters_star",
+    "dedup_clusters_incremental",
     "l_diversity_customers",
     # -- rewritten in round 6 (5) --
     "doc_length_deciles",
@@ -49,7 +50,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "events_late_audit",
     "part_revenue_pareto",
     "vocab_coverage",
-    # -- oldest driver evidence: green in r1-r3, unseen since (40) --
+    # -- oldest driver evidence: green in r1-r3, unseen since (39) --
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
@@ -89,7 +90,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_clusters",
 )
 
 

@@ -391,6 +391,25 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dedup_clusters_incremental — the incremental-refresh contract (round
+# 6): cluster the "old corpus" (doc_id % 4 != 0) pairs first, then fold
+# ONLY the delta pairs (those touching a "new" doc) into that labeling
+# via operators/dedup.incremental_components.  Because the previous
+# labeling is a connectivity-preserving star forest, the result must be
+# IDENTICAL to batch-clustering the full pair graph — which is exactly
+# what the shared DEDUP_CLUSTERS_SQL oracle computes.  The pair
+# generator runs once and is persisted (caller-owns lifetime).
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
+    is_new_a = F.col("id_a") % 4 == 0
+    is_new_b = F.col("id_b") % 4 == 0
+    old_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    delta = pairs.filter(is_new_a | is_new_b)
+    prev = dd.connected_components(old_pairs, deep_graphs=True)
+    return dd.incremental_components(prev, delta)
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
@@ -1121,6 +1140,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "dedup_clusters_incremental": dedup_clusters_incremental,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1152,6 +1172,7 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_incremental": DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,

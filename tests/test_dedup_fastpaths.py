@@ -240,3 +240,32 @@ def test_cc_star_chain_converges_logarithmically(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 12, f"star CC took {rounds} rounds on a 64-chain"
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    """Folding a delta pair-batch into a previous star labeling must
+    equal batch CC over the union — including a delta edge that merges
+    two old clusters, a brand-new node, and an old singleton carried
+    through as a self-loop."""
+    old_pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f")], "id_a string, id_b string"
+    )
+    prev = dd.connected_components(old_pairs, deep_graphs=True)
+    # add a singleton to the previous labeling (doc with no pairs kept
+    # as its own cluster by the caller)
+    prev = prev.unionByName(
+        spark.createDataFrame([("s", "s")], "doc_id string, cluster_id string")
+    )
+    delta = spark.createDataFrame(
+        [("b", "c"), ("f", "g"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.incremental_components(prev, delta).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",  # delta b-c merged two clusters
+        "e": "e", "f": "e", "g": "e",            # new node g joined e's cluster
+        "s": "s",                                 # singleton carried through
+        "x": "x", "y": "x",                       # brand-new component
+    }
