@@ -204,6 +204,7 @@ def streaming_minhash_dedup(
     pairs_dir: str,
     checkpoint: str | None = None,
     threshold: float = 0.5,
+    labels_dir: str | None = None,
 ):
     """Streaming near-duplicate detection over a document stream — the
     Structured-Streaming composition of the incremental index operator
@@ -229,6 +230,20 @@ def streaming_minhash_dedup(
     directory, so the job restarts from checkpoint with no state-store
     migration and the index is queryable mid-stream by any other
     session.
+
+    ``labels_dir`` (round 6, optional) additionally maintains the
+    CLUSTER LABELING incrementally: each batch folds its delta pairs
+    into the previous generation's (doc_id, cluster_id) table via
+    ``operators/dedup.incremental_components`` — the previous labeling
+    is a connectivity-preserving star forest, so the fold equals a
+    batch re-cluster of every pair ever seen, while touching only
+    |prev_labels| + |delta pairs| edges.  Generations are batch-keyed
+    (``gen=<batch_id>``, overwrite): a batch reads the newest
+    generation BELOW its own id — so a checkpoint replay that left a
+    half-written own-generation behind regenerates it from the same
+    input — and prunes generations older than the one it read (the
+    read generation itself is kept so the NEXT replay still finds its
+    input).  ``read_dedup_labels`` serves the newest generation.
     """
     from firmable_company_data_pipeline_spark.operators import dedup as dd
 
@@ -250,18 +265,69 @@ def streaming_minhash_dedup(
         else:
             index = spark.createDataFrame([], delta.schema)
         pairs = dd.minhash_delta_pairs(index, delta, threshold=threshold)
+        if labels_dir is not None:
+            pairs = pairs.persist()
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
         delta.write.mode("overwrite").parquet(
             os.path.join(index_dir, f"batch_id={batch_id}")
         )
+        if labels_dir is not None:
+            prev_gens = sorted(
+                g for g in _label_gens(labels_dir) if g < batch_id
+            )
+            if prev_gens:
+                prev = spark.read.parquet(
+                    os.path.join(labels_dir, f"gen={prev_gens[-1]}")
+                )
+            else:
+                # type-correct empty labeling derived from the pair ids
+                prev = pairs.select(
+                    F.col("id_a").alias("doc_id"), F.col("id_a").alias("cluster_id")
+                ).limit(0)
+            labels = dd.incremental_components(prev, pairs)
+            labels.write.mode("overwrite").parquet(
+                os.path.join(labels_dir, f"gen={batch_id}")
+            )
+            # prune history the NEXT replay can no longer need: anything
+            # older than the generation this batch read from
+            if prev_gens:
+                import shutil
+
+                for g in prev_gens[:-1]:
+                    shutil.rmtree(
+                        os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
+                    )
+            pairs.unpersist()
         delta.unpersist()
 
     writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _label_gens(labels_dir: str) -> list[int]:
+    if not os.path.exists(labels_dir):
+        return []
+    out = []
+    for d in os.listdir(labels_dir):
+        if d.startswith("gen="):
+            try:
+                out.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
+def read_dedup_labels(spark, labels_dir: str) -> DataFrame:
+    """Newest cluster-labeling generation maintained by
+    ``streaming_minhash_dedup(labels_dir=...)``."""
+    gens = _label_gens(labels_dir)
+    if not gens:
+        raise FileNotFoundError(f"no label generations under {labels_dir}")
+    return spark.read.parquet(os.path.join(labels_dir, f"gen={max(gens)}"))
 
 
 def streaming_rollup_refresh(

@@ -218,9 +218,11 @@ def test_streaming_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
     )
     index_dir = str(tmp_path / "sig_index")
     pairs_dir = str(tmp_path / "dup_pairs")
+    labels_dir = str(tmp_path / "dup_labels")
     q = jobs.streaming_minhash_dedup(
         stream, index_dir, pairs_dir,
         checkpoint=str(tmp_path / "ckpt"), threshold=0.0,
+        labels_dir=labels_dir,
     )
     _drain(q)
 
@@ -232,6 +234,20 @@ def test_streaming_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
     # the index now holds one signature per doc with shingles
     idx = spark.read.parquet(index_dir)
     assert idx.count() == idx.select("id").distinct().count()
+    # the incrementally folded labeling equals a batch re-cluster of the
+    # full pair set (round 6: incremental_components per micro-batch)
+    got_labels = _rows(
+        jobs.read_dedup_labels(spark, labels_dir), ["doc_id", "cluster_id"]
+    )
+    want_labels = _rows(
+        dd.connected_components(dd.minhash_lsh_pairs(docs, threshold=0.0)),
+        ["doc_id", "cluster_id"],
+    )
+    assert got_labels == want_labels
+    # old generations are pruned down to read-gen + current
+    import glob as _glob
+
+    assert len(_glob.glob(f"{labels_dir}/gen=*")) <= 2
 
 
 def test_streaming_cms_refresh_matches_batch(spark, sf_dir, tmp_path):
