@@ -247,6 +247,8 @@ def main():
 
     timings = {}
     errors = {}
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    done = 0
     for name in names:
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -278,11 +280,13 @@ def main():
         # Crash insurance (round 6): a ~140-query sweep runs >10 min
         # wall; if the process is killed mid-run the final total line
         # never prints and the round records NOTHING (the round-4
-        # failure mode).  Emit a running compact line every 20 queries
-        # — the completed-run line still prints last and supersedes;
-        # a partial line carries partial=true so it can't be mistaken
-        # for a full sweep.
-        if len(timings) % 20 == 0 and timings:
+        # failure mode).  Emit a running compact line every 20
+        # PROCESSED queries — gating on len(timings) would re-fire
+        # after every failure while the count sits on a multiple of 20
+        # (review r6) — marked partial=true so it can't be mistaken
+        # for a full sweep; the completed-run line still prints last.
+        done += 1
+        if done % 20 == 0:
             print(
                 json.dumps(
                     {
@@ -291,7 +295,7 @@ def main():
                         "unit": "sec",
                         "n": len(timings),
                         "n_errors": len(errors),
-                        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                        "sf": sf_val,
                         "partial": True,
                     }
                 ),

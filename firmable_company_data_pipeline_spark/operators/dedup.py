@@ -928,10 +928,12 @@ def incremental_components(
     union would produce, which is the equivalence the incremental test
     and the driver oracle pin.
 
-    Pair with ``incremental_minhash`` (delta-vs-index candidate pairs)
-    for the full incremental dedup path: new signatures probe the
-    banded index for delta pairs, and this fold turns them into the
-    refreshed clustering.
+    Pair with :func:`minhash_delta_pairs` (delta-vs-index candidate
+    pairs; registered as the ``dedup_incremental_minhash`` query) for
+    the full incremental dedup path: new signatures probe the banded
+    index for delta pairs, and this fold turns them into the refreshed
+    clustering — ``streaming/jobs.streaming_minhash_dedup(labels_dir=…)``
+    is that composition as a running stream.
     """
     stars = prev_labels.select(
         F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")

@@ -29,9 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 # vocab_coverage's TakeOrdered-bounded rank), then 39 of the queries
 # whose most recent driver evidence is oldest (green in r1-r3 windows,
 # displaced ever since; implementations unchanged, so their old rows
-# still cover them) — exactly 50.  Every query outside the window carries a
-# green driver row from r4 or r5 on its current implementation; every
-# registered query is locally gated every round via
+# still cover them) — exactly 50.  Every query outside the window
+# carries a green driver row from an EARLIER round on its current
+# implementation (r4/r5 for most; r1-r3 for the handful of unchanged
+# queries this head displaced: dedup_clusters, dedup_embedding_cosine,
+# ann_brute_force, ann_lsh_bucketed, ann_ivf — next-round rotation
+# candidates); every registered query is locally gated every round via
 # scripts/check_contract.py.  Names beyond the window are NOT listed:
 # registration order appends them after the head, and their relative
 # order is immaterial to the gate.

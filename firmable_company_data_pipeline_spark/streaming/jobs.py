@@ -274,9 +274,19 @@ def streaming_minhash_dedup(
             os.path.join(index_dir, f"batch_id={batch_id}")
         )
         if labels_dir is not None:
-            prev_gens = sorted(
-                g for g in _label_gens(labels_dir) if g < batch_id
-            )
+            import json as _json
+            import shutil
+
+            all_gens = _label_gens(labels_dir)
+            # generations ABOVE this batch id are remnants of a dead run
+            # (checkpoint reset restarts batch ids at 0) — left in place
+            # they'd be read as "previous" once this run's ids pass them
+            # and would shadow read_dedup_labels forever (review r6)
+            for g in (g for g in all_gens if g > batch_id):
+                shutil.rmtree(
+                    os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
+                )
+            prev_gens = sorted(g for g in all_gens if g < batch_id)
             if prev_gens:
                 prev = spark.read.parquet(
                     os.path.join(labels_dir, f"gen={prev_gens[-1]}")
@@ -290,11 +300,16 @@ def streaming_minhash_dedup(
             labels.write.mode("overwrite").parquet(
                 os.path.join(labels_dir, f"gen={batch_id}")
             )
+            # publish atomically AFTER the write: readers resolve via the
+            # manifest, so a crash mid-write can never surface a partial
+            # generation (review r6; the compact_rollup rename pattern)
+            tmp = os.path.join(labels_dir, "_latest.json.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump({"gen": batch_id}, fh)
+            os.replace(tmp, os.path.join(labels_dir, "_latest.json"))
             # prune history the NEXT replay can no longer need: anything
             # older than the generation this batch read from
             if prev_gens:
-                import shutil
-
                 for g in prev_gens[:-1]:
                     shutil.rmtree(
                         os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
@@ -323,11 +338,24 @@ def _label_gens(labels_dir: str) -> list[int]:
 
 def read_dedup_labels(spark, labels_dir: str) -> DataFrame:
     """Newest cluster-labeling generation maintained by
-    ``streaming_minhash_dedup(labels_dir=...)``."""
-    gens = _label_gens(labels_dir)
-    if not gens:
-        raise FileNotFoundError(f"no label generations under {labels_dir}")
-    return spark.read.parquet(os.path.join(labels_dir, f"gen={max(gens)}"))
+    ``streaming_minhash_dedup(labels_dir=...)``, resolved through the
+    atomically-renamed ``_latest.json`` manifest — a half-written
+    generation (crash mid-write) is never served because the manifest
+    flips only after the write completes.
+
+    Mid-stream caveat: the returned DataFrame is lazy and pins the
+    resolved generation's files; the stream retains that generation for
+    one further micro-batch (the prune keeps read-gen + current), so
+    collect within a micro-batch interval or snapshot the frame."""
+    import json as _json
+
+    path = os.path.join(labels_dir, "_latest.json")
+    try:
+        with open(path) as fh:
+            gen = _json.load(fh)["gen"]
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no label manifest under {labels_dir}") from None
+    return spark.read.parquet(os.path.join(labels_dir, f"gen={gen}"))
 
 
 def streaming_rollup_refresh(
