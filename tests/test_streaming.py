@@ -462,3 +462,54 @@ def test_streaming_rollup_refresh_matches_batch(spark, sf_dir, events_dir, tmp_p
         fh.write("{not json")
     with pytest.raises(ValueError, match="corrupt rollup compaction manifest"):
         jobs.read_rollup(spark, target)
+
+
+def test_dedup_labels_survive_checkpoint_reset(spark, sf_dir, tmp_path):
+    """A dead run's label generations (ids above the new run's batch
+    ids after a checkpoint reset) must be cleaned up, never shadow the
+    reader: pre-seed labels_dir with a stale gen=9 + manifest, then run
+    a fresh stream whose batch ids restart at 0."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    labels_dir = str(tmp_path / "labels")
+    _os.makedirs(labels_dir)
+    spark.createDataFrame(
+        [(999999, 999999)], "doc_id long, cluster_id long"
+    ).write.parquet(_os.path.join(labels_dir, "gen=9"))
+    with open(_os.path.join(labels_dir, "_latest.json"), "w") as fh:
+        _json.dump({"gen": 9}, fh)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = jobs.streaming_minhash_dedup(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ck_new"),
+        threshold=0.0,
+        labels_dir=labels_dir,
+    )
+    _drain(q)
+
+    assert not _os.path.exists(_os.path.join(labels_dir, "gen=9"))
+    got = _rows(jobs.read_dedup_labels(spark, labels_dir), ["doc_id", "cluster_id"])
+    want = _rows(
+        dd.connected_components(dd.minhash_lsh_pairs(docs, threshold=0.0)),
+        ["doc_id", "cluster_id"],
+    )
+    assert got == want and (999999, 999999) not in got
