@@ -747,6 +747,21 @@ def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
     chain).  Checkpointing truncates lineage, making every round
     constant-cost.  On a real cluster prefer reliable ``checkpoint()``
     (executor loss under localCheckpoint forfeits the partitions).
+
+    The checkpoint is LAZY (``eager=False``, round 7): the signature
+    aggregation is the round's only action, and materializing it both
+    computes the signature and saves the checkpoint blocks — one job
+    submission per round instead of two (the r6 shape paid a second
+    fixed job latency per round just to read the 1-row signature).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without the
+    edge-set signature stabilizing: an unconverged star forest's
+    ``a→b`` edges need not point at component roots, so returning the
+    groupBy-min labels would be silently wrong — and callers like
+    :func:`incremental_components` would durably persist that wrong
+    clustering (advice r6).  O(log n) convergence means the default cap
+    covers any graph these pipelines produce; hitting it means the cap
+    is too low — raise ``max_iter``.
     """
     # Node domain from the UNFILTERED endpoints: a node whose only
     # edges are self-loops must still appear in the output (as its own
@@ -761,10 +776,21 @@ def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    prev_sig = None
+    # Seed the convergence signature from the INITIAL edge set (the same
+    # action also materializes cur's checkpoint): an input that is
+    # already a star forest — the common case for incremental folds,
+    # where prev labels are stars and the delta is a sliver — then
+    # converges after ONE round instead of needing a second
+    # confirmation round whose only job is to observe a repeat
+    # signature (round 7; each avoided round saves a full Catalyst
+    # planning + job cycle).
+    prev_sig = tuple(
+        cur.agg(F.count(F.lit(1)), F.expr("bit_xor(xxhash64(a, b))")).first()
+    )
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         nbrs = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -791,12 +817,14 @@ def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
             .unionByName(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the signature action below materializes the blocks
+            .localCheckpoint(eager=False)
         )
         # order-independent edge-set signature: count + XOR of row
         # hashes (a SUM would overflow long under ANSI; XOR cannot, and
         # the edge set is distinct so XOR cancellation needs a real
-        # 64-bit collision).
+        # 64-bit collision).  This action also saves the checkpoint —
+        # the round's ONE job.
         sig = tuple(
             nxt.agg(
                 F.count(F.lit(1)), F.expr("bit_xor(xxhash64(a, b))")
@@ -804,8 +832,15 @@ def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
         )
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"_cc_star: edge set did not stabilize within max_iter={max_iter} "
+            "rounds; labels would be unreliable (non-root edges can survive). "
+            "Raise max_iter — star CC needs only O(log n) rounds."
+        )
     roots = (
         cur.select(F.col("b").alias("id"))
         .distinct()
@@ -874,9 +909,10 @@ def connected_components(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -885,6 +921,9 @@ def connected_components(
         )
         # Carry the previous label through the update so convergence is one
         # filter over the already-materialized result, not a second join.
+        # Lazy checkpoint: the count below is the round's single action —
+        # it materializes the checkpoint blocks AND reads the changed
+        # count in one job submission (round 7; was two jobs per round).
         upd = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -894,14 +933,62 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = upd.filter(F.col("label") != F.col("_old")).count()
         labels = upd.select("id", "label")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: min-label propagation still changing after "
+            f"max_iter={max_iter} rounds (graph diameter exceeds the cap); "
+            "returning would yield silently under-merged clusters. "
+            "Use deep_graphs=True (O(log n) star CC) or raise max_iter."
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _delta_local_split(
+    prev_labels: DataFrame, delta: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split an incremental-CC refresh into (cc_input_edges,
+    untouched_labels) so only the clusters a delta edge actually touches
+    are re-clustered — the delta-locality contract of
+    :func:`incremental_components` (and the unit the delta-locality test
+    introspects).
+
+    * ``endpoints`` — distinct delta node ids (a sliver by contract:
+      today's batch vs yesterday's corpus), broadcast into a semi join
+      against ``prev_labels`` to find the touched ``cluster_id`` set;
+    * ``affected`` / ``untouched`` — ``prev_labels`` split by broadcast
+      semi/anti join on that (even smaller) touched-cluster set;
+    * cc input = affected star edges (doc_id → cluster_id) ∪ delta.
+
+    ``prev_labels`` is consumed twice (the semi and the anti side); when
+    it is a computed frame rather than a parquet source, the caller
+    should persist it (``dedup_clusters_incremental`` does; the
+    streaming fold reads it from the previous label generation's
+    parquet, where two pruned scans are the cheap path).
+    """
+    endpoints = (
+        delta.select(F.col("src").alias("doc_id"))
+        .unionByName(delta.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        prev_labels.join(F.broadcast(endpoints), "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    affected = prev_labels.join(F.broadcast(touched), "cluster_id", "left_semi")
+    untouched = prev_labels.join(F.broadcast(touched), "cluster_id", "left_anti")
+    stars = affected.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    return stars.unionByName(delta), untouched
 
 
 def incremental_components(
@@ -916,17 +1003,26 @@ def incremental_components(
     history — the daily-refresh shape of corpus dedup at 100 TB, where
     yesterday's corpus is billions of docs and today's delta is a sliver.
 
-    Correctness: the previous labeling is a star forest over the old
-    nodes, and a star forest preserves connectivity — every old
-    component stays connected through its root — so
-    ``CC(stars ∪ delta) = CC(old_pairs ∪ delta)`` while touching only
-    ``|prev_nodes| + |delta|`` edges, never the original pair set.
-    Singleton labels (doc_id == cluster_id) become self-loops, which
-    :func:`_cc_star` keeps as their own clusters (the r6 node-domain
-    contract).  A delta edge that bridges two old clusters merges them
-    under the min cluster_id — exactly what a batch recompute over the
-    union would produce, which is the equivalence the incremental test
-    and the driver oracle pin.
+    Delta-local (round 7; the r6 version fed ALL previous stars into the
+    CC fold, paying corpus-wide shuffle rounds per refresh): only the
+    previous clusters containing a delta endpoint enter the fold —
+    :func:`_delta_local_split` semi-joins ``prev_labels`` to the delta
+    endpoints' cluster_ids, runs :func:`_cc_star` over (affected stars ∪
+    delta) only, and unions the untouched labels back verbatim.  Refresh
+    cost now scales with |delta| + |affected clusters|, not |corpus|.
+
+    Correctness: the previous labeling is a star forest whose labels are
+    min member ids (what :func:`connected_components`/:func:`_cc_star`
+    produce), and a star forest preserves connectivity — so
+    ``CC(affected stars ∪ delta) = CC(affected old pairs ∪ delta)``.
+    Untouched clusters share no node with the fold input (clusters are
+    disjoint), so their min-id labels can neither change nor collide
+    with a re-clustered label.  Singleton labels (doc_id == cluster_id)
+    become self-loops, which :func:`_cc_star` keeps as their own
+    clusters (the r6 node-domain contract).  A delta edge that bridges
+    two old clusters merges them under the min cluster_id — exactly what
+    a batch recompute over the union would produce, which is the
+    equivalence the incremental test and the driver oracle pin.
 
     Pair with :func:`minhash_delta_pairs` (delta-vs-index candidate
     pairs; registered as the ``dedup_incremental_minhash`` query) for
@@ -935,12 +1031,14 @@ def incremental_components(
     clustering — ``streaming/jobs.streaming_minhash_dedup(labels_dir=…)``
     is that composition as a running stream.
     """
-    stars = prev_labels.select(
-        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
-    )
     delta = new_pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    labels, _ = _cc_star(stars.unionByName(delta), max_iter=max_iter)
-    return labels
+    cc_input, untouched = _delta_local_split(prev_labels, delta)
+    labels, _ = _cc_star(cc_input, max_iter=max_iter)
+    return labels.unionByName(
+        untouched.select(
+            F.col("doc_id"), F.col("cluster_id")
+        )
+    )
 
 
 def embedding_cosine_pairs(

@@ -398,7 +398,10 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # labeling is a connectivity-preserving star forest, the result must be
 # IDENTICAL to batch-clustering the full pair graph — which is exactly
 # what the shared DEDUP_CLUSTERS_SQL oracle computes.  The pair
-# generator runs once and is persisted (caller-owns lifetime).
+# generator runs once and is persisted (caller-owns lifetime); the
+# previous labeling is persisted too because the round-7 delta-local
+# fold consumes it twice (affected semi join + untouched anti join) —
+# without the pin each side would re-run the whole old-corpus CC.
 def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
@@ -406,7 +409,7 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new_b = F.col("id_b") % 4 == 0
     old_pairs = pairs.filter(~is_new_a & ~is_new_b)
     delta = pairs.filter(is_new_a | is_new_b)
-    prev = dd.connected_components(old_pairs, deep_graphs=True)
+    prev = dd.connected_components(old_pairs, deep_graphs=True).persist()
     return dd.incremental_components(prev, delta)
 
 

@@ -236,8 +236,12 @@ def streaming_minhash_dedup(
     into the previous generation's (doc_id, cluster_id) table via
     ``operators/dedup.incremental_components`` — the previous labeling
     is a connectivity-preserving star forest, so the fold equals a
-    batch re-cluster of every pair ever seen, while touching only
-    |prev_labels| + |delta pairs| edges.  Generations are batch-keyed
+    batch re-cluster of every pair ever seen, while touching only the
+    delta pairs plus the previous clusters they intersect (delta-local
+    since round 7: untouched clusters are anti-joined around the CC
+    fold, so a micro-batch's cost scales with the batch, not the corpus;
+    the previous generation is parquet, so the fold's two passes over it
+    are two cheap pruned scans).  Generations are batch-keyed
     (``gen=<batch_id>``, overwrite): a batch reads the newest
     generation BELOW its own id — so a checkpoint replay that left a
     half-written own-generation behind regenerates it from the same
@@ -278,14 +282,6 @@ def streaming_minhash_dedup(
             import shutil
 
             all_gens = _label_gens(labels_dir)
-            # generations ABOVE this batch id are remnants of a dead run
-            # (checkpoint reset restarts batch ids at 0) — left in place
-            # they'd be read as "previous" once this run's ids pass them
-            # and would shadow read_dedup_labels forever (review r6)
-            for g in (g for g in all_gens if g > batch_id):
-                shutil.rmtree(
-                    os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
-                )
             prev_gens = sorted(g for g in all_gens if g < batch_id)
             if prev_gens:
                 prev = spark.read.parquet(
@@ -307,8 +303,21 @@ def streaming_minhash_dedup(
             with open(tmp, "w") as fh:
                 _json.dump({"gen": batch_id}, fh)
             os.replace(tmp, os.path.join(labels_dir, "_latest.json"))
-            # prune history the NEXT replay can no longer need: anything
-            # older than the generation this batch read from
+            # ALL deletion happens only after the new generation exists
+            # and the manifest points at it (advice r6: deleting dead-run
+            # generations up front meant a crash between the delete and
+            # the republish destroyed the last good labeling).
+            # (1) generations ABOVE this batch id are remnants of a dead
+            # run (checkpoint reset restarts batch ids at 0) — left in
+            # place they'd be read as "previous" once this run's ids pass
+            # them and would shadow read_dedup_labels forever (review r6);
+            # gen == batch_id was just overwritten by this batch's write.
+            for g in (g for g in all_gens if g > batch_id):
+                shutil.rmtree(
+                    os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
+                )
+            # (2) prune history the NEXT replay can no longer need:
+            # anything older than the generation this batch read from
             if prev_gens:
                 for g in prev_gens[:-1]:
                     shutil.rmtree(

@@ -269,3 +269,55 @@ def test_incremental_components_matches_full_recompute(spark):
         "s": "s",                                 # singleton carried through
         "x": "x", "y": "x",                       # brand-new component
     }
+
+
+def test_incremental_components_is_delta_local(spark):
+    """Round-7 contract: an untouched cluster's rows never enter the CC
+    fold input — the refresh must scale with the delta, not the corpus.
+    _delta_local_split is the introspection point: given prev clusters
+    {a,b} and {p,q} and a delta touching only b, the untouched side must
+    carry p/q verbatim and the CC input must not mention them."""
+    prev = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("p", "p"), ("q", "p"), ("s", "s")],
+        "doc_id string, cluster_id string",
+    )
+    delta = spark.createDataFrame([("b", "c")], "id_a string, id_b string").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc_input, untouched = dd._delta_local_split(prev, delta)
+    cc_nodes = {
+        r["n"]
+        for r in cc_input.select(F.col("src").alias("n"))
+        .unionByName(cc_input.select(F.col("dst").alias("n")))
+        .distinct()
+        .collect()
+    }
+    assert cc_nodes == {"a", "b", "c"}, cc_nodes  # p, q, s stay out
+    kept = {(r["doc_id"], r["cluster_id"]) for r in untouched.collect()}
+    assert kept == {("p", "p"), ("q", "p"), ("s", "s")}
+    # end-to-end: the fold still equals a batch recompute over the union
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.incremental_components(
+            prev, delta.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "p": "p", "q": "p", "s": "s"}
+
+
+def test_cc_raises_on_nonconvergence(spark):
+    """Advice r6: exhausting max_iter without a stable fixpoint must be
+    loud — silently returning under-merged labels would let callers
+    durably persist a wrong clustering.  A 64-chain cannot converge in 2
+    propagation rounds (needs ~diameter) nor stabilize in 1 star round
+    (signature needs a repeat observation)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="propagation still changing"):
+        dd.connected_components(pairs, max_iter=2)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    with pytest.raises(RuntimeError, match="did not stabilize"):
+        dd._cc_star(edges, max_iter=1)
