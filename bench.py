@@ -247,7 +247,13 @@ def main():
 
     timings = {}
     errors = {}
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # tolerate any SPARK_GRAFT_SF_DIR basename: a malformed numeric-ish
+    # string ('1.2.3') must fall back to the raw string, not crash the
+    # sweep before any query runs (advice r6)
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
     done = 0
     for name in names:
         try:

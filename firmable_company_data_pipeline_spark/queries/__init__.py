@@ -136,7 +136,15 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
-    order = [n for n in _DRIVER_WINDOW_PRIORITY if n in queries] + [
+    # A priority name missing from the registry would silently shrink
+    # the driver-audited first-50 window (advice r6) — fail loudly on
+    # any typo/rename, and pin the window at exactly 50.
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in queries]
+    assert not missing, f"_DRIVER_WINDOW_PRIORITY names unknown queries: {missing}"
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50, (
+        f"driver window must list exactly 50 names, got {len(_DRIVER_WINDOW_PRIORITY)}"
+    )
+    order = list(_DRIVER_WINDOW_PRIORITY) + [
         n for n in queries if n not in _DRIVER_WINDOW_PRIORITY
     ]
     queries = {n: queries[n] for n in order}

@@ -918,6 +918,17 @@ PAGERANK_NEARDUP_SQL = _pagerank_sql(iters=5)
 # pairwise noise).  Two tiny hash-aggs on top of the CC output; the CC
 # itself is the iterative min-label propagation, oracle-mirrored by the
 # recursive CTE.
+#
+# CC-path choice, measured (round 7, sf0.1, 5 warm reps each on a quiet
+# machine): propagation 1.8-2.0 s vs large-star/small-star 2.9-3.2 s on
+# this graph.  Propagation stays the default because near-dup graphs at
+# threshold 0.8 are shallow (template stars / short chains, diameter
+# ~2-3): it converges in ~diameter+1 rounds of ONE join+agg each, while
+# a star round costs ~2× (two groupBy-mins + re-emit join) plus a
+# label-finalize pass, and star's O(log n) advantage only bites once
+# diameter exceeds roughly 2·log₂(n) — long transitive-drift chains,
+# which is exactly what deep_graphs=True is for (dedup_clusters_star
+# exercises that path against the same oracle).
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     clusters = dd.connected_components(dd.ngram_jaccard_pairs(docs, threshold=0.8))
@@ -1041,12 +1052,20 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "n_chars",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum_end"),
-    ).withColumn("cum_start", F.col("cum_end") - F.col("cnt") + 1)
-    total = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    # persist the bounded cum table (|distinct lengths| rows): it feeds
+    # the total, the lo boundary join and the hi boundary join — without
+    # the pin each consumer re-runs the corpus-wide hash-agg (advice r6;
+    # caller-owns-lifetime, same contract as vocab_coverage)
+    cum = (
+        hist.select(
+            "n_chars",
+            "cnt",
+            F.sum("cnt").over(w).alias("cum_end"),
+        )
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt") + 1)
+        .persist()
+    )
+    total = cum.agg(F.sum("cnt").cast("long").alias("n_total"))
     q = F.floor(F.col("n_total") / 10)
     rem = F.col("n_total") % 10
     k = F.col("decile").cast("long")

@@ -15,17 +15,19 @@ Spark-first redesign:
   ``StubFetchClient`` fabricates deterministic HTML so the whole pipeline
   is testable without network (network IO is not correctness-checkable,
   SURVEY §7 Phase 4).
-- **Parse** — a minimal regex pull of (title, visible-ish text, JSON-LD
-  blocks) in the same pandas pass (bs4 isn't available here; documented
-  deviation), then **every derived field is a native expression** from the
-  function library — domain, company name, ABN+checksum, emails, phones,
+- **Parse** — (title, visible text, JSON-LD blocks) in the same pandas
+  pass: the reference-faithful BeautifulSoup arm whenever ``bs4`` imports
+  (round 7), else a stdlib ``html.parser`` pull — the only remaining
+  deviation, confined to bs4-less environments like this sandbox.  Then
+  **every derived field is a native expression** from the function
+  library — domain, company name, ABN+checksum, emails, phones,
   postcode, snippet all stay JVM-side.
 """
 
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -233,6 +235,54 @@ def _strip_html(html: str) -> tuple[str | None, str, str | None]:
     )
 
 
+def _strip_html_bs4(html: str) -> tuple[str | None, str, str | None]:
+    """bs4-fidelity arm of the HTML parse (round 7): a faithful mirror of
+    the reference's BeautifulSoup extraction
+    (extract/commoncrawl_scraper.py:183-197) — ``soup.get_text()`` over
+    the WHOLE document (the reference does not decompose script/style,
+    so their text rides along), ``soup.title.get_text(strip=True)``, and
+    JSON-LD blocks via ``find_all("script", type="application/ld+json")``
+    with per-block ``json.loads`` (malformed blocks skipped,
+    list-normalized).  Same return shape as :func:`_strip_html` so
+    :func:`parse_pages` can select per worker.
+    """
+    import json as _json
+
+    from bs4 import BeautifulSoup
+
+    soup = BeautifulSoup(html, "html.parser")
+    text = " ".join(soup.get_text().split())
+    blobs: list = []
+    for script in soup.find_all("script", {"type": "application/ld+json"}):
+        try:
+            parsed = _json.loads(script.string)
+        except Exception:
+            continue
+        blobs.extend(parsed if isinstance(parsed, list) else [parsed])
+    title = soup.title.get_text(strip=True) if soup.title else None
+    return (title or None, text, _json.dumps(blobs) if blobs else None)
+
+
+_BS4_AVAILABLE: bool | None = None
+
+
+def _html_parser() -> Callable[[str], tuple[str | None, str, str | None]]:
+    """Select the HTML-parse arm once per process (worker-side lazy
+    gate, same pattern as the PIL arm in ``operators/multimodal.py``):
+    the reference-faithful bs4 extraction when ``bs4`` imports, else the
+    stdlib ``html.parser`` pull — the only remaining documented
+    deviation, and only in environments without bs4."""
+    global _BS4_AVAILABLE
+    if _BS4_AVAILABLE is None:
+        try:
+            import bs4  # noqa: F401
+
+            _BS4_AVAILABLE = True
+        except ImportError:
+            _BS4_AVAILABLE = False
+    return _strip_html_bs4 if _BS4_AVAILABLE else _strip_html
+
+
 def parse_pages(pages: DataFrame) -> DataFrame:
     """HTML → the CC staging schema (S6; stg.common_crawl_raw_companies,
     extract/commoncrawl_scraper.py:198-209).
@@ -245,13 +295,14 @@ def parse_pages(pages: DataFrame) -> DataFrame:
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        strip = _html_parser()  # bs4 arm when importable, stdlib otherwise
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 if not html:
                     rows.append((url, None, "", None))
                     continue
-                title, text, sd = _strip_html(html)
+                title, text, sd = strip(html)
                 rows.append((url, title, text, sd))
             yield pd.DataFrame(
                 rows, columns=["url", "title", "text", "structured_data"]

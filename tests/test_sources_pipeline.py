@@ -302,3 +302,58 @@ def test_strip_html_jsonld_list_normalization():
 
     _, _, sd = _strip_html(html)
     assert json.loads(sd) == [{"a": 1}, {"b": 2}, {"c": 3}]
+
+
+def test_strip_html_nested_script_and_malformed_jsonld():
+    """Reference-derived edge fixtures (extract/commoncrawl_scraper.py
+    183-197): a script body containing a nested '</div>'-style closer,
+    a JSON-LD block that is valid JSON but truncated mid-list (malformed
+    → skipped, not fatal), and a JSON-LD block whose payload nests
+    markup-looking strings.  Both parse arms must survive; the stdlib
+    arm's outputs are pinned here (always runnable)."""
+    import json
+
+    from firmable_company_data_pipeline_spark.sources.commoncrawl import _strip_html
+
+    html = (
+        "<html><head><title>Edge</title></head><body>"
+        "<script>document.write('</span><div>fake</div>');</script>"
+        '<script type="application/ld+json">[{"name": "A"}, {"name": </script>'
+        '<script type="application/ld+json">{"desc": "<b>bold</b> text"}</script>'
+        "<p>real body</p></body></html>"
+    )
+    title, text, sd = _strip_html(html)
+    assert title == "Edge"
+    assert "real body" in text
+    assert "fake" not in text  # nested closer inside script stays dead
+    # the malformed block is skipped; the valid one survives intact
+    assert json.loads(sd) == [{"desc": "<b>bold</b> text"}]
+
+
+def test_strip_html_bs4_arm_matches_reference_shape():
+    """Green only where bs4 exists (absent in this sandbox — same gate
+    pattern as the PIL/PyAV arms): the bs4 arm must mirror the
+    reference's parse_html observables — title, JSON-LD list
+    normalization with malformed blocks skipped, and get_text over the
+    whole soup."""
+    import json
+
+    import pytest
+
+    pytest.importorskip("bs4")
+    from firmable_company_data_pipeline_spark.sources.commoncrawl import (
+        _html_parser,
+        _strip_html_bs4,
+    )
+
+    assert _html_parser() is _strip_html_bs4  # gate selects the real arm
+    html = (
+        "<html><head><title> T &amp; Co </title>"
+        '<script type="application/ld+json">[{"a": 1}, {"b": 2}]</script>'
+        '<script type="application/ld+json">not json</script></head>'
+        "<body><p>visible text</p></body></html>"
+    )
+    title, text, sd = _strip_html_bs4(html)
+    assert title == "T & Co"  # strip=True + entity decode
+    assert "visible text" in text
+    assert json.loads(sd) == [{"a": 1}, {"b": 2}]
