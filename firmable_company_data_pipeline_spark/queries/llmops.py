@@ -413,6 +413,28 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_components(prev, delta)
 
 
+# dedup_clusters_incremental2 — TWO successive delta folds (round 7):
+# the actual daily-refresh contract is not one fold but a chain of
+# them, each building on the labeling the previous fold produced.
+# Partition the pair set into three eras by the max endpoint mod 3
+# (era-0 pairs = "history", era-1 = day 1's delta, era-2 = day 2's),
+# batch-cluster era 0, then fold era 1 and era 2 in sequence — the
+# final labeling must STILL equal the batch clustering of the full
+# graph (the shared DEDUP_CLUSTERS_SQL oracle).  Each fold's input
+# labeling is persisted: the delta-local split consumes it twice, and
+# fold 2's input is fold 1's output.
+def dedup_clusters_incremental2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
+    era = F.greatest(F.col("id_a"), F.col("id_b")) % 3
+    base = pairs.filter(era == 0)
+    day1 = pairs.filter(era == 1)
+    day2 = pairs.filter(era == 2)
+    labels0 = dd.connected_components(base, deep_graphs=True).persist()
+    labels1 = dd.incremental_components(labels0, day1).persist()
+    return dd.incremental_components(labels1, day2)
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
@@ -1163,6 +1185,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_clusters_incremental": dedup_clusters_incremental,
+    "dedup_clusters_incremental2": dedup_clusters_incremental2,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1195,6 +1218,7 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_incremental2": DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""sf1 scale probe for the heavy operator families (round 7).
+
+The per-round bench runs at sf0.1; this probe answers the question that
+bench cannot: do the dedup/CC/ANN/graph/CMS families actually scale
+LINEARLY when the data grows 10x, as their docstrings claim?
+
+Probe data (written once to --out, default .scale_probe/sf1): each base
+table from /root/testdata/sf0.1 replicated --factor times with DISJOINT
+key/vocabulary domains per replica —
+
+* documents: doc_id shifted; replica r>0 suffixes every word with
+  ``_r{r}`` so each replica is an independent sf0.1-like corpus (same
+  per-replica near-dup density; total pairs grow exactly linearly).
+  Without the disjoint vocabulary, replicas would be near-dups of each
+  other and the PAIR COUNT itself would grow quadratically — a property
+  of the copied data, not of the engine, drowning the signal the probe
+  is after.  n_chars is recomputed to match the mutated text.
+* embeddings: vec_id shifted; replica r's vectors are cyclically
+  rotated by r dimensions — norms and within-replica cosines are
+  preserved exactly, cross-replica cosines decorrelate, so IVF/LSH see
+  10x the points with the same local geometry.
+* events / lineitem / orders: ids shifted into disjoint ranges,
+  values/timestamps untouched (10x density over the same time span).
+
+Probe queries: the registered heavy-family queries, run with the same
+adjacent warm->clear->time discipline as bench.py at BOTH scales in one
+session.  Output: a per-query table of (sf0.1 s, sf1 s, ratio) plus one
+JSON line, and a per-family verdict — ratio ~<= factor means the claim
+of linear scaling holds at this step (AQE re-plans, fixed planning
+latency and codegen amortization usually land ratios well UNDER the
+data factor for the cheap queries).
+
+Usage: python scripts/scale_probe.py [--factor 10] [--out DIR] [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+
+PROBE_QUERIES = {
+    "dedup": [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "cross_source_shingle_overlap",
+    ],
+    "cc": [
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "dedup_clusters_incremental",
+        "dup_cluster_size_histogram",
+    ],
+    "ann": ["ann_lsh_bucketed", "ann_ivf", "ann_quantized"],
+    "graph": ["pagerank_neardup", "copurchase_triangles"],
+    "cms": ["term_cms_heavy_hitters", "cms_contamination_probe"],
+}
+
+
+def build(spark, out: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.queries.core import load_tables
+
+    os.makedirs(out, exist_ok=True)
+
+    def replicas(df, shifts: dict, mutate=None):
+        parts = []
+        for r in range(factor):
+            part = df
+            for col, step in shifts.items():
+                part = part.withColumn(col, F.col(col) + F.lit(r * step))
+            if mutate is not None:
+                part = mutate(part, r)
+            parts.append(part)
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionByName(p)
+        return res
+
+    t = load_tables(
+        spark, SRC, "documents", "embeddings", "events", "lineitem", "orders"
+    )
+
+    def mut_docs(df, r):
+        if r == 0:
+            return df
+        txt = F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
+        return df.withColumn("text", txt).withColumn("n_chars", F.length("text"))
+
+    n_docs = 5000 * 10  # comfortably above the sf0.1 id range
+    replicas(t["documents"], {"doc_id": n_docs}, mut_docs).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+
+    def mut_vecs(df, r):
+        if r == 0:
+            return df
+        dim = 64
+        rot = F.expr(
+            f"concat(slice(embedding, {r % dim + 1}, {dim - (r % dim)}), "
+            f"slice(embedding, 1, {r % dim}))"
+        )
+        return df.withColumn("embedding", rot)
+
+    replicas(t["embeddings"], {"vec_id": 1_000_000}, mut_vecs).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "embeddings.parquet"))
+
+    replicas(
+        t["events"], {"event_id": 10_000_000, "user_id": 1_000_000}
+    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    replicas(
+        t["lineitem"],
+        {"l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 1_000_000},
+    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+    replicas(
+        t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 1_000_000}
+    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+
+    # small dims: copy verbatim so load_tables finds every name
+    import shutil
+
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(SRC, f"{name}.parquet"), dst)
+
+
+def time_queries(spark, qs, names, sf_dir: str) -> dict:
+    def clear():
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    out = {}
+    for name in names:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up best-effort
+        clear()
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 2)
+        except Exception as exc:
+            out[name] = f"ERROR: {type(exc).__name__}: {str(exc)[:200]}"
+        clear()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scale_probe/sf1"),
+    )
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_gen:
+        print(f"generating factor-{args.factor} probe data at {args.out} ...")
+        build(spark, args.out, args.factor)
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [n for fam in PROBE_QUERIES.values() for n in fam]
+    base = time_queries(spark, qs, names, SRC)
+    big = time_queries(spark, qs, names, args.out)
+
+    print(f"\n{'query':34s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}")
+    ratios = {}
+    for fam, fam_names in PROBE_QUERIES.items():
+        for n in fam_names:
+            b, g = base.get(n), big.get(n)
+            if isinstance(b, float) and isinstance(g, float) and b > 0:
+                ratios[n] = round(g / b, 2)
+                print(f"{n:34s} {b:8.2f} {g:8.2f} {ratios[n]:7.2f}")
+            else:
+                print(f"{n:34s} {b!s:>8s} {g!s:>8s}     n/a")
+    print(
+        json.dumps(
+            {
+                "factor": args.factor,
+                "base": base,
+                "scaled": big,
+                "ratios": ratios,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
