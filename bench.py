@@ -186,6 +186,51 @@ HEADLINE = [
 ]
 
 
+def clear_cached_state(spark):
+    """SQL-cached relations AND RDD-level blocks: clearCache() does not
+    release localCheckpoint storage (the iterative CC queries checkpoint
+    per round), so drop every persistent RDD too — between queries
+    nothing re-reads them (review r6)."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
+def timed_query_run(spark, fn, sf_dir):
+    """One query's full measurement discipline — warm (untimed, best
+    effort), clear + GC, timed run with one retry for transient
+    binder/AQE flakes, clear + GC again so the next query's window is
+    clean.  Returns (seconds, None) or (None, error-string).
+
+    Module-level and shared with scripts/scale_probe.py (review r7):
+    the probe's ratios are only comparable to bench numbers if both are
+    measured under the identical discipline.  The GC hints matter:
+    back-to-back heavy executions accumulate old-gen debt (dropped
+    broadcasts, codegen classes) faster than G1 reclaims it under load,
+    and the eventual collection lands inside SOME later query's timing.
+    """
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warm-up is best-effort; the timed run surfaces errors
+    clear_cached_state(spark)
+    spark.sparkContext._jvm.System.gc()
+    secs, err = None, None
+    for attempt in (1, 2):
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            secs = round(time.time() - t0, 3)
+            err = None
+            break
+        except Exception as exc:  # transient binder/AQE flakes: retry once
+            err = f"attempt {attempt}: {type(exc).__name__}: {str(exc)[:500]}"
+            clear_cached_state(spark)
+    clear_cached_state(spark)
+    spark.sparkContext._jvm.System.gc()
+    return secs, err
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -237,53 +282,28 @@ def main():
     # in one timed query exited the process with rc=1 and NO bench record).
     # Errors are retried once, then recorded per-query in an "errors" field;
     # the JSON line always prints and rc stays 0 while any query succeeded.
-    def clear_cached_state():
-        # SQL-cached relations AND RDD-level blocks: clearCache() does
-        # not release localCheckpoint storage (the iterative CC queries
-        # checkpoint per round), so drop every persistent RDD too —
-        # between queries nothing re-reads them (review r6).
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-
     timings = {}
     errors = {}
     # tolerate any SPARK_GRAFT_SF_DIR basename: a malformed numeric-ish
     # string ('1.2.3') must fall back to the raw string, not crash the
-    # sweep before any query runs (advice r6)
+    # sweep before any query runs (advice r6); reject non-finite floats
+    # ('nan'/'inf') too — json.dumps would emit invalid JSON for them
+    # (review r7)
+    import math
+
     try:
         sf_val = float(sf)
+        if not math.isfinite(sf_val):
+            sf_val = sf
     except ValueError:
         sf_val = sf
     done = 0
     for name in names:
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass  # warm-up is best-effort; the timed run surfaces errors
-        clear_cached_state()
-        spark.sparkContext._jvm.System.gc()
-        ok = False
-        for attempt in (1, 2):
-            t0 = time.time()
-            try:
-                df = qs[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                timings[name] = round(time.time() - t0, 3)
-                ok = True
-                break
-            except Exception as exc:  # transient binder/AQE flakes: retry once
-                errors[name] = f"attempt {attempt}: {type(exc).__name__}: {str(exc)[:500]}"
-                clear_cached_state()
-        if ok:
-            errors.pop(name, None)
-        clear_cached_state()
-        # Untimed GC hint: ~110 back-to-back heavy executions (warm +
-        # timed) accumulate old-gen debt (dropped broadcasts, codegen
-        # classes) faster than G1 reclaims it under load, and the
-        # eventual collection lands inside SOME later query's timing.
-        # Collecting between queries keeps each timed window clean.
-        spark.sparkContext._jvm.System.gc()
+        secs, err = timed_query_run(spark, qs[name], sf_dir)
+        if secs is not None:
+            timings[name] = secs
+        else:
+            errors[name] = err
         # Crash insurance (round 6): a ~140-query sweep runs >10 min
         # wall; if the process is killed mid-run the final total line
         # never prints and the round records NOTHING (the round-4
@@ -315,7 +335,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
         payload["errors"] = errors

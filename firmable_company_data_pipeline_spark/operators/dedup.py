@@ -960,12 +960,19 @@ def _delta_local_split(
     :func:`incremental_components` (and the unit the delta-locality test
     introspects).
 
-    * ``endpoints`` — distinct delta node ids (a sliver by contract:
-      today's batch vs yesterday's corpus), broadcast into a semi join
-      against ``prev_labels`` to find the touched ``cluster_id`` set;
-    * ``affected`` / ``untouched`` — ``prev_labels`` split by broadcast
-      semi/anti join on that (even smaller) touched-cluster set;
+    * ``endpoints`` — distinct delta node ids, semi-joined against
+      ``prev_labels`` to find the touched ``cluster_id`` set;
+    * ``affected`` / ``untouched`` — ``prev_labels`` split by semi/anti
+      join on that (even smaller) touched-cluster set;
     * cc input = affected star edges (doc_id → cluster_id) ∪ delta.
+
+    Join strategy is left to AQE deliberately (review r7): when the
+    delta is the daily sliver, runtime stats convert both splits to
+    broadcast joins; when a caller feeds a corpus-sized delta (backfill,
+    replay, the era-thirds of ``dedup_clusters_incremental2``), AQE
+    keeps a shuffle join instead of forcing a driver-OOM-sized
+    broadcast — a hard ``F.broadcast`` here would be a cliff, not an
+    optimization.
 
     ``prev_labels`` is consumed twice (the semi and the anti side); when
     it is a computed frame rather than a parquet source, the caller
@@ -979,12 +986,12 @@ def _delta_local_split(
         .distinct()
     )
     touched = (
-        prev_labels.join(F.broadcast(endpoints), "doc_id", "left_semi")
+        prev_labels.join(endpoints, "doc_id", "left_semi")
         .select("cluster_id")
         .distinct()
     )
-    affected = prev_labels.join(F.broadcast(touched), "cluster_id", "left_semi")
-    untouched = prev_labels.join(F.broadcast(touched), "cluster_id", "left_anti")
+    affected = prev_labels.join(touched, "cluster_id", "left_semi")
+    untouched = prev_labels.join(touched, "cluster_id", "left_anti")
     stars = affected.select(
         F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
     )

@@ -136,12 +136,16 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         oracles.update(mod.ORACLES)
     # A priority name missing from the registry would silently shrink
     # the driver-audited first-50 window (advice r6) — fail loudly on
-    # any typo/rename, and pin the window at exactly 50.
+    # any typo/rename, and pin the window at exactly 50.  Explicit
+    # raises, not asserts: asserts vanish under python -O, which would
+    # reintroduce exactly the silent shrink this guards against.
     missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in queries]
-    assert not missing, f"_DRIVER_WINDOW_PRIORITY names unknown queries: {missing}"
-    assert len(_DRIVER_WINDOW_PRIORITY) == 50, (
-        f"driver window must list exactly 50 names, got {len(_DRIVER_WINDOW_PRIORITY)}"
-    )
+    if missing:
+        raise ValueError(f"_DRIVER_WINDOW_PRIORITY names unknown queries: {missing}")
+    if len(_DRIVER_WINDOW_PRIORITY) != 50:
+        raise ValueError(
+            f"driver window must list exactly 50 names, got {len(_DRIVER_WINDOW_PRIORITY)}"
+        )
     order = list(_DRIVER_WINDOW_PRIORITY) + [
         n for n in queries if n not in _DRIVER_WINDOW_PRIORITY
     ]

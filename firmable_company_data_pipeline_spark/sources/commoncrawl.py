@@ -267,11 +267,20 @@ _BS4_AVAILABLE: bool | None = None
 
 
 def _html_parser() -> Callable[[str], tuple[str | None, str, str | None]]:
-    """Select the HTML-parse arm once per process (worker-side lazy
-    gate, same pattern as the PIL arm in ``operators/multimodal.py``):
-    the reference-faithful bs4 extraction when ``bs4`` imports, else the
+    """Select the HTML-parse arm ONCE, on the driver: the
+    reference-faithful bs4 extraction when ``bs4`` imports, else the
     stdlib ``html.parser`` pull — the only remaining documented
-    deviation, and only in environments without bs4."""
+    deviation, and only in environments without bs4.
+
+    Driver-side (not per-worker like the PIL gate, review r7): the
+    chosen function is closed over and shipped to every executor, so a
+    cluster with heterogeneous Python environments parses every
+    partition the same way — an executor missing bs4 fails LOUDLY with
+    ImportError (a misconfiguration surfaced) instead of silently
+    producing partition-dependent text.  Note the arms intentionally
+    differ (the reference's ``soup.get_text()`` includes script/style
+    text; the stdlib arm excludes it), so installing bs4 changes output
+    toward reference fidelity — by design, and deterministically."""
     global _BS4_AVAILABLE
     if _BS4_AVAILABLE is None:
         try:
@@ -292,10 +301,13 @@ def parse_pages(pages: DataFrame) -> DataFrame:
     of the work compiles into whole-stage codegen.
     """
 
+    # arm chosen on the DRIVER and closed over — every executor uses the
+    # same parser regardless of its local environment (review r7)
+    strip = _html_parser()
+
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        strip = _html_parser()  # bs4 arm when importable, stdlib otherwise
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):

@@ -40,7 +40,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -139,25 +138,15 @@ def build(spark, out: str, factor: int) -> None:
 
 
 def time_queries(spark, qs, names, sf_dir: str) -> dict:
-    def clear():
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+    # bench.py's exact measurement discipline (warm -> clear+gc -> timed
+    # with one retry -> clear+gc), shared so probe ratios are comparable
+    # to bench numbers (review r7)
+    from bench import timed_query_run
 
     out = {}
     for name in names:
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass  # warm-up best-effort
-        clear()
-        t0 = time.time()
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 2)
-        except Exception as exc:
-            out[name] = f"ERROR: {type(exc).__name__}: {str(exc)[:200]}"
-        clear()
+        secs, err = timed_query_run(spark, qs[name], sf_dir)
+        out[name] = secs if secs is not None else f"ERROR: {err}"
     return out
 
 
@@ -166,7 +155,10 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument(
         "--out",
-        default=os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scale_probe/sf1"),
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale_probe/sf1",
+        ),
     )
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()

@@ -379,3 +379,52 @@ def test_prefix_agg_and_rank_match_python_oracle(spark, vals):
         want[i] = (pos + 1, None if pos == 0 else run)
         run += vals[i]
     assert out == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=0, max_size=40
+    )
+)
+def test_incremental_fold_chain_matches_union_find(spark, edges):
+    """Round-7 property armor for the delta-local incremental fold: for
+    ANY pair graph split into three eras (by max endpoint mod 3 — the
+    dedup_clusters_incremental2 partition), batch-clustering era 0 and
+    folding eras 1 and 2 in sequence must equal an independent Python
+    union-find over the full edge set (min-member labels), including
+    self-loops, singleton carriers, and cluster merges across eras."""
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    # python union-find oracle over ALL edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    schema = "id_a long, id_b long"
+    eras = {r: [e for e in edges if max(e) % 3 == r] for r in range(3)}
+    dfs = {
+        r: spark.createDataFrame(eras[r], schema)
+        if eras[r]
+        else spark.createDataFrame([], schema)
+        for r in range(3)
+    }
+    labels = dd.connected_components(dfs[0], deep_graphs=True)
+    labels = dd.incremental_components(labels.persist(), dfs[1])
+    labels = dd.incremental_components(labels.persist(), dfs[2])
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == want
