@@ -90,43 +90,56 @@ def build(spark, out: str, factor: int) -> None:
         spark, SRC, "documents", "embeddings", "events", "lineitem", "orders"
     )
 
+    # shift steps derived from the actual id ranges (review r7: hardcoded
+    # guesses would silently overlap replicas if the testdata were ever
+    # regenerated at a different sf) — one tiny max() job per table
+    def step(df, *cols):
+        row = df.agg(*(F.max(c) for c in cols)).first()
+        return {c: int(v) + 1 for c, v in zip(cols, row)}
+
     def mut_docs(df, r):
         if r == 0:
             return df
         txt = F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
         return df.withColumn("text", txt).withColumn("n_chars", F.length("text"))
 
-    n_docs = 5000 * 10  # comfortably above the sf0.1 id range
-    replicas(t["documents"], {"doc_id": n_docs}, mut_docs).write.mode(
+    replicas(t["documents"], step(t["documents"], "doc_id"), mut_docs).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "documents.parquet"))
+
+    dim = len(t["embeddings"].select("embedding").first()[0])
+    if factor >= dim:
+        raise ValueError(
+            f"--factor {factor} >= embedding dim {dim}: replica rotations would "
+            "wrap to zero, making exact vector duplicates of replica 0 and "
+            "reintroducing the quadratic cross-replica pairing the disjoint "
+            "replica design exists to prevent"
+        )
 
     def mut_vecs(df, r):
         if r == 0:
             return df
-        dim = 64
         rot = F.expr(
-            f"concat(slice(embedding, {r % dim + 1}, {dim - (r % dim)}), "
-            f"slice(embedding, 1, {r % dim}))"
+            f"concat(slice(embedding, {r + 1}, {dim - r}), "
+            f"slice(embedding, 1, {r}))"
         )
         return df.withColumn("embedding", rot)
 
-    replicas(t["embeddings"], {"vec_id": 1_000_000}, mut_vecs).write.mode(
+    replicas(t["embeddings"], step(t["embeddings"], "vec_id"), mut_vecs).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "embeddings.parquet"))
 
-    replicas(
-        t["events"], {"event_id": 10_000_000, "user_id": 1_000_000}
-    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    replicas(t["events"], step(t["events"], "event_id", "user_id")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "events.parquet"))
 
     replicas(
-        t["lineitem"],
-        {"l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 1_000_000},
+        t["lineitem"], step(t["lineitem"], "l_orderkey", "l_partkey", "l_suppkey")
     ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
 
-    replicas(
-        t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 1_000_000}
-    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    replicas(t["orders"], step(t["orders"], "o_orderkey", "o_custkey")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "orders.parquet"))
 
     # small dims: copy verbatim so load_tables finds every name
     import shutil
@@ -163,16 +176,12 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    # the same session factory bench uses (review r7): hand-rolling the
+    # builder dropped the codegen-cache sizing, worker PYTHONPATH export
+    # and CPU autodetection that keep timings comparable to bench's
+    from firmable_company_data_pipeline_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .getOrCreate()
-    )
+    spark = get_spark("firmable-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     if not args.skip_gen:

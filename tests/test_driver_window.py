@@ -13,12 +13,14 @@ def test_first_50_queries_match_priority_window():
 
     names = list(e.queries())
     window = [n for n in _DRIVER_WINDOW_PRIORITY]
-    # The list may carry MORE than 50 names (a backlog ordering for
-    # future rotations) but the driver checks exactly queries()[:50] —
-    # pin that prefix so module registration order can never shift it.
-    assert len(window) >= 50, (
-        f"priority list has {len(window)} entries; the driver checks the "
-        "first 50 — keep at least a full window"
+    # The list is EXACTLY the 50-name audited window (tightened round 7
+    # to match registry()'s own guard — a backlog-bearing list was the
+    # round-5 convention; carrying extra names now raises in registry()):
+    # the driver checks exactly queries()[:50], so pin that prefix so
+    # module registration order can never shift it.
+    assert len(window) == 50, (
+        f"priority list has {len(window)} entries; the driver checks "
+        "exactly the first 50"
     )
     assert names[: len(window)] == window
     assert len(set(window)) == len(window), "duplicate names in the window"
