@@ -283,6 +283,7 @@ def streaming_minhash_dedup(
 
             all_gens = _label_gens(labels_dir)
             prev_gens = sorted(g for g in all_gens if g < batch_id)
+            _repair_label_manifest(labels_dir, batch_id, prev_gens)
             if prev_gens:
                 prev = spark.read.parquet(
                     os.path.join(labels_dir, f"gen={prev_gens[-1]}")
@@ -330,6 +331,39 @@ def streaming_minhash_dedup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
+    """Manifest repair at batch start (review r7): if a checkpoint reset
+    left ``_latest.json`` pointing at a dead run's generation (gen >
+    this batch id), re-point it at the newest valid previous generation
+    NOW — otherwise a crash later in the batch (after the gen write,
+    before the publish) would leave readers silently served the dead
+    run's labels.  After this repair every remaining crash window only
+    ever exposes last-good data: the atomic republish at batch end
+    either lands or readers keep seeing ``prev_gens[-1]``.  With no
+    valid generation at all the manifest is removed — a loud
+    FileNotFoundError from ``read_dedup_labels`` beats serving a dead
+    run's clustering as if it were current."""
+    import json as _json
+
+    manifest = os.path.join(labels_dir, "_latest.json")
+    if not os.path.exists(manifest):
+        return
+    try:
+        with open(manifest) as fh:
+            cur_gen = _json.load(fh)["gen"]
+    except (ValueError, KeyError):
+        cur_gen = None
+    if cur_gen is not None and cur_gen <= batch_id:
+        return
+    if prev_gens:
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"gen": prev_gens[-1]}, fh)
+        os.replace(tmp, manifest)
+    else:
+        os.remove(manifest)
 
 
 def _label_gens(labels_dir: str) -> list[int]:

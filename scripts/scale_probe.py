@@ -20,8 +20,12 @@ key/vocabulary domains per replica —
   rotated by r dimensions — norms and within-replica cosines are
   preserved exactly, cross-replica cosines decorrelate, so IVF/LSH see
   10x the points with the same local geometry.
-* events / lineitem / orders: ids shifted into disjoint ranges,
-  values/timestamps untouched (10x density over the same time span).
+* events / lineitem / orders / customer / supplier / part: ids shifted
+  into disjoint ranges with ONE step per key domain shared by every
+  table that references it (orderkey, partkey, suppkey, custkey), so
+  cross-table foreign keys hold in every replica; nation/region stay
+  verbatim with nationkeys unshifted.  Values/timestamps untouched
+  (10x density over the same time span).
 
 Probe queries: the registered heavy-family queries, run with the same
 adjacent warm->clear->time discipline as bench.py at BOTH scales in one
@@ -87,7 +91,16 @@ def build(spark, out: str, factor: int) -> None:
         return res
 
     t = load_tables(
-        spark, SRC, "documents", "embeddings", "events", "lineitem", "orders"
+        spark,
+        SRC,
+        "documents",
+        "embeddings",
+        "events",
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "part",
     )
 
     # shift steps derived from the actual id ranges (review r7: hardcoded
@@ -96,6 +109,30 @@ def build(spark, out: str, factor: int) -> None:
     def step(df, *cols):
         row = df.agg(*(F.max(c) for c in cols)).first()
         return {c: int(v) + 1 for c, v in zip(cols, row)}
+
+    # ONE step per key DOMAIN, shared by every table referencing it
+    # (review r7: per-table steps broke all cross-table foreign keys —
+    # replica r's l_partkey pointed at parts that were never generated,
+    # so any join-family query added to the probe would silently measure
+    # ~1x effective data).  nation/region stay verbatim and nationkeys
+    # unshifted, so customer/supplier -> nation joins hold in every
+    # replica.
+    dom = {}
+    for table, col in (
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("part", "p_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("supplier", "s_suppkey"),
+        ("orders", "o_custkey"),
+        ("customer", "c_custkey"),
+    ):
+        domain = col.split("_", 1)[1]
+        dom[domain] = max(dom.get(domain, 0), step(t[table], col)[col])
+
+    def dsteps(*cols):
+        return {c: dom[c.split("_", 1)[1]] for c in cols}
 
     def mut_docs(df, r):
         if r == 0:
@@ -129,22 +166,36 @@ def build(spark, out: str, factor: int) -> None:
         "overwrite"
     ).parquet(os.path.join(out, "embeddings.parquet"))
 
+    # events/orders are replicated even though no current probe family
+    # reads them: a "10x" directory where only some fact tables scaled
+    # would silently under-measure any family added later — the disk
+    # cost at these SFs is trivial, the footgun is not.
     replicas(t["events"], step(t["events"], "event_id", "user_id")).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "events.parquet"))
 
     replicas(
-        t["lineitem"], step(t["lineitem"], "l_orderkey", "l_partkey", "l_suppkey")
+        t["lineitem"], dsteps("l_orderkey", "l_partkey", "l_suppkey")
     ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
 
-    replicas(t["orders"], step(t["orders"], "o_orderkey", "o_custkey")).write.mode(
+    replicas(t["orders"], dsteps("o_orderkey", "o_custkey")).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "orders.parquet"))
 
-    # small dims: copy verbatim so load_tables finds every name
+    replicas(t["customer"], dsteps("c_custkey")).write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
+    replicas(t["supplier"], dsteps("s_suppkey")).write.mode("overwrite").parquet(
+        os.path.join(out, "supplier.parquet")
+    )
+    replicas(t["part"], dsteps("p_partkey")).write.mode("overwrite").parquet(
+        os.path.join(out, "part.parquet")
+    )
+
+    # nation/region verbatim (nationkeys unshifted — see the FK note)
     import shutil
 
-    for name in ("region", "nation", "customer", "supplier", "part"):
+    for name in ("region", "nation"):
         dst = os.path.join(out, f"{name}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(SRC, f"{name}.parquet"), dst)

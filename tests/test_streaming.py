@@ -513,3 +513,37 @@ def test_dedup_labels_survive_checkpoint_reset(spark, sf_dir, tmp_path):
         ["doc_id", "cluster_id"],
     )
     assert got == want and (999999, 999999) not in got
+
+
+def test_label_manifest_repair(tmp_path):
+    """Review r7: a manifest left pointing at a dead run's generation is
+    re-pointed at the newest valid previous generation at batch start
+    (or removed when none exists), so no crash window later in the
+    batch can leave readers silently consuming dead-run labels."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "labels")
+    _os.makedirs(d)
+
+    def manifest():
+        with open(_os.path.join(d, "_latest.json")) as fh:
+            return _json.load(fh)["gen"]
+
+    def write_manifest(gen):
+        with open(_os.path.join(d, "_latest.json"), "w") as fh:
+            _json.dump({"gen": gen}, fh)
+
+    # dead-run manifest + a valid previous generation -> re-pointed
+    write_manifest(9)
+    jobs._repair_label_manifest(d, batch_id=0, prev_gens=[])
+    assert not _os.path.exists(_os.path.join(d, "_latest.json"))  # removed
+
+    write_manifest(9)
+    jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
+    assert manifest() == 2
+
+    # healthy manifest (gen <= batch_id) untouched
+    write_manifest(2)
+    jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
+    assert manifest() == 2
