@@ -399,9 +399,12 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IDENTICAL to batch-clustering the full pair graph — which is exactly
 # what the shared DEDUP_CLUSTERS_SQL oracle computes.  The pair
 # generator runs once and is persisted (caller-owns lifetime); the
-# previous labeling is persisted too because the round-7 delta-local
-# fold consumes it twice (affected semi join + untouched anti join) —
-# without the pin each side would re-run the whole old-corpus CC.
+# previous labeling is localCheckpoint'ed, not persisted: the fold
+# consumes it twice (affected semi join + untouched anti join) AND
+# embeds it several times in its own output plan, so persist alone
+# leaves Catalyst re-analyzing the full CC lineage per consumer — the
+# same persist-vs-checkpoint lesson as the CC round loops, one level up
+# (measured round 7: the two-fold chain went 24 s -> ~4 s of planning).
 def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
@@ -409,7 +412,9 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new_b = F.col("id_b") % 4 == 0
     old_pairs = pairs.filter(~is_new_a & ~is_new_b)
     delta = pairs.filter(is_new_a | is_new_b)
-    prev = dd.connected_components(old_pairs, deep_graphs=True).persist()
+    prev = dd.connected_components(old_pairs, deep_graphs=True).localCheckpoint(
+        eager=False
+    )
     return dd.incremental_components(prev, delta)
 
 
@@ -421,8 +426,12 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch-cluster era 0, then fold era 1 and era 2 in sequence — the
 # final labeling must STILL equal the batch clustering of the full
 # graph (the shared DEDUP_CLUSTERS_SQL oracle).  Each fold's input
-# labeling is persisted: the delta-local split consumes it twice, and
-# fold 2's input is fold 1's output.
+# labeling is localCheckpoint'ed at the fold boundary: the delta-local
+# split consumes it twice and embeds it in the next fold's plan, so a
+# chain under plain persist compounds Catalyst re-analysis ~3x per fold
+# (fold 2 measured 24 s of planning at sf0.1 before the checkpoint; the
+# daily-refresh deployment shape is exactly this chain, one fold per
+# day, so truncating lineage per fold is the load-bearing pattern).
 def dedup_clusters_incremental2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
@@ -430,8 +439,10 @@ def dedup_clusters_incremental2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = pairs.filter(era == 0)
     day1 = pairs.filter(era == 1)
     day2 = pairs.filter(era == 2)
-    labels0 = dd.connected_components(base, deep_graphs=True).persist()
-    labels1 = dd.incremental_components(labels0, day1).persist()
+    labels0 = dd.connected_components(base, deep_graphs=True).localCheckpoint(
+        eager=False
+    )
+    labels1 = dd.incremental_components(labels0, day1).localCheckpoint(eager=False)
     return dd.incremental_components(labels1, day2)
 
 
