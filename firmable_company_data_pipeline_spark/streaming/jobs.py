@@ -334,17 +334,21 @@ def streaming_minhash_dedup(
 
 
 def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
-    """Manifest repair at batch start (review r7): if a checkpoint reset
-    left ``_latest.json`` pointing at a dead run's generation (gen >
-    this batch id), re-point it at the newest valid previous generation
-    NOW — otherwise a crash later in the batch (after the gen write,
-    before the publish) would leave readers silently served the dead
-    run's labels.  After this repair every remaining crash window only
-    ever exposes last-good data: the atomic republish at batch end
-    either lands or readers keep seeing ``prev_gens[-1]``.  With no
-    valid generation at all the manifest is removed — a loud
-    FileNotFoundError from ``read_dedup_labels`` beats serving a dead
-    run's clustering as if it were current."""
+    """Manifest repair at batch start (review r7): if ``_latest.json``
+    points at any generation this batch is ABOUT TO REWRITE or that a
+    dead run left behind (gen >= this batch id — gen > batch_id is a
+    checkpoint-reset remnant; gen == batch_id is a replay about to
+    ``mode("overwrite")`` the very directory the manifest serves), or is
+    unreadable/ill-typed, re-point it at the newest valid previous
+    generation NOW.  Otherwise readers could race the overwrite into a
+    partially-deleted directory, or a crash later in the batch (after
+    the gen write, before the publish) would leave them silently served
+    a dead run's labels.  After this repair every remaining crash window
+    only ever exposes last-good data: the atomic republish at batch end
+    either lands or readers keep seeing ``prev_gens[-1]`` (which pruning
+    always retains for the replay).  With no valid previous generation
+    the manifest is removed — a loud FileNotFoundError from
+    ``read_dedup_labels`` beats serving a doomed clustering as current."""
     import json as _json
 
     manifest = os.path.join(labels_dir, "_latest.json")
@@ -353,10 +357,10 @@ def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int])
     try:
         with open(manifest) as fh:
             cur_gen = _json.load(fh)["gen"]
-    except (ValueError, KeyError):
+    except (ValueError, KeyError, TypeError):
         cur_gen = None
-    if cur_gen is not None and cur_gen <= batch_id:
-        return
+    if isinstance(cur_gen, int) and cur_gen < batch_id:
+        return  # healthy: points at a previous generation this batch reads
     if prev_gens:
         tmp = manifest + ".tmp"
         with open(tmp, "w") as fh:

@@ -534,16 +534,34 @@ def test_label_manifest_repair(tmp_path):
         with open(_os.path.join(d, "_latest.json"), "w") as fh:
             _json.dump({"gen": gen}, fh)
 
-    # dead-run manifest + a valid previous generation -> re-pointed
+    # dead-run manifest, no valid previous generation -> removed
     write_manifest(9)
     jobs._repair_label_manifest(d, batch_id=0, prev_gens=[])
-    assert not _os.path.exists(_os.path.join(d, "_latest.json"))  # removed
+    assert not _os.path.exists(_os.path.join(d, "_latest.json"))
 
+    # dead-run manifest + a valid previous generation -> re-pointed
     write_manifest(9)
     jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
     assert manifest() == 2
 
-    # healthy manifest (gen <= batch_id) untouched
+    # replay: manifest points at the generation this batch will
+    # overwrite (gen == batch_id) -> re-pointed at the read generation
+    write_manifest(3)
+    jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
+    assert manifest() == 2
+
+    # corrupt manifests self-heal instead of wedging the stream
+    import json as _json2
+    with open(_os.path.join(d, "_latest.json"), "w") as fh:
+        fh.write("9")  # valid JSON, not a dict
+    jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
+    assert manifest() == 2
+    with open(_os.path.join(d, "_latest.json"), "w") as fh:
+        _json2.dump({"gen": "9"}, fh)  # gen not an int
+    jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
+    assert manifest() == 2
+
+    # healthy manifest (gen < batch_id) untouched
     write_manifest(2)
     jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
     assert manifest() == 2
