@@ -61,77 +61,101 @@ def kmeans_centroids(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
+def default_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 10,
     n_cells: int = 8,
-    nprobe: int = 2,
-    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: partition the corpus into cells around centroids,
-    probe only the ``nprobe`` cells nearest each query, exact-score
-    within the probed cells.
+    """Deterministic stand-in centroids: the ``n_cells`` lowest-id corpus
+    vectors, so the DuckDB oracle can reproduce the index bit-for-bit
+    (swap in :func:`kmeans_centroids` where recall matters).
 
-    Centroid selection here is the deterministic stand-in (the
-    ``n_cells`` lowest-id corpus vectors) so the DuckDB oracle can
-    reproduce the index bit-for-bit; swap in MLlib KMeans centers for
-    real recall.  The *structure* is the scale contract: assignment is a
-    broadcast cross-score against n_cells rows (map-only), the search
-    joins queries to corpus on the cell id — at 100 TB the corpus
-    shuffles once on cell, and per-query work is |cell|·nprobe instead
-    of N.
-
-    Output: (query_id, neighbor_id, cos_sim, rank) like
-    :func:`brute_force_topk`; self-matches excluded.
-
-    ``centroids``: optionally pass a (cell, centv, centn) DataFrame —
-    e.g. from :func:`kmeans_centroids` — to replace the deterministic
-    lowest-id centers.
-    """
-    if centroids is None:
-        # Cell key = the centroid's own id (k lowest ids via TakeOrdered
-        # — no global window/sort). Any consistent key works; using the
-        # id keeps the nearest-cell tie-break identical to an ordinal
-        # index since ids and ordinals sort the same way.
-        centroids = (
-            corpus.select(
-                F.col(id_col).alias("cid"), to_double(F.col(vec_col)).alias("centv")
-            )
-            .orderBy("cid")
-            .limit(n_cells)
-            .select(
-                F.col("cid").alias("cell"),
-                "centv",
-                F.sqrt(norm2(F.col("centv"))).alias("centn"),
-            )
+    Cell key = the centroid's own id (k lowest ids via TakeOrdered — no
+    global window/sort). Any consistent key works; using the id keeps
+    the nearest-cell tie-break identical to an ordinal index since ids
+    and ordinals sort the same way."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"), to_double(F.col(vec_col)).alias("centv")
         )
+        .orderBy("cid")
+        .limit(n_cells)
+        .select(
+            F.col("cid").alias("cell"),
+            "centv",
+            F.sqrt(norm2(F.col("centv"))).alias("centn"),
+        )
+    )
+
+
+def _nearest_cells(
+    side: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    keep: int,
+) -> DataFrame:
+    """Rank the (broadcast) centroid set per vector by cosine and keep the
+    ``keep`` nearest cells.  Map-only: the window partitions by the
+    vector id, and every vector's candidate set is exactly the n_cells
+    broadcast rows, so no data-sized shuffle is introduced."""
+    v = side.select(
+        F.col(id_col).alias(out_id),
+        to_double(F.col(vec_col)).alias("v"),
+        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("n"),
+    )
+    cos = dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn"))
+    w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        v.join(cents, F.lit(True))
+        .withColumn("ccos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .select(out_id, "cell", "v", "n")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build (or extend) the IVF index: assign every corpus vector to its
+    nearest centroid cell.  Returns (neighbor_id, cell, cv, cn).
+
+    Assignment is per-vector independent — a broadcast cross-score
+    against the n_cells centroid rows, map-only — so a delta batch can
+    be assigned against FROZEN centroids and unioned with the existing
+    index without touching any previously indexed vector: the
+    incremental-upsert path (``ann_ivf_incremental``).  At 100 TB the
+    index lives in parquet partitioned by cell and a daily delta is one
+    map pass over the delta plus an append."""
     cents = broadcast(centroids)
+    return _nearest_cells(
+        spread(corpus), cents, id_col, vec_col, "neighbor_id", 1
+    ).withColumnsRenamed({"v": "cv", "n": "cn"})
 
-    def nearest_cells(side: DataFrame, out_id: str, keep: int) -> DataFrame:
-        v = side.select(
-            F.col(id_col).alias(out_id),
-            to_double(F.col(vec_col)).alias("v"),
-            F.sqrt(norm2(to_double(F.col(vec_col)))).alias("n"),
-        )
-        cos = dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn"))
-        w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell"))
-        return (
-            v.join(cents, F.lit(True))
-            .withColumn("ccos", cos)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .select(out_id, "cell", "v", "n")
-        )
 
-    assigned = nearest_cells(spread(corpus), "neighbor_id", 1).withColumnsRenamed(
-        {"v": "cv", "n": "cn"}
-    )
-    probes = nearest_cells(queries, "query_id", nprobe).withColumnsRenamed(
-        {"v": "qv", "n": "qn"}
-    )
+def ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search an IVF index built by :func:`ivf_assign`: probe the
+    ``nprobe`` cells nearest each query, exact-score within the probed
+    cells.  Output: (query_id, neighbor_id, cos_sim, rank); self-matches
+    excluded."""
+    cents = broadcast(centroids)
+    probes = _nearest_cells(
+        queries, cents, id_col, vec_col, "query_id", nprobe
+    ).withColumnsRenamed({"v": "qv", "n": "qn"})
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         probes.join(assigned, "cell")
@@ -146,6 +170,42 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into cells around centroids,
+    probe only the ``nprobe`` cells nearest each query, exact-score
+    within the probed cells.  Composition of :func:`ivf_assign` (index
+    build) and :func:`ivf_search`.
+
+    Centroid selection defaults to the deterministic stand-in
+    (:func:`default_centroids`) so the DuckDB oracle can reproduce the
+    index bit-for-bit; swap in MLlib KMeans centers for real recall.
+    The *structure* is the scale contract: assignment is a broadcast
+    cross-score against n_cells rows (map-only), the search joins
+    queries to corpus on the cell id — at 100 TB the corpus shuffles
+    once on cell, and per-query work is |cell|·nprobe instead of N.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) like
+    :func:`brute_force_topk`; self-matches excluded.
+
+    ``centroids``: optionally pass a (cell, centv, centn) DataFrame —
+    e.g. from :func:`kmeans_centroids` — to replace the deterministic
+    lowest-id centers.
+    """
+    if centroids is None:
+        centroids = default_centroids(corpus, id_col, vec_col, n_cells)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    return ivf_search(assigned, queries, centroids, id_col, vec_col, k, nprobe)
 
 
 def sign_bucket(vec, planes: int = 6):

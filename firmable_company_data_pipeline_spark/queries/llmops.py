@@ -330,6 +330,100 @@ SELECT id_a, id_b, est_jaccard FROM (
 
 
 # --------------------------------------------------------------------------
+# minhash_recall_report — evaluation of the banded LSH index against the
+# exact n-gram Jaccard ground truth (the same question ann_recall_report
+# answers for ANN: how much recall does the bucketing cost at the 0.8
+# working threshold, and how much of the candidate set is noise?).
+# Ground truth = exact pairs with jaccard ≥ 0.8; detected = the LSH
+# candidate pairs (est ≥ 0.5) that are also truth.  One full-outer join
+# on the pair key, one global agg (map-side partials; the single final
+# row is the only data on the reducer).  Both pair generators are the
+# audited sub-quadratic plans; at 100 TB this report costs one extra
+# pair-key shuffle on top of indexes a dedup deployment builds anyway —
+# the standard way to tune LSH_BANDS/LSH_ROWS before committing a
+# corpus-wide dedup run.
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    truth = dd.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.lit(1).alias("t")
+    )
+    cand = dd.minhash_lsh_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("c")
+    )
+    both = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.count("t").alias("n_truth"),
+        F.count("c").alias("n_candidates"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias(
+            "pair_recall"
+        ),
+        F.round(F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0)), 6).alias(
+            "pair_precision"
+        ),
+    )
+
+
+MINHASH_RECALL_REPORT_SQL = f"""
+WITH {_TOK_CTE}, {_SH_CTE}, {_HS_CTE},
+ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
+),
+sig_t AS (
+  SELECT doc_id AS id,
+         list_transform(range({dd.MINHASH_K}), i ->
+           list_reduce(
+             list_prepend({_MOD}::BIGINT,
+               list_transform(hs, h ->
+                 (list_extract({_A_SQL}, i+1) * h + list_extract({_B_SQL}, i+1)) % {_MOD})),
+             (x, y) -> least(x, y))) AS sig
+  FROM hs_t
+),
+live AS (SELECT * FROM sig_t WHERE sig[1] < {_MOD}),
+bands AS (
+  SELECT id, sig, b.band,
+         sig[b.band*{dd.LSH_ROWS}+1]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+2]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+3]::VARCHAR || '|' ||
+         sig[b.band*{dd.LSH_ROWS}+4]::VARCHAR AS bucket
+  FROM live, range({dd.LSH_BANDS}) AS b(band)
+),
+lsh AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(len(list_filter(range({dd.MINHASH_K}), i -> sig_a[i+1] = sig_b[i+1]))::DOUBLE
+                 / {dd.MINHASH_K}, 6) AS est_jaccard
+    FROM (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+    )
+  ) WHERE est_jaccard >= 0.5
+),
+agg AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM lsh) AS n_candidates,
+         (SELECT count(*) FROM truth JOIN lsh USING (id_a, id_b)) AS n_hit
+)
+SELECT n_truth, n_candidates, n_hit,
+       round(n_hit::DOUBLE / nullif(n_truth, 0), 6) AS pair_recall,
+       round(n_hit::DOUBLE / nullif(n_candidates, 0), 6) AS pair_precision
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_simhash — banded SimHash pairs, hamming ≤ 3.
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -468,6 +562,61 @@ walk(src, lbl) AS (
   SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
 )
 SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best — canonical-survivor selection: the *point* of dedup in
+# a training-data pipeline is not the cluster labels but the keep/drop
+# decision.  Per near-dup cluster keep the highest-quality member
+# (quality = n_chars here; any scoring column slots in), ties to the
+# lowest doc_id.  One row per clustered doc with its keep verdict, so
+# the corpus filter downstream is a semi-join on (doc_id, keep).
+# Plan: the audited pair+CC sub-plans, one shuffle join to attach
+# n_chars, then a single row_number window partitioned by cluster_id —
+# bounded by the largest cluster, never corpus-wide.
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8)
+    labels = dd.connected_components(pairs, deep_graphs=True)
+    scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+jpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b, id_a FROM jpairs
+),
+walk(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+),
+labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src)
+SELECT doc_id, cluster_id, n_chars,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM labels JOIN documents USING (doc_id)
 """
 
 
@@ -621,6 +770,30 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
 """
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_incremental — delta upsert into the IVF index: assignment is
+# per-vector independent (a map-only broadcast cross-score against the
+# frozen centroid set), so a new batch (vec_id % 4 == 0 here) is
+# assigned on its own and unioned with the existing index — no
+# previously indexed vector is ever touched, the same never-reindex
+# contract as dedup_incremental_minhash.  Because the centroids are
+# frozen, the upserted index is definitionally identical to a full
+# rebuild, which is exactly what the shared ANN_IVF_SQL oracle checks.
+# At 100 TB the index lives in parquet partitioned by cell; the daily
+# delta is one map pass plus an append, vs a full-corpus rebuild.
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # Frozen centroid set (8 rows); persisted because three consumers
+    # (two assigns, one probe) would otherwise re-run the TakeOrdered.
+    cents = ann.default_centroids(emb, n_cells=8).persist()
+    base = ann.ivf_assign(emb.filter(F.col("vec_id") % 4 != 0), cents)
+    delta = ann.ivf_assign(emb.filter(F.col("vec_id") % 4 == 0), cents)
+    index = base.unionByName(delta)
+    return ann.ivf_search(
+        index, emb.filter(F.col("vec_id") < 5), cents, k=10, nprobe=2
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1197,10 +1370,13 @@ QUERIES = {
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_clusters_incremental": dedup_clusters_incremental,
     "dedup_clusters_incremental2": dedup_clusters_incremental2,
+    "dedup_keep_best": dedup_keep_best,
+    "minhash_recall_report": minhash_recall_report,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_ivf_incremental": ann_ivf_incremental,
     "multimodal_features": multimodal_features,
     "media_phash_dups": media_phash_dups,
     "media_resize_checksum": media_resize_checksum,
@@ -1230,10 +1406,13 @@ ORACLES = {
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental2": DEDUP_CLUSTERS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "minhash_recall_report": MINHASH_RECALL_REPORT_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_ivf": ANN_IVF_SQL,
+    "ann_ivf_incremental": ANN_IVF_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "media_phash_dups": MEDIA_PHASH_DUPS_SQL,
     "media_resize_checksum": MEDIA_RESIZE_CHECKSUM_SQL,

@@ -321,3 +321,42 @@ def test_cc_raises_on_nonconvergence(spark):
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     with pytest.raises(RuntimeError, match="did not stabilize"):
         dd._cc_star(edges, max_iter=1)
+
+
+def test_keep_best_one_survivor_per_cluster(spark):
+    """dedup_keep_best invariants on real data: every cluster elects
+    exactly one keeper, and the keeper dominates its cluster on
+    (n_chars DESC, doc_id ASC)."""
+    from firmable_company_data_pipeline_spark.queries.llmops import dedup_keep_best
+
+    out = dedup_keep_best(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "sf0.001 must contain at least one near-dup cluster"
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r["n_chars"], -r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+
+
+def test_minhash_recall_report_bounds(spark):
+    """The report's counters are internally consistent: hits are a
+    subset of both sides and the ratios live in [0, 1]."""
+    from firmable_company_data_pipeline_spark.queries.llmops import (
+        minhash_recall_report,
+    )
+
+    row = minhash_recall_report(spark, "/root/testdata/sf0.001").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_hit"] <= min(r["n_truth"], r["n_candidates"])
+    for col in ("pair_recall", "pair_precision"):
+        v = r[col]
+        assert v is None or 0.0 <= v <= 1.0
+    # banded MinHash at est>=0.5 vs truth at 0.8: candidates are a
+    # superset-biased screen, so recall should be high on this corpus
+    if r["n_truth"]:
+        assert r["pair_recall"] >= 0.8

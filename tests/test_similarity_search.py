@@ -88,3 +88,50 @@ def test_dimension_scales_shape(spark, emb):
     dim = len(emb.first()["embedding"])
     assert len(scales) == dim
     assert all(s >= 0.0 for s in scales)
+
+
+def test_ivf_incremental_upsert_equals_full_rebuild(spark, emb):
+    """Frozen-centroid delta upsert (ivf_assign on the new batch +
+    union) must be bit-identical to rebuilding the index from the full
+    corpus — assignment is per-vector independent, so nothing else is
+    acceptable."""
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        default_centroids,
+        ivf_assign,
+        ivf_search,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = default_centroids(emb, n_cells=8)
+    full = ivf_topk(queries, emb, k=10, n_cells=8, nprobe=2)
+
+    base = ivf_assign(emb.filter(F.col("vec_id") % 4 != 0), cents)
+    delta = ivf_assign(emb.filter(F.col("vec_id") % 4 == 0), cents)
+    upserted = ivf_search(
+        base.unionByName(delta), queries, cents, k=10, nprobe=2
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    assert rows(upserted) == rows(full)
+
+
+def test_ivf_upsert_never_reassigns_indexed_vectors(spark, emb):
+    """The never-reindex contract: the upsert path's plan must not scan
+    the base batch again when assigning the delta — the delta assignment
+    subtree reads only the delta filter."""
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        default_centroids,
+        ivf_assign,
+    )
+
+    cents = default_centroids(emb, n_cells=8)
+    delta = ivf_assign(emb.filter(F.col("vec_id") % 4 == 0), cents)
+    plan = delta._jdf.queryExecution().optimizedPlan().toString()
+    # the only corpus-sized input in the delta assignment is the %4==0
+    # filter; a second unfiltered embeddings scan would betray a rebuild
+    assert plan.count("Relation") <= 2  # delta scan + centroid scan
