@@ -186,6 +186,8 @@ HEADLINE = [
     "dedup_keep_best",
     "minhash_recall_report",
     "ann_ivf_incremental",
+    "scd2_customer_history",
+    "fk_integrity_audit",
 ]
 
 

@@ -256,10 +256,168 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# scd2_customer_history — SCD TYPE-2 merge through operators/merge.scd2_apply
+# (previously pytest-only; this query puts the operator under the oracle
+# gate).  Dimension = every customer's segment as an open v1 row, plus a
+# pre-existing CLOSED 'LEGACY' row for every 5th customer (closed history
+# must pass through untouched).  Update batch as of 1996-06-01: every 7th
+# customer changes segment (close + open), every 13th arrives unchanged
+# (single open row survives), a shifted key range is brand new (open row
+# only).  One full-outer join on the key + a four-way union; the closed
+# partition is never joined — the 100-TB shape is "rewrite only the
+# current partition".
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.merge import scd2_apply
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    v1 = cust.select(
+        k.alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    legacy = cust.filter(k % 5 == 0).select(
+        k.alias("custkey"),
+        F.lit("LEGACY").alias("mktsegment"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_to"),
+    )
+    changed = cust.filter(k % 7 == 0).select(
+        k.alias("custkey"),
+        F.lit("RELOCATED").alias("mktsegment"),
+        F.to_date(F.lit("1996-06-01")).alias("as_of"),
+    )
+    same = cust.filter((k % 13 == 0) & (k % 7 != 0)).select(
+        k.alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.to_date(F.lit("1996-06-01")).alias("as_of"),
+    )
+    new = cust.filter(k % 11 == 0).select(
+        (k + 9_000_000).alias("custkey"),
+        F.lit("STARTUP").alias("mktsegment"),
+        F.to_date(F.lit("1996-06-01")).alias("as_of"),
+    )
+    updates = changed.unionByName(same).unionByName(new)
+    return scd2_apply(v1.unionByName(legacy), updates, keys=["custkey"])
+
+
+SCD2_CUSTOMER_HISTORY_SQL = """
+WITH v1 AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+         DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+), legacy AS (
+  SELECT c_custkey AS custkey, 'LEGACY' AS mktsegment,
+         DATE '1990-01-01' AS valid_from, DATE '1992-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 5 = 0
+), upd AS (
+  SELECT c_custkey AS custkey, 'RELOCATED' AS mktsegment,
+         DATE '1996-06-01' AS as_of
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, DATE '1996-06-01'
+  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 9000000, 'STARTUP', DATE '1996-06-01'
+  FROM customer WHERE c_custkey % 11 = 0
+), j AS (
+  SELECT coalesce(c.custkey, u.custkey) AS custkey,
+         c.mktsegment AS cur_seg, c.valid_from AS cur_from,
+         u.mktsegment AS upd_seg, u.as_of,
+         c.custkey IS NOT NULL AS has_cur, u.custkey IS NOT NULL AS has_upd,
+         u.mktsegment IS DISTINCT FROM c.mktsegment AS changed
+  FROM v1 c FULL OUTER JOIN upd u ON c.custkey = u.custkey
+)
+SELECT custkey, mktsegment, valid_from, valid_to FROM legacy
+UNION ALL
+SELECT custkey, cur_seg, cur_from, CAST(NULL AS DATE)
+FROM j WHERE has_cur AND (NOT has_upd OR NOT changed)
+UNION ALL
+SELECT custkey, cur_seg, cur_from, as_of
+FROM j WHERE has_cur AND has_upd AND changed
+UNION ALL
+SELECT custkey, upd_seg, as_of, CAST(NULL AS DATE)
+FROM j WHERE has_upd AND (NOT has_cur OR changed)
+"""
+
+
+# ---------------------------------------------------------------------------
+# fk_integrity_audit — referential-integrity report across the star schema
+# (dbt's `relationships` test as a first-class operator): per FK edge,
+# child rows vs orphans (child keys with no parent).  One left join +
+# conditional count per edge, unioned; nation-sized parents broadcast,
+# fact-sized parents shuffle on the key — the honest 100-TB plan (a
+# bloom-filter prefilter is the optimization seam, not a different
+# shape).  The TPC-H edges are clean by construction, so a deliberately
+# stale parent snapshot (customers with c_custkey % 3 <> 0, i.e. a
+# partial dim load) contributes a non-zero orphan count — an all-zero
+# report would not prove the counting logic (same fixture principle as
+# dq_summary).
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+
+    def audit(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        p = parent.select(F.col(pkey).alias("_pk")).distinct()
+        return (
+            child.select(F.col(ckey).alias("_ck"))
+            .join(p, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(F.col("_pk").isNull(), 1)).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk_relation"), "n_child_rows", "n_orphans")
+        )
+
+    stale_cust = t["customer"].filter(F.col("c_custkey") % 3 != 0)
+    return (
+        audit("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+              t["orders"], "o_orderkey")
+        .unionByName(audit("orders.o_custkey->customer", t["orders"], "o_custkey",
+                           t["customer"], "c_custkey"))
+        .unionByName(audit("orders.o_custkey->customer(stale_snapshot)",
+                           t["orders"], "o_custkey", stale_cust, "c_custkey"))
+        .unionByName(audit("customer.c_nationkey->nation", t["customer"],
+                           "c_nationkey", t["nation"], "n_nationkey"))
+        .unionByName(audit("supplier.s_nationkey->nation", t["supplier"],
+                           "s_nationkey", t["nation"], "n_nationkey"))
+    )
+
+
+FK_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_relation,
+       count(*) AS n_child_rows,
+       count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*),
+       count(*) FILTER (WHERE c.c_custkey IS NULL)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'orders.o_custkey->customer(stale_snapshot)', count(*),
+       count(*) FILTER (WHERE c.c_custkey IS NULL)
+FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation', count(*),
+       count(*) FILTER (WHERE n.n_nationkey IS NULL)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', count(*),
+       count(*) FILTER (WHERE n.n_nationkey IS NULL)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
 QUERIES = {
     "dq_summary": dq_summary,
     "events_rollup_incremental": events_rollup_incremental,
     "dim_merge_upsert": dim_merge_upsert,
+    "scd2_customer_history": scd2_customer_history,
+    "fk_integrity_audit": fk_integrity_audit,
     "column_profile_orders": column_profile_orders,
 }
 
@@ -267,5 +425,7 @@ ORACLES = {
     "dq_summary": DQ_SUMMARY_SQL,
     "events_rollup_incremental": EVENTS_ROLLUP_INCREMENTAL_SQL,
     "dim_merge_upsert": DIM_MERGE_UPSERT_SQL,
+    "scd2_customer_history": SCD2_CUSTOMER_HISTORY_SQL,
+    "fk_integrity_audit": FK_INTEGRITY_AUDIT_SQL,
     "column_profile_orders": COLUMN_PROFILE_ORDERS_SQL,
 }
