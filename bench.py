@@ -187,6 +187,7 @@ HEADLINE = [
     "minhash_recall_report",
     "ann_ivf_incremental",
     "scd2_customer_history",
+    "scd2_order_priority_history",
     "fk_integrity_audit",
 ]
 

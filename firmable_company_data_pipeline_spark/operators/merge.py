@@ -217,3 +217,51 @@ def rollup_merge(
             raise ValueError(f"unsupported combiner {how!r} for {c!r}")
         out_metrics.append(merged.alias(c))
     return b.join(d, cond, "full_outer").select(*out_keys, *out_metrics)
+
+
+def scd2_rebuild(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Build the FULL SCD2 history from a change feed — the initial-load
+    twin of :func:`scd2_apply` (which folds one delta batch into an
+    existing dimension).
+
+    ``changes``: at most one observation per (keys, ts_col) — pre-
+    aggregate upstream if the feed is finer-grained.  Consecutive
+    observations with identical ``value_cols`` compact into a single
+    validity range; ``valid_to`` is the next change's timestamp (NULL =
+    current version).
+
+    Plan: one shuffle on ``keys``, then two window passes over that same
+    partitioning (lag for change detection, lead over the compacted set
+    for ``valid_to``) — both windows are bounded by a single key's
+    history, never corpus-wide, and Catalyst reuses the one exchange.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    value_cols = list(value_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    # lag(ts) is NULL exactly on each key's first observation (ts is
+    # non-null by contract); eqNullSafe alone would wrongly drop a
+    # first row whose values are all NULL.
+    is_first = F.lag(ts_col).over(w).isNull()
+    same_as_prev = F.lit(True)
+    for c in value_cols:
+        same_as_prev = same_as_prev & F.lag(c).over(w).eqNullSafe(F.col(c))
+    compacted = (
+        changes.withColumn("_keep", is_first | ~same_as_prev)
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
+    return compacted.select(
+        *keys,
+        *value_cols,
+        F.col(ts_col).alias(valid_from),
+        F.lead(ts_col).over(w).alias(valid_to),
+    )

@@ -21,15 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS_r04.json exactly).  Round-7 head, in order: the 4 queries
 # round 7 ADDED (dedup_clusters_incremental2, the two-step fold chain;
 # dedup_keep_best; minhash_recall_report; ann_ivf_incremental;
-# scd2_customer_history; fk_integrity_audit — the last five landed in
-# the late-round session), the 5 queries
+# scd2_customer_history; scd2_order_priority_history;
+# fk_integrity_audit — the last six landed in the late-round
+# session), the 5 queries
 # whose PLANS round 7 changed (the CC family — delta-local
 # incremental_components, the lazy-checkpoint/seeded-signature _cc_star,
 # the raising propagation loop — plus doc_length_deciles' persisted cum
 # table; their r6 green rows cover the old plans, not these), the 4
 # remaining stale-evidence queries the r6 verdict named as rotation
 # candidates (last green r1-r3 on unchanged implementations), the 6
-# other queries whose newest evidence is r3, then 29 r4-evidence
+# other queries whose newest evidence is r3, then 28 r4-evidence
 # queries (alphabetical; implementations unchanged since their green
 # rows) — exactly 50.  Every query outside the window carries a green
 # driver row from an EARLIER round on its current implementation, and
@@ -38,12 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 # registration order appends them after the head, and their relative
 # order is immaterial to the gate.
 _DRIVER_WINDOW_PRIORITY = (
-    # -- new in round 7 (6) --
+    # -- new in round 7 (7) --
     "dedup_clusters_incremental2",
     "dedup_keep_best",
     "minhash_recall_report",
     "ann_ivf_incremental",
     "scd2_customer_history",
+    "scd2_order_priority_history",
     "fk_integrity_audit",
     # -- plans changed in round 7 (5) --
     "dedup_clusters_incremental",
@@ -63,7 +65,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "events_tumbling_1h",
     "label_centroids",
     "multimodal_features",
-    # -- r4 evidence, unchanged since (34) --
+    # -- r4 evidence, unchanged since (28) --
     "asof_purchase_attribution",
     "bigram_surprise_score",
     "bpe_tokenize_stats",
@@ -92,11 +94,10 @@ _DRIVER_WINDOW_PRIORITY = (
     "hybrid_search_rrf",
     "incremental_distinct_users",
     "jsonld_flatten",
-    "large_orders",
-    # (match_phonetic_blocked / match_quality_report / media_frame_plan /
-    # media_phash_dups / media_resize_checksum rotated out to make room
-    # for the five late-round-7 additions above; their green driver rows
-    # from r4 stand on unchanged plans.)
+    # (large_orders / match_phonetic_blocked / match_quality_report /
+    # media_frame_plan / media_phash_dups / media_resize_checksum rotated
+    # out to make room for the six late-round-7 additions above; their
+    # green driver rows from r4 stand on unchanged plans.)
 )
 
 

@@ -344,6 +344,47 @@ FROM j WHERE has_upd AND (NOT has_cur OR changed)
 
 
 # ---------------------------------------------------------------------------
+# scd2_order_priority_history — the INITIAL-LOAD twin of the SCD2 merge:
+# operators/merge.scd2_rebuild compacts a change feed into full validity
+# history.  Feed = one observation per (customer, order date) — the max
+# order priority that day; consecutive identical observations collapse
+# into one range, valid_to = next change (NULL = current).  One shuffle
+# on custkey + two per-key-bounded window passes over the same exchange.
+def scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.merge import scd2_rebuild
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    feed = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("obs_date"),
+    ).agg(F.max("o_orderpriority").alias("priority"))
+    return scd2_rebuild(
+        feed, keys=["custkey"], ts_col="obs_date", value_cols=["priority"]
+    )
+
+
+SCD2_ORDER_PRIORITY_HISTORY_SQL = """
+WITH feed AS (
+  SELECT o_custkey AS custkey, o_orderdate AS obs_date,
+         max(o_orderpriority) AS priority
+  FROM orders GROUP BY 1, 2
+), flagged AS (
+  SELECT custkey, obs_date, priority,
+         lag(obs_date) OVER w IS NULL AS is_first,
+         lag(priority) OVER w IS NOT DISTINCT FROM priority AS same_as_prev
+  FROM feed
+  WINDOW w AS (PARTITION BY custkey ORDER BY obs_date)
+), compacted AS (
+  SELECT custkey, obs_date, priority FROM flagged
+  WHERE is_first OR NOT same_as_prev
+)
+SELECT custkey, priority, obs_date AS valid_from,
+       lead(obs_date) OVER (PARTITION BY custkey ORDER BY obs_date) AS valid_to
+FROM compacted
+"""
+
+
+# ---------------------------------------------------------------------------
 # fk_integrity_audit — referential-integrity report across the star schema
 # (dbt's `relationships` test as a first-class operator): per FK edge,
 # child rows vs orphans (child keys with no parent).  One left join +
@@ -417,6 +458,7 @@ QUERIES = {
     "events_rollup_incremental": events_rollup_incremental,
     "dim_merge_upsert": dim_merge_upsert,
     "scd2_customer_history": scd2_customer_history,
+    "scd2_order_priority_history": scd2_order_priority_history,
     "fk_integrity_audit": fk_integrity_audit,
     "column_profile_orders": column_profile_orders,
 }
@@ -426,6 +468,7 @@ ORACLES = {
     "events_rollup_incremental": EVENTS_ROLLUP_INCREMENTAL_SQL,
     "dim_merge_upsert": DIM_MERGE_UPSERT_SQL,
     "scd2_customer_history": SCD2_CUSTOMER_HISTORY_SQL,
+    "scd2_order_priority_history": SCD2_ORDER_PRIORITY_HISTORY_SQL,
     "fk_integrity_audit": FK_INTEGRITY_AUDIT_SQL,
     "column_profile_orders": COLUMN_PROFILE_ORDERS_SQL,
 }

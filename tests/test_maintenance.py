@@ -260,3 +260,32 @@ def test_rollup_merge_equals_full_recompute(spark):
 
     with _pytest.raises(ValueError):
         rollup_merge(base, delta, keys=["k"], metrics={"n_rows": "avg"})
+
+
+def test_scd2_rebuild_compacts_change_feed(spark):
+    from firmable_company_data_pipeline_spark.operators.merge import scd2_rebuild
+
+    feed = spark.createDataFrame(
+        [
+            # k1: A, A (compact), B, B (compact), A again (new range)
+            ("k1", 1, "A"), ("k1", 2, "A"), ("k1", 3, "B"),
+            ("k1", 4, "B"), ("k1", 5, "A"),
+            # k2: single observation -> one open range
+            ("k2", 7, "X"),
+            # k3: first observation has a NULL value (the eqNullSafe trap)
+            ("k3", 1, None), ("k3", 2, None), ("k3", 3, "Y"),
+        ],
+        "k string, ts int, v string",
+    )
+    out = {
+        (r["k"], r["valid_from"]): (r["v"], r["valid_to"])
+        for r in scd2_rebuild(feed, ["k"], "ts", ["v"]).collect()
+    }
+    assert out == {
+        ("k1", 1): ("A", 3),
+        ("k1", 3): ("B", 5),
+        ("k1", 5): ("A", None),
+        ("k2", 7): ("X", None),
+        ("k3", 1): (None, 3),   # NULL-valued first row kept, NULL run compacted
+        ("k3", 3): ("Y", None),
+    }
