@@ -620,3 +620,67 @@ def compact_rollup(spark, target_dir: str) -> None:
     for d in os.listdir(target_dir):
         if d.startswith("compacted=") and d != manifest["base"]:
             shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+
+
+def streaming_scd2_dimension(
+    changes: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    as_of_col: str = "as_of",
+    checkpoint: str | None = None,
+):
+    """``foreachBatch`` SCD TYPE-2 dimension maintenance from a change
+    stream: each micro-batch is compacted to its latest observation per
+    key (``max_by`` on ``as_of_col`` — intra-batch intermediate versions
+    collapse, the standard micro-batch SCD2 semantics) and folded into
+    the stored dimension with :func:`operators.merge.scd2_apply` (close
+    + open changed keys, insert new ones, pass everything else through).
+
+    Replay safety comes from scd2_apply's own idempotence: re-applying a
+    batch whose attribute values already match the open rows classifies
+    every key as unchanged, so an at-least-once redelivery is a no-op.
+    The parquet target uses the same staging-then-overwrite sequence as
+    :func:`foreach_batch_upsert` (with a Delta/Iceberg target this
+    becomes a transactional MERGE; the mid-overwrite crash window is the
+    parquet sink's documented limitation).  At 100 TB, partition the
+    dimension on ``valid_to IS NULL`` so each fold rewrites only the
+    current partition — closed history is append-only.
+    """
+    from firmable_company_data_pipeline_spark.operators.merge import scd2_apply
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        spark = batch_df.sparkSession
+        value_cols = [
+            c for c in batch_df.columns if c not in (*keys, as_of_col)
+        ]
+        latest = (
+            batch_df.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*value_cols, as_of_col), F.col(as_of_col)
+                ).alias("_s")
+            )
+            .select(*keys, "_s.*")
+        )
+        if os.path.exists(target_dir):
+            dim = spark.read.parquet(target_dir)
+        else:
+            as_of_type = dict(latest.dtypes)[as_of_col]
+            dim = latest.select(
+                *keys,
+                *value_cols,
+                F.col(as_of_col).alias("valid_from"),
+                F.lit(None).cast(as_of_type).alias("valid_to"),
+            ).limit(0)
+        merged = scd2_apply(dim, latest, keys, as_of_col=as_of_col)
+        tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    writer = changes.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -428,3 +428,53 @@ def test_incremental_fold_chain_matches_union_find(spark, edges):
     labels = dd.incremental_components(labels.persist(), dfs[2])
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=9),   # ts (deduped below)
+            st.sampled_from(["A", "B", None]),       # value (nullable)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_rebuild_matches_python_oracle(spark, rows):
+    """scd2_rebuild vs a pure-Python fold: same compaction, same
+    validity chaining, for arbitrary feeds including NULL values."""
+    from firmable_company_data_pipeline_spark.operators.merge import scd2_rebuild
+
+    # enforce the operator's contract: one observation per (key, ts)
+    feed = {}
+    for k, ts, v in rows:
+        feed[(k, ts)] = v
+    data = [(k, ts, v) for (k, ts), v in sorted(feed.items())]
+
+    def oracle():
+        out = []
+        by_key: dict = {}
+        for k, ts, v in data:
+            by_key.setdefault(k, []).append((ts, v))
+        for k, obs in by_key.items():
+            obs.sort()
+            compacted = []
+            for ts, v in obs:
+                if not compacted or compacted[-1][1] != v:
+                    compacted.append((ts, v))
+            for i, (ts, v) in enumerate(compacted):
+                nxt = compacted[i + 1][0] if i + 1 < len(compacted) else None
+                out.append((k, v, ts, nxt))
+        return sorted(out, key=lambda r: (r[0], r[2]))
+
+    df = spark.createDataFrame(data, "k int, ts int, v string")
+    got = sorted(
+        (
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in scd2_rebuild(df, ["k"], "ts", ["v"]).collect()
+        ),
+        key=lambda r: (r[0], r[2]),
+    )
+    assert got == oracle()

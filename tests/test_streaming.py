@@ -565,3 +565,68 @@ def test_label_manifest_repair(tmp_path):
     write_manifest(2)
     jobs._repair_label_manifest(d, batch_id=3, prev_gens=[1, 2])
     assert manifest() == 2
+
+
+def test_streaming_scd2_dimension_matches_batch_rebuild(spark, tmp_path):
+    """Three change-feed micro-batches (one observation per key per
+    batch, ts-ordered) folded through streaming_scd2_dimension must
+    produce exactly the history scd2_rebuild derives from the full feed
+    in one pass; redelivering the final batch must be a no-op."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators.merge import scd2_rebuild
+
+    days = [
+        [(1, 10, "A"), (2, 10, "X")],           # day 10: both keys appear
+        [(1, 20, "A"), (2, 20, "Y"), (3, 20, "P")],  # k1 unchanged, k2 changes, k3 new
+        [(1, 30, "B"), (2, 30, "Y")],           # k1 changes, k2 unchanged
+    ]
+    src = str(tmp_path / "scd2_src")
+    for chunk in days:
+        spark.createDataFrame(chunk, "custkey int, as_of int, seg string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema("custkey int, as_of int, seg string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dim_dir = str(tmp_path / "scd2_dim")
+    q = jobs.streaming_scd2_dimension(
+        stream, dim_dir, keys=["custkey"], checkpoint=str(tmp_path / "scd2_ckpt")
+    )
+    _drain(q)
+
+    feed = spark.createDataFrame(
+        [r for chunk in days for r in chunk], "custkey int, obs int, seg string"
+    )
+    want = _rows(
+        scd2_rebuild(feed, ["custkey"], "obs", ["seg"]),
+        ["custkey", "seg", "valid_from", "valid_to"],
+    )
+    got = _rows(
+        spark.read.parquet(dim_dir), ["custkey", "seg", "valid_from", "valid_to"]
+    )
+    assert got == want
+
+    # at-least-once redelivery of the newest batch is a no-op (fresh
+    # checkpoint, source holding only the final chunk)
+    redeliver_src = str(tmp_path / "scd2_redeliver")
+    spark.createDataFrame(
+        days[-1], "custkey int, as_of int, seg string"
+    ).coalesce(1).write.mode("append").parquet(redeliver_src)
+    q2 = jobs.streaming_scd2_dimension(
+        spark.readStream.schema("custkey int, as_of int, seg string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(redeliver_src),
+        dim_dir,
+        keys=["custkey"],
+        checkpoint=str(tmp_path / "scd2_ckpt2"),
+    )
+    _drain(q2)
+    assert (
+        _rows(spark.read.parquet(dim_dir), ["custkey", "seg", "valid_from", "valid_to"])
+        == want
+    )
