@@ -189,6 +189,7 @@ HEADLINE = [
     "scd2_customer_history",
     "scd2_order_priority_history",
     "fk_integrity_audit",
+    "leakage_safe_split",
 ]
 
 

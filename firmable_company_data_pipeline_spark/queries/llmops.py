@@ -621,6 +621,81 @@ FROM labels JOIN documents USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# leakage_safe_split — train/val/test assignment at the near-dup-CLUSTER
+# grain: hashing per-document (train_split_stratified) can put two
+# near-duplicates on opposite sides of the split, leaking training
+# content into eval — the classic contamination bug dedup exists to
+# prevent.  Split unit = CC cluster id (singletons fall back to their
+# own doc_id via the left join), bucket = the standard fold-hash of the
+# unit id mod 100 with the shared 80/10/10 cut points, so every member
+# of a cluster lands on the same side by construction.  Plan: the
+# audited pair+CC sub-plans + one left join + a pure projection (the
+# split itself adds zero shuffles).
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.functions.textstats import (
+        char_fold_hash,
+    )
+    from firmable_company_data_pipeline_spark.operators.curation import (
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8)
+    labels = dd.connected_components(pairs, deep_graphs=True)
+    unit = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = char_fold_hash(unit.cast("string")) % 100
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            unit.alias("unit_id"),
+            bucket.alias("bucket"),
+            F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+            .when(bucket < SPLIT_VAL, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+jpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b, id_a FROM jpairs
+),
+walk(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+),
+labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src),
+assigned AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS unit_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, unit_id,
+       {_fold("unit_id::VARCHAR")} % 100 AS bucket,
+       CASE WHEN {_fold("unit_id::VARCHAR")} % 100 < 80 THEN 'train'
+            WHEN {_fold("unit_id::VARCHAR")} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_embedding_cosine — exact pairwise cosine near-dups (≥ 0.45).
 _DOT = (
     "list_reduce(list_prepend(0.0::DOUBLE, "
@@ -1372,6 +1447,7 @@ QUERIES = {
     "dedup_clusters_incremental2": dedup_clusters_incremental2,
     "dedup_keep_best": dedup_keep_best,
     "minhash_recall_report": minhash_recall_report,
+    "leakage_safe_split": leakage_safe_split,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1408,6 +1484,7 @@ ORACLES = {
     "dedup_clusters_incremental2": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "minhash_recall_report": MINHASH_RECALL_REPORT_SQL,
+    "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,

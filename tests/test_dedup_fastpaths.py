@@ -360,3 +360,21 @@ def test_minhash_recall_report_bounds(spark):
     # superset-biased screen, so recall should be high on this corpus
     if r["n_truth"]:
         assert r["pair_recall"] >= 0.8
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup cluster must land entirely on one side of the
+    split, and every document must be assigned exactly once."""
+    from firmable_company_data_pipeline_spark.queries.llmops import leakage_safe_split
+
+    rows = leakage_safe_split(spark, "/root/testdata/sf0.001").collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    by_unit: dict = {}
+    for r in rows:
+        by_unit.setdefault(r["unit_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_unit.values())
+    # multi-doc units exist in the fixture (otherwise the property is vacuous)
+    from collections import Counter
+    unit_sizes = Counter(r["unit_id"] for r in rows)
+    assert any(n > 1 for n in unit_sizes.values())
