@@ -684,3 +684,63 @@ def streaming_scd2_dimension(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_ivf_index(
+    vectors: DataFrame,
+    index_dir: str,
+    centroids_dir: str,
+    checkpoint: str | None = None,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming IVF index maintenance — the Structured-Streaming
+    composition of ``operators/similarity_search.ivf_assign``: each
+    embedding micro-batch is assigned to its nearest FROZEN centroid
+    cell (a map-only broadcast cross-score — no previously indexed
+    vector is touched, the same never-reindex contract as the signature
+    index in :func:`streaming_minhash_dedup`) and appended to the
+    parquet index at ``index_dir/batch_id=N``.
+
+    Centroids freeze on the FIRST batch: the n_cells lowest-id vectors
+    of that batch are written to ``centroids_dir`` once and every later
+    batch reads them back (a production deployment would train them
+    once with ``kmeans_centroids`` and publish the same way; frozen
+    centroids are what make delta assignment equal a full rebuild —
+    drifted centroids require an explicit reindex, which this job
+    deliberately never performs).  Batch-keyed overwrite makes a
+    checkpoint replay rewrite its own partition.  ``read_ivf_index``
+    unions the partitions; searching is ``ivf_search`` over that union
+    with the same frozen centroids.
+    """
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        default_centroids,
+        ivf_assign,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.exists(centroids_dir):
+            default_centroids(
+                batch_df, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+            ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
+        cents = spark.read.parquet(centroids_dir)
+        ivf_assign(batch_df, cents, id_col=id_col, vec_col=vec_col).write.mode(
+            "overwrite"
+        ).parquet(index_dir.rstrip("/") + f"/batch_id={batch_id}")
+
+    writer = vectors.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_ivf_index(spark, index_dir: str) -> DataFrame:
+    """Union every batch partition of a :func:`streaming_ivf_index`
+    target (partition discovery) and drop the partition key — the
+    result has exactly :func:`ivf_assign`'s (neighbor_id, cell, cv, cn)
+    schema, ready for ``ivf_search``."""
+    return spark.read.option("basePath", index_dir).parquet(index_dir).drop(
+        "batch_id"
+    )

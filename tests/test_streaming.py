@@ -630,3 +630,54 @@ def test_streaming_scd2_dimension_matches_batch_rebuild(spark, tmp_path):
         _rows(spark.read.parquet(dim_dir), ["custkey", "seg", "valid_from", "valid_to"])
         == want
     )
+
+
+def test_streaming_ivf_index_matches_batch_build(spark, sf_dir, tmp_path):
+    """Two embedding micro-batches through streaming_ivf_index, searched
+    with the frozen centroids, must return exactly what a batch
+    ivf_topk over the full corpus returns (the first batch carries the
+    globally lowest ids, so its frozen centroids equal the batch
+    build's deterministic centroid set)."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "vec_src")
+    emb.filter(F.col("vec_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    emb.filter(F.col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_dir = str(tmp_path / "ivf_index")
+    cents_dir = str(tmp_path / "ivf_cents")
+    q = jobs.streaming_ivf_index(
+        stream, index_dir, cents_dir, checkpoint=str(tmp_path / "ivf_ckpt")
+    )
+    _drain(q)
+
+    cents = spark.read.parquet(cents_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = _rows(
+        ivf_search(jobs.read_ivf_index(spark, index_dir), queries, cents,
+                   k=10, nprobe=2),
+        ["query_id", "neighbor_id", "cos_sim", "rank"],
+    )
+    want = _rows(
+        ivf_topk(queries, emb, k=10, n_cells=8, nprobe=2),
+        ["query_id", "neighbor_id", "cos_sim", "rank"],
+    )
+    assert got == want
+    # index holds every vector exactly once across batch partitions
+    idx = jobs.read_ivf_index(spark, index_dir)
+    assert idx.count() == emb.count()
+    assert idx.select("neighbor_id").distinct().count() == emb.count()
