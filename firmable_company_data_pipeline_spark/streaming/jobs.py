@@ -655,11 +655,16 @@ def streaming_scd2_dimension(
         value_cols = [
             c for c in batch_df.columns if c not in (*keys, as_of_col)
         ]
+        # max_by ordered by (as_of, values): two same-timestamp
+        # observations of one key tie-break on the value tuple instead
+        # of by partition order — the fold stays deterministic under
+        # replay and repartitioning.
         latest = (
             batch_df.groupBy(*keys)
             .agg(
                 F.max_by(
-                    F.struct(*value_cols, as_of_col), F.col(as_of_col)
+                    F.struct(*value_cols, as_of_col),
+                    F.struct(F.col(as_of_col), *[F.col(c) for c in value_cols]),
                 ).alias("_s")
             )
             .select(*keys, "_s.*")

@@ -99,6 +99,25 @@ SHOWCASE = [
         " a contribution hash-agg.",
     ),
     (
+        "dedup_keep_best",
+        "Canonical-survivor selection: CC labels join the quality column"
+        " once, then a single row_number window PARTITIONED BY cluster_id"
+        " — bounded by the largest cluster, never a global sort.",
+    ),
+    (
+        "ann_ivf_incremental",
+        "IVF delta upsert: both assignment subtrees are map-only"
+        " broadcast cross-scores against the frozen 8-row centroid set;"
+        " the union IS the index — no previously assigned vector is"
+        " rescanned, and search joins probes to cells.",
+    ),
+    (
+        "leakage_safe_split",
+        "Cluster-grain split: the fold-hash bucket and split verdict are"
+        " a pure projection over labels left-joined to the corpus — the"
+        " split adds ZERO exchanges beyond the audited pair+CC subplans.",
+    ),
+    (
         "salted_user_event_stats",
         "Skew-salted join: the join keys include _salt, no broadcast —"
         " each hot user spreads over 8 reducers; results identical to the"
