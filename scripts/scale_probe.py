@@ -66,6 +66,10 @@ PROBE_QUERIES = {
     "ann": ["ann_lsh_bucketed", "ann_ivf", "ann_quantized"],
     "graph": ["pagerank_neardup", "copurchase_triangles"],
     "cms": ["term_cms_heavy_hitters", "cms_contamination_probe"],
+    # round-7 late additions that compose the heavy CC/pair subplans
+    # (the rest of that batch — SCD2, FK audit, recall report — is
+    # plain join/window/agg shapes the TPC-H families already probe)
+    "dedup_lifecycle": ["dedup_keep_best", "leakage_safe_split"],
 }
 
 
