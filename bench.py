@@ -190,6 +190,7 @@ HEADLINE = [
     "scd2_order_priority_history",
     "fk_integrity_audit",
     "leakage_safe_split",
+    "value_quantile_sketch",
 ]
 
 

@@ -94,3 +94,40 @@ def cms_lookup(keys: DataFrame, sketch: DataFrame, h_col: str = "h") -> DataFram
         .groupBy(*group_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin value histogram — the quantile member of the mergeable-sketch
+# family (CMS = heavy hitters, HLL = distinct, this = rank/quantile).
+# Bin edges are DATA-INDEPENDENT constants, which is what makes partials
+# add across partitions/batches (`hist_partial` + `hist_merge`, the same
+# contract as cms_partial/cms_merge) and the streaming refresh possible
+# (`streaming/jobs.streaming_histogram_refresh`).  A quantile estimate
+# reads the cumulative bin counts (HIST_BINS rows, constant) and is off
+# by at most one bin width — the error contract `value_quantile_sketch`
+# materializes against the exact distributed quantile.
+
+HIST_LO, HIST_WIDTH, HIST_BINS = 0.0, 2.0, 256
+
+
+def hist_bin(value: F.Column) -> F.Column:
+    """Clamped fixed-width bin index of a double value.  Pure IEEE
+    arithmetic on the stored double, so DuckDB reproduces every index
+    bit-for-bit from the same parquet."""
+    raw = F.floor((value - F.lit(HIST_LO)) / F.lit(HIST_WIDTH)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(HIST_BINS - 1))
+
+
+def hist_partial(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """(bin, cnt) counters for one value stream — map-side/per-batch
+    build, ≤ HIST_BINS output rows regardless of input size."""
+    return (
+        df.select(hist_bin(F.col(value_col)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(partials: DataFrame) -> DataFrame:
+    """Fold any union of partial histograms — counters add."""
+    return partials.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))

@@ -532,6 +532,109 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# value_quantile_sketch — the quantile member of the mergeable-sketch
+# family (CMS = heavy hitters, HLL = distinct): a constant-size fixed-bin
+# histogram (operators/sketches.hist_partial, ≤ HIST_BINS counter rows,
+# partials add across partitions/batches — streaming twin:
+# streaming/jobs.streaming_histogram_refresh) against the EXACT
+# distributed quantile computed the doc_length_deciles way — cum window
+# over DISTINCT values only (bounded by the value domain, ~50k rows at
+# 2-decimal values — never a data-sized single reducer).  The exact
+# quantile rule is explicit in both engines (min value whose cumulative
+# count reaches ceil(q·N)) rather than an engine's percentile variant,
+# so the two sides are bit-comparable.  `within_bin` pins that the
+# sketch's bin is exactly the bin containing the true quantile — the
+# ≤ one-bin-width error contract, provable from the cum construction
+# and checked per row.
+_HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    targets = F.broadcast(
+        spark.createDataFrame([(q,) for q in _HIST_QS], "q double")
+        .crossJoin(F.broadcast(total))
+        .select("q", "n", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"))
+    )
+    # exact side: per-value hash-agg, cum window over distinct values
+    vals = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vals.withColumn("cum", F.sum("cnt").over(wv))
+    exact = (
+        vcum.join(targets, F.col("cum") >= F.col("target"))
+        .groupBy("q", "n")
+        .agg(F.min("value").alias("exact_value"))
+    )
+    # sketch side: constant-size bin counters, cum over ≤ HIST_BINS rows
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = sk.hist_partial(ev).withColumn("cum", F.sum("cnt").over(wb))
+    est = (
+        bcum.join(targets, F.col("cum") >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    lo, w = sk.HIST_LO, sk.HIST_WIDTH
+    return (
+        exact.join(est, "q")
+        .select(
+            "q",
+            F.col("n").alias("n_events"),
+            F.round("exact_value", 2).alias("exact_value"),
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("est_value"),
+            (
+                (F.col("exact_value") >= F.lit(lo) + F.col("bin") * F.lit(w))
+                & (F.col("exact_value") < F.lit(lo) + (F.col("bin") + 1) * F.lit(w))
+            ).alias("within_bin"),
+        )
+    )
+
+
+_VQS_QS_SQL = ", ".join(f"({q!r})" for q in _HIST_QS)
+
+VALUE_QUANTILE_SKETCH_SQL = f"""
+WITH totals AS (SELECT count(*) AS n FROM events),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {_VQS_QS_SQL}) t(q)),
+targets AS (SELECT q, n, CAST(ceil(q * n) AS BIGINT) AS target FROM qs, totals),
+vals AS (SELECT value, count(*) AS cnt FROM events GROUP BY 1),
+vcum AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM vals),
+exact AS (
+  SELECT t.q, t.n, min(v.value) AS exact_value
+  FROM targets t JOIN vcum v ON v.cum >= t.target GROUP BY 1, 2
+),
+bins AS (
+  SELECT least(greatest(CAST(floor((value - {{lo}}::DOUBLE) / {{w}}::DOUBLE) AS BIGINT), 0),
+               {{maxbin}}) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+),
+bcum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+est AS (
+  SELECT t.q, min(b.bin) AS bin
+  FROM targets t JOIN bcum b ON b.cum >= t.target GROUP BY 1
+)
+SELECT e.q, e.n AS n_events,
+       round(e.exact_value, 2) AS exact_value,
+       {{lo}}::DOUBLE + est.bin * {{w}}::DOUBLE AS est_value,
+       e.exact_value >= {{lo}}::DOUBLE + est.bin * {{w}}::DOUBLE
+         AND e.exact_value < {{lo}}::DOUBLE + (est.bin + 1) * {{w}}::DOUBLE AS within_bin
+FROM exact e JOIN est ON e.q = est.q
+"""
+
+
+def _vqs_sql() -> str:
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    return VALUE_QUANTILE_SKETCH_SQL.format(
+        lo=repr(sk.HIST_LO), w=repr(sk.HIST_WIDTH), maxbin=sk.HIST_BINS - 1
+    )
+
+
 QUERIES = {
     "term_cms_heavy_hitters": term_cms_heavy_hitters,
     "cms_contamination_probe": cms_contamination_probe,
@@ -542,6 +645,7 @@ QUERIES = {
     "order_price_band_stats": order_price_band_stats,
     "approx_distinct_users": approx_distinct_users,
     "approx_median_value": approx_median_value,
+    "value_quantile_sketch": value_quantile_sketch,
 }
 
 ORACLES = {
@@ -554,4 +658,5 @@ ORACLES = {
     "order_price_band_stats": ORDER_PRICE_BAND_STATS_SQL,
     "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
     "approx_median_value": APPROX_MEDIAN_VALUE_SQL,
+    "value_quantile_sketch": _vqs_sql(),
 }

@@ -749,3 +749,40 @@ def read_ivf_index(spark, index_dir: str) -> DataFrame:
     return spark.read.option("basePath", index_dir).parquet(index_dir).drop(
         "batch_id"
     )
+
+
+def streaming_histogram_refresh(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str | None = None,
+    value_col: str = "value",
+):
+    """Incrementally maintained fixed-bin value histogram — the quantile
+    member of the streaming sketch family (CMS = heavy hitters, HLL =
+    distinct): each micro-batch writes ITS OWN ``batch=<id>`` partial
+    (≤ HIST_BINS rows regardless of batch size); ``read_histogram``
+    folds the partials by summing counters.  History is never
+    rescanned, a replayed batch overwrites its own partition, and the
+    merged histogram is IDENTICAL to a one-pass full build (pinned by
+    the stream-vs-batch test).  Pair with
+    ``queries/scale.value_quantile_sketch`` for the quantile-estimate
+    side and its error contract.
+    """
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        sk.hist_partial(batch_df, value_col).write.mode("overwrite").parquet(
+            target_dir.rstrip("/") + f"/batch={batch_id}"
+        )
+
+    writer = events.writeStream.foreachBatch(refresh).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_histogram(spark, target_dir: str) -> DataFrame:
+    """Merged histogram of a ``streaming_histogram_refresh`` target."""
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    return sk.hist_merge(spark.read.parquet(target_dir + "/batch=*"))

@@ -681,3 +681,31 @@ def test_streaming_ivf_index_matches_batch_build(spark, sf_dir, tmp_path):
     idx = jobs.read_ivf_index(spark, index_dir)
     assert idx.count() == emb.count()
     assert idx.select("neighbor_id").distinct().count() == emb.count()
+
+
+def test_streaming_histogram_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """Per-batch partial histograms summed at read must equal the
+    one-pass full build counter-for-counter — the mergeability
+    contract of the fixed-bin quantile sketch."""
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+    from firmable_company_data_pipeline_spark.session import load_tables as _lt
+
+    ev = _lt(spark, sf_dir, "events")["events"].select("ts", "value")
+    src = str(tmp_path / "hist_src")
+    _write_chunks(ev, src, n_chunks=3)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "hist_target")
+    q = jobs.streaming_histogram_refresh(
+        stream, target, checkpoint=str(tmp_path / "hist_ckpt")
+    )
+    _drain(q)
+
+    got = _rows(jobs.read_histogram(spark, target), ["bin", "cnt"])
+    want = _rows(sk.hist_partial(ev), ["bin", "cnt"])
+    assert got == want
+    assert sum(c for _, c in got) == ev.count()
