@@ -120,9 +120,15 @@ def hist_bin(value: F.Column) -> F.Column:
 
 def hist_partial(df: DataFrame, value_col: str = "value") -> DataFrame:
     """(bin, cnt) counters for one value stream — map-side/per-batch
-    build, ≤ HIST_BINS output rows regardless of input size."""
+    build, ≤ HIST_BINS output rows regardless of input size.
+
+    NULL values are excluded (standard aggregate semantics): without
+    the filter, Spark's greatest/least skip the NULL operand and a
+    NULL value would silently land in bin 0, biasing every quantile
+    low (review r7)."""
     return (
-        df.select(hist_bin(F.col(value_col)).alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(hist_bin(F.col(value_col)).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from firmable_company_data_pipeline_spark.functions import textstats as ts
 from firmable_company_data_pipeline_spark.operators import dedup as dd
 from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+from firmable_company_data_pipeline_spark.operators.curation import SPLIT_TRAIN, SPLIT_VAL
 from firmable_company_data_pipeline_spark.session import load_tables, spread
 
 # --------------------------------------------------------------------------
@@ -56,6 +57,55 @@ _HS_CTE = f"hs_t AS (SELECT doc_id, list_transform(s, g -> {_fold('g')}) AS hs F
 
 _A_SQL = "[" + ", ".join(str(a) for a in dd.MINHASH_A) + "]"
 _B_SQL = "[" + ", ".join(str(b) for b in dd.MINHASH_B) + "]"
+
+# Shared oracle CTE chains (review r7: these blocks previously existed
+# verbatim in three or more oracle strings each — a constant change or
+# bug fix must land exactly once).  The signature chain composes after
+# {_TOK_CTE}, {_SH_CTE}, {_HS_CTE}; the pair/cluster chain after
+# {_TOK_CTE}, {_SH_CTE} under WITH RECURSIVE.
+_BAND_KEY = " || '|' || ".join(
+    f"sig[b.band*{dd.LSH_ROWS}+{r + 1}]::VARCHAR" for r in range(dd.LSH_ROWS)
+)
+_SIG_BANDS_CTES = f"""sig_t AS (
+  SELECT doc_id AS id,
+         list_transform(range({dd.MINHASH_K}), i ->
+           list_reduce(
+             list_prepend({_MOD}::BIGINT,
+               list_transform(hs, h ->
+                 (list_extract({_A_SQL}, i+1) * h + list_extract({_B_SQL}, i+1)) % {_MOD})),
+             (x, y) -> least(x, y))) AS sig
+  FROM hs_t
+),
+live AS (SELECT * FROM sig_t WHERE sig[1] < {_MOD}),
+bands AS (
+  SELECT id, sig, b.band,
+         {_BAND_KEY} AS bucket
+  FROM live, range({dd.LSH_BANDS}) AS b(band)
+)"""
+_EST_JACCARD = (
+    f"round(len(list_filter(range({dd.MINHASH_K}), i -> sig_a[i+1] = sig_b[i+1]))::DOUBLE"
+    f" / {dd.MINHASH_K}, 6)"
+)
+_EX_JPAIRS_CTES = """ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+jpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
+)"""
+_CLUSTERS_CTES = _EX_JPAIRS_CTES + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b, id_a FROM jpairs
+),
+walk(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+)"""
 
 
 # --------------------------------------------------------------------------
@@ -244,33 +294,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_MINHASH_LSH_SQL = f"""
 WITH {_TOK_CTE}, {_SH_CTE}, {_HS_CTE},
-sig_t AS (
-  SELECT doc_id AS id,
-         list_transform(range({dd.MINHASH_K}), i ->
-           list_reduce(
-             list_prepend({_MOD}::BIGINT,
-               list_transform(hs, h ->
-                 (list_extract({_A_SQL}, i+1) * h + list_extract({_B_SQL}, i+1)) % {_MOD})),
-             (x, y) -> least(x, y))) AS sig
-  FROM hs_t
-),
-live AS (SELECT * FROM sig_t WHERE sig[1] < {_MOD}),
-bands AS (
-  SELECT id, sig, b.band,
-         sig[b.band*{dd.LSH_ROWS}+1]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+2]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+3]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+4]::VARCHAR AS bucket
-  FROM live, range({dd.LSH_BANDS}) AS b(band)
-),
+{_SIG_BANDS_CTES},
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
   FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT id_a, id_b, est_jaccard FROM (
   SELECT id_a, id_b,
-         round(len(list_filter(range({dd.MINHASH_K}), i -> sig_a[i+1] = sig_b[i+1]))::DOUBLE
-               / {dd.MINHASH_K}, 6) AS est_jaccard
+         {_EST_JACCARD} AS est_jaccard
   FROM cand
 ) WHERE est_jaccard >= 0.5
 """
@@ -293,25 +324,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_INCREMENTAL_MINHASH_SQL = f"""
 WITH {_TOK_CTE}, {_SH_CTE}, {_HS_CTE},
-sig_t AS (
-  SELECT doc_id AS id,
-         list_transform(range({dd.MINHASH_K}), i ->
-           list_reduce(
-             list_prepend({_MOD}::BIGINT,
-               list_transform(hs, h ->
-                 (list_extract({_A_SQL}, i+1) * h + list_extract({_B_SQL}, i+1)) % {_MOD})),
-             (x, y) -> least(x, y))) AS sig
-  FROM hs_t
-),
-live AS (SELECT * FROM sig_t WHERE sig[1] < {_MOD}),
-bands AS (
-  SELECT id, sig, b.band,
-         sig[b.band*{dd.LSH_ROWS}+1]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+2]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+3]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+4]::VARCHAR AS bucket
-  FROM live, range({dd.LSH_BANDS}) AS b(band)
-),
+{_SIG_BANDS_CTES},
 cand AS (
   SELECT DISTINCT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b,
                   l.sig AS sig_a, r.sig AS sig_b
@@ -322,8 +335,7 @@ cand AS (
 )
 SELECT id_a, id_b, est_jaccard FROM (
   SELECT id_a, id_b,
-         round(len(list_filter(range({dd.MINHASH_K}), i -> sig_a[i+1] = sig_b[i+1]))::DOUBLE
-               / {dd.MINHASH_K}, 6) AS est_jaccard
+         {_EST_JACCARD} AS est_jaccard
   FROM cand
 ) WHERE est_jaccard >= 0.5
 """
@@ -372,39 +384,11 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_RECALL_REPORT_SQL = f"""
 WITH {_TOK_CTE}, {_SH_CTE}, {_HS_CTE},
-ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-truth AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-           count(*) AS common
-    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2, 3, 4
-  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
-),
-sig_t AS (
-  SELECT doc_id AS id,
-         list_transform(range({dd.MINHASH_K}), i ->
-           list_reduce(
-             list_prepend({_MOD}::BIGINT,
-               list_transform(hs, h ->
-                 (list_extract({_A_SQL}, i+1) * h + list_extract({_B_SQL}, i+1)) % {_MOD})),
-             (x, y) -> least(x, y))) AS sig
-  FROM hs_t
-),
-live AS (SELECT * FROM sig_t WHERE sig[1] < {_MOD}),
-bands AS (
-  SELECT id, sig, b.band,
-         sig[b.band*{dd.LSH_ROWS}+1]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+2]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+3]::VARCHAR || '|' ||
-         sig[b.band*{dd.LSH_ROWS}+4]::VARCHAR AS bucket
-  FROM live, range({dd.LSH_BANDS}) AS b(band)
-),
+{_EX_JPAIRS_CTES},
+{_SIG_BANDS_CTES},
 lsh AS (
   SELECT id_a, id_b FROM (
-    SELECT id_a, id_b,
-           round(len(list_filter(range({dd.MINHASH_K}), i -> sig_a[i+1] = sig_b[i+1]))::DOUBLE
-                 / {dd.MINHASH_K}, 6) AS est_jaccard
+    SELECT id_a, id_b, {_EST_JACCARD} AS est_jaccard
     FROM (
       SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
       FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
@@ -412,9 +396,9 @@ lsh AS (
   ) WHERE est_jaccard >= 0.5
 ),
 agg AS (
-  SELECT (SELECT count(*) FROM truth) AS n_truth,
+  SELECT (SELECT count(*) FROM jpairs) AS n_truth,
          (SELECT count(*) FROM lsh) AS n_candidates,
-         (SELECT count(*) FROM truth JOIN lsh USING (id_a, id_b)) AS n_hit
+         (SELECT count(*) FROM jpairs JOIN lsh USING (id_a, id_b)) AS n_hit
 )
 SELECT n_truth, n_candidates, n_hit,
        round(n_hit::DOUBLE / nullif(n_truth, 0), 6) AS pair_recall,
@@ -542,25 +526,7 @@ def dedup_clusters_incremental2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
-ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-jpairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-           count(*) AS common
-    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2, 3, 4
-  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM jpairs
-  UNION
-  SELECT id_b, id_a FROM jpairs
-),
-walk(src, lbl) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-  UNION
-  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
-)
+{_CLUSTERS_CTES}
 SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src
 """
 
@@ -593,25 +559,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_KEEP_BEST_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
-ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-jpairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-           count(*) AS common
-    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2, 3, 4
-  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM jpairs
-  UNION
-  SELECT id_b, id_a FROM jpairs
-),
-walk(src, lbl) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-  UNION
-  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
-),
+{_CLUSTERS_CTES},
 labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src)
 SELECT doc_id, cluster_id, n_chars,
        row_number() OVER (PARTITION BY cluster_id
@@ -634,10 +582,6 @@ FROM labels JOIN documents USING (doc_id)
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.functions.textstats import (
         char_fold_hash,
-    )
-    from firmable_company_data_pipeline_spark.operators.curation import (
-        SPLIT_TRAIN,
-        SPLIT_VAL,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -662,25 +606,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEAKAGE_SAFE_SPLIT_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
-ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-jpairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-           count(*) AS common
-    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2, 3, 4
-  ) WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM jpairs
-  UNION
-  SELECT id_b, id_a FROM jpairs
-),
-walk(src, lbl) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-  UNION
-  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
-),
+{_CLUSTERS_CTES},
 labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src),
 assigned AS (
   SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS unit_id
@@ -688,8 +614,8 @@ assigned AS (
 )
 SELECT doc_id, unit_id,
        {_fold("unit_id::VARCHAR")} % 100 AS bucket,
-       CASE WHEN {_fold("unit_id::VARCHAR")} % 100 < 80 THEN 'train'
-            WHEN {_fold("unit_id::VARCHAR")} % 100 < 90 THEN 'val'
+       CASE WHEN {_fold("unit_id::VARCHAR")} % 100 < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_fold("unit_id::VARCHAR")} % 100 < {SPLIT_VAL} THEN 'val'
             ELSE 'test' END AS split
 FROM assigned
 """

@@ -403,12 +403,17 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def audit(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
         p = parent.select(F.col(pkey).alias("_pk")).distinct()
+        # a NULL child FK is an optional reference, not a violation
+        # (dbt's relationships test excludes NULLs) — only a NON-NULL
+        # key with no parent counts as an orphan (review r7)
         return (
             child.select(F.col(ckey).alias("_ck"))
             .join(p, F.col("_ck") == F.col("_pk"), "left")
             .agg(
                 F.count(F.lit(1)).alias("n_child_rows"),
-                F.count(F.when(F.col("_pk").isNull(), 1)).alias("n_orphans"),
+                F.count(
+                    F.when(F.col("_ck").isNotNull() & F.col("_pk").isNull(), 1)
+                ).alias("n_orphans"),
             )
             .select(F.lit(name).alias("fk_relation"), "n_child_rows", "n_orphans")
         )
@@ -431,24 +436,25 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 FK_INTEGRITY_AUDIT_SQL = """
 SELECT 'lineitem.l_orderkey->orders' AS fk_relation,
        count(*) AS n_child_rows,
-       count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+       count(*) FILTER (WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+         AS n_orphans
 FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 UNION ALL
 SELECT 'orders.o_custkey->customer', count(*),
-       count(*) FILTER (WHERE c.c_custkey IS NULL)
+       count(*) FILTER (WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 UNION ALL
 SELECT 'orders.o_custkey->customer(stale_snapshot)', count(*),
-       count(*) FILTER (WHERE c.c_custkey IS NULL)
+       count(*) FILTER (WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
 FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
   ON o.o_custkey = c.c_custkey
 UNION ALL
 SELECT 'customer.c_nationkey->nation', count(*),
-       count(*) FILTER (WHERE n.n_nationkey IS NULL)
+       count(*) FILTER (WHERE c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
 FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 UNION ALL
 SELECT 'supplier.s_nationkey->nation', count(*),
-       count(*) FILTER (WHERE n.n_nationkey IS NULL)
+       count(*) FILTER (WHERE s.s_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
 FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
 

@@ -555,7 +555,9 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from firmable_company_data_pipeline_spark.operators import sketches as sk
 
-    ev = _t(spark, sf_dir, "events")["events"]
+    # NULL values excluded on BOTH sides (quantiles are over observed
+    # values; see hist_partial's matching filter — review r7)
+    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("value").isNotNull())
     total = ev.agg(F.count(F.lit(1)).alias("n"))
     targets = F.broadcast(
         spark.createDataFrame([(q,) for q in _HIST_QS], "q double")
@@ -598,10 +600,11 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VQS_QS_SQL = ", ".join(f"({q!r})" for q in _HIST_QS)
 
 VALUE_QUANTILE_SKETCH_SQL = f"""
-WITH totals AS (SELECT count(*) AS n FROM events),
+WITH nn AS (SELECT value FROM events WHERE value IS NOT NULL),
+totals AS (SELECT count(*) AS n FROM nn),
 qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {_VQS_QS_SQL}) t(q)),
 targets AS (SELECT q, n, CAST(ceil(q * n) AS BIGINT) AS target FROM qs, totals),
-vals AS (SELECT value, count(*) AS cnt FROM events GROUP BY 1),
+vals AS (SELECT value, count(*) AS cnt FROM nn GROUP BY 1),
 vcum AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM vals),
 exact AS (
   SELECT t.q, t.n, min(v.value) AS exact_value
@@ -611,7 +614,7 @@ bins AS (
   SELECT least(greatest(CAST(floor((value - {{lo}}::DOUBLE) / {{w}}::DOUBLE) AS BIGINT), 0),
                {{maxbin}}) AS bin,
          count(*) AS cnt
-  FROM events GROUP BY 1
+  FROM nn GROUP BY 1
 ),
 bcum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
 est AS (

@@ -479,10 +479,17 @@ def streaming_cms_refresh(
 
 def read_cms(spark, target_dir: str) -> DataFrame:
     """Merged sketch of a ``streaming_cms_refresh`` target: sum the
-    per-batch counters (the CMS combiner)."""
+    per-batch counters (the CMS combiner).  Zero-batch targets yield an
+    empty counter frame, not PATH_NOT_FOUND (same contract as
+    ``read_histogram`` — an absent key's CMS estimate is exactly 0)."""
+    import glob
+
     from firmable_company_data_pipeline_spark.operators import sketches as sk
 
-    return sk.cms_merge(spark.read.parquet(target_dir + "/batch=*"))
+    base = target_dir.rstrip("/")
+    if not glob.glob(base + "/batch=*"):
+        return spark.createDataFrame([], "d int, bucket bigint, cnt bigint")
+    return sk.cms_merge(spark.read.parquet(base + "/batch=*"))
 
 
 def _batch_rollup(batch_df: DataFrame) -> DataFrame:
@@ -726,7 +733,14 @@ def streaming_ivf_index(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if not os.path.exists(centroids_dir):
+        # freeze-commit marker is the _SUCCESS file, not bare directory
+        # existence: a crash mid-write leaves a directory with only
+        # _temporary/ or a partial part-file, and an existence check
+        # would then either wedge every retry (unreadable parquet) or
+        # silently freeze a short centroid set; an overwrite re-run from
+        # the same first batch is deterministic, so rewriting is the
+        # correct self-heal (review r7)
+        if not os.path.exists(os.path.join(centroids_dir, "_SUCCESS")):
             default_centroids(
                 batch_df, id_col=id_col, vec_col=vec_col, n_cells=n_cells
             ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
@@ -782,7 +796,17 @@ def streaming_histogram_refresh(
 
 
 def read_histogram(spark, target_dir: str) -> DataFrame:
-    """Merged histogram of a ``streaming_histogram_refresh`` target."""
+    """Merged histogram of a ``streaming_histogram_refresh`` target.
+
+    A target that received zero batches (availableNow drained an empty
+    source) has no ``batch=N`` partition — return an empty counter
+    frame instead of raising PATH_NOT_FOUND, so a reader polling before
+    first data sees "no observations yet" (review r7)."""
+    import glob
+
     from firmable_company_data_pipeline_spark.operators import sketches as sk
 
-    return sk.hist_merge(spark.read.parquet(target_dir + "/batch=*"))
+    base = target_dir.rstrip("/")
+    if not glob.glob(base + "/batch=*"):
+        return spark.createDataFrame([], "bin bigint, cnt bigint")
+    return sk.hist_merge(spark.read.parquet(base + "/batch=*"))
