@@ -118,6 +118,13 @@ SHOWCASE = [
         " split adds ZERO exchanges beyond the audited pair+CC subplans.",
     ),
     (
+        "value_quantile_sketch",
+        "Quantile sketch vs exact: the exact side's cum window runs over"
+        " DISTINCT values only (value-domain-bounded), the sketch side"
+        " over 256 constant bins; the 5-row target table broadcasts into"
+        " both range joins.",
+    ),
+    (
         "salted_user_event_stats",
         "Skew-salted join: the join keys include _salt, no broadcast —"
         " each hot user spreads over 8 reducers; results identical to the"
