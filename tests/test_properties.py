@@ -478,3 +478,73 @@ def test_scd2_rebuild_matches_python_oracle(spark, rows):
         key=lambda r: (r[0], r[2]),
     )
     assert got == oracle()
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(min_value=-50.0, max_value=600.0, allow_nan=False, width=64),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+def test_hist_partials_merge_to_full_build(spark, vals, cut):
+    """hist_merge(partial(A) ∪ partial(B)) == partial(A ∪ B) for any
+    split — the mergeability contract the streaming refresh relies on;
+    out-of-range values clamp into the edge bins, never disappear."""
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    cut = min(cut, len(vals))
+    mk = lambda rows: spark.createDataFrame(
+        [(float(v),) for v in rows], "value double"
+    )
+    full = {(r["bin"], r["cnt"]) for r in sk.hist_partial(mk(vals)).collect()}
+    merged = {
+        (r["bin"], r["cnt"])
+        for r in sk.hist_merge(
+            sk.hist_partial(mk(vals[:cut])).unionByName(
+                sk.hist_partial(mk(vals[cut:]))
+            )
+        ).collect()
+    }
+    assert merged == full
+    assert sum(c for _, c in full) == len(vals)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # key
+            st.sampled_from(["A", "B", "C", None]),     # new value
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_scd2_apply_reapplication_is_noop(spark, upd_rows):
+    """Applying the same update batch twice must equal applying it once
+    — the idempotence streaming_scd2_dimension's at-least-once
+    redelivery safety rests on (re-applied equal attributes classify as
+    'unchanged')."""
+    from firmable_company_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(k, "A", 1, None) for k in range(3)],
+        "k int, v string, valid_from int, valid_to int",
+    )
+    updates = spark.createDataFrame(
+        [(k, v, 5) for k, v in upd_rows], "k int, v string, as_of int"
+    )
+    once = scd2_apply(dim, updates, ["k"])
+    twice = scd2_apply(once, updates, ["k"])
+
+    def rows(df):
+        return sorted(
+            ((r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in df.collect()),
+            key=lambda t: (t[0], t[2], str(t[1])),
+        )
+
+    assert rows(twice) == rows(once)
