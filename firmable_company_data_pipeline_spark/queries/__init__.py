@@ -27,10 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 # whose PLANS round 7 changed (the CC family — delta-local
 # incremental_components, the lazy-checkpoint/seeded-signature _cc_star,
 # the raising propagation loop — plus doc_length_deciles' persisted cum
-# table; their r6 green rows cover the old plans, not these), the 4
+# table; their r6 green rows cover the old plans, not these), the 5
+# queries whose plans changed in the late-round determinism sweep
+# (cross-engine rounding fixes), the 4
 # remaining stale-evidence queries the r6 verdict named as rotation
 # candidates (last green r1-r3 on unchanged implementations), the 6
-# other queries whose newest evidence is r3, then 26 r4-evidence
+# other queries whose newest evidence is r3, then 21 r4-evidence
 # queries (alphabetical; implementations unchanged since their green
 # rows) — exactly 50.  Every query outside the window carries a green
 # driver row from an EARLIER round on its current implementation, and
@@ -55,6 +57,15 @@ _DRIVER_WINDOW_PRIORITY = (
     "dedup_clusters",
     "dup_cluster_size_histogram",
     "doc_length_deciles",
+    # -- plans changed in the late-round determinism sweep (5):
+    # cross-engine rounding fixes — EWMA decay/rounding, DECIMAL-space
+    # revenue rounding in the four warehouse revenue queries (their
+    # earlier green rows cover the old plans, not these) --
+    "events_ewma_daily",
+    "supplier_nation_cube",
+    "forecast_revenue_change",
+    "product_type_profit",
+    "returned_item_customers",
     # -- stale evidence, r1-r3, named by the r6 verdict (4) --
     "dedup_embedding_cosine",
     "ann_brute_force",
@@ -67,7 +78,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "events_tumbling_1h",
     "label_centroids",
     "multimodal_features",
-    # -- r4 evidence, unchanged since (26) --
+    # -- r4 evidence, unchanged since (21) --
     "asof_purchase_attribution",
     "bigram_surprise_score",
     "bpe_tokenize_stats",
@@ -84,20 +95,18 @@ _DRIVER_WINDOW_PRIORITY = (
     "events_click_error_join",
     "events_daily_anomalies",
     "events_daily_gapfill",
-    "events_ewma_daily",
     "events_hourly_daily_rollup",
     "events_rollup_incremental",
     "events_user_seq",
     "events_variant_stats",
     "excess_suppliers",
-    "fn_jaro_winkler",
-    "funnel_time_to_convert",
-    "global_sales_opportunity",
-    "hybrid_search_rrf",
-    # (incremental_distinct_users / jsonld_flatten / large_orders / match_phonetic_blocked / match_quality_report /
-    # media_frame_plan / media_phash_dups / media_resize_checksum rotated
-    # out to make room for the eight late-round-7 additions above; their
-    # green driver rows from r4 stand on unchanged plans.)
+    # (fn_jaro_winkler / funnel_time_to_convert /
+    # global_sales_opportunity / hybrid_search_rrf /
+    # incremental_distinct_users / jsonld_flatten / large_orders /
+    # match_phonetic_blocked / match_quality_report / media_frame_plan /
+    # media_phash_dups / media_resize_checksum rotated out to make room
+    # for the late-round-7 additions and plan changes above; their green
+    # driver rows from r4 stand on unchanged plans.)
 )
 
 

@@ -489,15 +489,31 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = F.col("pts.n_events").cast("array<double>")
     n = F.size("pts")
 
+    # (1-a)^t via SEQUENTIAL MULTIPLIES, not pow(): libm pow is not
+    # correctly rounded and JVM Math.pow vs DuckDB's C pow can differ in
+    # the last ulp for some (base, t).  A chain of single IEEE multiplies
+    # is exactly rounded at every step, so both engines produce
+    # bit-identical decays (the determinism-contract pattern: same
+    # operation, same order).
+    def decay(t):
+        return F.when(
+            t >= 1,
+            F.aggregate(
+                F.sequence(F.lit(1), t),
+                F.lit(1.0),
+                lambda acc, _k: acc * F.lit(1 - a),
+            ),
+        ).otherwise(F.lit(1.0))
+
     def ewma_at(t):
-        base = F.pow(F.lit(1 - a), t) * F.element_at(xs, 1)
+        base = decay(t) * F.element_at(xs, 1)
         tail = F.when(
             t >= 1,
             F.aggregate(
                 F.sequence(F.lit(1), t),
                 F.lit(0.0),
                 lambda acc, k: acc
-                + F.lit(a) * F.pow(F.lit(1 - a), t - k) * F.element_at(xs, k + 1),
+                + F.lit(a) * decay(t - k) * F.element_at(xs, k + 1),
             ),
         ).otherwise(F.lit(0.0))
         return base + tail
@@ -507,7 +523,12 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: F.struct(
             F.element_at(F.col("pts.day"), t + 1).alias("day"),
             F.element_at(xs, t + 1).cast("long").alias("n_events"),
-            F.round(ewma_at(t), 4).alias("ewma"),
+            # explicit floor-based HALF_UP instead of round(): the two
+            # engines disagree on exact .xxxx5 boundaries (Spark rounds
+            # the decimal expansion HALF_UP, DuckDB rounds the double —
+            # sf0.1 hit one: 657.04325).  floor(x*1e4 + 0.5)/1e4 is the
+            # same IEEE operation sequence everywhere.
+            (F.floor(ewma_at(t) * 10000 + F.lit(0.5)) / 10000).alias("ewma"),
         ),
     )
     return series.select(
@@ -535,13 +556,19 @@ ex AS (
 SELECT event_type,
        days[t+1] AS day,
        CAST(xs[t+1] AS BIGINT) AS n_events,
-       round(pow({1 - _EWMA_ALPHA}, t) * xs[1]
+       floor((list_reduce(list_prepend(1.0::DOUBLE,
+               list_transform(range(t), i -> {1 - _EWMA_ALPHA})),
+               (acc, v) -> acc * v) * xs[1]
              + CASE WHEN t >= 1 THEN
                  list_reduce(list_prepend(0.0::DOUBLE,
                    list_transform(range(1, t+1),
-                     k -> {_EWMA_ALPHA} * pow({1 - _EWMA_ALPHA}, t - k) * xs[k+1])),
+                     k -> {_EWMA_ALPHA}
+                          * list_reduce(list_prepend(1.0::DOUBLE,
+                              list_transform(range(t - k), i -> {1 - _EWMA_ALPHA})),
+                              (acc2, v2) -> acc2 * v2)
+                          * xs[k+1])),
                    (acc, v) -> acc + v)
-               ELSE 0.0 END, 4) AS ewma
+               ELSE 0.0 END) * 10000 + 0.5) / 10000 AS ewma
 FROM ex
 """
 

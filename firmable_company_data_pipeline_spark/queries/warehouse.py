@@ -27,10 +27,22 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
 
 
 def _dec_sum(col: F.Column) -> F.Column:
-    """Order-independent revenue sum: per-row double product (exact and
-    identical per row in any engine) cast to DECIMAL(27,10), summed
-    exactly, converted to double once by the caller."""
+    """Order-independent revenue sum: per-row value cast to
+    DECIMAL(27,10), summed exactly, converted to double once by the
+    caller."""
     return F.sum(col.cast("decimal(27,10)"))
+
+
+def _dec2(col: F.Column, prec: int = 15) -> F.Column:
+    """Exact 2-dp DECIMAL view of a money/rate double.  TPC-H money and
+    discount columns carry <= 2 decimals, and a 2-dp double rounds to
+    the same DECIMAL(p,2) in every engine (representation error ~1e-14,
+    far below the 0.005 boundary).  Doing the revenue arithmetic in
+    decimal keeps every per-row product exact — the alternative,
+    casting a double PRODUCT to DECIMAL(27,10), sits on a HALF_UP
+    boundary that Spark (shortest-repr) and DuckDB (exact binary value)
+    can round apart; sf0.1 hit one such row in the cube (review r7)."""
+    return col.cast(f"decimal({prec},2)")
 
 
 # ---------------------------------------------------------------------------
@@ -53,15 +65,27 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < _Q6_QTY)
     )
     return f.agg(
+        # round the DECIMAL, THEN cast to double: round(double, 2) on an
+        # exact .005 boundary goes HALF_UP in Spark but not in DuckDB
+        # (sf0.1 hit one); round() on the exact decimal is
+        # HALF_UP/half-away in BOTH engines (DuckDB decimal CAST
+        # truncates — measured — so round(), not a rescaling cast), and
+        # a 2-dp decimal converts to the same nearest double everywhere
+        # (review r7).
         F.round(
-            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).cast("double"), 2
-        ).alias("revenue_delta"),
+            _dec_sum(_dec2(F.col("l_extendedprice")) * _dec2(F.col("l_discount"), 5)),
+            2,
+        )
+        .cast("double")
+        .alias("revenue_delta"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 FORECAST_REVENUE_CHANGE_SQL = f"""
-SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,10))) AS DOUBLE), 2)
+SELECT CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                         * CAST(l_discount AS DECIMAL(5,2))
+                         AS DECIMAL(27,10))), 2) AS DOUBLE)
          AS revenue_delta,
        count(*) AS n_items
 FROM lineitem
@@ -99,15 +123,17 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"].select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.lit(0.1) * F.col("l_quantity")
+    amount = _dec2(F.col("l_extendedprice")) * _dec2(
+        F.lit(1) - F.col("l_discount"), 5
+    ) - _dec2(F.col("p_retailprice")) * F.lit(0.1).cast("decimal(2,1)") * _dec2(
+        F.col("l_quantity")
+    )
     return (
         joined.groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
-            F.round(_dec_sum(amount).cast("double"), 2).alias("profit"),
+            F.round(_dec_sum(amount), 2).cast("double").alias("profit"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -118,9 +144,12 @@ _Q9_TYPES_SQL = ", ".join(f"'{t}'" for t in _Q9_TYPES)
 PRODUCT_TYPE_PROFIT_SQL = f"""
 SELECT n_name AS nation,
        year(o_orderdate) AS o_year,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           - p_retailprice * 0.1 * l_quantity
-                           AS DECIMAL(27,10))) AS DOUBLE), 2) AS profit,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                             * CAST(1 - l_discount AS DECIMAL(5,2))
+                           - CAST(p_retailprice AS DECIMAL(15,2))
+                             * CAST(0.1 AS DECIMAL(2,1))
+                             * CAST(l_quantity AS DECIMAL(15,2))
+                           AS DECIMAL(27,10))), 2) AS DOUBLE) AS profit,
        count(*) AS n_items
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -156,11 +185,14 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.round(
-                _dec_sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("double"),
-                2,
-            ).alias("revenue")
+                    _dec_sum(
+                        _dec2(F.col("l_extendedprice"))
+                        * _dec2(F.lit(1) - F.col("l_discount"), 5)
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue")
         )
     )
     out = rev.join(
@@ -185,8 +217,9 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETURNED_ITEM_CUSTOMERS_SQL = f"""
 WITH rev AS (
   SELECT o_custkey,
-         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(27,10))) AS DOUBLE), 2) AS revenue
+         CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                               * CAST(1 - l_discount AS DECIMAL(5,2))
+                             AS DECIMAL(27,10))), 2) AS DOUBLE) AS revenue
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
     AND o_orderdate >= TIMESTAMP '{_Q10_FROM}'
@@ -320,7 +353,10 @@ def supplier_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
+            (
+                _dec2(F.col("l_extendedprice"))
+                * _dec2(F.lit(1) - F.col("l_discount"), 5)
+            ).alias("amt"),
         )
     )
     cells = joined.groupBy("nation", "o_year").agg(
@@ -331,7 +367,7 @@ def supplier_nation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.cube("nation", "o_year")
         .agg(
             F.grouping_id().alias("gid"),
-            F.round(F.sum("rev_c").cast("double"), 2).alias("revenue"),
+            F.round(F.sum("rev_c"), 2).cast("double").alias("revenue"),
             F.sum("n_c").cast("long").alias("n_items"),
         )
         .select(
@@ -348,8 +384,9 @@ SUPPLIER_NATION_CUBE_SQL = """
 SELECT coalesce(n_name, '(all)') AS nation,
        coalesce(year(o_orderdate), -1) AS o_year,
        GROUPING(n_name, year(o_orderdate)) AS gid,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(27,10))) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                           * CAST(1 - l_discount AS DECIMAL(5,2))
+                           AS DECIMAL(27,10))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
