@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firmable_company_data_pipeline_spark.functions import textstats as ts
+from firmable_company_data_pipeline_spark.functions.money import half_up
 from firmable_company_data_pipeline_spark.operators import behavior as bh
 from firmable_company_data_pipeline_spark.operators import curation as cu
 from firmable_company_data_pipeline_spark.operators.quality import k_anonymity_report
@@ -486,24 +487,38 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("day", "n_events"))
         ).alias("pts")
     )
-    xs = F.col("pts.n_events").cast("array<double>")
-    n = F.size("pts")
-
     # (1-a)^t via SEQUENTIAL MULTIPLIES, not pow(): libm pow is not
     # correctly rounded and JVM Math.pow vs DuckDB's C pow can differ in
     # the last ulp for some (base, t).  A chain of single IEEE multiplies
     # is exactly rounded at every step, so both engines produce
     # bit-identical decays (the determinism-contract pattern: same
-    # operation, same order).
-    def decay(t):
-        return F.when(
-            t >= 1,
-            F.aggregate(
-                F.sequence(F.lit(1), t),
-                F.lit(1.0),
-                lambda acc, _k: acc * F.lit(1 - a),
+    # operation, same order).  The whole decay table dk[i] = (1-a)^(i-1)
+    # is built ONCE per series as a prefix-product fold (each element is
+    # one multiply on the previous — n-1 multiplies total), then the
+    # summations below only LOOK UP dk — keeping the query O(n²) per
+    # group instead of the O(n³) a fresh per-term multiply chain would
+    # cost (review r7).  The fold's chain order is identical to
+    # evaluating each power independently left-to-right, so the values
+    # (not just the totals) are bit-identical to the per-term form.
+    # NOTE sequence(1, n-1) DESCENDS when n == 1 (Spark sequence is
+    # bidirectional), hence the explicit n >= 2 guard.
+    dk = F.when(
+        F.size("pts") >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("pts") - 1),
+            F.array(F.lit(1.0)),
+            lambda acc, _k: F.concat(
+                acc, F.array(F.element_at(acc, -1) * F.lit(1 - a))
             ),
-        ).otherwise(F.lit(1.0))
+        ),
+    ).otherwise(F.array(F.lit(1.0)))
+    series = series.withColumn("dk", dk)
+    xs = F.col("pts.n_events").cast("array<double>")
+    n = F.size("pts")
+
+    def decay(t):
+        # dk is 1-indexed: dk[i] = (1-a)^(i-1)
+        return F.element_at(F.col("dk"), t + 1)
 
     def ewma_at(t):
         base = decay(t) * F.element_at(xs, 1)
@@ -526,9 +541,9 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             # explicit floor-based HALF_UP instead of round(): the two
             # engines disagree on exact .xxxx5 boundaries (Spark rounds
             # the decimal expansion HALF_UP, DuckDB rounds the double —
-            # sf0.1 hit one: 657.04325).  floor(x*1e4 + 0.5)/1e4 is the
+            # sf0.1 hit one: 657.04325).  functions/money.half_up is the
             # same IEEE operation sequence everywhere.
-            (F.floor(ewma_at(t) * 10000 + F.lit(0.5)) / 10000).alias("ewma"),
+            half_up(ewma_at(t), 4).alias("ewma"),
         ),
     )
     return series.select(
@@ -536,6 +551,12 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "g.day", "g.n_events", "g.ewma")
 
 
+# The oracle builds the same per-series decay table once (dk CTE column;
+# DuckDB's list_reduce seeds from the first element, so acc must stay
+# DOUBLE — the prefix table is built as one fresh left-to-right chain
+# per element, O(n²) multiplies once per series, same chain order →
+# bit-identical values) and the summation only indexes it — mirroring
+# the Spark side's lookup structure.
 EVENTS_EWMA_DAILY_SQL = f"""
 WITH daily AS (
   SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
@@ -550,23 +571,21 @@ ex AS (
   SELECT event_type,
          list_transform(pts, p -> p.day) AS days,
          list_transform(pts, p -> p.n_events::DOUBLE) AS xs,
+         list_transform(range(len(pts)),
+           j -> list_reduce(list_prepend(1.0::DOUBLE,
+                  list_transform(range(j), i -> {1 - _EWMA_ALPHA})),
+                  (acc, v) -> acc * v)) AS dk,
          unnest(range(len(pts))) AS t
   FROM series
 )
 SELECT event_type,
        days[t+1] AS day,
        CAST(xs[t+1] AS BIGINT) AS n_events,
-       floor((list_reduce(list_prepend(1.0::DOUBLE,
-               list_transform(range(t), i -> {1 - _EWMA_ALPHA})),
-               (acc, v) -> acc * v) * xs[1]
+       floor((dk[t+1] * xs[1]
              + CASE WHEN t >= 1 THEN
                  list_reduce(list_prepend(0.0::DOUBLE,
                    list_transform(range(1, t+1),
-                     k -> {_EWMA_ALPHA}
-                          * list_reduce(list_prepend(1.0::DOUBLE,
-                              list_transform(range(t - k), i -> {1 - _EWMA_ALPHA})),
-                              (acc2, v2) -> acc2 * v2)
-                          * xs[k+1])),
+                     k -> {_EWMA_ALPHA} * dk[t-k+1] * xs[k+1])),
                    (acc, v) -> acc + v)
                ELSE 0.0 END) * 10000 + 0.5) / 10000 AS ewma
 FROM ex

@@ -5,6 +5,14 @@ offset, unions.
 These exercise the Spark primitives the reference's operators map onto
 (J1-J3, A1-A7, O1-O3, U1, P1-P8) over the driver's TPC-H-ish tables.
 Scale notes inline: every join states its expected physical strategy.
+
+Cross-engine rounding note: the revenue aggregates here use plain
+``round(sum(double), 2)`` — the residual boundary class documented in
+ARCHITECTURE.md §8.  Every one of them is driver-green AND green at 10×
+the driver SF on the current plan, so they stay as-is under the
+evidence-ledger policy; if one ever lands on an exact .xx5 boundary at
+a new SF, migrate it to ``functions/money.py`` (``dec2``/``dec_sum`` or
+``half_up``) exactly as the warehouse revenue family was in round 7.
 """
 
 from __future__ import annotations

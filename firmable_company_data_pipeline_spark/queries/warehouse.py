@@ -26,23 +26,13 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
     return load_tables(spark, sf_dir, *names)
 
 
-def _dec_sum(col: F.Column) -> F.Column:
-    """Order-independent revenue sum: per-row value cast to
-    DECIMAL(27,10), summed exactly, converted to double once by the
-    caller."""
-    return F.sum(col.cast("decimal(27,10)"))
-
-
-def _dec2(col: F.Column, prec: int = 15) -> F.Column:
-    """Exact 2-dp DECIMAL view of a money/rate double.  TPC-H money and
-    discount columns carry <= 2 decimals, and a 2-dp double rounds to
-    the same DECIMAL(p,2) in every engine (representation error ~1e-14,
-    far below the 0.005 boundary).  Doing the revenue arithmetic in
-    decimal keeps every per-row product exact — the alternative,
-    casting a double PRODUCT to DECIMAL(27,10), sits on a HALF_UP
-    boundary that Spark (shortest-repr) and DuckDB (exact binary value)
-    can round apart; sf0.1 hit one such row in the cube (review r7)."""
-    return col.cast(f"decimal({prec},2)")
+# Shared cross-engine exact-money closure (functions/money.py — see its
+# docstring for the round(double, k) boundary class these avoid; sf0.1
+# hit a real boundary row in the cube, review r7).
+from firmable_company_data_pipeline_spark.functions.money import (  # noqa: E402
+    dec2 as _dec2,
+    dec_sum as _dec_sum,
+)
 
 
 # ---------------------------------------------------------------------------
