@@ -607,7 +607,8 @@ def test_streaming_scd2_dimension_matches_batch_rebuild(spark, tmp_path):
         ["custkey", "seg", "valid_from", "valid_to"],
     )
     got = _rows(
-        spark.read.parquet(dim_dir), ["custkey", "seg", "valid_from", "valid_to"]
+        jobs.read_scd2_dimension(spark, dim_dir),
+        ["custkey", "seg", "valid_from", "valid_to"],
     )
     assert got == want
 
@@ -627,9 +628,96 @@ def test_streaming_scd2_dimension_matches_batch_rebuild(spark, tmp_path):
     )
     _drain(q2)
     assert (
-        _rows(spark.read.parquet(dim_dir), ["custkey", "seg", "valid_from", "valid_to"])
+        _rows(
+            jobs.read_scd2_dimension(spark, dim_dir),
+            ["custkey", "seg", "valid_from", "valid_to"],
+        )
         == want
     )
+
+
+def test_streaming_scd2_fold_never_touches_closed_history(spark, tmp_path):
+    """The open-partition-local contract (verdict r7 #1): once a row is
+    closed it is NEVER read or rewritten by a later fold.  Pin both
+    directions: (a) a planted POISON file inside a closed batch dir —
+    garbage bytes posing as parquet that would fail ANY scan touching it
+    — must not break later folds, and (b) every pre-existing closed file
+    must be byte-identical (size + mtime) after two more folds that
+    themselves close rows."""
+    import os
+    import time as _time
+
+    def feed(chunks, src):
+        for chunk in chunks:
+            spark.createDataFrame(
+                chunk, "custkey int, as_of int, seg string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(0.3)
+
+    def run(src, ckpt):
+        q = jobs.streaming_scd2_dimension(
+            spark.readStream.schema("custkey int, as_of int, seg string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            dim_dir,
+            keys=["custkey"],
+            checkpoint=ckpt,
+        )
+        _drain(q)
+
+    dim_dir = str(tmp_path / "dim")
+    # batches 0-1: insert k1/k2, then change both -> closed/batch=1
+    feed(
+        [[(1, 10, "A"), (2, 10, "X")], [(1, 20, "B"), (2, 20, "Y")]],
+        str(tmp_path / "src1"),
+    )
+    run(str(tmp_path / "src1"), str(tmp_path / "ck1"))
+
+    closed = os.path.join(dim_dir, "closed")
+    before = {
+        os.path.join(r, f): (
+            os.path.getsize(os.path.join(r, f)),
+            os.path.getmtime(os.path.join(r, f)),
+        )
+        for r, _, fs in os.walk(closed)
+        for f in fs
+    }
+    assert any("batch=1" in p for p in before), "setup must close rows"
+    poison_dir = os.path.join(closed, "batch=777")
+    os.makedirs(poison_dir)
+    poison = os.path.join(poison_dir, "part-00000.parquet")
+    with open(poison, "wb") as fh:
+        fh.write(b"NOT PARQUET \x00\x01")
+
+    # two more batches, each closing k1 again — SAME source + checkpoint
+    # (the stream resumes at batch id 2, continuing the single-writer
+    # batch-id sequence the layout's contract requires)
+    feed([[(1, 30, "C")], [(1, 40, "D")]], str(tmp_path / "src1"))
+    run(str(tmp_path / "src1"), str(tmp_path / "ck1"))
+
+    after = {
+        os.path.join(r, f): (
+            os.path.getsize(os.path.join(r, f)),
+            os.path.getmtime(os.path.join(r, f)),
+        )
+        for r, _, fs in os.walk(closed)
+        for f in fs
+    }
+    # (a) the fold never read closed/ (the poison would have raised) and
+    # the poison bytes are untouched
+    with open(poison, "rb") as fh:
+        assert fh.read() == b"NOT PARQUET \x00\x01"
+    # (b) every pre-poison closed file is byte-identical
+    for path, sig in before.items():
+        assert after[path] == sig, f"closed file rewritten: {path}"
+    # and the new folds DID close rows into fresh batch dirs
+    assert any("batch=" in p and p not in before and p != poison for p in after)
+    # the open partition holds exactly the current row
+    open_rows = _rows(
+        spark.read.parquet(os.path.join(dim_dir, "open")),
+        ["custkey", "seg", "valid_from", "valid_to"],
+    )
+    assert (1, "D", 40, None) in open_rows and (2, "Y", 20, None) in open_rows
 
 
 def test_streaming_ivf_index_matches_batch_build(spark, sf_dir, tmp_path):
