@@ -350,31 +350,24 @@ def semantic_dedup_pairs(
     Output: (id_a, id_b, cell, cos_sim) with id_a < id_b, cos ≥
     threshold.
     """
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        nearest_cells,
+    )
+
     cents = broadcast(
         emb.select(F.col(id_col).alias("cell"), to_double(F.col(vec_col)).alias("centv"))
         .orderBy("cell")
         .limit(n_cells)
         .withColumn("centn", F.sqrt(norm2(F.col("centv"))))
     )
-    v = spread(emb).select(
-        F.col(id_col).alias("id"),
-        to_double(F.col(vec_col)).alias("v"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("n"),
-    )
-    ccos = dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn"))
-    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cell"))
     # Persisted: the pair self-join reads the assignment on BOTH sides
     # (same rationale as the MinHash signature table) — without it the
-    # centroid cross-score + rank runs twice.  One (id, cell, vec) row
-    # per input vector, spill-safe.
-    assigned = (
-        v.join(cents, F.lit(True))
-        .withColumn("ccos", ccos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "cell", "v", "n")
-        .persist()
-    )
+    # centroid cross-score runs twice.  One (id, cell, vec) row per
+    # input vector, spill-safe.  nearest_cells is map-only (advice r7:
+    # the former per-id window here was a corpus-sized shuffle).
+    assigned = nearest_cells(
+        spread(emb), cents, id_col, vec_col, "id", 1
+    ).persist()
     a = assigned.select(
         F.col("id").alias("id_a"), "cell", F.col("v").alias("va"), F.col("n").alias("na")
     )

@@ -89,7 +89,7 @@ def default_centroids(
     )
 
 
-def _nearest_cells(
+def nearest_cells(
     side: DataFrame,
     cents: DataFrame,
     id_col: str,
@@ -97,23 +97,39 @@ def _nearest_cells(
     out_id: str,
     keep: int,
 ) -> DataFrame:
-    """Rank the (broadcast) centroid set per vector by cosine and keep the
-    ``keep`` nearest cells.  Map-only: the window partitions by the
-    vector id, and every vector's candidate set is exactly the n_cells
-    broadcast rows, so no data-sized shuffle is introduced."""
+    """Attach the ``keep`` nearest centroid cells (by cosine) to every
+    vector — genuinely map-only: the centroid set folds into ONE
+    broadcast array-of-structs row, each vector sorts that array
+    in-expression on (negated cosine, cell) — the identical
+    descending-cosine / ascending-cell tie-break the former window
+    applied — and explodes its ``keep`` head.  No window, no exchange:
+    advice r7 flagged the previous ``Window.partitionBy(vector id)``
+    formulation as a corpus-sized hash exchange + sort contradicting
+    the stated 100-TB contract; this keeps scan → score → explode in a
+    single stage."""
     v = side.select(
         F.col(id_col).alias(out_id),
         to_double(F.col(vec_col)).alias("v"),
         F.sqrt(norm2(to_double(F.col(vec_col)))).alias("n"),
     )
-    cos = dot(F.col("v"), F.col("centv")) / (F.col("n") * F.col("centn"))
-    w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell"))
+    cent_arr = broadcast(
+        cents.agg(
+            F.collect_list(F.struct("cell", "centv", "centn")).alias("_cents")
+        )
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-(dot(F.col("v"), c["centv"]) / (F.col("n") * c["centn"]))).alias(
+                "negcos"
+            ),
+            c["cell"].alias("cell"),
+        ),
+    )
     return (
-        v.join(cents, F.lit(True))
-        .withColumn("ccos", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= keep)
-        .select(out_id, "cell", "v", "n")
+        v.join(cent_arr, F.lit(True))
+        .withColumn("_pick", F.explode(F.slice(F.array_sort(scored), 1, keep)))
+        .select(out_id, F.col("_pick.cell").alias("cell"), "v", "n")
     )
 
 
@@ -134,7 +150,7 @@ def ivf_assign(
     index lives in parquet partitioned by cell and a daily delta is one
     map pass over the delta plus an append."""
     cents = broadcast(centroids)
-    return _nearest_cells(
+    return nearest_cells(
         spread(corpus), cents, id_col, vec_col, "neighbor_id", 1
     ).withColumnsRenamed({"v": "cv", "n": "cn"})
 
@@ -153,7 +169,7 @@ def ivf_search(
     cells.  Output: (query_id, neighbor_id, cos_sim, rank); self-matches
     excluded."""
     cents = broadcast(centroids)
-    probes = _nearest_cells(
+    probes = nearest_cells(
         queries, cents, id_col, vec_col, "query_id", nprobe
     ).withColumnsRenamed({"v": "qv", "n": "qn"})
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

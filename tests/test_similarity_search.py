@@ -131,7 +131,9 @@ def test_ivf_upsert_never_reassigns_indexed_vectors(spark, emb):
 
     cents = default_centroids(emb, n_cells=8)
     delta = ivf_assign(emb.filter(F.col("vec_id") % 4 == 0), cents)
-    plan = delta._jdf.queryExecution().optimizedPlan().toString()
+    # count LEAF nodes of the optimized logical plan (advice r7: a raw
+    # substring count over plan text is brittle across Spark versions) —
     # the only corpus-sized input in the delta assignment is the %4==0
-    # filter; a second unfiltered embeddings scan would betray a rebuild
-    assert plan.count("Relation") <= 2  # delta scan + centroid scan
+    # filter; a third leaf would betray a base-batch rescan / rebuild
+    leaves = delta._jdf.queryExecution().optimizedPlan().collectLeaves()
+    assert leaves.size() == 2  # delta scan + centroid scan
