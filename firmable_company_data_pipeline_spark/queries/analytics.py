@@ -675,9 +675,12 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "event_type", "value"
     )
     bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    # both spine factors are bounded dims — broadcast the type side
+    # explicitly rather than leaving it to AQE (repo broadcast policy;
+    # verdict r7 #6)
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("day")
-    ).crossJoin(ev.select("event_type").distinct())
+    ).crossJoin(F.broadcast(ev.select("event_type").distinct()))
     daily = ev.groupBy("day", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),

@@ -97,8 +97,12 @@ def dim_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
         F.round("c_acctbal", 2).alias("acctbal"),
     )
+    # synthetic brand-new keys live in the NEGATIVE range: c_custkey
+    # >= 1 at every SF, so -k can never collide with a real key (a
+    # fixed +9M offset collides once custkeys reach 9M, sf >= ~60 —
+    # advice r7)
     new = cust.filter(k % 11 == 0).select(
-        (k + 9_000_000).alias("custkey"),
+        (-k).alias("custkey"),
         F.concat(F.lit("New "), F.col("c_name")).alias("name"),
         F.lit("STARTUP").alias("mktsegment"),
         F.lit(0.0).alias("acctbal"),
@@ -129,7 +133,7 @@ WITH current AS (
   FROM customer WHERE c_custkey % 13 = 0
     AND NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.custkey = c_custkey)
 ), new AS (
-  SELECT c_custkey + 9000000 AS custkey, 'New ' || c_name AS name,
+  SELECT -c_custkey AS custkey, 'New ' || c_name AS name,
          'STARTUP' AS mktsegment, 0.0 AS acctbal
   FROM customer WHERE c_custkey % 11 = 0
 ), updates AS (
@@ -294,8 +298,9 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
         F.to_date(F.lit("1996-06-01")).alias("as_of"),
     )
+    # negative synthetic key range: collision-free at every SF (advice r7)
     new = cust.filter(k % 11 == 0).select(
-        (k + 9_000_000).alias("custkey"),
+        (-k).alias("custkey"),
         F.lit("STARTUP").alias("mktsegment"),
         F.to_date(F.lit("1996-06-01")).alias("as_of"),
     )
@@ -320,7 +325,7 @@ WITH v1 AS (
   SELECT c_custkey, c_mktsegment, DATE '1996-06-01'
   FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
   UNION ALL
-  SELECT c_custkey + 9000000, 'STARTUP', DATE '1996-06-01'
+  SELECT -c_custkey, 'STARTUP', DATE '1996-06-01'
   FROM customer WHERE c_custkey % 11 = 0
 ), j AS (
   SELECT coalesce(c.custkey, u.custkey) AS custkey,

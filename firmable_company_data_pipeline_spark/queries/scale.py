@@ -550,14 +550,34 @@ FROM agg
 _HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
+# The exact side's cum-sum window runs over DISTINCT values — bounded by
+# the VALUE DOMAIN (2-decimal values in a known range: ~56k max for the
+# events table), never by row count.  That is a data-shape assumption, not
+# a plan property (verdict r7 #5): on a continuous column the "exact" side
+# would silently degrade to a data-sized single reducer.  The cap below is
+# enforced AT RUNTIME inside the plan (F.assert_true on a broadcast 1-row
+# distinct count), so a domain that outgrows the bound fails loudly
+# instead of melting an executor — at which point the ranks-based
+# distributed exact quantile (operators/ranks) is the right tool.
+_EXACT_DOMAIN_CAP = 100_000
+
+
 def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL values excluded on BOTH sides (quantiles are over observed
+    # values; see hist_partial's matching filter — review r7)
+    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("value").isNotNull())
+    return quantile_sketch_report(ev)
+
+
+def quantile_sketch_report(ev: DataFrame) -> DataFrame:
+    """Sketch-vs-exact quantile report over ``ev.value`` (non-null).
+    Split out of the registered query so the domain-cap guard is
+    testable on synthetic frames."""
     from pyspark.sql import Window
 
     from firmable_company_data_pipeline_spark.operators import sketches as sk
 
-    # NULL values excluded on BOTH sides (quantiles are over observed
-    # values; see hist_partial's matching filter — review r7)
-    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("value").isNotNull())
+    spark = ev.sparkSession
     total = ev.agg(F.count(F.lit(1)).alias("n"))
     targets = F.broadcast(
         spark.createDataFrame([(q,) for q in _HIST_QS], "q double")
@@ -566,12 +586,31 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact side: per-value hash-agg, cum window over distinct values
     vals = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    # runtime domain-cap guard (verdict r7 #5): a 1-row broadcast count
+    # of the window's input rides the plan and assert_true fails the
+    # job if the distinct-value domain outgrows the documented bound —
+    # the condition that would turn this window into a data-sized
+    # single reducer
+    n_distinct = F.broadcast(vals.agg(F.count(F.lit(1)).alias("n_distinct")))
     wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     vcum = vals.withColumn("cum", F.sum("cnt").over(wv))
     exact = (
         vcum.join(targets, F.col("cum") >= F.col("target"))
         .groupBy("q", "n")
         .agg(F.min("value").alias("exact_value"))
+        .crossJoin(n_distinct)
+    )
+    domain_ok = F.assert_true(
+        F.col("n_distinct") <= F.lit(_EXACT_DOMAIN_CAP),
+        F.concat(
+            F.lit("quantile_sketch_report exact side: "),
+            F.col("n_distinct").cast("string"),
+            F.lit(
+                f" distinct values exceed the bounded-domain cap "
+                f"{_EXACT_DOMAIN_CAP}; the cum-sum window would be "
+                "data-sized — use the ranks-based exact quantile instead"
+            ),
+        ),
     )
     # sketch side: constant-size bin counters, cum over ≤ HIST_BINS rows
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -586,7 +625,10 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(est, "q")
         .select(
             "q",
-            F.col("n").alias("n_events"),
+            # the guard returns NULL on success, so this is col("n")
+            # with the domain assertion fused into the plan (a bare
+            # dropped column would be pruned away by Catalyst)
+            F.when(domain_ok.isNull(), F.col("n")).alias("n_events"),
             F.round("exact_value", 2).alias("exact_value"),
             (F.lit(lo) + F.col("bin") * F.lit(w)).alias("est_value"),
             (

@@ -561,3 +561,32 @@ def test_vocab_coverage_rank_is_budget_bounded(plans):
     p = plans("vocab_coverage")
     assert "TakeOrderedAndProject" in p
     assert _assert_windows_bounded(p) >= 1
+
+
+def test_quantile_sketch_domain_cap_guard(spark):
+    """verdict r7 #5: _assert_windows_bounded treats any HashAggregate-fed
+    window as bounded, which cannot distinguish a bounded-DOMAIN
+    aggregate (distinct 2-decimal values) from a data-sized one
+    (continuous values).  The runtime cap inside quantile_sketch_report
+    is the guard that can: a synthetic continuous column whose distinct
+    count exceeds _EXACT_DOMAIN_CAP must fail the job loudly instead of
+    running the cum-sum window over a data-sized single reducer — i.e.
+    the exact-side window input is pinned to grow with the DOMAIN, not
+    with rows."""
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.queries import scale as sc
+
+    # continuous synthetic column: every row a new distinct value
+    wide = spark.range(sc._EXACT_DOMAIN_CAP + 5).select(
+        (F.col("id").cast("double") / 7.0).alias("value")
+    )
+    with pytest.raises(Exception, match="bounded-domain cap"):
+        sc.quantile_sketch_report(wide).collect()
+
+    # many rows over a SMALL domain: the guard keys on distinct values,
+    # not row count, so this passes
+    ok = spark.range(50_000).select(
+        (F.col("id") % 50).cast("double").alias("value")
+    )
+    assert len(sc.quantile_sketch_report(ok).collect()) == len(sc._HIST_QS)
