@@ -464,9 +464,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical (doc_id, cluster_id) labels.
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return dd.connected_components(
-        dd.ngram_jaccard_pairs(docs, threshold=0.8), deep_graphs=True
-    )
+    return cluster_labels(docs)
 
 
 # dedup_clusters_incremental — the incremental-refresh contract (round
@@ -524,6 +522,45 @@ def dedup_clusters_incremental2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_components(labels1, day2)
 
 
+# dedup_clusters_incremental_sliver — the ≤1%-delta point of the
+# incremental story (verdict r7 #3): dedup_clusters_incremental marks
+# ~25% of docs new, so ~44% of pairs are delta and most clusters are
+# touched — its bench time cannot show what the delta-local fold buys.
+# Here the "new" sliver is doc_id % 100 == 0 (1% of docs), the
+# daily-refresh shape where the fold's CC input is bounded by the few
+# touched clusters and everything else unions back verbatim.  Same
+# batch-label oracle as the whole family: the fold must be exactly
+# equivalent to re-clustering the full graph.  scripts/scale_probe.py
+# --streaming additionally times THIS fold in isolation (labels
+# precomputed outside the timer) against the full batch clustering.
+def dedup_clusters_incremental_sliver(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
+    is_new_a = F.col("id_a") % 100 == 0
+    is_new_b = F.col("id_b") % 100 == 0
+    old_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    delta = pairs.filter(is_new_a | is_new_b)
+    prev = dd.connected_components(old_pairs, deep_graphs=True).localCheckpoint(
+        eager=False
+    )
+    return dd.incremental_components(prev, delta)
+
+
+def cluster_labels(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The ONE audited (doc_id, cluster_id) labels entry point for the
+    dedup-lifecycle family (verdict r7 #7): n-gram-Jaccard pairs →
+    large-star/small-star connected components.  ``dedup_keep_best``
+    and ``leakage_safe_split`` both build on exactly this labeling; in
+    a persisted pipeline it is computed once per refresh and reused
+    (each registered query recomputes it so the oracle comparison stays
+    self-contained)."""
+    return dd.connected_components(
+        dd.ngram_jaccard_pairs(docs, threshold=threshold), deep_graphs=True
+    )
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 {_CLUSTERS_CTES}
@@ -545,8 +582,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8)
-    labels = dd.connected_components(pairs, deep_graphs=True)
+    labels = cluster_labels(docs)
     scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return scored.select(
@@ -585,8 +621,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8)
-    labels = dd.connected_components(pairs, deep_graphs=True)
+    labels = cluster_labels(docs)
     unit = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     bucket = char_fold_hash(unit.cast("string")) % 100
     return (
@@ -1371,6 +1406,7 @@ QUERIES = {
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_clusters_incremental": dedup_clusters_incremental,
     "dedup_clusters_incremental2": dedup_clusters_incremental2,
+    "dedup_clusters_incremental_sliver": dedup_clusters_incremental_sliver,
     "dedup_keep_best": dedup_keep_best,
     "minhash_recall_report": minhash_recall_report,
     "leakage_safe_split": leakage_safe_split,
@@ -1408,6 +1444,7 @@ ORACLES = {
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental2": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_incremental_sliver": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "minhash_recall_report": MINHASH_RECALL_REPORT_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
