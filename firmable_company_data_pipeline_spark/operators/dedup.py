@@ -399,6 +399,7 @@ def minhash_delta_pairs(
     index_sigs: DataFrame,
     delta_sigs: DataFrame,
     threshold: float = 0.5,
+    broadcast_delta: bool = False,
 ) -> DataFrame:
     """Incremental near-dup detection for a growing corpus: pair a NEW
     batch's signatures against an existing signature index — emits
@@ -420,6 +421,14 @@ def minhash_delta_pairs(
     (index ids never appear on the right); a delta×delta pair is kept
     only in its ``id_a < id_b`` orientation.  The ``_new`` tag makes
     that one predicate: ``id_a < id_b OR left-is-index``.
+
+    ``broadcast_delta=True`` (the streaming micro-batch path) hints the
+    delta band table to broadcast: the bucket join then becomes a
+    map-side pass over the index — the ever-growing side is SCANNED but
+    never shuffled or sorted per batch, which is what keeps per-batch
+    cost at O(delta + one pruned index pass) instead of re-exchanging
+    all history every fold.  Leave False when the "delta" is a large
+    backfill that would not fit a broadcast.
     """
     tagged = index_sigs.select(
         "id", "sig", F.lit(False).alias("_new")
@@ -434,6 +443,8 @@ def minhash_delta_pairs(
     right = _lsh_bands(delta_sigs).select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
+    if broadcast_delta:
+        right = F.broadcast(right)
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") != F.col("id_b"))

@@ -209,11 +209,12 @@ def foreach_batch_upsert(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         incoming = batch_df.dropDuplicates([key])
-        if os.path.exists(target_dir):
-            current = spark.read.parquet(target_dir)
-            merged = incoming.unionByName(current).dropDuplicates([key])
-        else:
-            merged = incoming
+        current = _read_parquet_or_none(spark, target_dir)
+        merged = (
+            incoming
+            if current is None
+            else incoming.unionByName(current).dropDuplicates([key])
+        )
         import shutil
 
         tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
@@ -286,21 +287,25 @@ def streaming_minhash_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = dd.minhash_signatures(batch_df).persist()
-        if os.path.exists(index_dir):
+        raw_index = _read_parquet_or_none(spark, index_dir)
+        if raw_index is not None:
             # Exclude THIS batch's partition: on checkpoint replay (crash
             # after the index write, before the commit) the batch's own
             # signatures are already in the index tagged as history, and
             # reading them back would re-pair the batch against itself in
             # both orientations — duplicate pair rows, violating the
             # idempotent-replay contract below.
-            index = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") != batch_id)
-                .select("id", "sig")
+            index = raw_index.filter(F.col("batch_id") != batch_id).select(
+                "id", "sig"
             )
         else:
             index = spark.createDataFrame([], delta.schema)
-        pairs = dd.minhash_delta_pairs(index, delta, threshold=threshold)
+        # broadcast_delta: the micro-batch is bounded, so the bucket join
+        # streams the index map-side — history is scanned, never
+        # re-shuffled per batch (measured by scale_probe --streaming)
+        pairs = dd.minhash_delta_pairs(
+            index, delta, threshold=threshold, broadcast_delta=True
+        )
         if labels_dir is not None:
             pairs = pairs.persist()
         pairs.write.mode("overwrite").parquet(
