@@ -183,6 +183,7 @@ HEADLINE = [
     "l_diversity_customers",
     "dedup_clusters_incremental",
     "dedup_clusters_incremental2",
+    "dedup_clusters_incremental_sliver",
     "dedup_keep_best",
     "minhash_recall_report",
     "ann_ivf_incremental",

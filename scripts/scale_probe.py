@@ -215,6 +215,236 @@ def build(spark, out: str, factor: int) -> None:
             shutil.copy(os.path.join(SRC, f"{name}.parquet"), dst)
 
 
+# ---------------------------------------------------------------------------
+# --streaming: fold-cost probes (verdict r7 #3/#4).  The batch probe above
+# answers "does a query scale with the data"; these answer "does one
+# MICRO-BATCH FOLD scale with the DELTA rather than with accumulated
+# history/state" — the claim every streaming maintainer's docstring makes
+# and round 7 never measured.  Each probe times a single availableNow
+# drain of ONE delta batch against a pre-built target; the pair of runs
+# differs ONLY in history size, so flat wall-clock = delta-local fold.
+# (Timings include ~1 s of fixed stream start-up, which biases ratios
+# TOWARD flat for sub-second folds — read them against the batch sizes,
+# not as microbenchmarks.)
+
+
+def _timed(run) -> float:
+    import time
+
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 3)
+
+
+def probe_scd2_fold(spark, work: str, closed_versions: int, tag: str) -> float:
+    """One fold of streaming_scd2_dimension against a target whose CLOSED
+    history holds n_keys*closed_versions rows; open size (20k keys) and
+    delta (2k changed keys) fixed.  Flat across closed_versions is the
+    open-partition-local contract (the r7 weak this round fixed)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.streaming import jobs
+
+    n_keys, n_delta = 20_000, 2_000
+    tgt = os.path.join(work, f"scd2_{tag}")
+    src = os.path.join(work, f"scd2_src_{tag}")
+    ckpt = os.path.join(work, f"scd2_ck_{tag}")
+    for d in (tgt, src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    spark.range(n_keys).select(
+        F.col("id").cast("int").alias("custkey"),
+        F.lit("SEG0").alias("seg"),
+        F.lit(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    ).write.parquet(os.path.join(tgt, "open"))
+    v = F.floor(F.col("id") / n_keys).cast("int")
+    spark.range(n_keys * closed_versions).select(
+        (F.col("id") % n_keys).cast("int").alias("custkey"),
+        F.concat(F.lit("OLD"), v.cast("string")).alias("seg"),
+        (-v - 1).alias("valid_from"),
+        (-v).alias("valid_to"),
+    ).write.parquet(os.path.join(tgt, "closed", "batch=9999"))
+    spark.range(n_delta).select(
+        F.col("id").cast("int").alias("custkey"),
+        F.lit(5).alias("as_of"),
+        F.lit("SEG1").alias("seg"),
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("custkey int, as_of int, seg string").parquet(
+        src
+    )
+
+    def run():
+        q = jobs.streaming_scd2_dimension(
+            stream, tgt, keys=["custkey"], checkpoint=ckpt
+        )
+        q.awaitTermination(600)
+
+    return _timed(run)
+
+
+def probe_minhash_fold(spark, work: str, docs_path: str, tag: str) -> float:
+    """One 500-doc micro-batch folded through streaming_minhash_dedup
+    against a signature index built from ``docs_path`` — per-batch cost
+    is O(delta + one map-side index pass), so 10x history may grow the
+    scan term but must never approach 10x wall-clock."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+    from firmable_company_data_pipeline_spark.streaming import jobs
+
+    index_dir = os.path.join(work, f"mh_index_{tag}")
+    pairs_dir = os.path.join(work, f"mh_pairs_{tag}")
+    src = os.path.join(work, f"mh_src_{tag}")
+    ckpt = os.path.join(work, f"mh_ck_{tag}")
+    for d in (index_dir, pairs_dir, src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    hist = spark.read.parquet(os.path.join(docs_path, "documents.parquet"))
+    dd.minhash_signatures(hist).write.parquet(
+        os.path.join(index_dir, "batch_id=9999")
+    )
+    # the delta is IDENTICAL at both history sizes (500 sf0.1 docs,
+    # ids shifted clear of any replica) so only the index size varies
+    spark.read.parquet(os.path.join(SRC, "documents.parquet")).filter(
+        F.col("doc_id") < 500
+    ).withColumn("doc_id", F.col("doc_id") + 10_000_000).coalesce(1).write.parquet(
+        src
+    )
+    stream = spark.readStream.schema(hist.schema).parquet(src)
+
+    def run():
+        q = jobs.streaming_minhash_dedup(
+            stream, index_dir, pairs_dir, checkpoint=ckpt
+        )
+        q.awaitTermination(600)
+
+    return _timed(run)
+
+
+def probe_ivf_fold(spark, work: str, emb_path: str, tag: str) -> float:
+    """One 500-vector micro-batch through streaming_ivf_index with the
+    index pre-populated from ``emb_path`` — the fold reads only frozen
+    centroids and writes its own partition, so this must be flat by
+    construction (measured to back the docstring's claim)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        default_centroids,
+        ivf_assign,
+    )
+    from firmable_company_data_pipeline_spark.streaming import jobs
+
+    index_dir = os.path.join(work, f"ivf_index_{tag}")
+    cents_dir = os.path.join(work, f"ivf_cents_{tag}")
+    src = os.path.join(work, f"ivf_src_{tag}")
+    ckpt = os.path.join(work, f"ivf_ck_{tag}")
+    for d in (index_dir, cents_dir, src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    emb = spark.read.parquet(os.path.join(emb_path, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    cents = default_centroids(emb, n_cells=8)
+    cents.coalesce(1).write.parquet(cents_dir)
+    fs, marker = jobs._hadoop_fs(spark, cents_dir + "/_CENTROIDS_FROZEN")
+    fs.createNewFile(marker)
+    ivf_assign(emb, spark.read.parquet(cents_dir)).write.parquet(
+        os.path.join(index_dir, "batch_id=9999")
+    )
+    spark.read.parquet(os.path.join(SRC, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 500).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+        src
+    )
+
+    def run():
+        q = jobs.streaming_ivf_index(stream, index_dir, cents_dir, checkpoint=ckpt)
+        q.awaitTermination(600)
+
+    return _timed(run)
+
+
+def probe_cc_sliver_fold(spark, sf_dir: str) -> dict:
+    """The sliver-delta point of the incremental-CC story (verdict r7
+    #3): previous labels materialized OUTSIDE the timer, then ONLY the
+    1%-delta fold is timed and compared to batch-clustering the full
+    pair graph at the same SF.  fold ≪ batch is what the delta-local
+    rewrite bought."""
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+    from firmable_company_data_pipeline_spark.queries.core import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
+    pairs.count()
+    is_new = (F.col("id_a") % 100 == 0) | (F.col("id_b") % 100 == 0)
+    delta = pairs.filter(is_new).persist()
+    n_delta, n_pairs = delta.count(), pairs.count()
+    prev = dd.connected_components(
+        pairs.filter(~is_new), deep_graphs=True
+    ).localCheckpoint(eager=True)
+
+    fold = _timed(
+        lambda: dd.incremental_components(prev, delta)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    batch = _timed(
+        lambda: dd.connected_components(pairs, deep_graphs=True)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    pairs.unpersist()
+    delta.unpersist()
+    return {
+        "delta_pairs": n_delta,
+        "total_pairs": n_pairs,
+        "fold_secs": fold,
+        "batch_secs": batch,
+        "fold_over_batch": round(fold / batch, 3) if batch else None,
+    }
+
+
+def run_streaming_probes(spark, out: str, passes: int) -> dict:
+    work = os.path.join(os.path.dirname(out.rstrip("/")), "streaming")
+    os.makedirs(work, exist_ok=True)
+    res = {}
+    res["scd2_fold_hist1x"] = min(
+        probe_scd2_fold(spark, work, 5, f"v5_p{p}") for p in range(passes)
+    )
+    res["scd2_fold_hist10x"] = min(
+        probe_scd2_fold(spark, work, 50, f"v50_p{p}") for p in range(passes)
+    )
+    res["minhash_fold_hist1x"] = min(
+        probe_minhash_fold(spark, work, SRC, f"1x_p{p}") for p in range(passes)
+    )
+    res["minhash_fold_hist10x"] = min(
+        probe_minhash_fold(spark, work, out, f"10x_p{p}") for p in range(passes)
+    )
+    res["ivf_fold_hist1x"] = min(
+        probe_ivf_fold(spark, work, SRC, f"1x_p{p}") for p in range(passes)
+    )
+    res["ivf_fold_hist10x"] = min(
+        probe_ivf_fold(spark, work, out, f"10x_p{p}") for p in range(passes)
+    )
+    res["cc_sliver_sf0.1"] = probe_cc_sliver_fold(spark, SRC)
+    res["cc_sliver_10x"] = probe_cc_sliver_fold(spark, out)
+    for fam in ("scd2", "minhash", "ivf"):
+        a, b = res[f"{fam}_fold_hist1x"], res[f"{fam}_fold_hist10x"]
+        res[f"{fam}_fold_ratio"] = round(b / a, 2) if a else None
+    return res
+
+
 def time_queries(spark, qs, names, sf_dir: str) -> dict:
     # bench.py's exact measurement discipline (warm -> clear+gc -> timed
     # with one retry -> clear+gc), shared so probe ratios are comparable
@@ -240,6 +470,14 @@ def main() -> None:
     )
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run the streaming fold-cost probes (per-batch fold time at "
+        "history 1x vs 10x for the scd2/minhash/ivf maintainers, plus "
+        "the sliver-delta CC fold vs full batch clustering) instead of "
+        "the batch query ratios",
+    )
+    ap.add_argument(
         "--passes",
         type=int,
         default=3,
@@ -262,6 +500,25 @@ def main() -> None:
     if not args.skip_gen:
         print(f"generating factor-{args.factor} probe data at {args.out} ...")
         build(spark, args.out, args.factor)
+
+    if args.streaming:
+        res = run_streaming_probes(spark, args.out, max(1, args.passes))
+        print(f"\n{'fold':14s} {'hist 1x':>9s} {'hist 10x':>9s} {'ratio':>7s}   (minima over {args.passes} passes, fixed delta)")
+        for fam in ("scd2", "minhash", "ivf"):
+            print(
+                f"{fam:14s} {res[f'{fam}_fold_hist1x']:9.2f} "
+                f"{res[f'{fam}_fold_hist10x']:9.2f} "
+                f"{res[f'{fam}_fold_ratio']:7.2f}"
+            )
+        for key in ("cc_sliver_sf0.1", "cc_sliver_10x"):
+            cc = res[key]
+            print(
+                f"{key}: fold {cc['fold_secs']:.2f}s vs batch "
+                f"{cc['batch_secs']:.2f}s (fold/batch {cc['fold_over_batch']}, "
+                f"delta {cc['delta_pairs']}/{cc['total_pairs']} pairs)"
+            )
+        print(json.dumps({"streaming": res, "passes": args.passes}))
+        return
 
     import __spark_entry__ as entry
 
