@@ -184,6 +184,8 @@ HEADLINE = [
     "dedup_clusters_incremental",
     "dedup_clusters_incremental2",
     "dedup_clusters_incremental_sliver",
+    "scd2_point_in_time",
+    "corpus_snapshot_diff",
     "dedup_keep_best",
     "minhash_recall_report",
     "ann_ivf_incremental",

@@ -464,6 +464,116 @@ FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# scd2_point_in_time — the CONSUMPTION twin of the SCD2 maintenance ops:
+# reconstruct the dimension exactly as it stood on a date (training-data
+# reproducibility: "rebuild the features as of the snapshot we trained
+# on").  One predicate over the audited scd2_rebuild history — zero
+# added shuffles; with the streaming open/closed layout a current-date
+# snapshot prunes to the open partition via the valid_to IS NULL
+# disjunct.
+_PIT_DATE = "1996-01-01"
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_order_priority_history(spark, sf_dir)
+    d = F.to_date(F.lit(_PIT_DATE))
+    return hist.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    )
+
+
+SCD2_POINT_IN_TIME_SQL = f"""
+SELECT custkey, priority, valid_from, valid_to
+FROM ({SCD2_ORDER_PRIORITY_HISTORY_SQL}) h
+WHERE valid_from <= DATE '{_PIT_DATE}'
+  AND (valid_to IS NULL OR valid_to > DATE '{_PIT_DATE}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_snapshot_diff — dataset-versioning diff at the document grain:
+# between two corpus snapshots, which documents were added / removed /
+# changed / unchanged?  The primitive behind "what moved between the
+# refresh we trained on and today" — reproducibility auditing for a
+# training pipeline.  v2 is synthesized deterministically from the same
+# table (every 13th doc dropped, every 7th survivor's text edited, a
+# negative-id range added — the collision-free synthetic-key convention).
+# Plan: both sides reduce to (doc_id, content fingerprint) map-side —
+# the rolling char_fold_hash, oracle-mirrored — so the full-outer join
+# ships 16 bytes per doc, never text; at 100 TB both snapshots bucket by
+# doc_id and the join is co-located.
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.functions.textstats import (
+        char_fold_hash,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    k = F.col("doc_id")
+    v2_docs = (
+        docs.filter(k % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(k % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(k % 11 == 0).select(
+                (-(k + 1)).alias("doc_id"), "text"
+            )
+        )
+    )
+    # presence flags, not fp nullity: a NULL text folds to a NULL
+    # fingerprint, which must read as "same null content", never as a
+    # missing row
+    v1 = docs.select(
+        "doc_id",
+        char_fold_hash(F.col("text")).alias("fp_v1"),
+        F.lit(True).alias("_v1"),
+    )
+    v2 = v2_docs.select(
+        "doc_id",
+        char_fold_hash(F.col("text")).alias("fp_v2"),
+        F.lit(True).alias("_v2"),
+    )
+    status = (
+        F.when(F.col("_v1").isNull(), F.lit("added"))
+        .when(F.col("_v2").isNull(), F.lit("removed"))
+        .when(F.col("fp_v1").eqNullSafe(F.col("fp_v2")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+    )
+
+
+def _diff_sql() -> str:
+    from firmable_company_data_pipeline_spark.queries.llmops import _fold
+
+    return f"""
+WITH v1 AS (SELECT doc_id, {_fold("text")} AS fp FROM documents),
+v2_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+v2 AS (SELECT doc_id, {_fold("text")} AS fp FROM v2_docs)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.fp IS NOT DISTINCT FROM v2.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
 QUERIES = {
     "dq_summary": dq_summary,
     "events_rollup_incremental": events_rollup_incremental,
@@ -472,6 +582,8 @@ QUERIES = {
     "scd2_order_priority_history": scd2_order_priority_history,
     "fk_integrity_audit": fk_integrity_audit,
     "column_profile_orders": column_profile_orders,
+    "scd2_point_in_time": scd2_point_in_time,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
 
 ORACLES = {
@@ -482,4 +594,6 @@ ORACLES = {
     "scd2_order_priority_history": SCD2_ORDER_PRIORITY_HISTORY_SQL,
     "fk_integrity_audit": FK_INTEGRITY_AUDIT_SQL,
     "column_profile_orders": COLUMN_PROFILE_ORDERS_SQL,
+    "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
+    "corpus_snapshot_diff": _diff_sql(),
 }
