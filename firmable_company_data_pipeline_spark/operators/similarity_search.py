@@ -224,6 +224,19 @@ def ivf_topk(
     return ivf_search(assigned, queries, centroids, id_col, vec_col, k, nprobe)
 
 
+def write_ivf_index(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an :func:`ivf_assign` index PARTITIONED BY cell — the
+    100-TB layout the assignment docstring promises.  With the index
+    laid out as ``cell=<id>/`` directories, :func:`ivf_search` over the
+    read-back index triggers DYNAMIC PARTITION PRUNING: the broadcast
+    probes side's cell ids become a runtime partition filter on the
+    index scan, so an nprobe-cell search reads only the probed cells'
+    files — search I/O is Σ|probed cells|, independent of index size.
+    Pinned by ``tests/test_similarity_search.py::
+    test_ivf_search_over_cell_partitions_prunes``."""
+    assigned.write.partitionBy("cell").mode(mode).parquet(path)
+
+
 def sign_bucket(vec, planes: int = 6):
     """Deterministic LSH bucket: integer from the sign bits of the first
     ``planes`` dimensions (axis-aligned hyperplanes)."""

@@ -835,9 +835,13 @@ def streaming_ivf_index(
             ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
             fs.createNewFile(marker)
         cents = spark.read.parquet(centroids_dir)
-        ivf_assign(batch_df, cents, id_col=id_col, vec_col=vec_col).write.mode(
-            "overwrite"
-        ).parquet(index_dir.rstrip("/") + f"/batch_id={batch_id}")
+        # cell-partitioned within the batch dir (round 8): searches over
+        # read_ivf_index dynamic-partition-prune to the probed cells, so
+        # search I/O never scales with index size (similarity_search.
+        # write_ivf_index documents the layout; DPP pinned by test)
+        ivf_assign(batch_df, cents, id_col=id_col, vec_col=vec_col).write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(index_dir.rstrip("/") + f"/batch_id={batch_id}")
 
     writer = vectors.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint:

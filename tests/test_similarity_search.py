@@ -137,3 +137,38 @@ def test_ivf_upsert_never_reassigns_indexed_vectors(spark, emb):
     # filter; a third leaf would betray a base-batch rescan / rebuild
     leaves = delta._jdf.queryExecution().optimizedPlan().collectLeaves()
     assert leaves.size() == 2  # delta scan + centroid scan
+
+
+def test_ivf_search_over_cell_partitions_prunes(spark, emb, tmp_path):
+    """The cell-partitioned index layout (write_ivf_index): searching it
+    must (a) return exactly the in-memory ivf_topk results and (b) show
+    DYNAMIC PARTITION PRUNING on the index scan — the probes side's
+    cell ids become a runtime partition filter, so an nprobe-cell
+    search reads only the probed cells' files regardless of index
+    size."""
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        default_centroids,
+        ivf_assign,
+        ivf_search,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    cents = default_centroids(emb, n_cells=8)
+    path = str(tmp_path / "ivf_cells")
+    write_ivf_index(ivf_assign(emb, cents), path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = ivf_search(spark.read.parquet(path), queries, cents, k=10, nprobe=2)
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in ivf_topk(queries, emb, k=10, n_cells=8, nprobe=2).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in res.collect()
+    )
+    assert got == want
