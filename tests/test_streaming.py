@@ -797,3 +797,62 @@ def test_streaming_histogram_refresh_matches_batch(spark, sf_dir, tmp_path):
     want = _rows(sk.hist_partial(ev), ["bin", "cnt"])
     assert got == want
     assert sum(c for _, c in got) == ev.count()
+
+
+def test_foreach_batch_upsert_is_bucket_local(spark, tmp_path):
+    """Round-8 contract: the keyed upsert rewrites ONLY the bucket
+    partitions the batch's keys hash into.  Seed 1000 keys across all
+    buckets, then fold a single-key batch and assert every part file
+    outside that key's bucket is byte-identical (size+mtime)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "upsert_bl")
+
+    def run(src, ckpt):
+        q = jobs.foreach_batch_upsert(
+            spark.readStream.schema("k int, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            target,
+            key="k",
+            checkpoint=ckpt,
+        )
+        _drain(q)
+
+    src = str(tmp_path / "src")
+    spark.range(1000).select(
+        F.col("id").cast("int").alias("k"), F.lit("a").alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(src, str(tmp_path / "ck"))
+
+    lone_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(7).cast("int")), F.lit(32))
+    ).first()[0]
+    before = {
+        os.path.join(r, f): (
+            os.path.getsize(os.path.join(r, f)),
+            os.path.getmtime(os.path.join(r, f)),
+        )
+        for r, _, fs in os.walk(target)
+        for f in fs
+        if f"_bucket={lone_bucket}" not in r and not f.startswith(".")
+    }
+    assert before, "seed run must populate buckets"
+
+    _time.sleep(0.3)
+    spark.createDataFrame([(7, "b")], "k int, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run(src, str(tmp_path / "ck"))
+
+    for path, sig in before.items():
+        assert (
+            os.path.getsize(path),
+            os.path.getmtime(path),
+        ) == sig, f"untouched bucket rewritten: {path}"
+    final = jobs.read_upsert_target(spark, target)
+    assert final.filter(F.col("k") == 7).select("v").first()[0] == "b"
+    assert final.count() == 1000
