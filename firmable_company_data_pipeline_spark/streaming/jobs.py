@@ -302,6 +302,15 @@ def streaming_minhash_dedup(
     input — and prunes generations older than the one it read (the
     read generation itself is kept so the NEXT replay still finds its
     input).  ``read_dedup_labels`` serves the newest generation.
+
+    Write amplification, stated honestly: each generation materializes
+    the FULL labeling (the newest generation alone is the complete
+    answer — no read-side chain merge), so the fold's COMPUTE is
+    delta-local while its WRITE is corpus-sized.  The seam if that ever
+    dominates: a cluster_id-bucketed layout with dynamic partition
+    overwrite (rewrite only buckets holding touched old/new cluster
+    ids — the ``foreach_batch_upsert`` pattern), or a Delta/Iceberg
+    MERGE touching only changed rows.
     """
     from firmable_company_data_pipeline_spark.operators import dedup as dd
 
@@ -574,6 +583,13 @@ def _batch_rollup(batch_df: DataFrame) -> DataFrame:
     )
 
 
+# NOTE on filesystem scope: the MANIFEST helpers below (and the label-
+# generation manifest further down) speak the driver-local file protocol
+# (os.listdir / open) — the dependency-free stand-in for what a
+# Delta/Iceberg log provides.  On a remote FS (HDFS/S3) swap them for
+# the Hadoop FileSystem API (`_hadoop_fs` above, already used by the
+# data-plane probes and the centroid freeze marker); the DATA reads/
+# writes all go through Spark and are FS-correct as-is.
 # Compaction manifest: names the live base dir and the highest batch id
 # folded into it.  Readers treat batch dirs with id <= "through" as
 # superseded, which is what makes BOTH crash windows safe (the new base

@@ -371,6 +371,45 @@ def probe_ivf_fold(spark, work: str, emb_path: str, tag: str) -> float:
     return _timed(run)
 
 
+def probe_upsert_fold(spark, work: str, n_rows: int, tag: str) -> float:
+    """One micro-batch (1k keys) through the bucket-local
+    foreach_batch_upsert against a target seeded with ``n_rows`` keys —
+    the fold reads/rewrites only the buckets the batch touches, so 10x
+    the target must not approach 10x the fold time."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.streaming import jobs
+
+    tgt = os.path.join(work, f"ups_{tag}")
+    src = os.path.join(work, f"ups_src_{tag}")
+    ckpt = os.path.join(work, f"ups_ck_{tag}")
+    for d in (tgt, src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    # seed the target directly in the sink's layout
+    spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        F.lit("seed").alias("v"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(32)).alias("_bucket"),
+    ).write.partitionBy("_bucket").parquet(tgt)
+    # delta = 1k keys that all hash into ONE bucket (a delta spraying
+    # every bucket legitimately degrades to a full-target merge; the
+    # locality claim is about the common narrow-delta case)
+    spark.range(200_000).filter(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(32)) == 0
+    ).limit(1_000).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+
+    def run():
+        q = jobs.foreach_batch_upsert(stream, tgt, key="k", checkpoint=ckpt)
+        q.awaitTermination(600)
+
+    return _timed(run)
+
+
 def probe_cc_sliver_fold(spark, sf_dir: str) -> dict:
     """The sliver-delta point of the incremental-CC story (verdict r7
     #3): previous labels materialized OUTSIDE the timer, then ONLY the
@@ -437,9 +476,15 @@ def run_streaming_probes(spark, out: str, passes: int) -> dict:
     res["ivf_fold_hist10x"] = min(
         probe_ivf_fold(spark, work, out, f"10x_p{p}") for p in range(passes)
     )
+    res["upsert_fold_hist1x"] = min(
+        probe_upsert_fold(spark, work, 100_000, f"1x_p{p}") for p in range(passes)
+    )
+    res["upsert_fold_hist10x"] = min(
+        probe_upsert_fold(spark, work, 1_000_000, f"10x_p{p}") for p in range(passes)
+    )
     res["cc_sliver_sf0.1"] = probe_cc_sliver_fold(spark, SRC)
     res["cc_sliver_10x"] = probe_cc_sliver_fold(spark, out)
-    for fam in ("scd2", "minhash", "ivf"):
+    for fam in ("scd2", "minhash", "ivf", "upsert"):
         a, b = res[f"{fam}_fold_hist1x"], res[f"{fam}_fold_hist10x"]
         res[f"{fam}_fold_ratio"] = round(b / a, 2) if a else None
     return res
@@ -504,7 +549,7 @@ def main() -> None:
     if args.streaming:
         res = run_streaming_probes(spark, args.out, max(1, args.passes))
         print(f"\n{'fold':14s} {'hist 1x':>9s} {'hist 10x':>9s} {'ratio':>7s}   (minima over {args.passes} passes, fixed delta)")
-        for fam in ("scd2", "minhash", "ivf"):
+        for fam in ("scd2", "minhash", "ivf", "upsert"):
             print(
                 f"{fam:14s} {res[f'{fam}_fold_hist1x']:9.2f} "
                 f"{res[f'{fam}_fold_hist10x']:9.2f} "
