@@ -61,6 +61,7 @@ PROBE_QUERIES = {
         "dedup_clusters",
         "dedup_clusters_star",
         "dedup_clusters_incremental",
+        "dedup_clusters_incremental_sliver",
         "dup_cluster_size_histogram",
     ],
     "ann": ["ann_lsh_bucketed", "ann_ivf", "ann_quantized"],
