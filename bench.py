@@ -186,6 +186,8 @@ HEADLINE = [
     "dedup_clusters_incremental_sliver",
     "scd2_point_in_time",
     "corpus_snapshot_diff",
+    "boilerplate_screen",
+    "corpus_drift_psi",
     "dedup_keep_best",
     "minhash_recall_report",
     "ann_ivf_incremental",

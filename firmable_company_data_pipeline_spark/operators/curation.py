@@ -494,3 +494,95 @@ def bigram_surprise(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "avg_bigram_surprise")
     )
+
+
+# Boilerplate screen: an n-gram is "boilerplate" within a source when it
+# appears in at least BOILER_DOC_DECIFRAC/10 of that source's documents
+# (integer-rational threshold — `10*doc_freq >= n_docs` — so the
+# comparison is exact on both engines, never a float multiply).
+BOILER_N = 2
+BOILER_DOC_DECIFRAC = 1  # 1/10 of the source's documents
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = BOILER_N,
+    doc_decifrac: int = BOILER_DOC_DECIFRAC,
+) -> DataFrame:
+    """Cross-document boilerplate detection (CCNet §4.2-adjacent: CCNet
+    drops paragraphs duplicated across documents; here the unit is the
+    n-gram because the corpus is single-line text), per source.
+
+    An n-gram is boilerplate in a source when it occurs in at least
+    ``doc_decifrac``/10 of that source's documents — the shared
+    header/footer/navigation phrases a crawl pipeline must discount
+    before near-dup scoring or quality filtering.  Output, one row per
+    document that has at least one n-gram: (doc_id, source, n_gram,
+    n_boiler_gram, boiler_frac) where the counts are n-gram
+    OCCURRENCES and boiler_frac = n_boiler_gram / n_gram.
+
+    Shape (three exchanges, no window, no skew-prone hot key):
+
+    1. map-side n-gram assembly (`F.get` over the in-row token array —
+       the ``_gram_rows`` trick), then one (source, doc, gram)
+       hash-groupBy with partial combine;
+    2. one (source, gram) hash-groupBy of that — doc-frequency —
+       with partial combine;
+    3. the boilerplate set is then **provably broadcastable**: within a
+       source, sum_g doc_freq(g) <= n_docs * L (L = n-grams per doc),
+       so at most L * 10/doc_decifrac grams can clear the threshold —
+       a bound independent of corpus size.  The per-doc rollup is a
+       broadcast left-join + one (doc) hash-groupBy.
+
+    At 100 TB nothing in the plan holds more than the gram vocabulary
+    of a single aggregation partition; the only data-sized shuffles are
+    the two hash-aggs, both map-side-combined.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    ex = toks.select(
+        "id", "source", "toks", F.posexplode("toks").alias("pos", "tok")
+    )
+    parts = [F.col("tok")] + [F.get("toks", F.col("pos") + i) for i in range(1, n)]
+    gram = F.when(
+        parts[-1].isNotNull() if n > 1 else F.lit(True),
+        F.concat_ws(" ", *parts),
+    )
+    occ = ex.select("id", "source", gram.alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    pg = occ.groupBy("source", "id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    doc_freq = pg.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    src_docs = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    boiler = (
+        doc_freq.join(broadcast(src_docs), "source")
+        .filter(F.col("doc_freq") * 10 >= F.col("n_docs") * doc_decifrac)
+        .select("source", "gram", F.lit(True).alias("_boiler"))
+    )
+    rolled = (
+        pg.join(broadcast(boiler), ["source", "gram"], "left")
+        .groupBy("id", "source")
+        .agg(
+            F.sum("c").alias("n_gram"),
+            F.coalesce(
+                F.sum(F.when(F.col("_boiler"), F.col("c"))), F.lit(0)
+            ).alias("n_boiler_gram"),
+        )
+    )
+    return rolled.select(
+        F.col("id").alias(id_col),
+        "source",
+        "n_gram",
+        "n_boiler_gram",
+        F.round(F.col("n_boiler_gram") / F.col("n_gram"), 6).alias("boiler_frac"),
+    )

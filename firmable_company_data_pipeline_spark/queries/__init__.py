@@ -37,10 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 # are NOT listed: registration order appends them after the head, and
 # their relative order is immaterial to the gate.
 _DRIVER_WINDOW_PRIORITY = (
-    # -- new in round 8 (3) --
+    # -- new in round 8 (5) --
     "dedup_clusters_incremental_sliver",
     "scd2_point_in_time",
     "corpus_snapshot_diff",
+    "boilerplate_screen",
+    "corpus_drift_psi",
     # -- plans changed in round 8 (12) --
     "ann_ivf",
     "ann_ivf_incremental",
@@ -80,7 +82,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "unshipped_order_revenue",
     "user_value_records",
     "user_week_over_week",
-    # -- r5 evidence, alphabetical head of that cohort (12) --
+    # -- r5 evidence, alphabetical head of that cohort (8) --
     "ann_quantized",
     "apply_mixing_plan",
     "approx_distinct_users",
@@ -89,11 +91,10 @@ _DRIVER_WINDOW_PRIORITY = (
     "chunk_documents",
     "common_event_paths",
     "contamination_check",
-    "cross_source_shingle_overlap",
-    "curate_corpus",
-    # (customer_order_gaps / customer_order_histogram are the next r5
-    # rotation candidates — displaced by the two late-round-8 additions
-    # above; their r5 green rows stand on unchanged plans.)
+    # (cross_source_shingle_overlap / curate_corpus /
+    # customer_order_gaps / customer_order_histogram are the next r5
+    # rotation candidates — displaced by the four late-round-8
+    # additions above; their r5 green rows stand on unchanged plans.)
 )
 
 

@@ -490,7 +490,45 @@ GROUP BY brute.query_id
 ANN_RECALL_REPORT_SQL = _ann_recall_sql()
 
 
+# --------------------------------------------------------------------------
+# boilerplate_screen — cross-document boilerplate n-gram detection per
+# source (CCNet-adjacent; see operators/curation.py::boilerplate_stats
+# for the plan shape and the provable broadcast bound on the
+# boilerplate set).  The reference has no cross-document text screen
+# at all (transform/data_cleaning.py is per-row); this is the crawl-
+# pipeline primitive that discounts shared header/footer phrases.
+def boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.boilerplate_stats(docs)
+
+
+BOILERPLATE_SCREEN_SQL = f"""
+WITH tok AS (SELECT doc_id, source, {_TOKENS} AS t FROM documents),
+occ AS (
+  SELECT doc_id, source, t[p+1] || ' ' || t[p+2] AS gram
+  FROM (SELECT doc_id, source, t, unnest(range(len(t)-1)) AS p
+        FROM tok WHERE len(t) >= 2)
+),
+pg AS (SELECT source, doc_id, gram, count(*) AS c FROM occ GROUP BY ALL),
+dfq AS (SELECT source, gram, count(*) AS doc_freq FROM pg GROUP BY ALL),
+sd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+boiler AS (
+  SELECT dfq.source, dfq.gram FROM dfq JOIN sd USING (source)
+  WHERE dfq.doc_freq * 10 >= sd.n_docs * {cu.BOILER_DOC_DECIFRAC}
+)
+SELECT pg.doc_id, pg.source,
+       sum(c)::BIGINT AS n_gram,
+       coalesce(sum(c) FILTER (WHERE b.gram IS NOT NULL), 0)::BIGINT
+         AS n_boiler_gram,
+       round(coalesce(sum(c) FILTER (WHERE b.gram IS NOT NULL), 0) * 1.0
+             / sum(c), 6) AS boiler_frac
+FROM pg LEFT JOIN boiler b ON pg.source = b.source AND pg.gram = b.gram
+GROUP BY pg.doc_id, pg.source
+"""
+
+
 QUERIES = {
+    "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
     "chunk_documents": chunk_documents,
     "quality_repetition": quality_repetition,
@@ -504,6 +542,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "boilerplate_screen": BOILERPLATE_SCREEN_SQL,
     "ann_recall_report": ANN_RECALL_REPORT_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "quality_repetition": QUALITY_REPETITION_SQL,

@@ -504,6 +504,31 @@ WHERE valid_from <= DATE '{_PIT_DATE}'
 # the rolling char_fold_hash, oracle-mirrored — so the full-outer join
 # ships 16 bytes per doc, never text; at 100 TB both snapshots bucket by
 # doc_id and the join is co-located.
+def _v2_docs(docs: DataFrame) -> DataFrame:
+    """The synthesized v2 snapshot shared by the versioning family
+    (corpus_snapshot_diff, corpus_drift_psi): every 13th doc dropped,
+    every 7th survivor's text edited, a negative-id range added (the
+    collision-free synthetic-key convention).  Carries through any
+    extra columns beyond (doc_id, text) unchanged."""
+    k = F.col("doc_id")
+    others = [c for c in docs.columns if c not in ("doc_id", "text")]
+    return (
+        docs.filter(k % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(k % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            *others,
+        )
+        .unionByName(
+            docs.filter(k % 11 == 0).select(
+                (-(k + 1)).alias("doc_id"), "text", *others
+            )
+        )
+    )
+
+
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.functions.textstats import (
         char_fold_hash,
@@ -512,21 +537,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"].select(
         "doc_id", "text"
     )
-    k = F.col("doc_id")
-    v2_docs = (
-        docs.filter(k % 13 != 0)
-        .select(
-            "doc_id",
-            F.when(k % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            docs.filter(k % 11 == 0).select(
-                (-(k + 1)).alias("doc_id"), "text"
-            )
-        )
-    )
+    v2_docs = _v2_docs(docs)
     # presence flags, not fp nullity: a NULL text folds to a NULL
     # fingerprint, which must read as "same null content", never as a
     # missing row
@@ -574,6 +585,106 @@ FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_drift_psi — Population Stability Index between two corpus
+# snapshots, per source: the standard data-drift monitor a training
+# pipeline runs between "the refresh we trained on" and "today" before
+# deciding to re-train.  Reuses corpus_snapshot_diff's synthesized v2
+# (every 13th doc dropped, every 7th survivor edited, a negative-id
+# range added) so the versioning family shares one snapshot fixture.
+# Feature: document length in chars, 10 fixed-width buckets (60 chars
+# wide, top bucket open); probabilities additively smoothed
+# (+0.5 per bucket) so empty buckets never hit ln(0);
+# psi = sum_b (p2-p1) * ln(p2/p1), folded sequentially in bucket order
+# on both engines (the repo's cross-engine float convention), HALF_UP
+# at 6 places.
+#
+# Shape: two (source, bucket) hash-aggs (map-side combined), a
+# full-outer join on the bounded (source x 10) bucket grid, a broadcast
+# of the per-source totals, and a 10-element fold per source — nothing
+# data-sized past the first aggregation, safe at any corpus size.
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.functions.money import half_up
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text", "source"
+    )
+    v2 = _v2_docs(docs)
+
+    def buckets(df: DataFrame, cname: str) -> DataFrame:
+        bucket = F.least(
+            F.lit(9),
+            F.floor(F.coalesce(F.length("text"), F.lit(0)) / F.lit(60)),
+        ).cast("long")
+        return df.groupBy("source", bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+
+    g = (
+        buckets(docs, "c1")
+        .join(buckets(v2, "c2"), ["source", "bucket"], "full_outer")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    tot = g.groupBy("source").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p1 = (F.col("c1") + 0.5) / (F.col("n1") + 5.0)
+    p2 = (F.col("c2") + 0.5) / (F.col("n2") + 5.0)
+    terms = g.join(F.broadcast(tot), "source").select(
+        "source", "bucket", ((p2 - p1) * F.log(p2 / p1)).alias("term")
+    )
+    folded = terms.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "term"))
+        ).alias("ts")
+    )
+    psi = F.aggregate(
+        F.col("ts"), F.lit(0.0), lambda acc, s: acc + s["term"]
+    )
+    return folded.select("source", half_up(psi, 6).alias("psi"))
+
+
+CORPUS_DRIFT_PSI_SQL = """
+WITH v2_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, text, source
+  FROM documents WHERE doc_id % 11 = 0
+),
+b1 AS (SELECT source, least(9, coalesce(length(text), 0) // 60) AS bucket,
+              count(*) AS c FROM documents GROUP BY ALL),
+b2 AS (SELECT source, least(9, coalesce(length(text), 0) // 60) AS bucket,
+              count(*) AS c FROM v2_docs GROUP BY ALL),
+g AS (
+  SELECT coalesce(b1.source, b2.source) AS source,
+         coalesce(b1.bucket, b2.bucket) AS bucket,
+         coalesce(b1.c, 0) AS c1, coalesce(b2.c, 0) AS c2
+  FROM b1 FULL OUTER JOIN b2
+    ON b1.source = b2.source AND b1.bucket = b2.bucket
+),
+tot AS (SELECT source, sum(c1) AS n1, sum(c2) AS n2 FROM g GROUP BY source),
+terms AS (
+  SELECT g.source, g.bucket,
+         ((c2 + 0.5)/(n2 + 5.0) - (c1 + 0.5)/(n1 + 5.0))
+         * ln(((c2 + 0.5)/(n2 + 5.0)) / ((c1 + 0.5)/(n1 + 5.0))) AS term
+  FROM g JOIN tot USING (source)
+)
+SELECT source,
+       floor(list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY bucket)),
+                         (acc, v) -> acc + v) * 1000000.0 + 0.5)
+       / 1000000.0 AS psi
+FROM terms GROUP BY source
+"""
+
+
 QUERIES = {
     "dq_summary": dq_summary,
     "events_rollup_incremental": events_rollup_incremental,
@@ -584,6 +695,7 @@ QUERIES = {
     "column_profile_orders": column_profile_orders,
     "scd2_point_in_time": scd2_point_in_time,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "corpus_drift_psi": corpus_drift_psi,
 }
 
 ORACLES = {
@@ -596,4 +708,5 @@ ORACLES = {
     "column_profile_orders": COLUMN_PROFILE_ORDERS_SQL,
     "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
     "corpus_snapshot_diff": _diff_sql(),
+    "corpus_drift_psi": CORPUS_DRIFT_PSI_SQL,
 }

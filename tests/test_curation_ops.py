@@ -212,3 +212,37 @@ def test_bigram_surprise_hand_computed(spark):
     # single-token doc contributes no row
     single = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     assert bigram_surprise(single).count() == 0
+
+
+def test_boilerplate_stats_per_source_scoping(spark):
+    # s0 (5 docs incl. a gram-less single-token doc): "acme corp" is in
+    # 3/5 docs -> boilerplate at the 50% threshold (doc_decifrac=5);
+    # every other gram is single-doc.  s1 (3 docs): "acme corp" is in
+    # only 1/3 docs -> NOT boilerplate there, pinning per-source
+    # scoping of the threshold.
+    rows = [
+        (1, "acme corp alpha beta", "s0"),
+        (2, "acme corp gamma", "s0"),
+        (3, "delta acme corp acme corp", "s0"),
+        (4, "epsilon zeta", "s0"),
+        (8, "solo", "s0"),  # no bigram: excluded from output, counted in n_docs
+        (5, "acme corp solo", "s1"),
+        (6, "unique words here", "s1"),
+        (7, "more filler text", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in cu.boilerplate_stats(docs, doc_decifrac=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}  # doc 8 has no bigram
+    assert (out[1]["n_gram"], out[1]["n_boiler_gram"]) == (3, 1)
+    assert out[1]["boiler_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (out[2]["n_gram"], out[2]["n_boiler_gram"]) == (2, 1)
+    # doc 3 contains the boilerplate bigram TWICE ("acme corp" at two
+    # positions) - occurrences, not distinct grams, are counted
+    assert (out[3]["n_gram"], out[3]["n_boiler_gram"]) == (4, 2)
+    assert (out[4]["n_gram"], out[4]["n_boiler_gram"]) == (1, 0)
+    # per-source scoping: same gram, different source, below threshold
+    assert (out[5]["n_gram"], out[5]["n_boiler_gram"]) == (2, 0)
+    assert out[6]["n_boiler_gram"] == 0 and out[7]["n_boiler_gram"] == 0

@@ -289,3 +289,20 @@ def test_scd2_rebuild_compacts_change_feed(spark):
         ("k3", 1): (None, 3),   # NULL-valued first row kept, NULL run compacted
         ("k3", 3): ("Y", None),
     }
+
+
+def test_corpus_drift_psi_nonnegative_and_stable(spark, sf_dir):
+    # PSI terms (p2-p1)*ln(p2/p1) are sign-coherent, so psi >= 0 always;
+    # the synthesized v2 snapshot (drops+edits+adds) must register SOME
+    # drift in at least one source, and the fold is deterministic.
+    from firmable_company_data_pipeline_spark.queries.maintenance import (
+        corpus_drift_psi,
+    )
+
+    out = corpus_drift_psi(spark, sf_dir).collect()
+    n_sources = {r["source"] for r in out}
+    assert len(out) == len(n_sources)  # one row per source
+    assert all(r["psi"] >= 0.0 for r in out)
+    assert any(r["psi"] > 0.0 for r in out)
+    again = {r["source"]: r["psi"] for r in corpus_drift_psi(spark, sf_dir).collect()}
+    assert {r["source"]: r["psi"] for r in out} == again
