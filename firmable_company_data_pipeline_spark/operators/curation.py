@@ -557,7 +557,17 @@ def boilerplate_stats(
     occ = ex.select("id", "source", gram.alias("gram")).filter(
         F.col("gram").isNotNull()
     )
-    pg = occ.groupBy("source", "id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # pg feeds BOTH the doc-frequency branch and the per-doc rollup's
+    # probe side — without the persist the whole map-side gram assembly
+    # + first hash-agg executes twice (module caching contract; see
+    # docstring header).  Three narrow columns per (doc, gram); at
+    # 100 TB swap the gram string for xxhash64(gram) on both join
+    # sides to shrink the persisted footprint to 8-byte keys.
+    pg = (
+        occ.groupBy("source", "id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     doc_freq = pg.groupBy("source", "gram").agg(
         F.count(F.lit(1)).alias("doc_freq")
     )

@@ -56,6 +56,7 @@ PROBE_QUERIES = {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "cross_source_shingle_overlap",
+        "boilerplate_screen",
     ],
     "cc": [
         "dedup_clusters",

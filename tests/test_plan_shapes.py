@@ -590,3 +590,33 @@ def test_quantile_sketch_domain_cap_guard(spark):
         (F.col("id") % 50).cast("double").alias("value")
     )
     assert len(sc.quantile_sketch_report(ok).collect()) == len(sc._HIST_QS)
+
+
+def test_boilerplate_screen_broadcasts_and_exchange_budget(plans):
+    """boilerplate_stats' scale contract: the per-doc rollup joins the
+    boilerplate set via BROADCAST (the set is bounded by
+    grams-per-doc * 10/decifrac per source, independent of corpus
+    size), src_docs broadcasts, and the only data-sized exchanges are
+    the two map-side-combined hash-aggs + the final rollup — no window,
+    no sort-merge join over the gram stream."""
+    import re
+
+    p = plans("boilerplate_screen")
+    assert p.count("BroadcastHashJoin") >= 2  # src_docs + boiler set
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    # spread + persisted (source,id,gram) agg + doc-freq agg +
+    # dim-sized src_docs agg + final rollup; the persist pins the gram
+    # stream to ONE execution (both rollup sides read the cache)
+    assert "InMemoryRelation" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 5
+
+
+def test_corpus_drift_psi_bucket_grid_sized(plans):
+    """After the two (source,bucket) aggs everything is grid-sized:
+    the per-source totals join back via BROADCAST and no window ever
+    sees doc-sized data (the b1/b2 full-outer may plan as SMJ — both
+    sides are the bucket grid, sources x 10 rows, so that's fine)."""
+    p = plans("corpus_drift_psi")
+    assert "BroadcastHashJoin" in p  # per-source totals
+    assert "Window" not in p
