@@ -181,6 +181,16 @@ SHOWCASE = [
         " broadcast, and the eps/delta bound lands as booleans in a"
         " 1-row rollup.",
     ),
+    (
+        "boilerplate_screen",
+        "Round-8 cross-document boilerplate screen: the gram stream is"
+        " aggregated ONCE (persisted InMemoryRelation read by both"
+        " rollup sides); the boilerplate set broadcasts — at most"
+        " grams-per-doc x 10/decifrac grams per source can clear the"
+        " doc-frequency threshold, a bound independent of corpus size"
+        " — so the per-doc rollup is a broadcast left-join, no window,"
+        " no sort-merge join anywhere.",
+    ),
 ]
 
 def main() -> None:
