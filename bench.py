@@ -188,6 +188,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "boilerplate_screen",
     "corpus_drift_psi",
+    "embedding_drift",
     "dedup_keep_best",
     "minhash_recall_report",
     "ann_ivf_incremental",

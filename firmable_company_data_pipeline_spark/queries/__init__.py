@@ -37,12 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 # are NOT listed: registration order appends them after the head, and
 # their relative order is immaterial to the gate.
 _DRIVER_WINDOW_PRIORITY = (
-    # -- new in round 8 (5) --
+    # -- new in round 8 (6) --
     "dedup_clusters_incremental_sliver",
     "scd2_point_in_time",
     "corpus_snapshot_diff",
     "boilerplate_screen",
     "corpus_drift_psi",
+    "embedding_drift",
     # -- plans changed in round 8 (12) --
     "ann_ivf",
     "ann_ivf_incremental",
@@ -82,7 +83,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "unshipped_order_revenue",
     "user_value_records",
     "user_week_over_week",
-    # -- r5 evidence, alphabetical head of that cohort (8) --
+    # -- r5 evidence, alphabetical head of that cohort (7) --
     "ann_quantized",
     "apply_mixing_plan",
     "approx_distinct_users",
@@ -90,11 +91,11 @@ _DRIVER_WINDOW_PRIORITY = (
     "bm25_search",
     "chunk_documents",
     "common_event_paths",
-    "contamination_check",
-    # (cross_source_shingle_overlap / curate_corpus /
-    # customer_order_gaps / customer_order_histogram are the next r5
-    # rotation candidates — displaced by the four late-round-8
-    # additions above; their r5 green rows stand on unchanged plans.)
+    # (contamination_check / cross_source_shingle_overlap /
+    # curate_corpus / customer_order_gaps / customer_order_histogram
+    # are the next r5 rotation candidates — displaced by the five
+    # late-round-8 additions above; their r5 green rows stand on
+    # unchanged plans.)
 )
 
 

@@ -898,6 +898,77 @@ GROUP BY label, i
 
 
 # --------------------------------------------------------------------------
+# embedding_drift — per-label centroid cosine between two index
+# generations (even/odd vec_id split simulating consecutive snapshots):
+# the embedding-space sibling of corpus_drift_psi, the monitor that
+# tells a retrieval/ANN deployment "this class's embedding distribution
+# moved — re-cluster / re-calibrate before search quality decays".
+# centroid_cos ~ 1.0 means no drift.
+#
+# Determinism: both sides' centroids are rounded to 6 places FIRST (the
+# label_centroids convention, order-safe at that precision), then the
+# cosine is a sequential pos-order fold over those rounded values —
+# identical arithmetic on both engines, HALF_UP(6) at the end.
+# Shape: ONE (label, pos) hash-agg with conditional averages (both
+# snapshots ride the same exchange), then a label-grain fold over
+# dim-sized arrays — nothing data-sized after the first agg.
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.functions.money import half_up
+
+    emb = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+    is_a = F.col("vec_id") % 2 == 0
+    ex = emb.select(
+        "label", is_a.alias("is_a"), F.posexplode("embedding").alias("pos", "v")
+    )
+    v = F.col("v").cast("double")
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.when(F.col("is_a"), v)), 6).alias("a_val"),
+        F.round(F.avg(F.when(~F.col("is_a"), v)), 6).alias("b_val"),
+    )
+    folded = cent.groupBy("label").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "a_val", "b_val"))).alias(
+            "ps"
+        )
+    )
+
+    def fold(term):
+        return F.aggregate("ps", F.lit(0.0), lambda acc, s: acc + term(s))
+
+    dot = fold(lambda s: s["a_val"] * s["b_val"])
+    na = F.sqrt(fold(lambda s: s["a_val"] * s["a_val"]))
+    nb = F.sqrt(fold(lambda s: s["b_val"] * s["b_val"]))
+    return folded.select(
+        "label", half_up(dot / (na * nb), 6).alias("centroid_cos")
+    )
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH cent AS (
+  SELECT label, i AS pos,
+         round(avg(CASE WHEN vec_id % 2 = 0
+                        THEN CAST(embedding[i + 1] AS DOUBLE) END), 6) AS a_val,
+         round(avg(CASE WHEN vec_id % 2 = 1
+                        THEN CAST(embedding[i + 1] AS DOUBLE) END), 6) AS b_val
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS i) r
+  GROUP BY label, i
+),
+f AS (
+  SELECT label,
+         list_reduce(list_prepend(0.0::DOUBLE, list(a_val * b_val ORDER BY pos)),
+                     (acc, x) -> acc + x) AS dot,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(a_val * a_val ORDER BY pos)),
+                          (acc, x) -> acc + x)) AS na,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(b_val * b_val ORDER BY pos)),
+                          (acc, x) -> acc + x)) AS nb
+  FROM cent GROUP BY label
+)
+SELECT label, floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS centroid_cos
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding_norm_histogram — embedding-hygiene norm distribution.
 _NORM_BIN_W = 0.5
 
@@ -1421,6 +1492,7 @@ QUERIES = {
     "embedding_standardize": embedding_standardize,
     "media_frame_plan": media_frame_plan,
     "label_centroids": label_centroids,
+    "embedding_drift": embedding_drift,
     "embedding_norm_histogram": embedding_norm_histogram,
     "pagerank_neardup": pagerank_neardup,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
@@ -1431,6 +1503,7 @@ QUERIES = {
 
 ORACLES = {
     "label_centroids": LABEL_CENTROIDS_SQL,
+    "embedding_drift": EMBEDDING_DRIFT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "corpus_profile_by_source": CORPUS_PROFILE_BY_SOURCE_SQL,
     "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from firmable_company_data_pipeline_spark.operators.merge import merge_upsert, scd2_apply
@@ -306,3 +307,83 @@ def test_corpus_drift_psi_nonnegative_and_stable(spark, sf_dir):
     assert any(r["psi"] > 0.0 for r in out)
     again = {r["source"]: r["psi"] for r in corpus_drift_psi(spark, sf_dir).collect()}
     assert {r["source"]: r["psi"] for r in out} == again
+
+
+def test_corpus_drift_psi_hand_computed(spark, tmp_path):
+    # Reference implementation of the whole chain (v2 synthesis ->
+    # fixed-width buckets -> +0.5 smoothing -> sequential fold ->
+    # HALF_UP 6) in plain Python over a controlled corpus that hits
+    # every v2 branch (drop %13, edit %7, add %11).
+    import math
+
+    rows = [
+        (i, "x" * ((i * 37) % 550 + 10), "sA" if i % 2 else "sB")
+        for i in range(1, 29)
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from firmable_company_data_pipeline_spark.queries.maintenance import (
+        corpus_drift_psi,
+    )
+
+    got = {
+        r["source"]: r["psi"]
+        for r in corpus_drift_psi(spark, str(tmp_path)).collect()
+    }
+
+    def bucket(n):
+        return min(9, n // 60)
+
+    v1 = [(i, len(t), s) for i, t, s in rows]
+    v2 = [
+        (i, len(t) + (3 if i % 7 == 0 else 0), s)
+        for i, t, s in rows
+        if i % 13 != 0
+    ] + [(-(i + 1), len(t), s) for i, t, s in rows if i % 11 == 0]
+    for src in ("sA", "sB"):
+        c1, c2 = [0] * 10, [0] * 10
+        for _, n, s in v1:
+            if s == src:
+                c1[bucket(n)] += 1
+        for _, n, s in v2:
+            if s == src:
+                c2[bucket(n)] += 1
+        n1, n2 = sum(c1), sum(c2)
+        psi = 0.0
+        for b in range(10):
+            if c1[b] == 0 and c2[b] == 0:
+                continue  # bucket absent from the full-outer grid
+            p1 = (c1[b] + 0.5) / (n1 + 5.0)
+            p2 = (c2[b] + 0.5) / (n2 + 5.0)
+            psi += (p2 - p1) * math.log(p2 / p1)
+        expect = math.floor(psi * 1e6 + 0.5) / 1e6
+        assert got[src] == pytest.approx(expect, abs=2e-6), (src, got[src], expect)
+
+
+def test_embedding_drift_identical_and_orthogonal(spark, tmp_path):
+    # label 0: even and odd snapshots have IDENTICAL centroids -> 1.0;
+    # label 1: even centroid (1,0), odd centroid (0,1) -> 0.0.
+    import pandas as pd
+
+    rows = [
+        (0, [1.0, 2.0], 0), (1, [1.0, 2.0], 0),
+        (2, [3.0, 4.0], 0), (3, [3.0, 4.0], 0),
+        (4, [1.0, 0.0], 1), (5, [0.0, 1.0], 1),
+        (6, [1.0, 0.0], 1), (7, [0.0, 1.0], 1),
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    from firmable_company_data_pipeline_spark.queries.llmops import (
+        embedding_drift,
+    )
+
+    got = {
+        r["label"]: r["centroid_cos"]
+        for r in embedding_drift(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == pytest.approx(1.0, abs=1e-6)
+    assert got[1] == pytest.approx(0.0, abs=1e-6)
