@@ -749,8 +749,6 @@ def streaming_scd2_dimension(
     closed_dir = target_dir.rstrip("/") + "/closed"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
         spark = batch_df.sparkSession
         value_cols = [
             c for c in batch_df.columns if c not in (*keys, as_of_col)
@@ -793,7 +791,11 @@ def streaming_scd2_dimension(
         tmp = open_dir + f"._staging_{batch_id}"
         new_open.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(open_dir)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # staging cleanup through Spark's own filesystem — a driver-
+        # local rmtree would silently leak staging dirs on HDFS/S3
+        # (same class as the advice-r7 glob probes)
+        fs, jtmp = _hadoop_fs(spark, tmp)
+        fs.delete(jtmp, True)
 
     writer = changes.writeStream.foreachBatch(fold).trigger(availableNow=True)
     if checkpoint:
