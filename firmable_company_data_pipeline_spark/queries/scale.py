@@ -590,16 +590,12 @@ def quantile_sketch_report(ev: DataFrame) -> DataFrame:
     # of the window's input rides the plan and assert_true fails the
     # job if the distinct-value domain outgrows the documented bound —
     # the condition that would turn this window into a data-sized
-    # single reducer
+    # single reducer.  The assertion is fused into the `cnt` column of
+    # the window's INPUT projection (review r8): it therefore evaluates
+    # map-side, BEFORE the single-partition sort the cap exists to
+    # prevent — fused only into the output, the data-sized sort would
+    # OOM first and the loud failure would never be reached.
     n_distinct = F.broadcast(vals.agg(F.count(F.lit(1)).alias("n_distinct")))
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    vcum = vals.withColumn("cum", F.sum("cnt").over(wv))
-    exact = (
-        vcum.join(targets, F.col("cum") >= F.col("target"))
-        .groupBy("q", "n")
-        .agg(F.min("value").alias("exact_value"))
-        .crossJoin(n_distinct)
-    )
     domain_ok = F.assert_true(
         F.col("n_distinct") <= F.lit(_EXACT_DOMAIN_CAP),
         F.concat(
@@ -611,6 +607,19 @@ def quantile_sketch_report(ev: DataFrame) -> DataFrame:
                 "data-sized — use the ranks-based exact quantile instead"
             ),
         ),
+    )
+    guarded = vals.crossJoin(n_distinct).select(
+        "value",
+        # assert_true returns NULL on success, so this IS col("cnt")
+        # with the guard riding the pre-window projection
+        F.when(domain_ok.isNull(), F.col("cnt")).alias("cnt"),
+    )
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = guarded.withColumn("cum", F.sum("cnt").over(wv))
+    exact = (
+        vcum.join(targets, F.col("cum") >= F.col("target"))
+        .groupBy("q", "n")
+        .agg(F.min("value").alias("exact_value"))
     )
     # sketch side: constant-size bin counters, cum over ≤ HIST_BINS rows
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -625,10 +634,7 @@ def quantile_sketch_report(ev: DataFrame) -> DataFrame:
         exact.join(est, "q")
         .select(
             "q",
-            # the guard returns NULL on success, so this is col("n")
-            # with the domain assertion fused into the plan (a bare
-            # dropped column would be pruned away by Catalyst)
-            F.when(domain_ok.isNull(), F.col("n")).alias("n_events"),
+            F.col("n").alias("n_events"),
             F.round("exact_value", 2).alias("exact_value"),
             (F.lit(lo) + F.col("bin") * F.lit(w)).alias("est_value"),
             (

@@ -219,6 +219,26 @@ def foreach_batch_upsert(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # layout marker (review r8): the bucket count IS the target's
+        # physical layout — an upsert run with a different n_buckets
+        # would hash keys into different buckets, anti-join only the
+        # new buckets, and leave stale rows alive in the old ones
+        # (silent duplicate keys).  Encode n_buckets in a marker file
+        # name (written through Spark's filesystem, the _CENTROIDS_
+        # FROZEN pattern) and fail loudly on mismatch.  NO '=' in the
+        # name: underscore-prefixed paths are only hidden from Spark's
+        # file index when they don't look like partition paths.
+        fs, marker = _hadoop_fs(
+            spark, target_dir.rstrip("/") + f"/_N_BUCKETS_{n_buckets}"
+        )
+        if not fs.exists(marker):
+            if _read_parquet_or_none(spark, target_dir) is not None:
+                raise ValueError(
+                    f"upsert target {target_dir} was laid out with a "
+                    f"different n_buckets than {n_buckets}; rewriting "
+                    "with a new bucket count requires a full reload"
+                )
+            fs.createNewFile(marker)
         incoming = batch_df.dropDuplicates([key]).withColumn(
             "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
         )
@@ -259,10 +279,20 @@ def streaming_minhash_dedup(
     checkpoint: str | None = None,
     threshold: float = 0.5,
     labels_dir: str | None = None,
+    broadcast_delta: bool = True,
 ):
     """Streaming near-duplicate detection over a document stream — the
     Structured-Streaming composition of the incremental index operator
     (``operators/dedup.py`` ``minhash_delta_pairs``).
+
+    ``broadcast_delta`` (default True) assumes micro-batches are
+    bounded — the LSH bucket join then streams the signature index
+    map-side, never re-shuffling history per batch.  Pass False when a
+    batch can be a large backfill (e.g. a file source pointed at a
+    pre-existing corpus with no ``maxFilesPerTrigger``: availableNow
+    delivers the whole backlog as ONE batch, and a forced broadcast of
+    its band table would hit Spark's broadcast limit / driver memory —
+    the same caveat as ``minhash_delta_pairs`` itself).
 
     Each micro-batch:
 
@@ -330,11 +360,12 @@ def streaming_minhash_dedup(
             )
         else:
             index = spark.createDataFrame([], delta.schema)
-        # broadcast_delta: the micro-batch is bounded, so the bucket join
-        # streams the index map-side — history is scanned, never
-        # re-shuffled per batch (measured by scale_probe --streaming)
+        # broadcast_delta (caller-controlled, see docstring): bounded
+        # micro-batches stream the index map-side — history is scanned,
+        # never re-shuffled per batch (measured by scale_probe
+        # --streaming); large-backfill callers opt out
         pairs = dd.minhash_delta_pairs(
-            index, delta, threshold=threshold, broadcast_delta=True
+            index, delta, threshold=threshold, broadcast_delta=broadcast_delta
         )
         if labels_dir is not None:
             pairs = pairs.persist()
@@ -778,8 +809,11 @@ def streaming_scd2_dimension(
             ).limit(0)
         # the input dim carries open rows ONLY, so scd2_apply's
         # closed_history branch is empty and the valid_to split below
-        # recovers exactly (newly closed, next open set)
-        merged = scd2_apply(open_rows, latest, keys, as_of_col=as_of_col)
+        # recovers exactly (newly closed, next open set).  persist: the
+        # fold runs THREE actions over this lineage (the non-empty
+        # probe, the closed write, the open staging write) — unpersisted
+        # each would re-read open/ and re-run the merge (review r8)
+        merged = scd2_apply(open_rows, latest, keys, as_of_col=as_of_col).persist()
         newly_closed = merged.filter(F.col("valid_to").isNotNull())
         # closed rows append once, batch-keyed: replay overwrites its
         # own dir; skip-when-empty keeps no-op redeliveries clobber-free
@@ -796,6 +830,7 @@ def streaming_scd2_dimension(
         # (same class as the advice-r7 glob probes)
         fs, jtmp = _hadoop_fs(spark, tmp)
         fs.delete(jtmp, True)
+        merged.unpersist()
 
     writer = changes.writeStream.foreachBatch(fold).trigger(availableNow=True)
     if checkpoint:

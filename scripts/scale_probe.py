@@ -425,10 +425,10 @@ def probe_cc_sliver_fold(spark, sf_dir: str) -> dict:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
-    pairs.count()
+    n_pairs = pairs.count()  # one action: materializes the cache AND counts
     is_new = (F.col("id_a") % 100 == 0) | (F.col("id_b") % 100 == 0)
     delta = pairs.filter(is_new).persist()
-    n_delta, n_pairs = delta.count(), pairs.count()
+    n_delta = delta.count()
     prev = dd.connected_components(
         pairs.filter(~is_new), deep_graphs=True
     ).localCheckpoint(eager=True)

@@ -856,3 +856,42 @@ def test_foreach_batch_upsert_is_bucket_local(spark, tmp_path):
     final = jobs.read_upsert_target(spark, target)
     assert final.filter(F.col("k") == 7).select("v").first()[0] == "b"
     assert final.count() == 1000
+
+
+def test_foreach_batch_upsert_rejects_bucket_count_change(spark, tmp_path):
+    """Review r8: n_buckets is the target's physical layout — a sink
+    restarted with a different bucket count would silently leave stale
+    rows alive in old buckets (duplicate keys).  The layout marker must
+    fail the fold loudly instead."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "upsert_layout")
+    src = str(tmp_path / "src")
+    spark.range(10).select(
+        F.col("id").cast("int").alias("k"), F.lit("a").alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(n_buckets, ckpt):
+        q = jobs.foreach_batch_upsert(
+            spark.readStream.schema("k int, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            target,
+            key="k",
+            checkpoint=ckpt,
+            n_buckets=n_buckets,
+        )
+        _drain(q)
+
+    run(32, str(tmp_path / "ck1"))
+    assert jobs.read_upsert_target(spark, target).count() == 10
+    spark.range(10, 12).select(
+        F.col("id").cast("int").alias("k"), F.lit("b").alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="different n_buckets|STREAM_FAILED|FOREACH_BATCH"):
+        run(64, str(tmp_path / "ck2"))
+    # the matching bucket count still folds fine from a fresh checkpoint
+    run(32, str(tmp_path / "ck3"))
+    out = jobs.read_upsert_target(spark, target)
+    assert out.count() == 12
+    assert out.filter(F.col("k") < 10).filter(F.col("v") != "a").count() == 0
