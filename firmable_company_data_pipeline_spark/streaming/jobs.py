@@ -215,6 +215,12 @@ def foreach_batch_upsert(
     identical bucket contents and dynamic overwrite rewrites only those
     partitions.  ``read_upsert_target`` returns the logical view
     (partition column dropped).
+
+    The bucket count is recorded in a ``_N_BUCKETS_<n>`` layout marker
+    on first fold (review r8): a sink restarted with a different
+    ``n_buckets`` fails loudly instead of silently stranding stale rows
+    in old buckets.  A target seeded EXTERNALLY in this layout must
+    declare it via :func:`declare_upsert_layout` before the first fold.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -234,9 +240,11 @@ def foreach_batch_upsert(
         if not fs.exists(marker):
             if _read_parquet_or_none(spark, target_dir) is not None:
                 raise ValueError(
-                    f"upsert target {target_dir} was laid out with a "
-                    f"different n_buckets than {n_buckets}; rewriting "
-                    "with a new bucket count requires a full reload"
+                    f"upsert target {target_dir} carries no "
+                    f"_N_BUCKETS_{n_buckets} layout marker: either it "
+                    "was laid out with a different n_buckets (rebucket "
+                    "requires a full reload) or it was seeded "
+                    "externally without declare_upsert_layout()"
                 )
             fs.createNewFile(marker)
         incoming = batch_df.dropDuplicates([key]).withColumn(
@@ -264,6 +272,19 @@ def foreach_batch_upsert(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def declare_upsert_layout(spark, target_dir: str, n_buckets: int = 32) -> None:
+    """Write the ``_N_BUCKETS_<n>`` layout marker for a target that was
+    SEEDED EXTERNALLY in the sink's layout (a batch backfill that wrote
+    ``partitionBy("_bucket")`` itself).  The sink refuses to fold into
+    an unmarked non-empty target — it cannot tell a legitimate seed
+    from a bucket-count mismatch, and guessing wrong corrupts silently
+    — so the seeding writer declares the layout it used."""
+    fs, marker = _hadoop_fs(
+        spark, target_dir.rstrip("/") + f"/_N_BUCKETS_{n_buckets}"
+    )
+    fs.createNewFile(marker)
 
 
 def read_upsert_target(spark, target_dir: str) -> DataFrame:

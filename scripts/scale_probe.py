@@ -395,6 +395,7 @@ def probe_upsert_fold(spark, work: str, n_rows: int, tag: str) -> float:
         F.lit("seed").alias("v"),
         F.pmod(F.xxhash64(F.col("id")), F.lit(32)).alias("_bucket"),
     ).write.partitionBy("_bucket").parquet(tgt)
+    jobs.declare_upsert_layout(spark, tgt, 32)
     # delta = 1k keys that all hash into ONE bucket (a delta spraying
     # every bucket legitimately degrades to a full-target merge; the
     # locality claim is about the common narrow-delta case)
