@@ -895,3 +895,29 @@ def test_foreach_batch_upsert_rejects_bucket_count_change(spark, tmp_path):
     out = jobs.read_upsert_target(spark, target)
     assert out.count() == 12
     assert out.filter(F.col("k") < 10).filter(F.col("v") != "a").count() == 0
+
+
+def test_streaming_minhash_dedup_backfill_arm_matches_batch(spark, sf_dir, tmp_path):
+    """broadcast_delta=False (the large-backfill arm, review r8) must
+    discover exactly the same pairs as the default broadcast arm — the
+    flag changes the join strategy, never the result."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    pairs_dir = str(tmp_path / "pairs")
+    q = jobs.streaming_minhash_dedup(
+        stream, str(tmp_path / "idx"), pairs_dir,
+        checkpoint=str(tmp_path / "ck"), threshold=0.0,
+        broadcast_delta=False,
+    )
+    _drain(q)
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    streamed = _rows(spark.read.parquet(pairs_dir), ["id_a", "id_b", "est_jaccard"])
+    batch = _rows(
+        dd.minhash_lsh_pairs(docs, threshold=0.0), ["id_a", "id_b", "est_jaccard"]
+    )
+    assert streamed == batch
