@@ -589,10 +589,17 @@ def boilerplate_stats(
             ).alias("n_boiler_gram"),
         )
     )
+    from firmable_company_data_pipeline_spark.functions.money import half_up
+
     return rolled.select(
         F.col("id").alias(id_col),
         "source",
         "n_gram",
         "n_boiler_gram",
-        F.round(F.col("n_boiler_gram") / F.col("n_gram"), 6).alias("boiler_frac"),
+        # half_up, not round(): x/640-style ratios land on exact 6-dp
+        # ties where Spark's decimal HALF_UP and DuckDB's
+        # round-the-double disagree (the documented cross-engine class)
+        half_up(F.col("n_boiler_gram") / F.col("n_gram"), 6).alias(
+            "boiler_frac"
+        ),
     )

@@ -520,8 +520,8 @@ SELECT pg.doc_id, pg.source,
        sum(c)::BIGINT AS n_gram,
        coalesce(sum(c) FILTER (WHERE b.gram IS NOT NULL), 0)::BIGINT
          AS n_boiler_gram,
-       round(coalesce(sum(c) FILTER (WHERE b.gram IS NOT NULL), 0) * 1.0
-             / sum(c), 6) AS boiler_frac
+       floor(coalesce(sum(c) FILTER (WHERE b.gram IS NOT NULL), 0) * 1.0
+             / sum(c) * 1000000.0 + 0.5) / 1000000.0 AS boiler_frac
 FROM pg LEFT JOIN boiler b ON pg.source = b.source AND pg.gram = b.gram
 GROUP BY pg.doc_id, pg.source
 """

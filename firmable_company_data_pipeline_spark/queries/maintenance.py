@@ -620,9 +620,20 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(cname)
         )
 
+    # the FULL source x 10 grid, not just observed buckets (review r8
+    # second pass): a bucket empty in both snapshots still contributes
+    # its smoothing term (0.5/(n2+5) - 0.5/(n1+5))·ln((n1+5)/(n2+5)),
+    # nonzero whenever the snapshot sizes differ — dropping it would
+    # systematically understate PSI against the documented definition
+    grid = (
+        docs.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"))
+        .select("source", F.col("bucket").cast("long").alias("bucket"))
+    )
     g = (
-        buckets(docs, "c1")
-        .join(buckets(v2, "c2"), ["source", "bucket"], "full_outer")
+        grid.join(buckets(docs, "c1"), ["source", "bucket"], "left")
+        .join(buckets(v2, "c2"), ["source", "bucket"], "left")
         .select(
             "source",
             "bucket",
@@ -663,12 +674,16 @@ b1 AS (SELECT source, least(9, coalesce(length(text), 0) // 60) AS bucket,
               count(*) AS c FROM documents GROUP BY ALL),
 b2 AS (SELECT source, least(9, coalesce(length(text), 0) // 60) AS bucket,
               count(*) AS c FROM v2_docs GROUP BY ALL),
+grid AS (
+  SELECT source, unnest(range(10)) AS bucket
+  FROM (SELECT DISTINCT source FROM documents)
+),
 g AS (
-  SELECT coalesce(b1.source, b2.source) AS source,
-         coalesce(b1.bucket, b2.bucket) AS bucket,
+  SELECT grid.source, grid.bucket,
          coalesce(b1.c, 0) AS c1, coalesce(b2.c, 0) AS c2
-  FROM b1 FULL OUTER JOIN b2
-    ON b1.source = b2.source AND b1.bucket = b2.bucket
+  FROM grid
+  LEFT JOIN b1 ON b1.source = grid.source AND b1.bucket = grid.bucket
+  LEFT JOIN b2 ON b2.source = grid.source AND b2.bucket = grid.bucket
 ),
 tot AS (SELECT source, sum(c1) AS n1, sum(c2) AS n2 FROM g GROUP BY source),
 terms AS (

@@ -229,23 +229,29 @@ def foreach_batch_upsert(
         # physical layout — an upsert run with a different n_buckets
         # would hash keys into different buckets, anti-join only the
         # new buckets, and leave stale rows alive in the old ones
-        # (silent duplicate keys).  Encode n_buckets in a marker file
-        # name (written through Spark's filesystem, the _CENTROIDS_
-        # FROZEN pattern) and fail loudly on mismatch.  NO '=' in the
-        # name: underscore-prefixed paths are only hidden from Spark's
-        # file index when they don't look like partition paths.
-        fs, marker = _hadoop_fs(
-            spark, target_dir.rstrip("/") + f"/_N_BUCKETS_{n_buckets}"
-        )
-        if not fs.exists(marker):
+        # (silent duplicate keys).  The guard lists ALL _N_BUCKETS_*
+        # markers (not just the current count's): any marker for a
+        # DIFFERENT count fails the fold, so two incompatible layouts
+        # can never both look declared (review r8 second pass).  NO '='
+        # in the name: underscore-prefixed paths are only hidden from
+        # Spark's file index when they don't look like partition paths.
+        existing = _bucket_markers(spark, target_dir)
+        if existing and existing != [n_buckets]:
+            raise ValueError(
+                f"upsert target {target_dir} is declared with "
+                f"n_buckets {existing}, not {n_buckets}; rebucketing "
+                "requires a full reload"
+            )
+        if not existing:
             if _read_parquet_or_none(spark, target_dir) is not None:
                 raise ValueError(
                     f"upsert target {target_dir} carries no "
-                    f"_N_BUCKETS_{n_buckets} layout marker: either it "
-                    "was laid out with a different n_buckets (rebucket "
-                    "requires a full reload) or it was seeded "
+                    "_N_BUCKETS_* layout marker: it was seeded "
                     "externally without declare_upsert_layout()"
                 )
+            fs, marker = _hadoop_fs(
+                spark, target_dir.rstrip("/") + f"/_N_BUCKETS_{n_buckets}"
+            )
             fs.createNewFile(marker)
         incoming = batch_df.dropDuplicates([key]).withColumn(
             "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
@@ -274,13 +280,36 @@ def foreach_batch_upsert(
     return writer.start()
 
 
+def _bucket_markers(spark, target_dir: str) -> list[int]:
+    """Every declared bucket count of an upsert target — the sorted
+    integer suffixes of its ``_N_BUCKETS_*`` marker files, listed
+    through Spark's own filesystem."""
+    fs, pattern = _hadoop_fs(
+        spark, target_dir.rstrip("/") + "/_N_BUCKETS_*"
+    )
+    statuses = fs.globStatus(pattern)
+    if statuses is None:
+        return []
+    return sorted(
+        int(s.getPath().getName().rsplit("_", 1)[1]) for s in statuses
+    )
+
+
 def declare_upsert_layout(spark, target_dir: str, n_buckets: int = 32) -> None:
     """Write the ``_N_BUCKETS_<n>`` layout marker for a target that was
     SEEDED EXTERNALLY in the sink's layout (a batch backfill that wrote
     ``partitionBy("_bucket")`` itself).  The sink refuses to fold into
     an unmarked non-empty target — it cannot tell a legitimate seed
     from a bucket-count mismatch, and guessing wrong corrupts silently
-    — so the seeding writer declares the layout it used."""
+    — so the seeding writer declares the layout it used.  Declaring a
+    SECOND, different count is itself the error this guard exists for
+    and raises rather than leaving two contradictory markers."""
+    existing = _bucket_markers(spark, target_dir)
+    if existing and existing != [n_buckets]:
+        raise ValueError(
+            f"upsert target {target_dir} already declares n_buckets "
+            f"{existing}; rebucketing requires a full reload"
+        )
     fs, marker = _hadoop_fs(
         spark, target_dir.rstrip("/") + f"/_N_BUCKETS_{n_buckets}"
     )

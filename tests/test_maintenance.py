@@ -354,8 +354,8 @@ def test_corpus_drift_psi_hand_computed(spark, tmp_path):
         n1, n2 = sum(c1), sum(c2)
         psi = 0.0
         for b in range(10):
-            if c1[b] == 0 and c2[b] == 0:
-                continue  # bucket absent from the full-outer grid
+            # ALL 10 buckets contribute — an empty-in-both bucket still
+            # carries its smoothing term when n1 != n2 (review r8)
             p1 = (c1[b] + 0.5) / (n1 + 5.0)
             p2 = (c2[b] + 0.5) / (n2 + 5.0)
             psi += (p2 - p1) * math.log(p2 / p1)

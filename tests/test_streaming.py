@@ -921,3 +921,31 @@ def test_streaming_minhash_dedup_backfill_arm_matches_batch(spark, sf_dir, tmp_p
         dd.minhash_lsh_pairs(docs, threshold=0.0), ["id_a", "id_b", "est_jaccard"]
     )
     assert streamed == batch
+
+
+def test_upsert_layout_declarations_cannot_conflict(spark, tmp_path):
+    """Review r8 second pass: the guard lists ALL _N_BUCKETS_* markers —
+    a declaration for one count followed by a sink (or declaration) at
+    another count must fail even while the target is still EMPTY, or two
+    contradictory markers would both look valid later."""
+    target = str(tmp_path / "t")
+    jobs.declare_upsert_layout(spark, target, 32)
+    jobs.declare_upsert_layout(spark, target, 32)  # idempotent re-declare ok
+    with pytest.raises(ValueError, match="already declares"):
+        jobs.declare_upsert_layout(spark, target, 64)
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.range(5).select(
+        F.col("id").cast("int").alias("k"), F.lit("a").alias("v")
+    ).coalesce(1).write.parquet(src)
+    q = jobs.foreach_batch_upsert(
+        spark.readStream.schema("k int, v string").parquet(src),
+        target,
+        key="k",
+        checkpoint=str(tmp_path / "ck"),
+        n_buckets=64,
+    )
+    with pytest.raises(Exception, match="n_buckets|STREAM_FAILED|FOREACH_BATCH"):
+        _drain(q)
+    assert jobs._bucket_markers(spark, target) == [32]
