@@ -47,6 +47,7 @@ HEADLINE = [
     "match_fuzzy_blocked",
     "text_stats",
     "dedup_ngram_jaccard",
+    "dedup_winnow",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "substring_dup_spans",

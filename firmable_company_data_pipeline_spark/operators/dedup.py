@@ -688,6 +688,158 @@ def substring_dup_spans(
     )
 
 
+# Winnowing parameters (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+# algorithm).  Guarantee: any substring shared by two documents of
+# length >= WINNOW_W + WINNOW_K - 1 characters (21 here) contributes at
+# least one common fingerprint; no k-gram match shorter than WINNOW_K
+# is ever reported.  k=12 keeps common-English k-grams rare enough that
+# the inverted-index join stays sparse; w=10 samples ~2/(w+1) ≈ 18% of
+# positions.
+WINNOW_K = 12
+WINNOW_W = 10
+# Position packing radix for the (hash, position) argmin: selection key
+# = h * RADIX + (RADIX-1-pos) so MIN(key) is (min hash, rightmost pos)
+# — the robust-winnowing tie-break — decodable by integer div/mod in
+# both engines.  Requires pos < RADIX, i.e. documents under 2**21
+# (~2.1M) characters; h < 1e9+7 keeps h*RADIX well inside BIGINT.
+_WINNOW_RADIX = 1 << 21
+
+
+def _unrolled_gram_hash(t: Column, pos: Column, k: int) -> Column:
+    """char_fold_hash of ``substr(t, pos, k)`` with the k-step fold
+    UNROLLED into a plain arithmetic expression tree: h_j = (h_{j-1}*31
+    + ascii(substr(t, pos+j, 1))) % mod.  Identical values to the HOF
+    fold (same operations in the same order — pinned by
+    ``tests/test_dedup_fastpaths.py``), but whole-stage-codegen'd: no
+    per-row char-array allocation and no interpreted lambda steps,
+    which is the difference between a projection and a per-position
+    interpreter loop when the position stream is corpus-length-sized."""
+    h: Column = F.lit(0).cast("long")
+    for j in range(k):
+        c = F.ascii(t.substr(pos + F.lit(j), F.lit(1))).cast("long")
+        h = (h * 31 + c) % HASH_MOD
+    return h
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowed document fingerprints — (id, pos, fp) with one row per
+    distinct selected (position, k-gram hash), the MOSS fingerprinting
+    scheme (Schleimer et al., SIGMOD'03): hash every character k-gram of
+    the whitespace-normalized lowercased text, slide a window of ``w``
+    consecutive k-gram hashes, and in each window select the minimum
+    hash (rightmost position on ties — "robust winnowing", §5 of the
+    paper, so equal texts select identical position sets).  Documents
+    with fewer than ``w`` k-grams collapse to a single whole-document
+    window; documents shorter than ``k`` characters yield no rows.
+
+    Scale shape: one generator explode of the position range (the gram
+    is assembled MAP-SIDE via ``substr`` while the text is still in the
+    row — no second pass over the corpus), one hash-fold per position,
+    then a single per-document window (partitionBy id, orderBy pos, w-1
+    FOLLOWING frame) — the exchange is on the document id and each
+    partition is bounded by document length, so the sort never sees
+    more than one document's positions.  The trailing ``distinct`` runs
+    on the already-small selection stream (~2/(w+1) of positions).  At
+    100 TB the per-position fold costs k char-ops per position; switch
+    the gram hash to a true O(1) rolling recurrence (prefix hashes +
+    modular inverse) if profile shows it — kept as the plain fold here
+    for bit-exact oracle parity.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col).alias("id"), norm.alias("t")).withColumn(
+        "n_grams", F.length("t") - k + 1
+    )
+    rows = base.select(
+        "id",
+        "n_grams",
+        F.explode(
+            F.when(
+                F.col("n_grams") >= 1, F.sequence(F.lit(1), F.col("n_grams"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "id",
+        "n_grams",
+        "pos",
+        _unrolled_gram_hash(F.col("t"), F.col("pos"), k).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    frame = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    )
+    radix = _WINNOW_RADIX
+    key = F.col("h") * F.lit(radix) + (F.lit(radix - 1) - F.col("pos"))
+    return (
+        rows.withColumn("selkey", F.min(key).over(frame))
+        # Full windows anchor at pos <= n_grams-w+1; short docs keep the
+        # single truncated window anchored at pos 1 (frame clips at the
+        # partition end, which IS the whole-document window).
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w + 1, F.lit(1)))
+        .select(
+            "id",
+            (F.lit(radix - 1) - F.col("selkey") % radix).cast("int").alias("pos"),
+            F.expr(f"selkey div {radix}").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 3,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the plagiarism/near-dup detection join of the MOSS scheme.  Output:
+    (id_a, id_b, shared, containment) with id_a < id_b, where
+    ``containment`` = shared / min(|fp(A)|, |fp(B)|) over DISTINCT
+    fingerprint hashes (a fingerprint shared at several positions
+    counts once, as in MOSS match scoring).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`: explode
+    the per-document distinct fingerprint set, equi-join on the
+    fingerprint hash, count per pair — never a cross product; cost is
+    Σ per-fingerprint df².  Winnowing keeps the index sparse by
+    construction (only ~2/(w+1) of k-grams survive selection, and
+    12-char grams are far rarer than word shingles)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    sets = fps.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
+    ex = sets.select(
+        "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "fp")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp")
+    return (
+        a.join(b, (a["fp"] == b["fp"]) & (F.col("id_a") < F.col("id_b")))
+        .drop(b["fp"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(F.col("shared") / F.least("na", "nb"), 6).alias("containment"),
+        )
+        # Filter on the ROUNDED value so both engines apply the same
+        # boundary (the oracle's HAVING compares the same round(.,6)).
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def contamination_check(
     df: DataFrame,
     text_col: str = "text",

@@ -286,6 +286,56 @@ WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
 
 
 # --------------------------------------------------------------------------
+# dedup_winnow — winnowed-fingerprint overlap pairs (Schleimer et al.
+# SIGMOD'03 / MOSS): character-k-gram rolling hashes, per-window min
+# selection (rightmost tie-break), inverted-index join on the selected
+# fingerprints.  Complements the word-shingle families with substring-
+# granular matching: any shared run >= w+k-1 chars is guaranteed caught.
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    return dd.winnow_overlap_pairs(docs, min_shared=3, min_containment=0.5)
+
+
+_WINNOW_GRAMS_CTES = f"""norm AS (
+  SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+),
+posns AS (
+  SELECT doc_id, t, length(t) - {dd.WINNOW_K} + 1 AS n_grams,
+         unnest(range(1, greatest(length(t) - {dd.WINNOW_K} + 2, 1))) AS pos
+  FROM norm
+),
+grams AS (
+  SELECT doc_id, pos, n_grams,
+         {_fold(f"substring(t, pos::INT, {dd.WINNOW_K})")} AS h
+  FROM posns
+),
+sel AS (
+  SELECT doc_id, pos, n_grams,
+         min(h * {dd._WINNOW_RADIX} + ({dd._WINNOW_RADIX} - 1 - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {dd.WINNOW_W - 1} FOLLOWING) AS selkey
+  FROM grams
+),
+wfps AS (
+  SELECT DISTINCT doc_id, selkey // {dd._WINNOW_RADIX} AS fp
+  FROM sel WHERE pos <= greatest(n_grams - {dd.WINNOW_W} + 1, 1)
+)"""
+
+DEDUP_WINNOW_SQL = f"""
+WITH {_WINNOW_GRAMS_CTES},
+counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       round(count(*)::DOUBLE / least(ca.n_fp, cb.n_fp), 6) AS containment
+FROM wfps a JOIN wfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN counted ca ON ca.doc_id = a.doc_id
+JOIN counted cb ON cb.doc_id = b.doc_id
+GROUP BY 1, 2, ca.n_fp, cb.n_fp
+HAVING count(*) >= 3
+   AND round(count(*)::DOUBLE / least(ca.n_fp, cb.n_fp), 6) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_minhash_lsh — banded MinHash-LSH candidates, est ≥ 0.5.
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -1470,6 +1520,7 @@ QUERIES = {
     "corpus_sample": corpus_sample,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_winnow": dedup_winnow,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -1510,6 +1561,7 @@ ORACLES = {
     "corpus_sample": CORPUS_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_winnow": DEDUP_WINNOW_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -378,3 +378,134 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     from collections import Counter
     unit_sizes = Counter(r["unit_id"] for r in rows)
     assert any(n > 1 for n in unit_sizes.values())
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. SIGMOD'03)
+
+_MOD = 1_000_000_007
+
+
+def _brute_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Literal robust winnowing per the paper: min hash per window,
+    rightmost position on ties, distinct selections."""
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    n = len(t) - k + 1
+    if n < 1:
+        return set()
+
+    def fold(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % _MOD
+        return h
+
+    hs = [fold(t[i : i + k]) for i in range(n)]
+    sel: set[tuple[int, int]] = set()
+    for a in range(max(n - w + 1, 1)):
+        win = hs[a : a + w]
+        m = min(win)
+        for j in range(len(win) - 1, -1, -1):
+            if win[j] == m:
+                sel.add((a + j + 1, m))
+                break
+    return sel
+
+
+_WINNOW_DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the  QUICK brown fox jumps over the lazy dog near the river bank"),
+    (3, "completely different content about maritime shipping and ports"),
+    (4, "tiny"),  # shorter than k -> no fingerprints
+    (5, "exactly12chr"),  # exactly k chars -> one gram, one window
+    (6, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # all-equal hashes -> tie break
+    (7, "abcabcabcabcabcabcabcabcabcabc"),  # periodic -> repeated hash ties
+    (8, ""),  # empty
+]
+
+
+def test_winnow_matches_bruteforce(spark):
+    df = spark.createDataFrame(_WINNOW_DOCS, "doc_id long, text string")
+    got = {
+        (r["id"], r["pos"], r["fp"])
+        for r in dd.winnow_fingerprints(df).collect()
+    }
+    exp = {
+        (i, p, h)
+        for i, t in _WINNOW_DOCS
+        for (p, h) in _brute_winnow(t, dd.WINNOW_K, dd.WINNOW_W)
+    }
+    assert got == exp
+    assert not any(i in (4, 8) for i, _, _ in got)  # sub-k docs drop out
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """The paper's guarantee: a shared substring of length >= w+k-1
+    forces at least one common fingerprint, whatever surrounds it."""
+    run = "zqxjkvwpyhgbdmfzqxjk!"  # w+k-1 = 21 chars, rare symbols
+    assert len(run) == dd.WINNOW_W + dd.WINNOW_K - 1
+    docs = [
+        (1, "left context padding before " + run + " and trailing words here"),
+        (2, run + " entirely different suffix material follows in this doc"),
+        (3, "no overlap with the planted run whatsoever in this document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = dd.winnow_fingerprints(df).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "planted 21-char run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2]) or True  # doc3 is just contrast
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_unrolled_gram_hash_matches_char_fold(spark):
+    """The unrolled codegen k-gram hash is pinned to the HOF fold the
+    oracle mirrors — same arithmetic, same order, same values."""
+    from firmable_company_data_pipeline_spark.functions.textstats import (
+        char_fold_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in _WINNOW_DOCS if len(t) >= dd.WINNOW_K],
+        "doc_id long, t string",
+    )
+    rows = df.select(
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - dd.WINNOW_K + 1)
+        ).alias("pos"),
+    )
+    bad = rows.select(
+        (
+            dd._unrolled_gram_hash(F.col("t"), F.col("pos"), dd.WINNOW_K)
+            == char_fold_hash(F.col("t").substr(F.col("pos"), F.lit(dd.WINNOW_K)))
+        ).alias("eq")
+    ).filter(~F.col("eq"))
+    assert bad.count() == 0
+
+
+def test_winnow_overlap_containment_bounds(spark):
+    """Whitespace/case variants are identical after normalization ->
+    containment exactly 1.0; disjoint docs never pair; the
+    min_containment knob filters on the rounded value."""
+    df = spark.createDataFrame(_WINNOW_DOCS, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert pairs[(1, 2)]["containment"] == 1.0
+    assert (1, 3) not in pairs
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in dd.winnow_overlap_pairs(
+            df, min_shared=1, min_containment=0.99
+        ).collect()
+    }
+    assert strict == {(1, 2)}
