@@ -752,6 +752,20 @@ def winnow_fingerprints(
     modular inverse) if profile shows it — kept as the plain fold here
     for bit-exact oracle parity.
     """
+    return _winnow_selection(df, text_col, id_col, k, w).select(
+        "id", "pos", "fp"
+    ).distinct()
+
+
+def _winnow_selection(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Pre-distinct winnowing selection stream — (id, pos, fp), one row
+    per ANCHOR window (overlapping windows that select the same
+    (pos, fp) repeat it).  ``winnow_fingerprints`` distincts the full
+    (id, pos, fp) triple; ``winnow_overlap_pairs`` skips that extra
+    exchange and dedups per-doc fingerprints inside its own
+    ``collect_set``, which reuses the window's id-partitioning."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     base = df.select(F.col(id_col).alias("id"), norm.alias("t")).withColumn(
         "n_grams", F.length("t") - k + 1
@@ -789,7 +803,6 @@ def winnow_fingerprints(
             (F.lit(radix - 1) - F.col("selkey") % radix).cast("int").alias("pos"),
             F.expr(f"selkey div {radix}").alias("fp"),
         )
-        .distinct()
     )
 
 
@@ -815,11 +828,17 @@ def winnow_overlap_pairs(
     Σ per-fingerprint df².  Winnowing keeps the index sparse by
     construction (only ~2/(w+1) of k-grams survive selection, and
     12-char grams are far rarer than word shingles)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
-    sets = fps.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
+    # collect_set dedups the selection stream's per-doc fingerprints
+    # directly — it satisfies its groupBy(id) from the window's existing
+    # id-partitioning, so the (id, pos, fp) distinct of the standalone
+    # fingerprint table (one more exchange) never happens here.
+    sel = _winnow_selection(df, text_col, id_col, k, w)
+    sets = sel.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
+    # Persisted: the inverted-index join reads this table as both sides
+    # (without it the whole scan→window→agg pipeline runs twice).
     ex = sets.select(
         "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
-    )
+    ).persist()
     a = ex.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "fp")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp")
     return (

@@ -40,6 +40,13 @@ SHOWCASE = [
         " shingles); band self-join on (band, bucket).",
     ),
     (
+        "dedup_winnow",
+        "Winnowing (MOSS): codegen-unrolled k-gram hashes, one per-doc"
+        " window for the selection, collect_set reusing the window's"
+        " id-partitioning, persisted inverted index joined as both sides"
+        " — three exchanges end to end.",
+    ),
+    (
         "dedup_incremental_minhash",
         "Delta-vs-index pairing: index x index pairs never form — the"
         " delta side is the only right input to the band join.",

@@ -53,6 +53,7 @@ PROBE_QUERIES = {
     "dedup": [
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_winnow",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "cross_source_shingle_overlap",
