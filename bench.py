@@ -48,6 +48,7 @@ HEADLINE = [
     "text_stats",
     "dedup_ngram_jaccard",
     "dedup_winnow",
+    "dedup_effectiveness_report",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "substring_dup_spans",

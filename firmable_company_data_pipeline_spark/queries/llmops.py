@@ -655,6 +655,86 @@ FROM labels JOIN documents USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# dedup_effectiveness_report — the corpus-card number dedup exists to
+# produce: per source, how many documents/tokens the near-dup keep-best
+# policy removes.  Composes the audited cluster_labels + keep-best
+# verdict (same window as dedup_keep_best), then one left join back to
+# the corpus and a per-source aggregation — the only additions over the
+# lifecycle sub-plans are a broadcast-sized drop list join and one
+# hash-agg on source.  This is the before/after table a dataset card
+# reports (cf. the dedup sections of Gopher/RefinedWeb dataset cards).
+def dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    labels = cluster_labels(docs)
+    scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    drops = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.lit(True).alias("dropped"))
+    )
+    base = docs.select(
+        "doc_id", "source", ts.token_count(F.col("text")).alias("n_tok")
+    ).join(drops, "doc_id", "left")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.count("dropped").alias("docs_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("dropped"), F.col("n_tok"))), F.lit(0)
+            ).alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "docs_removed",
+            "tokens_removed",
+            F.round(F.col("docs_removed") / F.col("n_docs"), 6).alias(
+                "pct_docs_removed"
+            ),
+            F.round(F.col("tokens_removed") / F.col("n_tokens"), 6).alias(
+                "pct_tokens_removed"
+            ),
+        )
+    )
+
+
+DEDUP_EFFECTIVENESS_REPORT_SQL = f"""
+WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+{_CLUSTERS_CTES},
+labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src),
+verdicts AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM labels JOIN documents USING (doc_id)
+),
+base AS (
+  SELECT d.source, len(t.t) AS n_tok,
+         (v.rn > 1) AS dropped
+  FROM documents d
+  JOIN tok t USING (doc_id)
+  LEFT JOIN verdicts v ON d.doc_id = v.doc_id AND v.rn > 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       count(dropped) AS docs_removed,
+       coalesce(sum(n_tok) FILTER (dropped), 0)::BIGINT AS tokens_removed,
+       round(count(dropped)::DOUBLE / count(*), 6) AS pct_docs_removed,
+       round(coalesce(sum(n_tok) FILTER (dropped), 0)::DOUBLE / sum(n_tok), 6)
+         AS pct_tokens_removed
+FROM base
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # leakage_safe_split — train/val/test assignment at the near-dup-CLUSTER
 # grain: hashing per-document (train_split_stratified) can put two
 # near-duplicates on opposite sides of the split, leaking training
@@ -1530,6 +1610,7 @@ QUERIES = {
     "dedup_clusters_incremental2": dedup_clusters_incremental2,
     "dedup_clusters_incremental_sliver": dedup_clusters_incremental_sliver,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_effectiveness_report": dedup_effectiveness_report,
     "minhash_recall_report": minhash_recall_report,
     "leakage_safe_split": leakage_safe_split,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1571,6 +1652,7 @@ ORACLES = {
     "dedup_clusters_incremental2": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental_sliver": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_effectiveness_report": DEDUP_EFFECTIVENESS_REPORT_SQL,
     "minhash_recall_report": MINHASH_RECALL_REPORT_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,

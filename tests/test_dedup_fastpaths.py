@@ -509,3 +509,26 @@ def test_winnow_overlap_containment_bounds(spark):
         ).collect()
     }
     assert strict == {(1, 2)}
+
+
+def test_effectiveness_report_matches_keep_best(spark):
+    """The corpus-card totals must reconcile with the keep-best verdicts
+    they summarize: docs_removed == #(keep=false), and every source row
+    conserves its doc count."""
+    from firmable_company_data_pipeline_spark.queries.llmops import (
+        dedup_effectiveness_report,
+        dedup_keep_best,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rep = dedup_effectiveness_report(spark, sf).collect()
+    kb = dedup_keep_best(spark, sf).collect()
+    dropped = sum(1 for r in kb if not r["keep"])
+    assert sum(r["docs_removed"] for r in rep) == dropped
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    by_source = {r["source"]: r["n_docs"] for r in rep}
+    for s, n in docs.groupBy("source").count().collect():
+        assert by_source[s] == n
+    for r in rep:
+        assert 0 <= r["pct_docs_removed"] <= 1
+        assert r["tokens_removed"] <= r["n_tokens"]
