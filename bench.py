@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_winnow",
     "dedup_effectiveness_report",
+    "training_shuffle_shards",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "substring_dup_spans",

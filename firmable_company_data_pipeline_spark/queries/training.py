@@ -200,11 +200,67 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+# --------------------------------------------------------------------------
+# training_shuffle_shards — deterministic corpus shuffle + round-robin
+# shard manifest: the "shuffle before sharding" step every training run
+# needs, with no RNG anywhere.  Shuffle order = fold-hash of a seeded
+# key (stable across runs/engines/executors); global position comes
+# from the distributed exact rank (operators/ranks.py — P parallel
+# windows + broadcast offsets, never a single-reducer global sort);
+# shard = round-robin over the shuffled order, so shard sizes differ by
+# at most one BY CONSTRUCTION and every shard is an unbiased sample of
+# the corpus.  pos_in_shard is the read order inside each shard file.
+_N_SHARDS = 8
+_SHUFFLE_SEED = "shuffle-epoch0|"
+
+
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.ranks import (
+        exact_global_row_number,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    keyed = docs.select(
+        "doc_id",
+        ts.char_fold_hash(
+            F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    # (shuffle_key, doc_id) is a total order: the doc_id tie-break makes
+    # hash collisions harmless.
+    ranked = exact_global_row_number(keyed, ["shuffle_key", "doc_id"], out="rn")
+    return ranked.select(
+        "doc_id",
+        "shuffle_key",
+        ((F.col("rn") - 1) % _N_SHARDS).cast("int").alias("shard"),
+        (F.expr(f"(rn - 1) div {_N_SHARDS}") + 1).alias("pos_in_shard"),
+    )
+
+
+TRAINING_SHUFFLE_SHARDS_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_fold(f"'{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, shuffle_key,
+       CAST((rn - 1) % {_N_SHARDS} AS INT) AS shard,
+       (rn - 1) // {_N_SHARDS} + 1 AS pos_in_shard
+FROM ranked
+"""
+
+
 QUERIES = {
     "substring_dup_spans": substring_dup_spans,
     "pii_redaction": pii_redaction,
     "contamination_check": contamination_check,
     "ann_quantized": ann_quantized,
+    "training_shuffle_shards": training_shuffle_shards,
 }
 
 ORACLES = {
@@ -212,4 +268,5 @@ ORACLES = {
     "pii_redaction": PII_REDACTION_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "ann_quantized": ANN_QUANTIZED_SQL,
+    "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
 }

@@ -88,3 +88,32 @@ def test_contamination_threshold_filters(spark, docs):
     # except possibly doc 4 (pure repetition of the shared run)
     ids = {r["doc_id"] for r in strict.collect()}
     assert ids <= {4}
+
+
+def test_training_shuffle_shards_balance_and_determinism(spark):
+    """Round-robin over the shuffled order: shard sizes differ by at
+    most one, positions are dense 1..size within each shard, the
+    assignment is identical across runs (no RNG), and the shuffle
+    actually permutes (shard != doc_id order)."""
+    from collections import Counter
+
+    from firmable_company_data_pipeline_spark.queries.training import (
+        training_shuffle_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = training_shuffle_shards(spark, sf).collect()
+    again = training_shuffle_shards(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    sizes = Counter(r["shard"] for r in rows)
+    assert len(sizes) == 8
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # the shuffle is not the identity: consecutive doc_ids land on
+    # scattered shards (a sorted-by-id assignment would chunk them)
+    ordered = [r["shard"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+    assert len(set(ordered[:16])) > 2
