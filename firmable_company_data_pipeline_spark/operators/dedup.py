@@ -814,6 +814,7 @@ def winnow_overlap_pairs(
     w: int = WINNOW_W,
     min_shared: int = 3,
     min_containment: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
     the plagiarism/near-dup detection join of the MOSS scheme.  Output:
@@ -827,18 +828,39 @@ def winnow_overlap_pairs(
     fingerprint hash, count per pair — never a cross product; cost is
     Σ per-fingerprint df².  Winnowing keeps the index sparse by
     construction (only ~2/(w+1) of k-grams survive selection, and
-    12-char grams are far rarer than word shingles)."""
+    12-char grams are far rarer than word shingles).
+
+    ``max_df``: drop fingerprints whose document frequency exceeds the
+    cap from the *pairing* index (exactly the n-gram family's hot-key
+    knob).  Hot winnow fingerprints are cross-document boilerplate by
+    definition — shared templates, navigation chrome, repeated long
+    words — and their df² is the one superlinear term in this plan: the
+    10× probe measured Σdf² dropping 197× (1.87G → 9.5M candidate rows)
+    at df ≤ 100 on a corpus with a 3 856-df fingerprint.  Denominators
+    still count every fingerprint, so ``shared``/``containment`` are
+    exact for pairs whose overlap is rare-fingerprint-borne and
+    downward-biased for boilerplate-borne pairs — a precision-oriented
+    cost knob, deterministic and identically mirrored in the oracle."""
     # collect_set dedups the selection stream's per-doc fingerprints
     # directly — it satisfies its groupBy(id) from the window's existing
     # id-partitioning, so the (id, pos, fp) distinct of the standalone
     # fingerprint table (one more exchange) never happens here.
     sel = _winnow_selection(df, text_col, id_col, k, w)
     sets = sel.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
-    # Persisted: the inverted-index join reads this table as both sides
-    # (without it the whole scan→window→agg pipeline runs twice).
     ex = sets.select(
         "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
-    ).persist()
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        ex = (
+            ex.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    # Persisted: the inverted-index join reads this table as both sides
+    # (without it the whole scan→window→agg pipeline runs twice).
+    ex = ex.persist()
     a = ex.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "fp")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp")
     return (

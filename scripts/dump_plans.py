@@ -43,8 +43,9 @@ SHOWCASE = [
         "dedup_winnow",
         "Winnowing (MOSS): codegen-unrolled k-gram hashes, one per-doc"
         " window for the selection, collect_set reusing the window's"
-        " id-partitioning, persisted inverted index joined as both sides"
-        " — three exchanges end to end.",
+        " id-partitioning, hot-fingerprint df cap (the one superlinear"
+        " term), persisted inverted index joined as both sides — four"
+        " exchanges end to end.",
     ),
     (
         "dedup_incremental_minhash",

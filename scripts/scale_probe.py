@@ -9,13 +9,20 @@ Probe data (written once to --out, default .scale_probe/sf1): each base
 table from /root/testdata/sf0.1 replicated --factor times with DISJOINT
 key/vocabulary domains per replica —
 
-* documents: doc_id shifted; replica r>0 suffixes every word with
-  ``_r{r}`` so each replica is an independent sf0.1-like corpus (same
-  per-replica near-dup density; total pairs grow exactly linearly).
+* documents: doc_id shifted; replica r>0 Caesar-rotates letters by r
+  (and digits by r mod 10) — a character BIJECTION, so each replica is
+  an independent sf0.1-like corpus with IDENTICAL word-shingle AND
+  char-k-gram statistics (same near-dup density, same boilerplate
+  profile, n_chars unchanged) while letter-bearing vocabulary stays
+  disjoint across replicas; total true pairs grow exactly linearly.
   Without the disjoint vocabulary, replicas would be near-dups of each
   other and the PAIR COUNT itself would grow quadratically — a property
   of the copied data, not of the engine, drowning the signal the probe
-  is after.  n_chars is recomputed to match the mutated text.
+  is after.  (Round 8 note: the earlier token-suffix mutation preserved
+  word-shingle statistics but distorted char-gram statistics — every
+  word-boundary gram absorbed the replica-constant ``_rN`` substring —
+  which made the winnowing probe unrepresentative; rotation preserves
+  both.)
 * embeddings: vec_id shifted; replica r's vectors are cyclically
   rotated by r dimensions — norms and within-replica cosines are
   preserved exactly, cross-replica cosines decorrelate, so IVF/LSH see
@@ -158,11 +165,38 @@ def build(spark, out: str, factor: int) -> None:
             "replica design exists to prevent"
         )
 
+    # Per-replica ALPHABET ROTATION (replica r Caesar-rotates letters by
+    # r and digits by r mod 10): a character bijection, so every
+    # statistic any text operator sees — document/word/gram lengths,
+    # word-shingle and char-k-gram frequency distributions, near-dup
+    # structure, boilerplate density — is preserved EXACTLY per replica,
+    # while letter-bearing grams are disjoint across replicas.  The
+    # earlier token-suffix mutation (``word_r3``) preserved word-shingle
+    # statistics but wrecked char-gram statistics: every word-boundary
+    # k-gram absorbed the replica-constant ``_rN `` substring, so
+    # char-gram methods (winnowing) saw a frequency distribution unlike
+    # any real corpus — hot-gram df inflated ~7× and true pairs diluted
+    # to zero in suffixed replicas.  Rotation also keeps n_chars valid
+    # (lengths unchanged).  Guard: r in 1..25 (r=26 would wrap letters
+    # to identity and replicate replica 0 verbatim).
+    if factor > 26:
+        raise ValueError(
+            f"--factor {factor} > 26: letter rotation would wrap to identity "
+            "and reintroduce cross-replica exact duplicates"
+        )
+    import string as _string
+
+    _lo, _up, _dg = _string.ascii_lowercase, _string.ascii_uppercase, _string.digits
+
     def mut_docs(df, r):
         if r == 0:
             return df
-        txt = F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
-        return df.withColumn("text", txt).withColumn("n_chars", F.length("text"))
+        rot = (
+            _lo[r % 26 :] + _lo[: r % 26]
+            + _up[r % 26 :] + _up[: r % 26]
+            + _dg[r % 10 :] + _dg[: r % 10]
+        )
+        return df.withColumn("text", F.translate("text", _lo + _up + _dg, rot))
 
     replicas(t["documents"], step(t["documents"], "doc_id"), mut_docs).write.mode(
         "overwrite"

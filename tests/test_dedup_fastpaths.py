@@ -532,3 +532,30 @@ def test_effectiveness_report_matches_keep_best(spark):
     for r in rep:
         assert 0 <= r["pct_docs_removed"] <= 1
         assert r["tokens_removed"] <= r["n_tokens"]
+
+
+def test_winnow_max_df_prunes_hot_fingerprints(spark):
+    """A fingerprint present in every doc (shared boilerplate run) is
+    dropped from the pairing index by max_df; pairs whose overlap was
+    only boilerplate disappear, genuinely-similar pairs survive with
+    their rare-fingerprint overlap intact."""
+    boiler = "this boilerplate header appears in every single document"
+    docs = [
+        (1, boiler + " alpha unique content body one two three four five"),
+        (2, boiler + " alpha unique content body one two three four five"),
+        (3, boiler + " completely disjoint subject matter maritime ports"),
+        (4, boiler + " zebra quartz jumble woven kilns railway cargo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    unfiltered = {
+        (r["id_a"], r["id_b"])
+        for r in dd.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    # boilerplate alone pairs everything without the cap
+    assert (3, 4) in unfiltered
+    capped = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in dd.winnow_overlap_pairs(df, min_shared=1, max_df=2).collect()
+    }
+    assert (1, 2) in capped  # identical bodies: rare fps still shared
+    assert (3, 4) not in capped  # boilerplate-only pair is gone

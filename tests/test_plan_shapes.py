@@ -211,12 +211,13 @@ def test_shingle_pipeline_exchange_budget(plans):
     assert n_exchanges("dedup_minhash_lsh") <= 3
     assert n_exchanges("dedup_simhash") <= 4
     assert n_exchanges("substring_dup_spans") <= 3
-    # winnowing: spread + per-doc window + pair-key agg; the persisted
-    # fingerprint index must feed BOTH join sides (a budget blowout here
-    # means the scan->window->agg pipeline is running twice again), and
-    # the selection window must be per-document, never global.
+    # winnowing: spread + per-doc window + fp-df cap window + pair-key
+    # agg; the persisted fingerprint index must feed BOTH join sides (a
+    # budget blowout here means the scan->window->agg pipeline is
+    # running twice again), and the selection window must be
+    # per-document, never global.
     p = plans("dedup_winnow")
-    assert n_exchanges("dedup_winnow") <= 3
+    assert n_exchanges("dedup_winnow") <= 4
     assert "CartesianProduct" not in p and "Python" not in p
 
 
