@@ -770,6 +770,25 @@ def _winnow_selection(
     base = df.select(F.col(id_col).alias("id"), norm.alias("t")).withColumn(
         "n_grams", F.length("t") - k + 1
     )
+    # Runtime guard on the documented packing limit (review r8): a
+    # document with >= 2**21 k-gram positions would make
+    # (radix-1-pos) negative and borrow from the hash half of the
+    # selection key — corrupted fingerprints, silently wrong pairs.
+    # assert_true is fused into the hash projection so the job fails
+    # loudly map-side instead.  (At 100 TB: split such documents, or
+    # widen _WINNOW_RADIX — h*radix has ~33 spare bits below BIGINT.)
+    radix = _WINNOW_RADIX
+    pos_ok = F.assert_true(
+        F.col("n_grams") < F.lit(radix),
+        F.concat(
+            F.lit("winnow_fingerprints: document with "),
+            F.col("n_grams").cast("string"),
+            F.lit(
+                f" k-gram positions exceeds the position-packing radix"
+                f" {radix}; split the document or widen _WINNOW_RADIX"
+            ),
+        ),
+    )
     rows = base.select(
         "id",
         "n_grams",
@@ -783,14 +802,17 @@ def _winnow_selection(
         "id",
         "n_grams",
         "pos",
-        _unrolled_gram_hash(F.col("t"), F.col("pos"), k).alias("h"),
+        # assert_true returns NULL on success, so this IS the gram hash
+        # with the guard riding the pre-window projection
+        F.when(
+            pos_ok.isNull(), _unrolled_gram_hash(F.col("t"), F.col("pos"), k)
+        ).alias("h"),
     )
     from pyspark.sql import Window
 
     frame = (
         Window.partitionBy("id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
     )
-    radix = _WINNOW_RADIX
     key = F.col("h") * F.lit(radix) + (F.lit(radix - 1) - F.col("pos"))
     return (
         rows.withColumn("selkey", F.min(key).over(frame))

@@ -639,29 +639,44 @@ SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src
 # Plan: the audited pair+CC sub-plans, one shuffle join to attach
 # n_chars, then a single row_number window partitioned by cluster_id —
 # bounded by the largest cluster, never corpus-wide.
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _keep_best_ranked(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, n_chars, rn) — the ONE definition of the
+    survivor policy (quality = n_chars DESC, ties to lowest doc_id; the
+    keeper is rn == 1).  ``dedup_keep_best`` and
+    ``dedup_effectiveness_report`` both derive from exactly this frame
+    (review r8: the window had been duplicated, so a policy change
+    could silently desynchronize the corpus card from the actual
+    keep/drop decisions it summarizes)."""
     from pyspark.sql import Window
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
     labels = cluster_labels(docs)
     scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return scored.select(
-        "doc_id",
-        "cluster_id",
-        "n_chars",
-        (F.row_number().over(w) == 1).alias("keep"),
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return _keep_best_ranked(docs).select(
+        "doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep")
     )
 
+
+# The ONE oracle mirror of the survivor policy (shared by keep-best
+# and the effectiveness report, matching _keep_best_ranked).
+_KEEP_BEST_RANKED_CTE = """labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM labels JOIN documents USING (doc_id)
+)"""
 
 DEDUP_KEEP_BEST_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 {_CLUSTERS_CTES},
-labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src)
-SELECT doc_id, cluster_id, n_chars,
-       row_number() OVER (PARTITION BY cluster_id
-                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
-FROM labels JOIN documents USING (doc_id)
+{_KEEP_BEST_RANKED_CTE}
+SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep FROM ranked
 """
 
 
@@ -675,14 +690,9 @@ FROM labels JOIN documents USING (doc_id)
 # hash-agg on source.  This is the before/after table a dataset card
 # reports (cf. the dedup sections of Gopher/RefinedWeb dataset cards).
 def dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    labels = cluster_labels(docs)
-    scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     drops = (
-        scored.withColumn("rn", F.row_number().over(w))
+        _keep_best_ranked(docs)
         .filter(F.col("rn") > 1)
         .select("doc_id", F.lit(True).alias("dropped"))
     )
@@ -718,19 +728,13 @@ def dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_EFFECTIVENESS_REPORT_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 {_CLUSTERS_CTES},
-labels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src),
-verdicts AS (
-  SELECT doc_id,
-         row_number() OVER (PARTITION BY cluster_id
-                            ORDER BY n_chars DESC, doc_id ASC) AS rn
-  FROM labels JOIN documents USING (doc_id)
-),
+{_KEEP_BEST_RANKED_CTE},
 base AS (
   SELECT d.source, len(t.t) AS n_tok,
          (v.rn > 1) AS dropped
   FROM documents d
   JOIN tok t USING (doc_id)
-  LEFT JOIN verdicts v ON d.doc_id = v.doc_id AND v.rn > 1
+  LEFT JOIN ranked v ON d.doc_id = v.doc_id AND v.rn > 1
 )
 SELECT source,
        count(*) AS n_docs,

@@ -177,12 +177,19 @@ def build(spark, out: str, factor: int) -> None:
     # char-gram methods (winnowing) saw a frequency distribution unlike
     # any real corpus — hot-gram df inflated ~7× and true pairs diluted
     # to zero in suffixed replicas.  Rotation also keeps n_chars valid
-    # (lengths unchanged).  Guard: r in 1..25 (r=26 would wrap letters
-    # to identity and replicate replica 0 verbatim).
-    if factor > 26:
+    # (lengths unchanged).  Guard: r in 1..9 — at r=10 the DIGIT
+    # rotation (mod 10) wraps to identity, so digit-run tokens,
+    # digit-bearing shingles and pure-digit k-grams in replica 10 would
+    # duplicate replica 0's (letters wrap later, at 26); both
+    # reintroduce the cross-replica pairing the disjoint design exists
+    # to prevent (review r8 — the first guard only caught the letter
+    # wrap).
+    if factor > 10:
         raise ValueError(
-            f"--factor {factor} > 26: letter rotation would wrap to identity "
-            "and reintroduce cross-replica exact duplicates"
+            f"--factor {factor} > 10: digit rotation (mod 10) would wrap to "
+            "identity and reintroduce cross-replica duplicate digit "
+            "vocabulary; extend mut_docs (e.g. per-replica digit "
+            "permutations) before probing beyond 10 replicas"
         )
     import string as _string
 
