@@ -561,3 +561,18 @@ def test_winnow_max_df_prunes_hot_fingerprints(spark):
     }
     assert (1, 2) in capped  # identical bodies: rare fps still shared
     assert (3, 4) not in capped  # boilerplate-only pair is gone
+
+
+def test_winnow_packing_guard_raises_on_oversized_doc(spark, monkeypatch):
+    """A document whose k-gram position count reaches the packing radix
+    must fail loudly (assert_true in the map-side hash projection), not
+    silently corrupt selection keys.  The radix is monkeypatched small
+    so the fixture stays tiny."""
+    import pytest
+
+    monkeypatch.setattr(dd, "_WINNOW_RADIX", 32)
+    df = spark.createDataFrame(
+        [(1, "a" * (32 + dd.WINNOW_K))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="position-packing radix"):
+        dd.winnow_fingerprints(df).collect()
