@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_winnow",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
+    "padding_efficiency_report",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "substring_dup_spans",

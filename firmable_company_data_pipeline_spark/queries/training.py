@@ -255,12 +255,79 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------------
+# padding_efficiency_report — length-bucketed batch planning: group
+# documents into B equal-count buckets by token length (dynamic
+# batching / length bucketing, the standard padding-waste mitigation in
+# training dataloaders) and report each bucket's padding overhead
+# (docs are padded to their bucket's max length).  The bucket
+# assignment is the distributed exact NTILE (operators/ranks.py — P
+# parallel windows + broadcast offsets, bit-identical to the engine
+# ntile, never a single-reducer sort), then one hash-agg.  The
+# waste_frac column is the number a dataloader team actually tunes
+# bucket counts against.
+_N_LEN_BUCKETS = 16
+
+
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.ranks import exact_ntile
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lens = docs.select("doc_id", ts.token_count(F.col("text")).alias("n_tok"))
+    # (n_tok, doc_id) is a total order: ties broken by id so the bucket
+    # assignment is deterministic and engine-reproducible.
+    bucketed = exact_ntile(lens, _N_LEN_BUCKETS, ["n_tok", "doc_id"], out="bucket")
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("max_len"),
+            F.sum("n_tok").alias("sum_len"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "max_len",
+            "sum_len",
+            (F.col("n_docs") * F.col("max_len") - F.col("sum_len")).alias(
+                "padded_waste"
+            ),
+            F.round(
+                (F.col("n_docs") * F.col("max_len") - F.col("sum_len"))
+                / (F.col("n_docs") * F.col("max_len")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+PADDING_EFFICIENCY_REPORT_SQL = f"""
+WITH {_TOK_CTE},
+lens AS (SELECT doc_id, len(t) AS n_tok FROM tok),
+b AS (
+  SELECT doc_id, n_tok,
+         CAST(ntile({_N_LEN_BUCKETS}) OVER (ORDER BY n_tok, doc_id) AS INT) AS bucket
+  FROM lens
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       max(n_tok) AS max_len,
+       sum(n_tok)::BIGINT AS sum_len,
+       (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS padded_waste,
+       round((count(*) * max(n_tok) - sum(n_tok))::DOUBLE
+             / (count(*) * max(n_tok)), 6) AS waste_frac
+FROM b
+GROUP BY bucket
+"""
+
+
 QUERIES = {
     "substring_dup_spans": substring_dup_spans,
     "pii_redaction": pii_redaction,
     "contamination_check": contamination_check,
     "ann_quantized": ann_quantized,
     "training_shuffle_shards": training_shuffle_shards,
+    "padding_efficiency_report": padding_efficiency_report,
 }
 
 ORACLES = {
@@ -269,4 +336,5 @@ ORACLES = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "ann_quantized": ANN_QUANTIZED_SQL,
     "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
+    "padding_efficiency_report": PADDING_EFFICIENCY_REPORT_SQL,
 }

@@ -117,3 +117,25 @@ def test_training_shuffle_shards_balance_and_determinism(spark):
     # scattered shards (a sorted-by-id assignment would chunk them)
     ordered = [r["shard"] for r in sorted(rows, key=lambda r: r["doc_id"])]
     assert len(set(ordered[:16])) > 2
+
+
+def test_padding_efficiency_report_invariants(spark):
+    """Equal-count buckets (sizes differ by <= 1 across the ntile), waste
+    fractions in [0, 1), bucket max lengths non-decreasing with bucket
+    index (buckets are length-ordered), and total doc count conserved."""
+    from firmable_company_data_pipeline_spark.queries.training import (
+        padding_efficiency_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        padding_efficiency_report(spark, sf).collect(), key=lambda r: r["bucket"]
+    )
+    n_total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0 <= r["waste_frac"] < 1
+        assert r["padded_waste"] == r["n_docs"] * r["max_len"] - r["sum_len"]
+    assert [r["max_len"] for r in rows] == sorted(r["max_len"] for r in rows)
