@@ -48,6 +48,7 @@ HEADLINE = [
     "text_stats",
     "dedup_ngram_jaccard",
     "dedup_winnow",
+    "dedup_incremental_winnow",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

@@ -828,6 +828,107 @@ def _winnow_selection(
     )
 
 
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, n_fp, fp) — the persistent winnow INDEX rows of a corpus:
+    one row per (doc, distinct selected fingerprint) with the doc's
+    total distinct-fingerprint count carried on every row.  Write this
+    to parquet once per corpus and maintain it incrementally with
+    :func:`winnow_delta_pairs` (the expensive gram scan + selection
+    window never re-reads the historical corpus).
+
+    collect_set dedups the selection stream's per-doc fingerprints
+    directly — it satisfies its groupBy(id) from the selection window's
+    existing id-partitioning, so no extra exchange beyond the window's."""
+    sel = _winnow_selection(df, text_col, id_col, k, w)
+    sets = sel.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
+    return sets.select(
+        "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
+    )
+
+
+def _winnow_df_cap(ex: DataFrame, max_df: int) -> DataFrame:
+    """Drop fingerprints whose document frequency exceeds ``max_df``
+    from the pairing index (hot-fingerprint = cross-document
+    boilerplate; its df² is the plan's one superlinear term).  The df
+    is computed over whatever corpus ``ex`` represents — callers pass
+    the FULL current index ∪ delta so batch and incremental paths see
+    the same frequencies."""
+    from pyspark.sql import Window
+
+    return (
+        ex.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
+def winnow_delta_pairs(
+    index_fps: DataFrame,
+    delta_fps: DataFrame,
+    min_shared: int = 3,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental winnow near-dup detection for a growing corpus: pair
+    a NEW batch's fingerprint rows against the existing fingerprint
+    index — emits delta×index and delta×delta pairs, NEVER re-pairs
+    index×index (the same ingest contract as
+    :func:`minhash_delta_pairs`; fingerprints are computed once per
+    document on the delta only and appended to the index).
+
+    Output: (id_a, id_b, shared, containment) with id_a < id_b —
+    identical contract to :func:`winnow_overlap_pairs`, so the union of
+    every historical batch's delta pairs reproduces the batch operator
+    (pinned by ``tests/test_dedup_fastpaths.py``).
+
+    ``max_df`` is evaluated over index ∪ delta — the df the batch
+    operator would see on the grown corpus — so a fingerprint that
+    crosses the cap as the corpus grows stops pairing from that batch
+    on (absolute-df caps are corpus-size-relative by nature; pairs
+    already emitted in earlier batches are not retracted).
+
+    Orientation bookkeeping mirrors the MinHash delta arm: the left
+    side is index ∪ delta, the right side delta only; an index×delta
+    pair has one orientation, a delta×delta pair is kept only as
+    ``id_a < id_b`` — then least/greatest normalizes the output."""
+    tagged = index_fps.select(
+        "id", "n_fp", "fp", F.lit(False).alias("_new")
+    ).unionByName(delta_fps.select("id", "n_fp", "fp", F.lit(True).alias("_new")))
+    if max_df is not None:
+        tagged = _winnow_df_cap(tagged, max_df)
+    tagged = tagged.persist()
+    left = tagged.select(
+        F.col("id").alias("id_a"),
+        F.col("n_fp").alias("na"),
+        "fp",
+        F.col("_new").alias("_new_a"),
+    )
+    right = tagged.filter("_new").select(
+        F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp"
+    )
+    return (
+        left.join(right, "fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) | ~F.col("_new_a"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "shared",
+            F.round(F.col("shared") / F.least("na", "nb"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -863,23 +964,9 @@ def winnow_overlap_pairs(
     exact for pairs whose overlap is rare-fingerprint-borne and
     downward-biased for boilerplate-borne pairs — a precision-oriented
     cost knob, deterministic and identically mirrored in the oracle."""
-    # collect_set dedups the selection stream's per-doc fingerprints
-    # directly — it satisfies its groupBy(id) from the window's existing
-    # id-partitioning, so the (id, pos, fp) distinct of the standalone
-    # fingerprint table (one more exchange) never happens here.
-    sel = _winnow_selection(df, text_col, id_col, k, w)
-    sets = sel.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
-    ex = sets.select(
-        "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
-    )
+    ex = winnow_fingerprint_rows(df, text_col, id_col, k, w)
     if max_df is not None:
-        from pyspark.sql import Window
-
-        ex = (
-            ex.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+        ex = _winnow_df_cap(ex, max_df)
     # Persisted: the inverted-index join reads this table as both sides
     # (without it the whole scan→window→agg pipeline runs twice).
     ex = ex.persist()

@@ -347,6 +347,33 @@ HAVING count(*) >= 3
 
 
 # --------------------------------------------------------------------------
+# dedup_incremental_winnow — incremental index maintenance for the
+# winnow family: the held-out batch (doc_id % 10 == 0) pairs against
+# the existing fingerprint index; index×index is never re-paired (the
+# 100-TB per-batch ingest shape, same contract as
+# dedup_incremental_minhash).  Must equal the batch operator's pairs
+# restricted to those touching the delta — which is exactly what the
+# oracle computes.
+def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    # Fingerprints are per-doc, so one selection pass over the corpus
+    # and a split-by-id replaces two full pipelines (in production the
+    # index side is read back from its parquet home, not recomputed).
+    fps = dd.winnow_fingerprint_rows(docs).persist()
+    index = fps.filter(F.col("id") % 10 != 0)
+    delta = fps.filter(F.col("id") % 10 == 0)
+    return dd.winnow_delta_pairs(
+        index, delta, min_shared=3, min_containment=0.5, max_df=100
+    )
+
+
+DEDUP_INCREMENTAL_WINNOW_SQL = f"""
+SELECT * FROM ({DEDUP_WINNOW_SQL})
+WHERE id_a % 10 = 0 OR id_b % 10 = 0
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_minhash_lsh — banded MinHash-LSH candidates, est ≥ 0.5.
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -1616,6 +1643,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_winnow": dedup_winnow,
+    "dedup_incremental_winnow": dedup_incremental_winnow,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -1658,6 +1686,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_winnow": DEDUP_WINNOW_SQL,
+    "dedup_incremental_winnow": DEDUP_INCREMENTAL_WINNOW_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -576,3 +576,31 @@ def test_winnow_packing_guard_raises_on_oversized_doc(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="position-packing radix"):
         dd.winnow_fingerprints(df).collect()
+
+
+def test_incremental_winnow_matches_batch(spark):
+    """pairs(A) ∪ delta_pairs(index_A, fps_B) must equal pairs(A ∪ B):
+    incrementally ingesting batch B on top of an existing fingerprint
+    index finds exactly the pairs the batch operator finds over the
+    full corpus, without ever re-pairing index×index."""
+    all_rows = [(i, t) for i, t in _WINNOW_DOCS]
+    corpus = spark.createDataFrame(all_rows, "doc_id long, text string")
+    batch_a = corpus.filter(F.col("doc_id") <= 2)  # includes the 1/2 dup pair
+    batch_b = corpus.filter(F.col("doc_id") > 2)
+
+    full = {
+        (r["id_a"], r["id_b"], r["shared"], r["containment"])
+        for r in dd.winnow_overlap_pairs(corpus, min_shared=1).collect()
+    }
+    prior = {
+        (r["id_a"], r["id_b"], r["shared"], r["containment"])
+        for r in dd.winnow_overlap_pairs(batch_a, min_shared=1).collect()
+    }
+    index = dd.winnow_fingerprint_rows(batch_a).persist()
+    delta_fps = dd.winnow_fingerprint_rows(batch_b).persist()
+    delta = {
+        (r["id_a"], r["id_b"], r["shared"], r["containment"])
+        for r in dd.winnow_delta_pairs(index, delta_fps, min_shared=1).collect()
+    }
+    assert prior | delta == full
+    assert prior & delta == set()  # no index x index pair re-emitted
