@@ -604,3 +604,31 @@ def test_incremental_winnow_matches_batch(spark):
     }
     assert prior | delta == full
     assert prior & delta == set()  # no index x index pair re-emitted
+
+
+def test_winnow_index_parquet_roundtrip(spark, tmp_path):
+    """The persistent-index contract: fingerprint rows written to
+    parquet and read back must drive winnow_delta_pairs to the same
+    pairs as the in-memory index (types and values survive the
+    roundtrip)."""
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in _WINNOW_DOCS], "doc_id long, text string"
+    )
+    # split so the 1/2 near-dup pair straddles index and delta
+    index_docs = corpus.filter(F.col("doc_id") <= 1)
+    delta_docs = corpus.filter(F.col("doc_id") > 1)
+    path = str(tmp_path / "winnow_index")
+    dd.winnow_fingerprint_rows(index_docs).write.parquet(path)
+    from_disk = spark.read.parquet(path)
+    delta_fps = dd.winnow_fingerprint_rows(delta_docs).persist()
+    mem = {
+        tuple(r)
+        for r in dd.winnow_delta_pairs(
+            dd.winnow_fingerprint_rows(index_docs), delta_fps, min_shared=1
+        ).collect()
+    }
+    disk = {
+        tuple(r)
+        for r in dd.winnow_delta_pairs(from_disk, delta_fps, min_shared=1).collect()
+    }
+    assert mem == disk and mem  # non-vacuous: the 1/2 pair straddles
