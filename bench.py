@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_winnow",
     "dedup_incremental_winnow",
+    "winnow_match_spans",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

@@ -990,6 +990,54 @@ def winnow_overlap_pairs(
     )
 
 
+def winnow_match_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 3,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Matched fingerprint coordinates for every qualifying near-dup
+    pair — the MOSS-style alignment evidence behind
+    :func:`winnow_overlap_pairs`: (id_a, id_b, fp, pos_a, pos_b), one
+    row per (shared fingerprint, position-in-A, position-in-B).  This
+    is what a reviewer actually looks at: WHERE the two documents
+    match, at character-position grain (each matched coordinate marks
+    a guaranteed >= k-char common run anchored at that position; a
+    fingerprint selected at several positions contributes every
+    coordinate combination, per the paper's matching semantics).
+
+    Plan: the audited pair sub-plan gates which (id_a, id_b) qualify,
+    then two joins attach each side's selected positions from the
+    (id, pos, fp) fingerprint table — output volume is bounded by
+    Σ per-pair shared-fingerprint coordinate products, never corpus-
+    sized.  ``max_df`` restricts the span listing to the same capped
+    fingerprint set the pair scores counted, so every span row is one
+    of the matches that made its pair qualify."""
+    pairs = winnow_overlap_pairs(
+        df, text_col, id_col, k, w, min_shared, min_containment, max_df
+    ).select("id_a", "id_b")
+    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_df is not None:
+        dfp = _winnow_df_cap(fps_pos.select("id", "fp").distinct(), max_df)
+        fps_pos = fps_pos.join(dfp, ["id", "fp"], "left_semi")
+    fps_pos = fps_pos.persist()
+    a = fps_pos.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    b = fps_pos.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "fp"])
+        .select("id_a", "id_b", "fp", "pos_a", "pos_b")
+    )
+
+
 def contamination_check(
     df: DataFrame,
     text_col: str = "text",

@@ -347,6 +347,48 @@ HAVING count(*) >= 3
 
 
 # --------------------------------------------------------------------------
+# winnow_match_spans — MOSS-style alignment evidence: the matched
+# fingerprint coordinates (WHERE documents match, at character-position
+# grain) for every pair dedup_winnow reports.
+def winnow_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    return dd.winnow_match_spans(
+        docs, min_shared=3, min_containment=0.5, max_df=100
+    )
+
+
+WINNOW_MATCH_SPANS_SQL = f"""
+WITH {_WINNOW_GRAMS_CTES},
+wsel AS (
+  SELECT DISTINCT doc_id,
+         CAST({dd._WINNOW_RADIX} - 1 - selkey % {dd._WINNOW_RADIX} AS INT) AS pos,
+         selkey // {dd._WINNOW_RADIX} AS fp
+  FROM sel WHERE pos <= greatest(n_grams - {dd.WINNOW_W} + 1, 1)
+),
+counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
+idx AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
+  ) WHERE df <= 100
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN counted ca ON ca.doc_id = a.doc_id
+  JOIN counted cb ON cb.doc_id = b.doc_id
+  GROUP BY 1, 2, ca.n_fp, cb.n_fp
+  HAVING count(*) >= 3
+     AND round(count(*)::DOUBLE / least(ca.n_fp, cb.n_fp), 6) >= 0.5
+),
+capped AS (SELECT w.* FROM wsel w JOIN idx USING (doc_id, fp))
+SELECT p.id_a, p.id_b, s1.fp, s1.pos AS pos_a, s2.pos AS pos_b
+FROM pairs p
+JOIN capped s1 ON s1.doc_id = p.id_a
+JOIN capped s2 ON s2.doc_id = p.id_b AND s2.fp = s1.fp
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_incremental_winnow — incremental index maintenance for the
 # winnow family: the held-out batch (doc_id % 10 == 0) pairs against
 # the existing fingerprint index; index×index is never re-paired (the
@@ -1644,6 +1686,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_winnow": dedup_winnow,
     "dedup_incremental_winnow": dedup_incremental_winnow,
+    "winnow_match_spans": winnow_match_spans,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -1687,6 +1730,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_winnow": DEDUP_WINNOW_SQL,
     "dedup_incremental_winnow": DEDUP_INCREMENTAL_WINNOW_SQL,
+    "winnow_match_spans": WINNOW_MATCH_SPANS_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

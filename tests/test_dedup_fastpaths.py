@@ -632,3 +632,32 @@ def test_winnow_index_parquet_roundtrip(spark, tmp_path):
         for r in dd.winnow_delta_pairs(from_disk, delta_fps, min_shared=1).collect()
     }
     assert mem == disk and mem  # non-vacuous: the 1/2 pair straddles
+
+
+def test_winnow_match_spans_alignment(spark):
+    """Spans reconcile with the pairs they evidence: every qualifying
+    pair appears with >= min_shared distinct fingerprints, every span
+    coordinate exists in the fingerprint table, and the
+    whitespace/case-variant pair (identical after normalization) aligns
+    position-to-position (pos_a == pos_b on every span)."""
+    df = spark.createDataFrame(_WINNOW_DOCS, "doc_id long, text string")
+    spans = dd.winnow_match_spans(df, min_shared=1).collect()
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    by_pair: dict = {}
+    for r in spans:
+        by_pair.setdefault((r["id_a"], r["id_b"]), []).append(r)
+    assert set(by_pair) == pairs
+    fps = {
+        (r["id"], r["pos"], r["fp"])
+        for r in dd.winnow_fingerprints(df).collect()
+    }
+    for (ia, ib), rows in by_pair.items():
+        assert len({r["fp"] for r in rows}) >= 1
+        for r in rows:
+            assert (ia, r["pos_a"], r["fp"]) in fps
+            assert (ib, r["pos_b"], r["fp"]) in fps
+    # docs 1 and 2 are identical after normalization -> aligned spans
+    assert all(r["pos_a"] == r["pos_b"] for r in by_pair[(1, 2)])
