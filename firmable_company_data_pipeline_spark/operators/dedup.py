@@ -1020,11 +1020,14 @@ def winnow_match_spans(
     pairs = winnow_overlap_pairs(
         df, text_col, id_col, k, w, min_shared, min_containment, max_df
     ).select("id_a", "id_b")
-    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w)
+    # Persist the position table BEFORE deriving the df cap from it
+    # (review r8): the cap's distinct/window branch and the semi-join's
+    # left input both read this frame, so persisting afterwards would
+    # re-run the gram-scan + selection-window pipeline for each branch.
+    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).persist()
     if max_df is not None:
         dfp = _winnow_df_cap(fps_pos.select("id", "fp").distinct(), max_df)
-        fps_pos = fps_pos.join(dfp, ["id", "fp"], "left_semi")
-    fps_pos = fps_pos.persist()
+        fps_pos = fps_pos.join(dfp, ["id", "fp"], "left_semi").persist()
     a = fps_pos.select(
         F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "fp"
     )

@@ -398,10 +398,13 @@ JOIN capped s2 ON s2.doc_id = p.id_b AND s2.fp = s1.fp
 # oracle computes.
 def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
-    # Fingerprints are per-doc, so one selection pass over the corpus
-    # and a split-by-id replaces two full pipelines (in production the
-    # index side is read back from its parquet home, not recomputed).
-    fps = dd.winnow_fingerprint_rows(docs).persist()
+    # Fingerprints are per-doc, so one fingerprint table split by id
+    # replaces two full pipelines (in production the index side is read
+    # back from its parquet home, not recomputed).  No persist here:
+    # winnow_delta_pairs caches its index∪delta union internally, and a
+    # second cache of the same rows would double storage for no reuse
+    # (review r8).
+    fps = dd.winnow_fingerprint_rows(docs)
     index = fps.filter(F.col("id") % 10 != 0)
     delta = fps.filter(F.col("id") % 10 == 0)
     return dd.winnow_delta_pairs(

@@ -583,8 +583,7 @@ def test_incremental_winnow_matches_batch(spark):
     incrementally ingesting batch B on top of an existing fingerprint
     index finds exactly the pairs the batch operator finds over the
     full corpus, without ever re-pairing index×index."""
-    all_rows = [(i, t) for i, t in _WINNOW_DOCS]
-    corpus = spark.createDataFrame(all_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(_WINNOW_DOCS, "doc_id long, text string")
     batch_a = corpus.filter(F.col("doc_id") <= 2)  # includes the 1/2 dup pair
     batch_b = corpus.filter(F.col("doc_id") > 2)
 
@@ -604,6 +603,41 @@ def test_incremental_winnow_matches_batch(spark):
     }
     assert prior | delta == full
     assert prior & delta == set()  # no index x index pair re-emitted
+
+
+def test_incremental_winnow_max_df_over_union(spark):
+    """The df cap must be evaluated over index ∪ delta (the grown
+    corpus the batch operator would see), not over either side alone:
+    a boilerplate fingerprint whose df crosses the cap only when both
+    sides are counted together must be pruned from delta pairing."""
+    boiler = "this boilerplate header appears in every single document"
+    docs = [
+        (1, boiler + " alpha unique content body one two three four five"),
+        (2, boiler + " completely disjoint subject matter maritime ports"),
+        (3, boiler + " alpha unique content body one two three four five"),
+        (4, boiler + " zebra quartz jumble woven kilns railway cargo"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    index_docs = corpus.filter(F.col("doc_id") <= 2)
+    delta_docs = corpus.filter(F.col("doc_id") > 2)
+    index = dd.winnow_fingerprint_rows(index_docs).persist()
+    delta_fps = dd.winnow_fingerprint_rows(delta_docs).persist()
+    # boilerplate fps have df=2 per side but df=4 over the union: a cap
+    # of 3 prunes them ONLY under union-df semantics
+    delta = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in dd.winnow_delta_pairs(
+            index, delta_fps, min_shared=1, max_df=3
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in dd.winnow_overlap_pairs(corpus, min_shared=1, max_df=3).collect()
+        if r["id_a"] > 2 or r["id_b"] > 2
+    }
+    assert delta == batch
+    assert (1, 3) in delta  # identical bodies: rare fps survive the cap
+    assert (2, 4) not in delta  # boilerplate-only pair pruned by union df
 
 
 def test_winnow_index_parquet_roundtrip(spark, tmp_path):
@@ -654,8 +688,14 @@ def test_winnow_match_spans_alignment(spark):
         (r["id"], r["pos"], r["fp"])
         for r in dd.winnow_fingerprints(df).collect()
     }
+    shared_by_pair = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in dd.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
     for (ia, ib), rows in by_pair.items():
-        assert len({r["fp"] for r in rows}) >= 1
+        # the span listing carries EXACTLY the fingerprints the pair's
+        # shared count was built from
+        assert len({r["fp"] for r in rows}) == shared_by_pair[(ia, ib)]
         for r in rows:
             assert (ia, r["pos_a"], r["fp"]) in fps
             assert (ib, r["pos_b"], r["fp"]) in fps
