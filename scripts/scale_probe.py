@@ -368,6 +368,55 @@ def probe_minhash_fold(spark, work: str, docs_path: str, tag: str) -> float:
     return _timed(run)
 
 
+def probe_winnow_fold(spark, work: str, docs_path: str, tag: str) -> float:
+    """One 500-doc micro-batch folded through streaming_winnow_dedup
+    against a fingerprint index + additive df table built from
+    ``docs_path`` — since round 9 the fold's per-batch cost is
+    O(delta + one map-side pruned index pass): the df cap comes from
+    the persisted (fp, df) table instead of a window over index∪delta,
+    and broadcast_delta streams the index without exchanging it, so
+    10x history may grow the scan term but must never approach 10x
+    wall-clock (the r8 winnow weak, measured closed)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+    from firmable_company_data_pipeline_spark.streaming import jobs
+
+    index_dir = os.path.join(work, f"wn_index_{tag}")
+    pairs_dir = os.path.join(work, f"wn_pairs_{tag}")
+    df_dir = os.path.join(work, f"wn_df_{tag}")
+    src = os.path.join(work, f"wn_src_{tag}")
+    ckpt = os.path.join(work, f"wn_ck_{tag}")
+    for d in (index_dir, pairs_dir, df_dir, src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    hist = spark.read.parquet(os.path.join(docs_path, "documents.parquet"))
+    dd.winnow_fingerprint_rows(hist).write.parquet(
+        os.path.join(index_dir, "batch_id=9999")
+    )
+    dd.winnow_df_table(
+        spark.read.parquet(os.path.join(index_dir, "batch_id=9999"))
+    ).write.parquet(os.path.join(df_dir, "batch_id=9999"))
+    # the delta is IDENTICAL at both history sizes (500 sf0.1 docs,
+    # ids shifted clear of any replica) so only the index size varies
+    spark.read.parquet(os.path.join(SRC, "documents.parquet")).filter(
+        F.col("doc_id") < 500
+    ).withColumn("doc_id", F.col("doc_id") + 10_000_000).coalesce(1).write.parquet(
+        src
+    )
+    stream = spark.readStream.schema(hist.schema).parquet(src)
+
+    def run():
+        q = jobs.streaming_winnow_dedup(
+            stream, index_dir, pairs_dir, checkpoint=ckpt,
+            min_shared=3, max_df=100, df_dir=df_dir,
+        )
+        q.awaitTermination(600)
+
+    return _timed(run)
+
+
 def probe_ivf_fold(spark, work: str, emb_path: str, tag: str) -> float:
     """One 500-vector micro-batch through streaming_ivf_index with the
     index pre-populated from ``emb_path`` — the fold reads only frozen
@@ -515,6 +564,12 @@ def run_streaming_probes(spark, out: str, passes: int) -> dict:
     res["minhash_fold_hist10x"] = min(
         probe_minhash_fold(spark, work, out, f"10x_p{p}") for p in range(passes)
     )
+    res["winnow_fold_hist1x"] = min(
+        probe_winnow_fold(spark, work, SRC, f"1x_p{p}") for p in range(passes)
+    )
+    res["winnow_fold_hist10x"] = min(
+        probe_winnow_fold(spark, work, out, f"10x_p{p}") for p in range(passes)
+    )
     res["ivf_fold_hist1x"] = min(
         probe_ivf_fold(spark, work, SRC, f"1x_p{p}") for p in range(passes)
     )
@@ -529,7 +584,7 @@ def run_streaming_probes(spark, out: str, passes: int) -> dict:
     )
     res["cc_sliver_sf0.1"] = probe_cc_sliver_fold(spark, SRC)
     res["cc_sliver_10x"] = probe_cc_sliver_fold(spark, out)
-    for fam in ("scd2", "minhash", "ivf", "upsert"):
+    for fam in ("scd2", "minhash", "winnow", "ivf", "upsert"):
         a, b = res[f"{fam}_fold_hist1x"], res[f"{fam}_fold_hist10x"]
         res[f"{fam}_fold_ratio"] = round(b / a, 2) if a else None
     return res
@@ -563,7 +618,7 @@ def main() -> None:
         "--streaming",
         action="store_true",
         help="run the streaming fold-cost probes (per-batch fold time at "
-        "history 1x vs 10x for the scd2/minhash/ivf maintainers, plus "
+        "history 1x vs 10x for the scd2/minhash/winnow/ivf maintainers, plus "
         "the sliver-delta CC fold vs full batch clustering) instead of "
         "the batch query ratios",
     )
@@ -594,7 +649,7 @@ def main() -> None:
     if args.streaming:
         res = run_streaming_probes(spark, args.out, max(1, args.passes))
         print(f"\n{'fold':14s} {'hist 1x':>9s} {'hist 10x':>9s} {'ratio':>7s}   (minima over {args.passes} passes, fixed delta)")
-        for fam in ("scd2", "minhash", "ivf", "upsert"):
+        for fam in ("scd2", "minhash", "winnow", "ivf", "upsert"):
             print(
                 f"{fam:14s} {res[f'{fam}_fold_hist1x']:9.2f} "
                 f"{res[f'{fam}_fold_hist10x']:9.2f} "

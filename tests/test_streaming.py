@@ -250,6 +250,60 @@ def test_streaming_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert len(_glob.glob(f"{labels_dir}/gen=*")) <= 2
 
 
+def test_streaming_winnow_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Two document micro-batches through streaming_winnow_dedup must
+    discover exactly the pairs the batch operator finds on the full
+    corpus.  max_df is set high enough that no fingerprint crosses the
+    cap anywhere (df only grows, so cap-free at the final corpus means
+    cap-free at every interim batch — the regime where stream == batch
+    exactly; a mid-stream cap crossing legitimately diverges per the
+    documented no-retraction contract).  The additive (fp, df) table
+    accumulated across batches must equal a batch df count."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_dir = str(tmp_path / "fp_index")
+    pairs_dir = str(tmp_path / "fp_pairs")
+    df_dir = str(tmp_path / "fp_df")
+    cap = 10**6
+    q = jobs.streaming_winnow_dedup(
+        stream, index_dir, pairs_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        min_shared=1, max_df=cap, df_dir=df_dir,
+    )
+    _drain(q)
+
+    cols = ["id_a", "id_b", "shared", "containment"]
+    streamed = _rows(spark.read.parquet(pairs_dir), cols)
+    batch = _rows(dd.winnow_overlap_pairs(docs, min_shared=1, max_df=cap), cols)
+    assert streamed == batch and streamed
+    # the fingerprint index holds each doc's rows exactly once
+    idx = spark.read.parquet(index_dir)
+    full_fps = dd.winnow_fingerprint_rows(docs)
+    assert _rows(idx, ["id", "n_fp", "fp"]) == _rows(full_fps, ["id", "n_fp", "fp"])
+    # the additive df table sums to the batch-computed df per fp
+    table = (
+        spark.read.parquet(df_dir)
+        .groupBy("fp")
+        .agg(F.sum("df").alias("df"))
+    )
+    assert _rows(table, ["fp", "df"]) == _rows(dd.winnow_df_table(full_fps), ["fp", "df"])
+
+
 def test_streaming_cms_refresh_matches_batch(spark, sf_dir, tmp_path):
     """The incrementally maintained count-min sketch (per-batch partial
     counters summed at read) must equal the one-pass full-corpus build
