@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_winnow",
     "dedup_incremental_winnow",
     "winnow_match_spans",
+    "winnow_match_runs",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

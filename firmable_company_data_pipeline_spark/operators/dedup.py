@@ -1127,6 +1127,60 @@ def winnow_match_spans(
     )
 
 
+def winnow_match_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 3,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Maximal matched character runs per near-dup pair — the MOSS
+    report a reviewer actually reads: the per-coordinate evidence of
+    :func:`winnow_match_spans` coalesced into (id_a, id_b, start_a,
+    start_b, run_len, n_coords) intervals.  Two matched coordinates
+    belong to the same run when they sit on the same alignment diagonal
+    (pos_a − pos_b equal — the texts advance in lockstep) and their
+    k-char covered intervals overlap or touch (next pos_a ≤ prev
+    pos_a + k).  ``run_len`` is the covered character length
+    max(pos_a) + k − min(pos_a); ``n_coords`` the matched coordinates
+    coalesced into the run (duplicate coordinates reachable through
+    several fingerprints count once).
+
+    Plan: gaps-and-islands over the span coordinates — one window
+    partitioned by (pair, diagonal) ordered by pos_a (partition sizes
+    are per-pair coordinate counts, never corpus-sized), a lag to flag
+    breaks, a running sum to number islands, one hash aggregation per
+    island.  Everything downstream of the span operator's audited
+    sub-plans; no new corpus-scale stage."""
+    from pyspark.sql import Window
+
+    coords = (
+        winnow_match_spans(
+            df, text_col, id_col, k, w, min_shared, min_containment, max_df
+        )
+        .select("id_a", "id_b", "pos_a", "pos_b")
+        .distinct()
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    ordered = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    brk = F.when(
+        F.col("pos_a") - F.lag("pos_a").over(ordered) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = coords.withColumn("_brk", brk).withColumn(
+        "_isl",
+        F.sum("_brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("id_a", "id_b", "diag", "_isl").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.max("pos_a") + k - F.min("pos_a")).alias("run_len"),
+        F.count(F.lit(1)).alias("n_coords"),
+    ).select("id_a", "id_b", "start_a", "start_b", "run_len", "n_coords")
+
+
 def contamination_check(
     df: DataFrame,
     text_col: str = "text",

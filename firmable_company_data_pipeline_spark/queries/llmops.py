@@ -389,6 +389,67 @@ JOIN capped s2 ON s2.doc_id = p.id_b AND s2.fp = s1.fp
 
 
 # --------------------------------------------------------------------------
+# winnow_match_runs — the MOSS report itself: matched coordinates
+# coalesced into maximal character runs per pair (same diagonal,
+# overlapping/adjacent k-char coverage), via gaps-and-islands over the
+# span evidence.
+def winnow_match_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    return dd.winnow_match_runs(
+        docs, min_shared=3, min_containment=0.5, max_df=100
+    )
+
+
+WINNOW_MATCH_RUNS_SQL = f"""
+WITH {_WINNOW_GRAMS_CTES},
+wsel AS (
+  SELECT DISTINCT doc_id,
+         CAST({dd._WINNOW_RADIX} - 1 - selkey % {dd._WINNOW_RADIX} AS INT) AS pos,
+         selkey // {dd._WINNOW_RADIX} AS fp
+  FROM sel WHERE pos <= greatest(n_grams - {dd.WINNOW_W} + 1, 1)
+),
+counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
+idx AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
+  ) WHERE df <= 100
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN counted ca ON ca.doc_id = a.doc_id
+  JOIN counted cb ON cb.doc_id = b.doc_id
+  GROUP BY 1, 2, ca.n_fp, cb.n_fp
+  HAVING count(*) >= 3
+     AND round(count(*)::DOUBLE / least(ca.n_fp, cb.n_fp), 6) >= 0.5
+),
+capped AS (SELECT w.* FROM wsel w JOIN idx USING (doc_id, fp)),
+coords AS (
+  SELECT DISTINCT p.id_a, p.id_b, s1.pos AS pos_a, s2.pos AS pos_b
+  FROM prs p
+  JOIN capped s1 ON s1.doc_id = p.id_a
+  JOIN capped s2 ON s2.doc_id = p.id_b AND s2.fp = s1.fp
+),
+flagged AS (
+  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         CASE WHEN pos_a - lag(pos_a) OVER (
+                PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+              ) > {dd.WINNOW_K} THEN 1 ELSE 0 END AS brk
+  FROM coords
+),
+islands AS (
+  SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+)
+SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       max(pos_a) + {dd.WINNOW_K} - min(pos_a) AS run_len,
+       count(*) AS n_coords
+FROM islands GROUP BY id_a, id_b, diag, isl
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_incremental_winnow — incremental index maintenance for the
 # winnow family: the held-out batch (doc_id % 10 == 0) pairs against
 # the existing fingerprint index; index×index is never re-paired (the
@@ -1699,6 +1760,7 @@ QUERIES = {
     "dedup_winnow": dedup_winnow,
     "dedup_incremental_winnow": dedup_incremental_winnow,
     "winnow_match_spans": winnow_match_spans,
+    "winnow_match_runs": winnow_match_runs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -1743,6 +1805,7 @@ ORACLES = {
     "dedup_winnow": DEDUP_WINNOW_SQL,
     "dedup_incremental_winnow": DEDUP_INCREMENTAL_WINNOW_SQL,
     "winnow_match_spans": WINNOW_MATCH_SPANS_SQL,
+    "winnow_match_runs": WINNOW_MATCH_RUNS_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -668,6 +668,51 @@ def test_winnow_index_parquet_roundtrip(spark, tmp_path):
     assert mem == disk and mem  # non-vacuous: the 1/2 pair straddles
 
 
+def test_winnow_match_runs_reconcile_with_spans(spark):
+    """Runs are a lossless coalescing of the span evidence: per pair,
+    n_coords sums to the pair's distinct coordinate count; every span
+    coordinate lands inside exactly one run on its own diagonal; and
+    the normalization-identical 1/2 pair collapses to a single aligned
+    full-coverage run (consecutive winnow selections are < w apart and
+    w <= k, so identical texts can never split)."""
+    df = spark.createDataFrame(_WINNOW_DOCS, "doc_id long, text string")
+    runs = dd.winnow_match_runs(df, min_shared=1).collect()
+    spans = dd.winnow_match_spans(df, min_shared=1).collect()
+    coords = {(r["id_a"], r["id_b"], r["pos_a"], r["pos_b"]) for r in spans}
+    # per-pair coordinate totals reconcile
+    by_pair_coords: dict = {}
+    for ia, ib, pa, pb in coords:
+        by_pair_coords.setdefault((ia, ib), set()).add((pa, pb))
+    by_pair_runs: dict = {}
+    for r in runs:
+        by_pair_runs.setdefault((r["id_a"], r["id_b"]), []).append(r)
+    assert set(by_pair_runs) == set(by_pair_coords)
+    for pair, rs in by_pair_runs.items():
+        assert sum(r["n_coords"] for r in rs) == len(by_pair_coords[pair])
+        # every coordinate covered by exactly one run on its diagonal
+        for pa, pb in by_pair_coords[pair]:
+            hits = [
+                r
+                for r in rs
+                if r["start_a"] - r["start_b"] == pa - pb
+                and r["start_a"] <= pa <= r["start_a"] + r["run_len"] - dd.WINNOW_K
+            ]
+            assert len(hits) == 1, (pair, pa, pb, hits)
+        # runs on one diagonal never overlap or touch (maximality)
+        by_diag: dict = {}
+        for r in rs:
+            by_diag.setdefault(r["start_a"] - r["start_b"], []).append(r)
+        for d_runs in by_diag.values():
+            d_runs.sort(key=lambda r: r["start_a"])
+            for prev, nxt in zip(d_runs, d_runs[1:]):
+                assert nxt["start_a"] > prev["start_a"] + prev["run_len"]
+    # identical-after-normalization pair: one diagonal-0 run (starting
+    # at the first SELECTED position, not necessarily position 1)
+    pair12 = by_pair_runs[(1, 2)]
+    assert len(pair12) == 1
+    assert pair12[0]["start_a"] == pair12[0]["start_b"]
+
+
 def test_winnow_delta_df_table_partial_rows(spark):
     """The persisted (fp, df) side table drives the cap to the SAME
     pairs as deriving dfs from the index rows, and ADDITIVE partial
