@@ -43,7 +43,17 @@ def kmeans_centroids(
     :func:`ivf_topk`'s ``centroids=`` parameter.  Deterministic for a
     fixed seed, but not oracle-expressible in SQL — use the default
     lowest-id centroids where bit-for-bit reproducibility matters and
-    this where recall matters."""
+    this where recall matters.
+
+    When it matters, measured (round 9): on data with real cluster
+    structure trained centers dominate — recall@10 0.9+ at nprobe=1
+    where pathological lowest-id centers score far lower
+    (``tests/test_similarity_search.py``) — while on the driver's
+    UNIFORM synthetic embeddings there is no structure to learn and
+    the deterministic baseline is already competitive (0.4-0.8 for
+    both across nprobe 1-4, baseline slightly ahead, its Voronoi cells
+    slightly better balanced).  Train on a sample when the corpus is
+    100 TB; assignment cost is unchanged either way."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
