@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_incremental_winnow",
     "winnow_match_spans",
     "winnow_match_runs",
+    "dedup_blocks",
+    "winnow_contamination",
+    "dsir_select",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

@@ -327,6 +327,100 @@ def unigram_surprise(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — hashed-n-gram flavor):
+    score every RAW-pool document by how much more likely its hashed
+    bigram features are under the TARGET distribution than under the
+    raw pool's own, log w(x) = Σ_b c_x(b)·(ln p_target(b) − ln
+    p_raw(b)).  Selecting the top-scored documents (or Gumbel-top-k
+    resampling on these scores) is the published recipe for tilting a
+    web-scale pool toward a high-quality target domain.
+
+    ``is_target`` is any boolean Column over ``df``'s rows (e.g.
+    ``F.col("source") == "wiki"``).  Features are bigram OCCURRENCES
+    hashed into ``n_buckets`` by the shared fold hash (oracle-exact);
+    both distributions are add-``alpha`` smoothed over the bucket
+    space, so buckets unseen in the target still score finitely.
+    Output for every NON-target document: (doc_id, n_grams,
+    logratio_sum, avg_logratio), rounded where floats surface.
+
+    Scale shape: one (id, bucket) hash-agg over the corpus's bigram
+    stream (map-side combined), ONE reuse of that table for the two
+    distribution builds (a single groupBy(bucket) with conditional
+    sums), a broadcast of the ≤ ``n_buckets``-row weight table and of
+    the 1-row totals, then a per-doc rollup — the per-doc join is
+    map-side, so scoring 100 TB is two exchanges (the tf agg and the
+    final per-doc agg)."""
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        is_target.alias("_tgt"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+        ),
+    )
+    rows = toks.select(
+        "id",
+        "_tgt",
+        F.explode(
+            F.when(F.size("toks") >= 2, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    ).select(
+        "id", "_tgt", (char_fold_hash(F.col("gram")) % n_buckets).alias("bucket")
+    )
+    # per-(doc, bucket) feature counts — the one corpus-sized exchange;
+    # persisted because the distribution build and the scoring join both
+    # read it
+    tf = (
+        rows.groupBy("id", "_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    dist = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("cs"),
+    )
+    totals = dist.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+    )
+    w = (
+        dist.join(broadcast(totals), how="cross")
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * n_buckets))
+                - F.log((F.col("cs") + alpha) / (F.col("ts") + alpha * n_buckets))
+            ).alias("w"),
+        )
+    )
+    return (
+        tf.filter(~F.col("_tgt"))
+        .join(broadcast(w), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("w")), 4).alias("logratio_sum"),
+            F.round(F.sum(F.col("c") * F.col("w")) / F.sum("c"), 6).alias(
+                "avg_logratio"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "logratio_sum", "avg_logratio")
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1181,6 +1181,138 @@ def winnow_match_runs(
     ).select("id_a", "id_b", "start_a", "start_b", "run_len", "n_coords")
 
 
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 16,
+) -> DataFrame:
+    """C4-style corpus-wide duplicate-block removal (Raffel et al. 2020
+    discard repeated three-sentence spans; here the unit is a
+    non-overlapping ``block_tokens``-token block, the corpus-generic
+    equivalent): every duplicated block is removed from ALL documents
+    except its first occurrence in (doc_id, block_idx) order, and each
+    document is reassembled from its surviving blocks.  Output:
+    (doc_id, n_blocks, n_kept, clean_text) with ``clean_text`` NULL
+    when nothing survives (a document that is a verbatim copy of
+    earlier corpus content loses every block).
+
+    Scale shape: tokenize + block split are map-side (the explode is
+    over per-doc block counts); first-occurrence selection is ONE
+    row_number window partitioned by the block text itself — exact,
+    never hash-collision-lossy, and the shuffle moves (doc id, idx,
+    block text) rows that reassembly needs shuffled anyway; then one
+    hash aggregation back on doc_id with an in-expression sort of the
+    surviving (idx, text) structs.  Two exchanges end-to-end
+    regardless of corpus size; a massively duplicated boilerplate
+    block costs one window partition of df rows — bounded the same
+    way every inverted-index family here is."""
+    from pyspark.sql import Window
+
+    B = block_tokens
+    sized = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    nb = F.expr(f"(n_tok + {B} - 1) div {B}")
+    blocks = sized.select(
+        "id",
+        "toks",
+        F.explode(
+            F.when(F.col("n_tok") >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("block_idx"),
+    ).select(
+        "id",
+        "block_idx",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("block_idx") * B + 1, B), " "
+        ).alias("block_text"),
+    )
+    first = Window.partitionBy("block_text").orderBy("id", "block_idx")
+    flagged = blocks.withColumn("kept", F.row_number().over(first) == 1)
+    surv = F.array_sort(
+        F.collect_list(
+            F.when(F.col("kept"), F.struct("block_idx", "block_text"))
+        )
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(surv, lambda s: s["block_text"]), " "
+            ).alias("_joined"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_blocks",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_joined")).alias("clean_text"),
+        )
+    )
+
+
+def winnow_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    eval_mod: int = 10,
+    min_shared: int = 2,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Substring-grain train/eval contamination screen: which TRAINING
+    document shares winnowed fingerprints with which EVAL document
+    (``doc_id % eval_mod == 0``), scored by the fraction of the EVAL
+    document's fingerprints the training document contains.  Output:
+    (train_id, eval_id, shared, eval_containment).
+
+    This is the decontamination report :func:`contamination_check`
+    cannot give: word-n-gram overlap tells you THAT a training doc
+    leaks eval content, winnow fingerprints tell you WHICH eval doc,
+    survive whitespace/case reformatting, and guarantee any shared run
+    of w+k−1 characters is caught (the MOSS detection bound) — the
+    screen GPT-style benchmark-leak audits actually need.  Bipartite
+    by construction: train×train and eval×eval pairs are never formed,
+    so the join is strictly cheaper than the full near-dup pairing.
+
+    Scale shape: one gram-scan + selection pipeline over the corpus
+    (persisted, read by both sides), the same df-cap knob as the pair
+    family (``max_df`` evaluated over the full corpus), then one
+    inverted-index equi-join filtered to train-left/eval-right and one
+    pair-key aggregation."""
+    rows = winnow_fingerprint_rows(df, text_col, id_col, k, w)
+    if max_df is not None:
+        rows = _winnow_df_cap(rows, max_df)
+    # persisted: the bipartite join reads this once per side; without
+    # the cache the corpus gram scan runs twice
+    rows = rows.persist()
+    is_eval = (F.col("id") % eval_mod) == 0
+    tr = rows.filter(~is_eval).select(
+        F.col("id").alias("train_id"), "fp"
+    )
+    ev = rows.filter(is_eval).select(
+        F.col("id").alias("eval_id"), F.col("n_fp").alias("ne"), "fp"
+    )
+    return (
+        tr.join(ev, "fp")
+        .groupBy("train_id", "eval_id", "ne")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select(
+            "train_id",
+            "eval_id",
+            "shared",
+            F.round(F.col("shared") / F.col("ne"), 6).alias("eval_containment"),
+        )
+        .filter(F.col("eval_containment") >= min_containment)
+    )
+
+
 def contamination_check(
     df: DataFrame,
     text_col: str = "text",

@@ -527,6 +527,54 @@ GROUP BY pg.doc_id, pg.source
 """
 
 
+# --------------------------------------------------------------------------
+# dsir_select — DSIR hashed-bigram importance weights (Xie et al. 2023)
+# for tilting the raw pool toward a target domain: here sources
+# src0-src3 play the target, every other document is scored by how
+# target-like its hashed bigram distribution is.
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.dsir_importance(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        n_buckets=256,
+        alpha=1.0,
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+         {_TOKENS} AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tgt, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
+  FROM tok, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+tf AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+dist AS (
+  SELECT bucket,
+         sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cs
+  FROM tf GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
+w AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
+  FROM dist, tot
+)
+SELECT tf.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       round(sum(c * w), 4) AS logratio_sum,
+       round(sum(c * w) / sum(c), 6) AS avg_logratio
+FROM tf JOIN w USING (bucket)
+WHERE NOT tgt
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -539,6 +587,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "curate_corpus": curate_corpus,
     "curation_report": curation_report,
+    "dsir_select": dsir_select,
 }
 
 ORACLES = {
@@ -553,4 +602,5 @@ ORACLES = {
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "curate_corpus": CURATE_CORPUS_SQL,
     "curation_report": CURATION_REPORT_SQL,
+    "dsir_select": DSIR_SELECT_SQL,
 }

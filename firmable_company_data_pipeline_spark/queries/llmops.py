@@ -489,6 +489,76 @@ WHERE id_a % 10 = 0 OR id_b % 10 = 0
 
 
 # --------------------------------------------------------------------------
+# dedup_blocks — C4-style corpus-wide duplicate-block removal: every
+# duplicated 16-token block is dropped from all but its first
+# (doc_id, block_idx) occurrence and documents are reassembled from the
+# survivors (Raffel et al. 2020's three-sentence-span dedup, with a
+# token block as the corpus-generic span unit).
+def dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    return dd.block_dedup(docs, block_tokens=16)
+
+
+DEDUP_BLOCKS_SQL = f"""
+WITH {_TOK_CTE},
+blocks AS (
+  SELECT doc_id, CAST(b AS INT) AS block_idx,
+         array_to_string(t[b*16+1 : b*16+16], ' ') AS block_text
+  FROM tok, unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS u(b)
+  WHERE len(t) >= 1
+),
+flagged AS (
+  SELECT doc_id, block_idx, block_text,
+         row_number() OVER (PARTITION BY block_text
+                            ORDER BY doc_id, block_idx) = 1 AS kept
+  FROM blocks
+)
+SELECT doc_id, count(*) AS n_blocks,
+       CAST(sum(kept::INT) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN kept THEN block_text END, ' '
+                  ORDER BY block_idx) AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# winnow_contamination — substring-grain train/eval decontamination:
+# which training document shares winnowed fingerprints with which eval
+# document (doc_id % 10 == 0), scored by the eval doc's covered
+# fraction.  Word-n-gram overlap (contamination_check) says THAT a doc
+# leaks; this says WHICH eval doc, survives reformatting, and carries
+# the MOSS guarantee on shared runs >= w+k-1 chars.
+def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    return dd.winnow_contamination(
+        docs, eval_mod=10, min_shared=2, min_containment=0.2, max_df=100
+    )
+
+
+WINNOW_CONTAMINATION_SQL = f"""
+WITH {_WINNOW_GRAMS_CTES},
+counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
+idx AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
+  ) WHERE df <= 100
+),
+tr AS (SELECT doc_id AS train_id, fp FROM idx WHERE doc_id % 10 != 0),
+ev AS (
+  SELECT i.doc_id AS eval_id, c.n_fp AS ne, i.fp
+  FROM idx i JOIN counted c USING (doc_id)
+  WHERE i.doc_id % 10 = 0
+)
+SELECT train_id, eval_id, count(*) AS shared,
+       round(count(*)::DOUBLE / ne, 6) AS eval_containment
+FROM tr JOIN ev USING (fp)
+GROUP BY train_id, eval_id, ne
+HAVING count(*) >= 2
+   AND round(count(*)::DOUBLE / ne, 6) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_minhash_lsh — banded MinHash-LSH candidates, est ≥ 0.5.
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -1761,6 +1831,8 @@ QUERIES = {
     "dedup_incremental_winnow": dedup_incremental_winnow,
     "winnow_match_spans": winnow_match_spans,
     "winnow_match_runs": winnow_match_runs,
+    "dedup_blocks": dedup_blocks,
+    "winnow_contamination": winnow_contamination,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -1806,6 +1878,8 @@ ORACLES = {
     "dedup_incremental_winnow": DEDUP_INCREMENTAL_WINNOW_SQL,
     "winnow_match_spans": WINNOW_MATCH_SPANS_SQL,
     "winnow_match_runs": WINNOW_MATCH_RUNS_SQL,
+    "dedup_blocks": DEDUP_BLOCKS_SQL,
+    "winnow_contamination": WINNOW_CONTAMINATION_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

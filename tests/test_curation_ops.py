@@ -246,3 +246,28 @@ def test_boilerplate_stats_per_source_scoping(spark):
     # per-source scoping: same gram, different source, below threshold
     assert (out[5]["n_gram"], out[5]["n_boiler_gram"]) == (2, 0)
     assert out[6]["n_boiler_gram"] == 0 and out[7]["n_boiler_gram"] == 0
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR weights order the raw pool by target-likeness: a pool doc
+    written in the target's vocabulary outscores one written in a
+    disjoint vocabulary, only non-target docs are scored, and the
+    per-doc gram counts are the doc's bigram occurrences."""
+    target_text = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    rows = [
+        (1, target_text, "tgt"),
+        (2, "beta gamma delta alpha beta gamma delta alpha gamma beta", "tgt"),
+        (3, "alpha beta gamma delta alpha beta unseen gamma delta beta", "pool"),
+        (4, "zebra yacht xylophone walrus zebra yacht xylophone walrus quack", "pool"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in cu.dsir_importance(
+            docs, F.col("source") == "tgt", n_buckets=64
+        ).collect()
+    }
+    assert set(out) == {3, 4}  # target docs are never scored
+    assert out[3]["avg_logratio"] > out[4]["avg_logratio"]
+    assert out[3]["n_grams"] == 9  # 10 tokens -> 9 bigram occurrences
+    assert out[4]["n_grams"] == 8

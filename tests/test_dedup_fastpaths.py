@@ -668,6 +668,52 @@ def test_winnow_index_parquet_roundtrip(spark, tmp_path):
     assert mem == disk and mem  # non-vacuous: the 1/2 pair straddles
 
 
+def test_block_dedup_semantics(spark):
+    """C4-style block dedup: a verbatim copy loses every block to the
+    first occurrence; within-doc repeats keep only their first block;
+    unique documents reassemble to their normalized text unchanged."""
+    base = " ".join(f"w{i}" for i in range(40))  # 40 tokens -> 3 blocks of 16
+    rep = " ".join(f"r{i % 8}" for i in range(16))  # one 16-token block
+    docs = [
+        (1, base),
+        (2, base),  # full copy of doc 1
+        (3, rep + " " + rep + " tail words here"),  # internal repeat
+        (4, "completely different unique content that nobody repeats"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.block_dedup(df, block_tokens=16).collect()}
+    assert out[1]["n_kept"] == out[1]["n_blocks"] == 3
+    assert out[1]["clean_text"] == base
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] is None
+    # doc 3: blocks are [rep, rep, tail...]: the second rep block drops
+    assert out[3]["n_blocks"] == 3 and out[3]["n_kept"] == 2
+    assert out[3]["clean_text"] == rep + " tail words here"
+    assert out[4]["n_kept"] == out[4]["n_blocks"]
+    assert out[4]["clean_text"] == docs[3][1]
+
+
+def test_winnow_contamination_bipartite(spark):
+    """The substring contamination screen reports train->eval leaks and
+    ONLY those: a train doc embedding an eval doc's text is flagged
+    with full eval coverage; identical train docs never pair with each
+    other; unrelated train docs are absent."""
+    eval_text = "the held out benchmark answer string nobody should train on ever"
+    docs = [
+        (10, eval_text),  # eval (id % 10 == 0)
+        (3, "prefix words " + eval_text + " suffix words"),  # leaky train doc
+        (4, "completely unrelated maritime shipping content for trains"),
+        (5, "completely unrelated maritime shipping content for trains"),  # dup of 4
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dd.winnow_contamination(df, eval_mod=10, min_shared=1).collect()
+    got = {(r["train_id"], r["eval_id"]): r for r in rows}
+    assert (3, 10) in got
+    assert got[(3, 10)]["eval_containment"] == 1.0  # eval doc fully covered
+    # bipartite: the 4/5 train-train duplicate pair must NOT appear
+    assert all(k[1] == 10 for k in got)
+    assert (4, 10) not in got and (5, 10) not in got
+
+
 def test_winnow_match_runs_reconcile_with_spans(spark):
     """Runs are a lossless coalescing of the span evidence: per pair,
     n_coords sums to the pair's distinct coordinate count; every span
