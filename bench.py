@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_blocks",
     "winnow_contamination",
     "dsir_select",
+    "decontaminate_corpus",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

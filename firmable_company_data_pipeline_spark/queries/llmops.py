@@ -559,6 +559,73 @@ HAVING count(*) >= 2
 
 
 # --------------------------------------------------------------------------
+# decontaminate_corpus — the end-to-end decontamination report: drop
+# every training document winnow_contamination flags, then state per
+# source what survives (the corpus-card row a release review reads).
+# Composition of the audited screen + one anti-join + one hash-agg;
+# eval docs are excluded from the denominators (they are not training
+# data).
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    flagged = dd.winnow_contamination(
+        docs, eval_mod=10, min_shared=2, min_containment=0.2, max_df=100
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train.join(flagged.withColumn("_flag", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("_flag"), F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("_flag").isNull(), F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("chars_kept"),
+            F.round(
+                F.sum(F.coalesce(F.col("_flag"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("drop_frac"),
+        )
+    )
+
+
+DECONTAMINATE_CORPUS_SQL = f"""
+WITH {_WINNOW_GRAMS_CTES},
+counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
+idx AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
+  ) WHERE df <= 100
+),
+tr AS (SELECT doc_id AS train_id, fp FROM idx WHERE doc_id % 10 != 0),
+ev AS (
+  SELECT i.doc_id AS eval_id, c.n_fp AS ne, i.fp
+  FROM idx i JOIN counted c USING (doc_id)
+  WHERE i.doc_id % 10 = 0
+),
+flagged AS (
+  SELECT DISTINCT train_id AS doc_id FROM (
+    SELECT train_id, eval_id, count(*) AS shared,
+           round(count(*)::DOUBLE / ne, 6) AS ec
+    FROM tr JOIN ev USING (fp)
+    GROUP BY train_id, eval_id, ne
+    HAVING count(*) >= 2 AND round(count(*)::DOUBLE / ne, 6) >= 0.2
+  )
+)
+SELECT d.source,
+       count(*) AS n_train_docs,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN f.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept,
+       round(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS drop_frac
+FROM documents d
+LEFT JOIN flagged f ON f.doc_id = d.doc_id
+WHERE d.doc_id % 10 != 0
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_minhash_lsh — banded MinHash-LSH candidates, est ≥ 0.5.
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -1833,6 +1900,7 @@ QUERIES = {
     "winnow_match_runs": winnow_match_runs,
     "dedup_blocks": dedup_blocks,
     "winnow_contamination": winnow_contamination,
+    "decontaminate_corpus": decontaminate_corpus,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -1880,6 +1948,7 @@ ORACLES = {
     "winnow_match_runs": WINNOW_MATCH_RUNS_SQL,
     "dedup_blocks": DEDUP_BLOCKS_SQL,
     "winnow_contamination": WINNOW_CONTAMINATION_SQL,
+    "decontaminate_corpus": DECONTAMINATE_CORPUS_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -588,6 +588,155 @@ def streaming_winnow_dedup(
     return writer.start()
 
 
+def streaming_block_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str | None = None,
+    block_tokens: int = 16,
+    n_buckets: int = 64,
+):
+    """Streaming C4-style block dedup — the incremental arm of
+    ``operators/dedup.block_dedup``: each micro-batch's documents are
+    cleaned against every block EVER SEEN (first occurrence in arrival
+    order wins), and the seen-block index grows by exactly the batch's
+    surviving blocks.  When batches arrive in ascending doc_id order
+    the union of the per-batch outputs equals the batch operator on
+    the full corpus (pinned in ``tests/test_streaming.py``); under any
+    other arrival order the semantics are first-SEEN-wins, stated here
+    rather than pretended away.
+
+    Per-batch plan — O(delta + one pruned index pass), never an index
+    shuffle (the minhash/winnow fold contract):
+
+    1. block-split the batch and keep each block text's first
+       (doc_id, block_idx) occurrence WITHIN the batch (one window over
+       batch-sized data);
+    2. probe the parquet block index with a BROADCAST of the batch's
+       distinct block texts (left-semi, map-side over the index scan)
+       — the hit set is bounded by the batch, so the follow-up
+       anti-join against it broadcasts too;
+    3. reassemble the batch's documents from surviving blocks and
+       write (doc_id, n_blocks, n_kept, clean_text) to
+       ``out_dir/batch_id=N``;
+    4. append the surviving distinct block texts to
+       ``index_dir/batch_id=N/bucket=K`` — bucketed by a hash of the
+       block text, so narrow future deltas can partition-prune the
+       index scan (the ≤ ``n_buckets``-value bucket list of a delta is
+       collected driver-side, the same O(1)-rows contract as the
+       upsert fold's bucket read).
+
+    Batch-keyed overwrites + own-partition exclusion make checkpoint
+    replay idempotent, exactly as in the sibling jobs."""
+    from firmable_company_data_pipeline_spark.functions.textstats import tokens
+
+    B = block_tokens
+
+    def _blocks(batch_df: DataFrame) -> DataFrame:
+        sized = batch_df.select(
+            F.col("doc_id").alias("id"), tokens(F.col("text")).alias("toks")
+        ).withColumn("n_tok", F.size("toks"))
+        nb = F.expr(f"(n_tok + {B} - 1) div {B}")
+        return sized.select(
+            "id",
+            "toks",
+            F.explode(
+                F.when(F.col("n_tok") >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("block_idx"),
+        ).select(
+            "id",
+            "block_idx",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("block_idx") * B + 1, B), " "
+            ).alias("block_text"),
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        blocks = _blocks(batch_df).persist()
+        first = Window.partitionBy("block_text").orderBy("id", "block_idx")
+        flagged = blocks.withColumn("_rk", F.row_number().over(first)).persist()
+        probe = flagged.filter(F.col("_rk") == 1).select("block_text")
+        raw_index = _read_parquet_or_none(spark, index_dir)
+        if raw_index is not None:
+            index = raw_index.filter(F.col("batch_id") != batch_id)
+            # partition-prune the index scan to the delta's buckets
+            # (<= n_buckets values; same O(1)-rows contract as the
+            # upsert fold's bucket-id read)
+            bks = [
+                r[0]
+                for r in probe.select(
+                    F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            hits = (
+                index.filter(F.col("bucket").isin(bks))
+                .join(F.broadcast(probe), "block_text", "left_semi")
+                .select("block_text")
+            )
+        else:
+            hits = probe.limit(0)
+        kept = F.col("_rk") == 1
+        out = (
+            flagged.join(
+                F.broadcast(hits.withColumn("_hit", F.lit(1))), "block_text", "left"
+            )
+            .withColumn("_keep", kept & F.col("_hit").isNull())
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.struct("block_idx", "block_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["block_text"],
+                    ),
+                    " ",
+                ).alias("_joined"),
+            )
+            .select(
+                F.col("id").alias("doc_id"),
+                "n_blocks",
+                "n_kept",
+                F.when(F.col("n_kept") > 0, F.col("_joined")).alias("clean_text"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        new_blocks = (
+            flagged.filter(kept)
+            .join(F.broadcast(hits), "block_text", "left_anti")
+            .select(
+                "block_text",
+                F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("bucket"),
+            )
+        )
+        new_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+        flagged.unpersist()
+        blocks.unpersist()
+
+    writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
     """Manifest repair at batch start (review r7): if ``_latest.json``
     points at any generation this batch is ABOUT TO REWRITE or that a

@@ -417,6 +417,73 @@ def probe_winnow_fold(spark, work: str, docs_path: str, tag: str) -> float:
     return _timed(run)
 
 
+def probe_block_fold(spark, work: str, docs_path: str, tag: str) -> float:
+    """One 500-doc micro-batch through streaming_block_dedup against a
+    block index seeded with ``docs_path``'s full distinct-block
+    universe — the fold probes the index with a broadcast of the
+    batch's blocks (map-side semi over the scan, bucket partition
+    pruning on top), so 10x history may grow the pruned-scan term but
+    must never approach 10x wall-clock."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from firmable_company_data_pipeline_spark.functions.textstats import tokens
+    from firmable_company_data_pipeline_spark.streaming import jobs
+
+    index_dir = os.path.join(work, f"blk_index_{tag}")
+    out_dir = os.path.join(work, f"blk_out_{tag}")
+    src = os.path.join(work, f"blk_src_{tag}")
+    ckpt = os.path.join(work, f"blk_ck_{tag}")
+    for d in (index_dir, out_dir, src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    hist = spark.read.parquet(os.path.join(docs_path, "documents.parquet"))
+    B, n_buckets = 16, 64
+    sized = hist.select(tokens(F.col("text")).alias("toks")).withColumn(
+        "n_tok", F.size("toks")
+    )
+    nb = F.expr(f"(n_tok + {B} - 1) div {B}")
+    hist_blocks = (
+        sized.select(
+            "toks",
+            F.explode(
+                F.when(F.col("n_tok") >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("bi"),
+        )
+        .select(
+            F.array_join(F.slice(F.col("toks"), F.col("bi") * B + 1, B), " ").alias(
+                "block_text"
+            )
+        )
+        .distinct()
+        .select(
+            "block_text",
+            F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+    hist_blocks.write.partitionBy("bucket").parquet(
+        os.path.join(index_dir, "batch_id=9999")
+    )
+    spark.read.parquet(os.path.join(SRC, "documents.parquet")).filter(
+        F.col("doc_id") < 500
+    ).withColumn("doc_id", F.col("doc_id") + 10_000_000).coalesce(1).write.parquet(
+        src
+    )
+    stream = spark.readStream.schema(hist.schema).parquet(src)
+
+    def run():
+        q = jobs.streaming_block_dedup(
+            stream, index_dir, out_dir, checkpoint=ckpt,
+            block_tokens=B, n_buckets=n_buckets,
+        )
+        q.awaitTermination(600)
+
+    return _timed(run)
+
+
 def probe_ivf_fold(spark, work: str, emb_path: str, tag: str) -> float:
     """One 500-vector micro-batch through streaming_ivf_index with the
     index pre-populated from ``emb_path`` — the fold reads only frozen
@@ -570,6 +637,12 @@ def run_streaming_probes(spark, out: str, passes: int) -> dict:
     res["winnow_fold_hist10x"] = min(
         probe_winnow_fold(spark, work, out, f"10x_p{p}") for p in range(passes)
     )
+    res["block_fold_hist1x"] = min(
+        probe_block_fold(spark, work, SRC, f"1x_p{p}") for p in range(passes)
+    )
+    res["block_fold_hist10x"] = min(
+        probe_block_fold(spark, work, out, f"10x_p{p}") for p in range(passes)
+    )
     res["ivf_fold_hist1x"] = min(
         probe_ivf_fold(spark, work, SRC, f"1x_p{p}") for p in range(passes)
     )
@@ -584,7 +657,7 @@ def run_streaming_probes(spark, out: str, passes: int) -> dict:
     )
     res["cc_sliver_sf0.1"] = probe_cc_sliver_fold(spark, SRC)
     res["cc_sliver_10x"] = probe_cc_sliver_fold(spark, out)
-    for fam in ("scd2", "minhash", "winnow", "ivf", "upsert"):
+    for fam in ("scd2", "minhash", "winnow", "block", "ivf", "upsert"):
         a, b = res[f"{fam}_fold_hist1x"], res[f"{fam}_fold_hist10x"]
         res[f"{fam}_fold_ratio"] = round(b / a, 2) if a else None
     return res
@@ -618,7 +691,7 @@ def main() -> None:
         "--streaming",
         action="store_true",
         help="run the streaming fold-cost probes (per-batch fold time at "
-        "history 1x vs 10x for the scd2/minhash/winnow/ivf maintainers, plus "
+        "history 1x vs 10x for the scd2/minhash/winnow/block/ivf maintainers, plus "
         "the sliver-delta CC fold vs full batch clustering) instead of "
         "the batch query ratios",
     )
@@ -649,7 +722,7 @@ def main() -> None:
     if args.streaming:
         res = run_streaming_probes(spark, args.out, max(1, args.passes))
         print(f"\n{'fold':14s} {'hist 1x':>9s} {'hist 10x':>9s} {'ratio':>7s}   (minima over {args.passes} passes, fixed delta)")
-        for fam in ("scd2", "minhash", "winnow", "ivf", "upsert"):
+        for fam in ("scd2", "minhash", "winnow", "block", "ivf", "upsert"):
             print(
                 f"{fam:14s} {res[f'{fam}_fold_hist1x']:9.2f} "
                 f"{res[f'{fam}_fold_hist10x']:9.2f} "

@@ -304,6 +304,52 @@ def test_streaming_winnow_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert _rows(table, ["fp", "df"]) == _rows(dd.winnow_df_table(full_fps), ["fp", "df"])
 
 
+def test_streaming_block_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Two CONTIGUOUS-id micro-batches through streaming_block_dedup
+    must reproduce block_dedup on the full corpus exactly (arrival
+    order == doc_id order, so first-SEEN == first-(doc_id, block_idx)),
+    and the block index must hold every distinct block text exactly
+    once."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_dir = str(tmp_path / "blk_index")
+    out_dir = str(tmp_path / "blk_out")
+    q = jobs.streaming_block_dedup(
+        stream, index_dir, out_dir, checkpoint=str(tmp_path / "ckpt")
+    )
+    _drain(q)
+
+    cols = ["doc_id", "n_blocks", "n_kept", "clean_text"]
+    streamed = _rows(spark.read.parquet(out_dir), cols)
+    batch = _rows(dd.block_dedup(docs, block_tokens=16), cols)
+    assert streamed == batch and streamed
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.select("block_text").distinct().count()
+    # the index is exactly the distinct block universe of the corpus
+    n_distinct_blocks = (
+        dd.block_dedup(docs, block_tokens=16)
+        .agg(F.sum("n_kept"))
+        .first()[0]
+    )
+    assert idx.count() == n_distinct_blocks
+
+
 def test_streaming_cms_refresh_matches_batch(spark, sf_dir, tmp_path):
     """The incrementally maintained count-min sketch (per-batch partial
     counters summed at read) must equal the one-pass full-corpus build
