@@ -682,6 +682,9 @@ def streaming_block_dedup(
             )
         else:
             hits = probe.limit(0)
+        # persisted: the output plan and the index-append plan both read
+        # the hit set — without the cache each would rescan the index
+        hits = hits.persist()
         kept = F.col("_rk") == 1
         out = (
             flagged.join(
@@ -728,6 +731,7 @@ def streaming_block_dedup(
         new_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(index_dir, f"batch_id={batch_id}")
         )
+        hits.unpersist()
         flagged.unpersist()
         blocks.unpersist()
 
