@@ -1181,6 +1181,54 @@ def winnow_match_runs(
     ).select("id_a", "id_b", "start_a", "start_b", "run_len", "n_coords")
 
 
+def block_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 16,
+) -> DataFrame:
+    """(id, block_idx, block_text) — the non-overlapping token-block
+    split of every document, entirely map-side (tokenize, explode over
+    per-doc block counts, in-row slice+join).  The shared front of
+    :func:`block_dedup` and ``streaming/jobs.streaming_block_dedup``."""
+    B = block_tokens
+    sized = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    nb = F.expr(f"(n_tok + {B} - 1) div {B}")
+    return sized.select(
+        "id",
+        "toks",
+        F.explode(
+            F.when(F.col("n_tok") >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("block_idx"),
+    ).select(
+        "id",
+        "block_idx",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("block_idx") * B + 1, B), " "
+        ).alias("block_text"),
+    )
+
+
+def _first_block_flag(blocks: DataFrame) -> DataFrame:
+    """Attach ``kept`` = is-this-the-first-(id, block_idx)-occurrence
+    of the block text, via min-struct agg + equi-join (NOT a window:
+    the agg's map-side partial combine collapses hot duplicate blocks
+    before the shuffle, and AQE can skew-split the join — a window
+    over the hot key can do neither)."""
+    firsts = blocks.groupBy("block_text").agg(
+        F.min(F.struct("id", "block_idx")).alias("_first")
+    )
+    return blocks.join(firsts, "block_text").withColumn(
+        "kept",
+        (F.col("id") == F.col("_first.id"))
+        & (F.col("block_idx") == F.col("_first.block_idx")),
+    )
+
+
 def block_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1198,39 +1246,18 @@ def block_dedup(
     earlier corpus content loses every block).
 
     Scale shape: tokenize + block split are map-side (the explode is
-    over per-doc block counts); first-occurrence selection is ONE
-    row_number window partitioned by the block text itself — exact,
-    never hash-collision-lossy, and the shuffle moves (doc id, idx,
-    block text) rows that reassembly needs shuffled anyway; then one
-    hash aggregation back on doc_id with an in-expression sort of the
-    surviving (idx, text) structs.  Two exchanges end-to-end
-    regardless of corpus size; a massively duplicated boilerplate
-    block costs one window partition of df rows — bounded the same
-    way every inverted-index family here is."""
-    from pyspark.sql import Window
-
-    B = block_tokens
-    sized = spread(df).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n_tok", F.size("toks"))
-    nb = F.expr(f"(n_tok + {B} - 1) div {B}")
-    blocks = sized.select(
-        "id",
-        "toks",
-        F.explode(
-            F.when(F.col("n_tok") >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("block_idx"),
-    ).select(
-        "id",
-        "block_idx",
-        F.array_join(
-            F.slice(F.col("toks"), F.col("block_idx") * B + 1, B), " "
-        ).alias("block_text"),
-    )
-    first = Window.partitionBy("block_text").orderBy("id", "block_idx")
-    flagged = blocks.withColumn("kept", F.row_number().over(first) == 1)
+    over per-doc block counts); first-occurrence selection is a
+    min-of-(id, idx)-struct HASH AGGREGATION on the block text plus an
+    equi-join back — deliberately an agg+join rather than a row_number
+    window, because the agg gets a map-side partial combine (a block
+    duplicated a million times collapses to one row per mapper before
+    the shuffle) and the join is eligible for AQE skew-splitting,
+    neither of which a window over the hot key can do; then one hash
+    aggregation back on doc_id with an in-expression sort of the
+    surviving (idx, text) structs.  Exact, never hash-collision-lossy
+    (the key is the block text itself)."""
+    blocks = block_rows(df, text_col, id_col, block_tokens)
+    flagged = _first_block_flag(blocks)
     surv = F.array_sort(
         F.collect_list(
             F.when(F.col("kept"), F.struct("block_idx", "block_text"))

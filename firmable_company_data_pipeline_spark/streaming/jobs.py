@@ -610,8 +610,9 @@ def streaming_block_dedup(
     shuffle (the minhash/winnow fold contract):
 
     1. block-split the batch and keep each block text's first
-       (doc_id, block_idx) occurrence WITHIN the batch (one window over
-       batch-sized data);
+       (doc_id, block_idx) occurrence WITHIN the batch (the shared
+       min-struct agg + join from ``operators/dedup`` — map-side
+       combined, skew-join-splittable);
     2. probe the parquet block index with a BROADCAST of the batch's
        distinct block texts (left-semi, map-side over the index scan)
        — the hit set is bounded by the batch, so the follow-up
@@ -628,39 +629,16 @@ def streaming_block_dedup(
 
     Batch-keyed overwrites + own-partition exclusion make checkpoint
     replay idempotent, exactly as in the sibling jobs."""
-    from firmable_company_data_pipeline_spark.functions.textstats import tokens
-
-    B = block_tokens
-
-    def _blocks(batch_df: DataFrame) -> DataFrame:
-        sized = batch_df.select(
-            F.col("doc_id").alias("id"), tokens(F.col("text")).alias("toks")
-        ).withColumn("n_tok", F.size("toks"))
-        nb = F.expr(f"(n_tok + {B} - 1) div {B}")
-        return sized.select(
-            "id",
-            "toks",
-            F.explode(
-                F.when(F.col("n_tok") >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ).alias("block_idx"),
-        ).select(
-            "id",
-            "block_idx",
-            F.array_join(
-                F.slice(F.col("toks"), F.col("block_idx") * B + 1, B), " "
-            ).alias("block_text"),
-        )
+    from firmable_company_data_pipeline_spark.operators.dedup import (
+        _first_block_flag,
+        block_rows,
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         spark = batch_df.sparkSession
-        blocks = _blocks(batch_df).persist()
-        first = Window.partitionBy("block_text").orderBy("id", "block_idx")
-        flagged = blocks.withColumn("_rk", F.row_number().over(first)).persist()
-        probe = flagged.filter(F.col("_rk") == 1).select("block_text")
+        blocks = block_rows(batch_df, block_tokens=block_tokens).persist()
+        flagged = _first_block_flag(blocks).persist()
+        probe = flagged.filter(F.col("kept")).select("block_text")
         raw_index = _read_parquet_or_none(spark, index_dir)
         if raw_index is not None:
             index = raw_index.filter(F.col("batch_id") != batch_id)
@@ -685,12 +663,11 @@ def streaming_block_dedup(
         # persisted: the output plan and the index-append plan both read
         # the hit set — without the cache each would rescan the index
         hits = hits.persist()
-        kept = F.col("_rk") == 1
         out = (
             flagged.join(
                 F.broadcast(hits.withColumn("_hit", F.lit(1))), "block_text", "left"
             )
-            .withColumn("_keep", kept & F.col("_hit").isNull())
+            .withColumn("_keep", F.col("kept") & F.col("_hit").isNull())
             .groupBy("id")
             .agg(
                 F.count(F.lit(1)).alias("n_blocks"),
@@ -721,7 +698,7 @@ def streaming_block_dedup(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
         new_blocks = (
-            flagged.filter(kept)
+            flagged.filter("kept")
             .join(F.broadcast(hits), "block_text", "left_anti")
             .select(
                 "block_text",

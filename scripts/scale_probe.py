@@ -65,6 +65,9 @@ PROBE_QUERIES = {
         "dedup_simhash",
         "cross_source_shingle_overlap",
         "boilerplate_screen",
+        "dedup_blocks",
+        "winnow_contamination",
+        "dsir_select",
     ],
     "cc": [
         "dedup_clusters",
@@ -426,10 +429,9 @@ def probe_block_fold(spark, work: str, docs_path: str, tag: str) -> float:
     must never approach 10x wall-clock."""
     import shutil
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from firmable_company_data_pipeline_spark.functions.textstats import tokens
+    from firmable_company_data_pipeline_spark.operators.dedup import block_rows
     from firmable_company_data_pipeline_spark.streaming import jobs
 
     index_dir = os.path.join(work, f"blk_index_{tag}")
@@ -440,24 +442,9 @@ def probe_block_fold(spark, work: str, docs_path: str, tag: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
     hist = spark.read.parquet(os.path.join(docs_path, "documents.parquet"))
     B, n_buckets = 16, 64
-    sized = hist.select(tokens(F.col("text")).alias("toks")).withColumn(
-        "n_tok", F.size("toks")
-    )
-    nb = F.expr(f"(n_tok + {B} - 1) div {B}")
     hist_blocks = (
-        sized.select(
-            "toks",
-            F.explode(
-                F.when(F.col("n_tok") >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ).alias("bi"),
-        )
-        .select(
-            F.array_join(F.slice(F.col("toks"), F.col("bi") * B + 1, B), " ").alias(
-                "block_text"
-            )
-        )
+        block_rows(hist, block_tokens=B)
+        .select("block_text")
         .distinct()
         .select(
             "block_text",
