@@ -718,6 +718,70 @@ def streaming_block_dedup(
     return writer.start()
 
 
+def streaming_contamination_screen(
+    docs: DataFrame,
+    eval_fp_dir: str,
+    flags_dir: str,
+    checkpoint: str | None = None,
+    min_shared: int = 2,
+    min_containment: float = 0.0,
+    broadcast_eval: bool = True,
+):
+    """Screen a document stream against a FROZEN eval-benchmark
+    fingerprint index — the production decontamination shape: the
+    benchmark suite is fingerprinted ONCE
+    (``operators/dedup.winnow_fingerprint_rows`` written to
+    ``eval_fp_dir``), and every incoming micro-batch of candidate
+    training documents is checked for substring-grain leaks against
+    it.  Per batch the job writes (train_id, eval_id, shared,
+    eval_containment) rows to ``flags_dir/batch_id=N`` — the same
+    contract as the batch operator ``dedup.winnow_contamination`` with
+    no df cap, so the union of per-batch flags over any batch split
+    equals the batch screen (bipartite: train docs never interact with
+    each other, pinned in ``tests/test_streaming.py``).
+
+    Scale: the eval index is bounded (benchmark suites are small), so
+    with ``broadcast_eval=True`` the whole fold is MAP-SIDE over the
+    batch — no shuffle of anything, per-batch cost O(batch), and no
+    state ever grows (the index is frozen by definition; re-fingerprint
+    and republish when the benchmark suite itself changes)."""
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = spark.read.parquet(eval_fp_dir).select(
+            F.col("id").alias("eval_id"), F.col("n_fp").alias("ne"), "fp"
+        )
+        if broadcast_eval:
+            ev = F.broadcast(ev)
+        tr = dd.winnow_fingerprint_rows(batch_df).select(
+            F.col("id").alias("train_id"), "fp"
+        )
+        flags = (
+            tr.join(ev, "fp")
+            .groupBy("train_id", "eval_id", "ne")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+            .select(
+                "train_id",
+                "eval_id",
+                "shared",
+                F.round(F.col("shared") / F.col("ne"), 6).alias(
+                    "eval_containment"
+                ),
+            )
+            .filter(F.col("eval_containment") >= min_containment)
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"batch_id={batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
     """Manifest repair at batch start (review r7): if ``_latest.json``
     points at any generation this batch is ABOUT TO REWRITE or that a

@@ -350,6 +350,51 @@ def test_streaming_block_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert idx.count() == n_distinct_blocks
 
 
+def test_streaming_contamination_screen_matches_batch(spark, sf_dir, tmp_path):
+    """Screening two train micro-batches against a frozen eval
+    fingerprint index must flag exactly the pairs the batch operator
+    flags on the full corpus (bipartite: train docs never interact, so
+    ANY batch split reproduces the batch screen — no ordering caveat)."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    ev_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    tr_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_fp_dir = str(tmp_path / "eval_fps")
+    dd.winnow_fingerprint_rows(ev_docs).write.parquet(eval_fp_dir)
+
+    src = str(tmp_path / "train_src")
+    tr_docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(0.3)
+    tr_docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flags_dir = str(tmp_path / "flags")
+    q = jobs.streaming_contamination_screen(
+        stream, eval_fp_dir, flags_dir,
+        checkpoint=str(tmp_path / "ckpt"), min_shared=1,
+    )
+    _drain(q)
+
+    cols = ["train_id", "eval_id", "shared", "eval_containment"]
+    streamed = _rows(spark.read.parquet(flags_dir), cols)
+    batch = _rows(
+        dd.winnow_contamination(docs, eval_mod=10, min_shared=1), cols
+    )
+    assert streamed == batch and streamed
+
+
 def test_streaming_cms_refresh_matches_batch(spark, sf_dir, tmp_path):
     """The incrementally maintained count-min sketch (per-batch partial
     counters summed at read) must equal the one-pass full-corpus build
