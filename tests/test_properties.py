@@ -548,3 +548,41 @@ def test_scd2_apply_reapplication_is_noop(spark, upd_rows):
         )
 
     assert rows(twice) == rows(once)
+
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+doc_text = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(doc_text, min_size=1, max_size=12))
+def test_block_dedup_properties(spark, texts):
+    """Structural invariants of C4 block dedup against a Python oracle
+    on arbitrary corpora: per-doc flags match a first-seen-wins replay
+    in (doc_id, block_idx) order, the kept-block multiset equals the
+    distinct block universe, and reassembly preserves within-doc block
+    order."""
+    from firmable_company_data_pipeline_spark.operators.dedup import block_dedup
+
+    B = 4
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in block_dedup(df, block_tokens=B).collect()}
+
+    seen: set = set()
+    for i, t in docs:
+        # tokens() of all-whitespace/empty text is [''] (one empty token)
+        toks = t.strip().split() if t.strip() else [""]
+        blocks = [
+            " ".join(toks[j : j + B]) for j in range(0, len(toks), B)
+        ] or []
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        row = out[i]
+        assert row["n_blocks"] == len(blocks)
+        assert row["n_kept"] == len(kept)
+        want = " ".join(kept) if kept else None
+        assert row["clean_text"] == want, (i, t, row, want)
