@@ -52,6 +52,7 @@ HEADLINE = [
     "winnow_match_spans",
     "winnow_match_runs",
     "dedup_blocks",
+    "dedup_incremental_blocks",
     "winnow_contamination",
     "dsir_select",
     "decontaminate_corpus",

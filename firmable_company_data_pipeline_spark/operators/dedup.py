@@ -1229,6 +1229,103 @@ def _first_block_flag(blocks: DataFrame) -> DataFrame:
     )
 
 
+def _reassemble_blocks(flagged: DataFrame, keep_col: str) -> DataFrame:
+    """(doc_id, n_blocks, n_kept, clean_text) from a flagged block
+    frame — one hash aggregation on the doc id with an in-expression
+    sort of the surviving (idx, text) structs; ``clean_text`` NULL when
+    nothing survives.  Shared tail of :func:`block_dedup` and
+    :func:`block_delta_dedup` (and therefore the streaming job) so the
+    reassembly semantics can never drift between arms."""
+    surv = F.array_sort(
+        F.collect_list(
+            F.when(F.col(keep_col), F.struct("block_idx", "block_text"))
+        )
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col(keep_col).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(surv, lambda s: s["block_text"]), " "
+            ).alias("_joined"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_blocks",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_joined")).alias("clean_text"),
+        )
+    )
+
+
+def block_delta_flags(
+    index_blocks: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 16,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Incremental block dedup fold — flag every block of a NEW batch
+    of documents against the set of blocks EVER SEEN: ``_keep`` is true
+    iff the block text is absent from ``index_blocks`` (a one-column
+    ``block_text`` frame, in production the parquet block index) AND
+    this row is the batch's first (doc_id, block_idx) occurrence of the
+    text.  Returns the flagged (id, block_idx, block_text, kept, _hit,
+    _keep) frame so callers derive both the cleaned documents
+    (:func:`_reassemble_blocks` over ``_keep``) and the index append
+    (``_keep`` rows are exactly the batch's new distinct blocks)
+    without recomputing the fold.
+
+    Scale shape (the minhash/winnow fold contract): the index is probed
+    with a BROADCAST of the batch's distinct block texts (left-semi,
+    map-side over the index scan), the hit set is bounded by the batch,
+    and the follow-up membership join broadcasts it — history is
+    scanned, never shuffled.  ``broadcast_delta=False`` for a backfill
+    batch too large to broadcast (the joins then fall back to
+    shuffles, index included — the documented trade-off shared with
+    ``minhash_delta_pairs``).  Callers should persist the returned
+    frame if they consume it more than once."""
+    _b = F.broadcast if broadcast_delta else (lambda d: d)
+    blocks = block_rows(delta_docs, text_col, id_col, block_tokens)
+    flagged = _first_block_flag(blocks)
+    probe = flagged.filter(F.col("kept")).select("block_text")
+    hits = (
+        index_blocks.select("block_text")
+        .join(_b(probe), "block_text", "left_semi")
+        .select("block_text")
+        .distinct()
+    )
+    return flagged.join(
+        _b(hits.withColumn("_hit", F.lit(1))), "block_text", "left"
+    ).withColumn("_keep", F.col("kept") & F.col("_hit").isNull())
+
+
+def block_delta_dedup(
+    index_blocks: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 16,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Cleaned documents of an ingest batch under first-SEEN-wins block
+    dedup against the historical block index — the batch-callable view
+    of the :func:`block_delta_flags` fold (the streaming job derives
+    its index append from the same flags).  Output contract identical
+    to :func:`block_dedup` restricted to the delta's documents; when
+    ingest order is doc_id order the union over batches equals the
+    batch operator (pinned in ``tests/test_streaming.py``)."""
+    return _reassemble_blocks(
+        block_delta_flags(
+            index_blocks, delta_docs, text_col, id_col, block_tokens,
+            broadcast_delta,
+        ),
+        "_keep",
+    )
+
+
 def block_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1257,28 +1354,7 @@ def block_dedup(
     surviving (idx, text) structs.  Exact, never hash-collision-lossy
     (the key is the block text itself)."""
     blocks = block_rows(df, text_col, id_col, block_tokens)
-    flagged = _first_block_flag(blocks)
-    surv = F.array_sort(
-        F.collect_list(
-            F.when(F.col("kept"), F.struct("block_idx", "block_text"))
-        )
-    )
-    return (
-        flagged.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum(F.col("kept").cast("long")).alias("n_kept"),
-            F.array_join(
-                F.transform(surv, lambda s: s["block_text"]), " "
-            ).alias("_joined"),
-        )
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_blocks",
-            "n_kept",
-            F.when(F.col("n_kept") > 0, F.col("_joined")).alias("clean_text"),
-        )
-    )
+    return _reassemble_blocks(_first_block_flag(blocks), "kept")
 
 
 def winnow_contamination(

@@ -522,6 +522,50 @@ FROM flagged GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# dedup_incremental_blocks — the ingest arm of C4 block dedup: the
+# held-out batch (doc_id % 10 == 0) is cleaned against the block index
+# of everything already ingested (first-SEEN-wins; the index is never
+# re-deduped).  Probe-with-broadcast-delta fold: the index is scanned
+# map-side, never shuffled — the minhash/winnow fold contract.
+def dedup_incremental_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    # in production the index side reads the bucket-partitioned parquet
+    # block index (streaming_block_dedup's layout), not a recompute
+    index_blocks = (
+        dd.block_rows(docs.filter(F.col("doc_id") % 10 != 0), block_tokens=16)
+        .select("block_text")
+        .distinct()
+    )
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return dd.block_delta_dedup(index_blocks, delta, block_tokens=16)
+
+
+DEDUP_INCREMENTAL_BLOCKS_SQL = f"""
+WITH {_TOK_CTE},
+blocks AS (
+  SELECT doc_id, CAST(b AS INT) AS block_idx,
+         array_to_string(t[b*16+1 : b*16+16], ' ') AS block_text
+  FROM tok, unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS u(b)
+  WHERE len(t) >= 1
+),
+idxu AS (SELECT DISTINCT block_text FROM blocks WHERE doc_id % 10 != 0),
+delta AS (SELECT * FROM blocks WHERE doc_id % 10 = 0),
+flagged AS (
+  SELECT d.doc_id, d.block_idx, d.block_text,
+         (row_number() OVER (PARTITION BY d.block_text
+                             ORDER BY d.doc_id, d.block_idx) = 1
+          AND i.block_text IS NULL) AS keep
+  FROM delta d LEFT JOIN idxu i USING (block_text)
+)
+SELECT doc_id, count(*) AS n_blocks,
+       CAST(sum(keep::INT) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN keep THEN block_text END, ' '
+                  ORDER BY block_idx) AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # winnow_contamination — substring-grain train/eval decontamination:
 # which training document shares winnowed fingerprints with which eval
 # document (doc_id % 10 == 0), scored by the eval doc's covered
@@ -1899,6 +1943,7 @@ QUERIES = {
     "winnow_match_spans": winnow_match_spans,
     "winnow_match_runs": winnow_match_runs,
     "dedup_blocks": dedup_blocks,
+    "dedup_incremental_blocks": dedup_incremental_blocks,
     "winnow_contamination": winnow_contamination,
     "decontaminate_corpus": decontaminate_corpus,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1947,6 +1992,7 @@ ORACLES = {
     "winnow_match_spans": WINNOW_MATCH_SPANS_SQL,
     "winnow_match_runs": WINNOW_MATCH_RUNS_SQL,
     "dedup_blocks": DEDUP_BLOCKS_SQL,
+    "dedup_incremental_blocks": DEDUP_INCREMENTAL_BLOCKS_SQL,
     "winnow_contamination": WINNOW_CONTAMINATION_SQL,
     "decontaminate_corpus": DECONTAMINATE_CORPUS_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,

@@ -630,15 +630,13 @@ def streaming_block_dedup(
     Batch-keyed overwrites + own-partition exclusion make checkpoint
     replay idempotent, exactly as in the sibling jobs."""
     from firmable_company_data_pipeline_spark.operators.dedup import (
-        _first_block_flag,
+        _reassemble_blocks,
+        block_delta_flags,
         block_rows,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        blocks = block_rows(batch_df, block_tokens=block_tokens).persist()
-        flagged = _first_block_flag(blocks).persist()
-        probe = flagged.filter(F.col("kept")).select("block_text")
         raw_index = _read_parquet_or_none(spark, index_dir)
         if raw_index is not None:
             index = raw_index.filter(F.col("batch_id") != batch_id)
@@ -647,70 +645,33 @@ def streaming_block_dedup(
             # upsert fold's bucket-id read)
             bks = [
                 r[0]
-                for r in probe.select(
+                for r in block_rows(batch_df, block_tokens=block_tokens)
+                .select(
                     F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("b")
                 )
                 .distinct()
                 .collect()
             ]
-            hits = (
-                index.filter(F.col("bucket").isin(bks))
-                .join(F.broadcast(probe), "block_text", "left_semi")
-                .select("block_text")
-            )
+            index = index.filter(F.col("bucket").isin(bks))
         else:
-            hits = probe.limit(0)
+            index = spark.createDataFrame([], "block_text string")
         # persisted: the output plan and the index-append plan both read
-        # the hit set — without the cache each would rescan the index
-        hits = hits.persist()
-        out = (
-            flagged.join(
-                F.broadcast(hits.withColumn("_hit", F.lit(1))), "block_text", "left"
-            )
-            .withColumn("_keep", F.col("kept") & F.col("_hit").isNull())
-            .groupBy("id")
-            .agg(
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum(F.col("_keep").cast("long")).alias("n_kept"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("_keep"),
-                                    F.struct("block_idx", "block_text"),
-                                )
-                            )
-                        ),
-                        lambda s: s["block_text"],
-                    ),
-                    " ",
-                ).alias("_joined"),
-            )
-            .select(
-                F.col("id").alias("doc_id"),
-                "n_blocks",
-                "n_kept",
-                F.when(F.col("n_kept") > 0, F.col("_joined")).alias("clean_text"),
-            )
-        )
-        out.write.mode("overwrite").parquet(
+        # the fold's flags — without the cache each would rescan the
+        # index and redo the first-occurrence agg
+        flagged = block_delta_flags(
+            index, batch_df, block_tokens=block_tokens
+        ).persist()
+        _reassemble_blocks(flagged, "_keep").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
-        new_blocks = (
-            flagged.filter("kept")
-            .join(F.broadcast(hits), "block_text", "left_anti")
-            .select(
-                "block_text",
-                F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("bucket"),
-            )
+        new_blocks = flagged.filter("_keep").select(
+            "block_text",
+            F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("bucket"),
         )
         new_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(index_dir, f"batch_id={batch_id}")
         )
-        hits.unpersist()
         flagged.unpersist()
-        blocks.unpersist()
 
     writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint:
