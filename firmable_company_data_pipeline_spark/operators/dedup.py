@@ -1266,6 +1266,7 @@ def block_delta_flags(
     id_col: str = "doc_id",
     block_tokens: int = 16,
     broadcast_delta: bool = True,
+    delta_blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental block dedup fold — flag every block of a NEW batch
     of documents against the set of blocks EVER SEEN: ``_keep`` is true
@@ -1285,10 +1286,24 @@ def block_delta_flags(
     scanned, never shuffled.  ``broadcast_delta=False`` for a backfill
     batch too large to broadcast (the joins then fall back to
     shuffles, index included — the documented trade-off shared with
-    ``minhash_delta_pairs``).  Callers should persist the returned
-    frame if they consume it more than once."""
+    ``minhash_delta_pairs``).
+
+    Caching contract: the returned plan references the batch-local
+    first-occurrence subtree twice (the index probe and the membership
+    join), so pass a PERSISTED ``delta_blocks`` — the expensive
+    tokenize+split is then computed once and only the batch-sized agg
+    and join replay per reference (no internal persist: a per-call
+    cache could never be released by a long-running streaming job).
+    :func:`block_delta_dedup` and the streaming job both do this;
+    callers consuming the RETURNED frame through several actions should
+    additionally persist it (one index scan instead of one per action —
+    the streaming job does)."""
     _b = F.broadcast if broadcast_delta else (lambda d: d)
-    blocks = block_rows(delta_docs, text_col, id_col, block_tokens)
+    blocks = (
+        delta_blocks
+        if delta_blocks is not None
+        else block_rows(delta_docs, text_col, id_col, block_tokens)
+    )
     flagged = _first_block_flag(blocks)
     probe = flagged.filter(F.col("kept")).select("block_text")
     hits = (
@@ -1317,10 +1332,11 @@ def block_delta_dedup(
     to :func:`block_dedup` restricted to the delta's documents; when
     ingest order is doc_id order the union over batches equals the
     batch operator (pinned in ``tests/test_streaming.py``)."""
+    blocks = block_rows(delta_docs, text_col, id_col, block_tokens).persist()
     return _reassemble_blocks(
         block_delta_flags(
             index_blocks, delta_docs, text_col, id_col, block_tokens,
-            broadcast_delta,
+            broadcast_delta, delta_blocks=blocks,
         ),
         "_keep",
     )

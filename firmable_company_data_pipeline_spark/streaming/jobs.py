@@ -637,6 +637,7 @@ def streaming_block_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        blocks = block_rows(batch_df, block_tokens=block_tokens).persist()
         raw_index = _read_parquet_or_none(spark, index_dir)
         if raw_index is not None:
             index = raw_index.filter(F.col("batch_id") != batch_id)
@@ -645,8 +646,7 @@ def streaming_block_dedup(
             # upsert fold's bucket-id read)
             bks = [
                 r[0]
-                for r in block_rows(batch_df, block_tokens=block_tokens)
-                .select(
+                for r in blocks.select(
                     F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("b")
                 )
                 .distinct()
@@ -659,7 +659,7 @@ def streaming_block_dedup(
         # the fold's flags — without the cache each would rescan the
         # index and redo the first-occurrence agg
         flagged = block_delta_flags(
-            index, batch_df, block_tokens=block_tokens
+            index, batch_df, block_tokens=block_tokens, delta_blocks=blocks
         ).persist()
         _reassemble_blocks(flagged, "_keep").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
@@ -672,6 +672,7 @@ def streaming_block_dedup(
             os.path.join(index_dir, f"batch_id={batch_id}")
         )
         flagged.unpersist()
+        blocks.unpersist()
 
     writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint:
