@@ -327,6 +327,108 @@ def unigram_surprise(
     )
 
 
+def _dsir_tf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    is_target: Column | None = None,
+) -> DataFrame:
+    """(id[, _tgt], bucket, c) — per-document hashed-bigram bucket
+    counts, the shared front of the DSIR family: bigram OCCURRENCES
+    assembled map-side from the in-row token array, fold-hashed into
+    ``n_buckets``, one hash-agg with map-side combine."""
+    cols = [F.col(id_col).alias("id")]
+    if is_target is not None:
+        cols.append(is_target.alias("_tgt"))
+    toks = spread(df).select(*cols, tokens(F.col(text_col)).alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+        ),
+    )
+    keys = ["id"] + (["_tgt"] if is_target is not None else [])
+    return (
+        toks.select(
+            *keys,
+            F.explode(
+                F.when(F.size("toks") >= 2, grams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("gram"),
+        )
+        .select(
+            *keys, (char_fold_hash(F.col("gram")) % n_buckets).alias("bucket")
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weight_table(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The FROZEN half of DSIR: the (bucket, w) log-ratio weight table
+    — build it once from a corpus snapshot (write to parquet; ≤
+    ``n_buckets`` rows) and score any number of incoming documents
+    against it with :func:`dsir_score_docs` / the streaming job.  The
+    per-bucket distribution is persisted (tiny) because both the
+    totals and the weights read it — without the cache the corpus
+    bigram scan would run twice."""
+    tf = _dsir_tf(df, text_col, id_col, n_buckets, is_target)
+    dist = (
+        tf.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+            F.sum(F.when(~F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("cs"),
+        )
+        .persist()
+    )
+    totals = dist.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    return dist.join(broadcast(totals), how="cross").select(
+        "bucket",
+        (
+            F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * n_buckets))
+            - F.log((F.col("cs") + alpha) / (F.col("ts") + alpha * n_buckets))
+        ).alias("w"),
+    )
+
+
+def dsir_score_docs(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score documents against a prebuilt DSIR weight table — one
+    bigram-bucket hash-agg over ``docs``, a broadcast join against the
+    ≤ ``n_buckets``-row table, one per-doc rollup; entirely independent
+    of the corpus the weights were trained on (the streaming job's
+    per-batch fold, flat by construction: the only state is the frozen
+    broadcast table).  Same output contract as
+    :func:`dsir_importance`."""
+    tf = _dsir_tf(docs, text_col, id_col, n_buckets)
+    return (
+        tf.join(broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("w")), 4).alias("logratio_sum"),
+            F.round(F.sum(F.col("c") * F.col("w")) / F.sum("c"), 6).alias(
+                "avg_logratio"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "logratio_sum", "avg_logratio")
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     is_target: Column,

@@ -744,6 +744,42 @@ def streaming_contamination_screen(
     return writer.start()
 
 
+def streaming_dsir_score(
+    docs: DataFrame,
+    weights_dir: str,
+    scores_dir: str,
+    checkpoint: str | None = None,
+    n_buckets: int = 256,
+):
+    """Score a document stream against a FROZEN DSIR weight table —
+    the continuous-ingest half of importance resampling: the (bucket,
+    w) table is trained once from a corpus snapshot
+    (``operators/curation.dsir_weight_table`` written to
+    ``weights_dir``, ≤ ``n_buckets`` rows) and every micro-batch of
+    candidate documents is scored map-side against its broadcast.
+    Writes (doc_id, n_grams, logratio_sum, avg_logratio) to
+    ``scores_dir/batch_id=N`` (batch-keyed overwrite, idempotent on
+    replay).  Scores are per-document-independent, so the union over
+    ANY batch split equals the batch scorer (pinned in
+    ``tests/test_streaming.py``); like the contamination screen there
+    is no history axis — per-batch cost is O(batch) by construction.
+    Retrain and republish the table when the target or the pool drifts
+    (``corpus_drift_psi`` is the trigger metric)."""
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        weights = spark.read.parquet(weights_dir)
+        cu.dsir_score_docs(batch_df, weights, n_buckets=n_buckets).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scores_dir, f"batch_id={batch_id}"))
+
+    writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
     """Manifest repair at batch start (review r7): if ``_latest.json``
     points at any generation this batch is ABOUT TO REWRITE or that a

@@ -395,6 +395,48 @@ def test_streaming_contamination_screen_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch and streamed
 
 
+def test_streaming_dsir_score_matches_batch(spark, sf_dir, tmp_path):
+    """Scoring two pool micro-batches against a frozen DSIR weight
+    table must reproduce the batch importance scorer exactly (scores
+    are per-document-independent, so any batch split works), and the
+    composed weight-table + scorer pair must equal the fused
+    dsir_importance operator."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    is_target = F.col("source").isin("src0", "src1", "src2", "src3")
+    weights_dir = str(tmp_path / "dsir_w")
+    cu.dsir_weight_table(docs, is_target).write.parquet(weights_dir)
+
+    pool = docs.filter(~is_target).select("doc_id", "text")
+    src = str(tmp_path / "pool_src")
+    pool.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    pool.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    scores_dir = str(tmp_path / "dsir_scores")
+    q = jobs.streaming_dsir_score(
+        stream, weights_dir, scores_dir, checkpoint=str(tmp_path / "ckpt")
+    )
+    _drain(q)
+
+    cols = ["doc_id", "n_grams", "logratio_sum", "avg_logratio"]
+    streamed = _rows(spark.read.parquet(scores_dir), cols)
+    batch = _rows(cu.dsir_importance(docs, is_target), cols)
+    assert streamed == batch and streamed
+    # composed pair == fused operator (batch side)
+    composed = _rows(
+        cu.dsir_score_docs(pool, spark.read.parquet(weights_dir)), cols
+    )
+    assert composed == batch
+
+
 def test_streaming_cms_refresh_matches_batch(spark, sf_dir, tmp_path):
     """The incrementally maintained count-min sketch (per-batch partial
     counters summed at read) must equal the one-pass full-corpus build
