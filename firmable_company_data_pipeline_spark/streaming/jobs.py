@@ -1041,6 +1041,76 @@ def read_rollup(spark, target_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_DELETE = "_COMPACT_DELETE.json"
+
+
+def compact_batch_index(spark, index_dir: str, partition_by: tuple = ()) -> None:
+    """Fold a batch-keyed parquet index (``batch_id=N/`` per micro-batch
+    — the layout of the MinHash/winnow signature indexes, the winnow df
+    table, and the bucketed block index) into ONE compacted partition,
+    bounding the directory/small-file sprawl of long-running streams at
+    100 TB (thousands of micro-batches = thousands of directories on
+    every fold's scan otherwise).
+
+    Reader-transparent: the compacted rows land in a regular
+    ``batch_id=<negative>`` partition, so the jobs' plain
+    partition-discovery reads and their replay-exclusion filters
+    (``batch_id != current``, engine ids are ≥ 0) need no changes, and
+    each compaction picks a strictly smaller negative id so repeated
+    compactions never collide.
+
+    Crash-safe single-writer protocol (run with the stream STOPPED or
+    between triggers; re-running the function repairs any crash):
+
+    1. union every current batch partition into an underscore-prefixed
+       temp dir (invisible to partition discovery — readers are
+       unaffected even mid-write);
+    2. atomically publish a delete-marker naming the target partition
+       and the source dirs (``os.replace``);
+    3. rename the temp dir to the target partition;
+    4. delete the sources; remove the marker.
+
+    A crash before (2) leaks only the temp dir (removed on the next
+    run); after (2) the marker makes the remaining steps resumable and
+    idempotent — the resume runs FIRST on every invocation, so calling
+    ``compact_batch_index`` again completes a crashed compaction before
+    starting a new one.  ``partition_by`` preserves a sub-layout (pass
+    ``("bucket",)`` for the block index)."""
+    import json
+    import shutil
+
+    marker_p = os.path.join(index_dir, _COMPACT_DELETE)
+    tmp = os.path.join(index_dir, "_compact_tmp")
+    if os.path.exists(marker_p):
+        with open(marker_p) as fh:
+            m = json.load(fh)
+        tgt = os.path.join(index_dir, m["target"])
+        if not os.path.exists(tgt) and os.path.exists(tmp):
+            os.rename(tmp, tgt)
+        for d in m["sources"]:
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+        os.remove(marker_p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_id=")]
+    if len(dirs) <= 1:
+        return
+    ids = [int(d.split("=", 1)[1]) for d in dirs]
+    target = f"batch_id={min(min(ids), 0) - 1}"
+    df = spark.read.parquet(index_dir).drop("batch_id")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    t = marker_p + ".tmp"
+    with open(t, "w") as fh:
+        json.dump({"target": target, "sources": dirs}, fh)
+    os.replace(t, marker_p)
+    os.rename(tmp, os.path.join(index_dir, target))
+    for d in dirs:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    os.remove(marker_p)
+
+
 def compact_rollup(spark, target_dir: str) -> None:
     """Fold the un-compacted batch partials (plus the previous base)
     into a new ``compacted=<gen>`` base and publish it with an atomic

@@ -437,6 +437,106 @@ def test_streaming_dsir_score_matches_batch(spark, sf_dir, tmp_path):
     assert composed == batch
 
 
+def test_compact_batch_index_mid_stream(spark, sf_dir, tmp_path):
+    """Compacting the winnow fingerprint index + df table between two
+    stream runs must leave the continued stream's pair output identical
+    to the batch operator: after draining half the corpus, compaction
+    folds the batch partitions into one negative-id partition (readers
+    and replay-exclusion filters unchanged), then the second half
+    streams in and the union of all pairs equals winnow_overlap_pairs
+    on the full corpus."""
+    import glob as _glob
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "docs_src")
+    index_dir = str(tmp_path / "fp_index")
+    pairs_dir = str(tmp_path / "fp_pairs")
+    df_dir = str(tmp_path / "fp_df")
+    ckpt = str(tmp_path / "ckpt")
+    cap = 10**6
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = jobs.streaming_winnow_dedup(
+            stream, index_dir, pairs_dir, checkpoint=ckpt,
+            min_shared=1, max_df=cap, df_dir=df_dir,
+        )
+        _drain(q)
+
+    # first half in two micro-batches, then compact
+    docs.filter(F.col("doc_id") <= mid / 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(0.3)
+    docs.filter(
+        (F.col("doc_id") > mid / 2) & (F.col("doc_id") <= mid)
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    assert len(_glob.glob(f"{index_dir}/batch_id=*")) == 2
+    jobs.compact_batch_index(spark, index_dir)
+    jobs.compact_batch_index(spark, df_dir)
+    assert _glob.glob(f"{index_dir}/batch_id=*") == [f"{index_dir}/batch_id=-1"]
+    # calling it again is a no-op (single partition)
+    jobs.compact_batch_index(spark, index_dir)
+    assert _glob.glob(f"{index_dir}/batch_id=*") == [f"{index_dir}/batch_id=-1"]
+
+    # second half streams in against the compacted state
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+
+    cols = ["id_a", "id_b", "shared", "containment"]
+    streamed = _rows(spark.read.parquet(pairs_dir), cols)
+    batch = _rows(dd.winnow_overlap_pairs(docs, min_shared=1, max_df=cap), cols)
+    assert streamed == batch and streamed
+    # index content identical to an uncompacted build
+    idx = spark.read.parquet(index_dir)
+    assert _rows(idx, ["id", "n_fp", "fp"]) == _rows(
+        dd.winnow_fingerprint_rows(docs), ["id", "n_fp", "fp"]
+    )
+
+
+def test_compact_batch_index_resumes_after_crash(spark, tmp_path):
+    """The delete-marker protocol: fabricate the layout of a crash
+    between marker publish and the temp-dir rename (the worst window —
+    sources and temp both present), then one compact_batch_index call
+    must finish the rename, delete the sources, drop the marker, and
+    preserve exactly the union of the rows."""
+    import json
+    import os as _os
+
+    d = str(tmp_path / "idx")
+    spark.range(5).selectExpr("id", "id * 10 AS v").write.parquet(
+        _os.path.join(d, "batch_id=0")
+    )
+    spark.range(5, 9).selectExpr("id", "id * 10 AS v").write.parquet(
+        _os.path.join(d, "batch_id=1")
+    )
+    # what a crashed compaction leaves behind: complete temp + marker
+    spark.read.parquet(d).drop("batch_id").write.parquet(
+        _os.path.join(d, "_compact_tmp")
+    )
+    with open(_os.path.join(d, "_COMPACT_DELETE.json"), "w") as fh:
+        json.dump(
+            {"target": "batch_id=-1", "sources": ["batch_id=0", "batch_id=1"]}, fh
+        )
+    jobs.compact_batch_index(spark, d)
+    assert not _os.path.exists(_os.path.join(d, "_COMPACT_DELETE.json"))
+    assert not _os.path.exists(_os.path.join(d, "batch_id=0"))
+    assert _os.path.exists(_os.path.join(d, "batch_id=-1"))
+    got = _rows(spark.read.parquet(d), ["id", "v"])
+    assert got == {(i, i * 10) for i in range(9)}
+
+
 def test_streaming_cms_refresh_matches_batch(spark, sf_dir, tmp_path):
     """The incrementally maintained count-min sketch (per-batch partial
     counters summed at read) must equal the one-pass full-corpus build
