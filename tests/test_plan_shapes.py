@@ -628,3 +628,39 @@ def test_corpus_drift_psi_bucket_grid_sized(plans):
     p = plans("corpus_drift_psi")
     assert "BroadcastHashJoin" in p  # per-source totals
     assert "Window" not in p
+
+
+def test_block_dedup_uses_agg_not_window(plans):
+    """The r9 design claim: first-occurrence selection is a min-struct
+    HASH AGG + join (map-side combinable, AQE-skew-splittable), never a
+    row_number window over the hot block text; and the whole plan stays
+    JVM-side."""
+    import re
+
+    p = plans("dedup_blocks")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+
+
+def test_dsir_select_broadcasts_weights(plans):
+    """DSIR scoring: the <= n_buckets-row weight table reaches the
+    per-doc join as a broadcast (the per-doc scoring join is map-side);
+    no window anywhere in the plan."""
+    import re
+
+    p = plans("dsir_select")
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 6
+
+
+def test_winnow_contamination_bipartite_plan(plans):
+    """The decontamination screen stays in the winnow family's pinned
+    exchange budget (one gram pipeline + df-cap window + bipartite fp
+    join + pair agg) with no Python stage."""
+    import re
+
+    p = plans("winnow_contamination")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
