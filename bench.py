@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_incremental_winnow",
     "winnow_match_spans",
     "winnow_match_runs",
+    "winnow_pair_report",
     "dedup_blocks",
     "dedup_incremental_blocks",
     "winnow_contamination",

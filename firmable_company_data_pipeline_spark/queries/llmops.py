@@ -450,6 +450,74 @@ FROM islands GROUP BY id_a, id_b, diag, isl
 
 
 # --------------------------------------------------------------------------
+# winnow_pair_report — the per-pair MOSS summary row: overlap scores
+# joined with run statistics (how many maximal matched runs, their
+# total covered characters, the longest) — all off ONE selection
+# stream.
+def winnow_pair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
+    return dd.winnow_pair_report(
+        docs, min_shared=3, min_containment=0.5, max_df=100
+    )
+
+
+WINNOW_PAIR_REPORT_SQL = f"""
+WITH {_WINNOW_GRAMS_CTES},
+wsel AS (
+  SELECT DISTINCT doc_id,
+         CAST({dd._WINNOW_RADIX} - 1 - selkey % {dd._WINNOW_RADIX} AS INT) AS pos,
+         selkey // {dd._WINNOW_RADIX} AS fp
+  FROM sel WHERE pos <= greatest(n_grams - {dd.WINNOW_W} + 1, 1)
+),
+counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
+idx AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
+  ) WHERE df <= 100
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         round(count(*)::DOUBLE / least(ca.n_fp, cb.n_fp), 6) AS containment
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN counted ca ON ca.doc_id = a.doc_id
+  JOIN counted cb ON cb.doc_id = b.doc_id
+  GROUP BY 1, 2, ca.n_fp, cb.n_fp
+  HAVING count(*) >= 3
+     AND round(count(*)::DOUBLE / least(ca.n_fp, cb.n_fp), 6) >= 0.5
+),
+capped AS (SELECT w.* FROM wsel w JOIN idx USING (doc_id, fp)),
+coords AS (
+  SELECT DISTINCT p.id_a, p.id_b, s1.pos AS pos_a, s2.pos AS pos_b
+  FROM prs p
+  JOIN capped s1 ON s1.doc_id = p.id_a
+  JOIN capped s2 ON s2.doc_id = p.id_b AND s2.fp = s1.fp
+),
+flagged AS (
+  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         CASE WHEN pos_a - lag(pos_a) OVER (
+                PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+              ) > {dd.WINNOW_K} THEN 1 ELSE 0 END AS brk
+  FROM coords
+),
+islands AS (
+  SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+),
+runs AS (
+  SELECT id_a, id_b, max(pos_a) + {dd.WINNOW_K} - min(pos_a) AS run_len
+  FROM islands GROUP BY id_a, id_b, diag, isl
+)
+SELECT p.id_a, p.id_b, p.shared, p.containment,
+       count(*) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS sum_run_len,
+       max(run_len) AS longest_run
+FROM prs p JOIN runs USING (id_a, id_b)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_incremental_winnow — incremental index maintenance for the
 # winnow family: the held-out batch (doc_id % 10 == 0) pairs against
 # the existing fingerprint index; index×index is never re-paired (the
@@ -1942,6 +2010,7 @@ QUERIES = {
     "dedup_incremental_winnow": dedup_incremental_winnow,
     "winnow_match_spans": winnow_match_spans,
     "winnow_match_runs": winnow_match_runs,
+    "winnow_pair_report": winnow_pair_report,
     "dedup_blocks": dedup_blocks,
     "dedup_incremental_blocks": dedup_incremental_blocks,
     "winnow_contamination": winnow_contamination,
@@ -1991,6 +2060,7 @@ ORACLES = {
     "dedup_incremental_winnow": DEDUP_INCREMENTAL_WINNOW_SQL,
     "winnow_match_spans": WINNOW_MATCH_SPANS_SQL,
     "winnow_match_runs": WINNOW_MATCH_RUNS_SQL,
+    "winnow_pair_report": WINNOW_PAIR_REPORT_SQL,
     "dedup_blocks": DEDUP_BLOCKS_SQL,
     "dedup_incremental_blocks": DEDUP_INCREMENTAL_BLOCKS_SQL,
     "winnow_contamination": WINNOW_CONTAMINATION_SQL,

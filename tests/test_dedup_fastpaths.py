@@ -759,6 +759,31 @@ def test_winnow_match_runs_reconcile_with_spans(spark):
     assert pair12[0]["start_a"] == pair12[0]["start_b"]
 
 
+def test_winnow_pair_report_reconciles(spark):
+    """The per-pair summary equals the independent composition of the
+    pair operator and per-pair aggregates of the runs operator — the
+    single-stream construction changes the plan, never the values."""
+    df = spark.createDataFrame(_WINNOW_DOCS, "doc_id long, text string")
+    report = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.winnow_pair_report(df, min_shared=1).collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    runs: dict = {}
+    for r in dd.winnow_match_runs(df, min_shared=1).collect():
+        runs.setdefault((r["id_a"], r["id_b"]), []).append(r["run_len"])
+    assert set(report) == set(pairs) == set(runs)
+    for key, row in report.items():
+        assert row["shared"] == pairs[key]["shared"]
+        assert row["containment"] == pairs[key]["containment"]
+        assert row["n_runs"] == len(runs[key])
+        assert row["sum_run_len"] == sum(runs[key])
+        assert row["longest_run"] == max(runs[key])
+
+
 def test_winnow_delta_df_table_partial_rows(spark):
     """The persisted (fp, df) side table drives the cap to the SAME
     pairs as deriving dfs from the index rows, and ADDITIVE partial
