@@ -559,6 +559,18 @@ def streaming_winnow_dedup(
                 index_df = raw_df.filter(F.col("batch_id") != batch_id).select(
                     "fp", "df"
                 )
+            elif raw_index is not None:
+                # a non-empty index with NO df table would make the cap
+                # silently count the delta alone (df under-counted ->
+                # boilerplate fingerprints sail past the cap).  This
+                # state means max_df was enabled mid-stream or the df
+                # table was lost — rebuild it explicitly.
+                raise ValueError(
+                    f"streaming_winnow_dedup: index at {index_dir} exists but "
+                    f"df table at {df_dir} does not; rebuild it with "
+                    "winnow_df_table(<index>) written to a batch_id=<n> "
+                    "partition before resuming with max_df set"
+                )
             else:
                 index_df = dd.winnow_df_table(delta).limit(0)
         pairs = dd.winnow_delta_pairs(

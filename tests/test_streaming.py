@@ -505,6 +505,35 @@ def test_compact_batch_index_mid_stream(spark, sf_dir, tmp_path):
     )
 
 
+def test_streaming_winnow_refuses_index_without_df_table(spark, sf_dir, tmp_path):
+    """Guard: an existing fingerprint index with NO df table must fail
+    loudly when max_df is set — a silently delta-only df would let
+    boilerplate fingerprints past the cap."""
+    import shutil
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    index_dir = str(tmp_path / "fp_index")
+    dd.winnow_fingerprint_rows(docs.limit(20)).write.parquet(
+        index_dir + "/batch_id=0"
+    )
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 5).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = jobs.streaming_winnow_dedup(
+        stream, index_dir, str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_df=100, df_dir=str(tmp_path / "fp_df"),
+    )
+    with pytest.raises(Exception, match="df table"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed")  # pragma: no cover
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+
+
 def test_compact_batch_index_resumes_after_crash(spark, tmp_path):
     """The delete-marker protocol: fabricate the layout of a crash
     between marker publish and the temp-dir rename (the worst window —
