@@ -1091,6 +1091,8 @@ def compact_batch_index(spark, index_dir: str, partition_by: tuple = ()) -> None
     import json
     import shutil
 
+    if not os.path.isdir(index_dir):
+        return  # stream never started; nothing to compact
     marker_p = os.path.join(index_dir, _COMPACT_DELETE)
     tmp = os.path.join(index_dir, "_compact_tmp")
     if os.path.exists(marker_p):
