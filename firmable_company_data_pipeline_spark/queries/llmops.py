@@ -674,9 +674,13 @@ HAVING count(*) >= 2
 # decontaminate_corpus — the end-to-end decontamination report: drop
 # every training document winnow_contamination flags, then state per
 # source what survives (the corpus-card row a release review reads).
-# Composition of the audited screen + one anti-join + one hash-agg;
+# Composition of the audited screen + one left join + one hash-agg;
 # eval docs are excluded from the denominators (they are not training
-# data).
+# data).  Deliberately self-contained (the registry convention, same
+# as leakage_safe_split): it re-runs the winnow screen rather than
+# reading winnow_contamination's output, so benching both queries pays
+# the gram scan twice — in production the screen's flags are parquet
+# and this query is the one join + agg over them.
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
     flagged = dd.winnow_contamination(
