@@ -534,6 +534,56 @@ def test_streaming_winnow_refuses_index_without_df_table(spark, sf_dir, tmp_path
     shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
 
 
+def test_compact_block_index_preserves_bucket_layout(spark, sf_dir, tmp_path):
+    """Compacting the bucketed block index with partition_by=("bucket",)
+    must keep the bucket sub-layout (bucket=K dirs under the compacted
+    partition) and leave a continued stream's output identical to the
+    batch operator."""
+    import glob as _glob
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "docs_src")
+    index_dir = str(tmp_path / "blk_index")
+    out_dir = str(tmp_path / "blk_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = jobs.streaming_block_dedup(stream, index_dir, out_dir, checkpoint=ckpt)
+        _drain(q)
+
+    docs.filter(F.col("doc_id") <= mid / 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(0.3)
+    docs.filter(
+        (F.col("doc_id") > mid / 2) & (F.col("doc_id") <= mid)
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    jobs.compact_batch_index(spark, index_dir, partition_by=("bucket",))
+    dirs = _glob.glob(f"{index_dir}/batch_id=*")
+    assert dirs == [f"{index_dir}/batch_id=-1"]
+    # the bucket sub-layout survives inside the compacted partition
+    assert _glob.glob(f"{index_dir}/batch_id=-1/bucket=*")
+
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    cols = ["doc_id", "n_blocks", "n_kept", "clean_text"]
+    streamed = _rows(spark.read.parquet(out_dir), cols)
+    batch = _rows(dd.block_dedup(docs, block_tokens=16), cols)
+    assert streamed == batch and streamed
+
+
 def test_compact_batch_index_resumes_after_crash(spark, tmp_path):
     """The delete-marker protocol: fabricate the layout of a crash
     between marker publish and the temp-dir rename (the worst window —
