@@ -391,7 +391,25 @@ def dsir_weight_table(
         .persist()
     )
     totals = dist.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
-    return dist.join(broadcast(totals), how="cross").select(
+    # One row for EVERY bucket in range(n_buckets), not just the buckets
+    # the training snapshot happened to populate (advice r9): scoring
+    # inner-joins doc buckets against this table, so a missing bucket
+    # would silently drop grams from n_grams and the score sums —
+    # contradicting the add-alpha smoothing contract.  Unseen buckets
+    # get ct = cs = 0, i.e. exactly the smoothed floor
+    # log(alpha/(tt+alpha*B)) - log(alpha/(ts+alpha*B)).  The table
+    # stays <= n_buckets rows — the broadcast bound is unchanged.
+    full = (
+        df.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(broadcast(dist), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+    )
+    return full.join(broadcast(totals), how="cross").select(
         "bucket",
         (
             F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * n_buckets))

@@ -1127,6 +1127,42 @@ def winnow_match_spans(
     )
 
 
+def _coalesce_runs(coords: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands coalescing of matched (id_a, id_b, pos_a,
+    pos_b) coordinates into maximal runs — the ONE definition of the
+    run semantics shared by :func:`winnow_match_runs` and
+    :func:`winnow_pair_report` (advice r9: the construction had drifted
+    into two inline copies).  Two coordinates join the same run when
+    they share the alignment diagonal (pos_a − pos_b) and their k-char
+    covered intervals overlap or touch (next pos_a ≤ prev pos_a + k).
+
+    ``coords`` must already be DISTINCT on (id_a, id_b, pos_a, pos_b).
+    Output: one row per maximal run — (id_a, id_b, diag, start_a,
+    start_b, run_len, n_coords).  Plan: one window partitioned by
+    (pair, diagonal) ordered by pos_a (partition sizes are per-pair
+    coordinate counts, never corpus-sized), a lag to flag breaks, a
+    running sum to number islands, one hash aggregation per island;
+    callers that use only a subset of the aggregates get the rest
+    pruned by Catalyst."""
+    from pyspark.sql import Window
+
+    coords = coords.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    ordered = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    brk = F.when(
+        F.col("pos_a") - F.lag("pos_a").over(ordered) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = coords.withColumn("_brk", brk).withColumn(
+        "_isl",
+        F.sum("_brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("id_a", "id_b", "diag", "_isl").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.max("pos_a") + k - F.min("pos_a")).alias("run_len"),
+        F.count(F.lit(1)).alias("n_coords"),
+    ).drop("_isl")
+
+
 def winnow_match_runs(
     df: DataFrame,
     text_col: str = "text",
@@ -1149,36 +1185,20 @@ def winnow_match_runs(
     coalesced into the run (duplicate coordinates reachable through
     several fingerprints count once).
 
-    Plan: gaps-and-islands over the span coordinates — one window
-    partitioned by (pair, diagonal) ordered by pos_a (partition sizes
-    are per-pair coordinate counts, never corpus-sized), a lag to flag
-    breaks, a running sum to number islands, one hash aggregation per
-    island.  Everything downstream of the span operator's audited
-    sub-plans; no new corpus-scale stage."""
-    from pyspark.sql import Window
-
+    Plan: :func:`_coalesce_runs` (the shared gaps-and-islands
+    coalescing) over the span coordinates — everything downstream of
+    the span operator's audited sub-plans; no new corpus-scale
+    stage."""
     coords = (
         winnow_match_spans(
             df, text_col, id_col, k, w, min_shared, min_containment, max_df
         )
         .select("id_a", "id_b", "pos_a", "pos_b")
         .distinct()
-        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
     )
-    ordered = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    brk = F.when(
-        F.col("pos_a") - F.lag("pos_a").over(ordered) > k, F.lit(1)
-    ).otherwise(F.lit(0))
-    runs = coords.withColumn("_brk", brk).withColumn(
-        "_isl",
-        F.sum("_brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    return _coalesce_runs(coords, k).select(
+        "id_a", "id_b", "start_a", "start_b", "run_len", "n_coords"
     )
-    return runs.groupBy("id_a", "id_b", "diag", "_isl").agg(
-        F.min("pos_a").alias("start_a"),
-        F.min("pos_b").alias("start_b"),
-        (F.max("pos_a") + k - F.min("pos_a")).alias("run_len"),
-        F.count(F.lit(1)).alias("n_coords"),
-    ).select("id_a", "id_b", "start_a", "start_b", "run_len", "n_coords")
 
 
 def winnow_pair_report(
@@ -1205,8 +1225,6 @@ def winnow_pair_report(
     fingerprint table is persisted once; the pair gate, the span
     coordinates, and the islands coalescing are all derived from it —
     the corpus gram scan never re-runs."""
-    from pyspark.sql import Window
-
     fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).persist()
     sets = fps_pos.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
     ex = sets.select(
@@ -1229,21 +1247,8 @@ def winnow_pair_report(
         .join(b, ["id_b", "fp"])
         .select("id_a", "id_b", "pos_a", "pos_b")
         .distinct()
-        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
     )
-    ordered = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    brk = F.when(
-        F.col("pos_a") - F.lag("pos_a").over(ordered) > k, F.lit(1)
-    ).otherwise(F.lit(0))
-    runs = (
-        coords.withColumn("_brk", brk)
-        .withColumn(
-            "_isl",
-            F.sum("_brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("id_a", "id_b", "diag", "_isl")
-        .agg((F.max("pos_a") + k - F.min("pos_a")).alias("run_len"))
-    )
+    runs = _coalesce_runs(coords, k)
     stats = runs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_runs"),
         F.sum("run_len").alias("sum_run_len"),

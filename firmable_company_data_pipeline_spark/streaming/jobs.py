@@ -280,6 +280,20 @@ def foreach_batch_upsert(
     return writer.start()
 
 
+def _batch_partition_ids(spark, index_dir: str) -> list[int]:
+    """The sorted batch ids of an index's ``batch_id=<n>`` partition
+    directories, listed through Spark's own filesystem (the guard that
+    must agree with the read path — advice r7's local-``glob`` trap).
+    Metadata-only: one directory listing, never a data read."""
+    fs, pattern = _hadoop_fs(spark, index_dir.rstrip("/") + "/batch_id=*")
+    statuses = fs.globStatus(pattern)
+    if statuses is None:
+        return []
+    return sorted(
+        int(s.getPath().getName().split("=", 1)[1]) for s in statuses
+    )
+
+
 def _bucket_markers(spark, target_dir: str) -> list[int]:
     """Every declared bucket count of an upsert target — the sorted
     integer suffixes of its ``_N_BUCKETS_*`` marker files, listed
@@ -510,12 +524,15 @@ def streaming_winnow_dedup(
        decided from the persisted (fp, df) table + the batch's own
        counts (df is additive, so the union df is exact without ever
        re-aggregating the index; see ``winnow_delta_pairs``);
-    3. writes pairs to ``pairs_dir/batch_id=N``, the new fingerprint
-       rows to ``index_dir/batch_id=N``, and (when ``max_df`` is set)
-       the batch's per-fp counts to ``df_dir/batch_id=N`` — the df
-       table IS the union of those per-batch partials
-       (``winnow_delta_pairs`` sums them after pruning to the delta's
-       fingerprints, so no compaction is ever required).
+    3. writes pairs to ``pairs_dir/batch_id=N``, then (when ``max_df``
+       is set) the batch's per-fp counts to ``df_dir/batch_id=N``, then
+       the new fingerprint rows to ``index_dir/batch_id=N`` — df before
+       index, so a crash between the two leaves "df without index"
+       (harmless: the replay overwrites both) rather than "index
+       without df", which the guard below would refuse.  The df table
+       IS the union of those per-batch partials (``winnow_delta_pairs``
+       sums them after pruning to the delta's fingerprints, so no
+       compaction is ever required).
 
     Per-batch writes are batch-keyed overwrites, so a checkpoint replay
     rewrites its own partitions instead of duplicating rows; reads
@@ -559,12 +576,20 @@ def streaming_winnow_dedup(
                 index_df = raw_df.filter(F.col("batch_id") != batch_id).select(
                     "fp", "df"
                 )
-            elif raw_index is not None:
-                # a non-empty index with NO df table would make the cap
+            elif any(
+                g != batch_id for g in _batch_partition_ids(spark, index_dir)
+            ):
+                # an index with HISTORY (partitions other than this
+                # batch's own) and NO df table would make the cap
                 # silently count the delta alone (df under-counted ->
                 # boilerplate fingerprints sail past the cap).  This
                 # state means max_df was enabled mid-stream or the df
-                # table was lost — rebuild it explicitly.
+                # table was lost — rebuild it explicitly.  The guard
+                # deliberately ignores a batch_id == current partition:
+                # that is the crash-replay window (index written, df
+                # not yet — a pre-reorder layout or a df-write crash),
+                # where the replay-filtered index is empty and
+                # auto-recovery is provably safe (advice r9).
                 raise ValueError(
                     f"streaming_winnow_dedup: index at {index_dir} exists but "
                     f"df table at {df_dir} does not; rebuild it with "
@@ -585,13 +610,17 @@ def streaming_winnow_dedup(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
-        delta.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
-        )
+        # df partials BEFORE the index partition (advice r9): a crash
+        # between the two then leaves "df without index" — harmless, the
+        # replay overwrites both — never "index without df", the state
+        # the guard above must treat as a lost df table.
         if max_df is not None:
             dd.winnow_df_table(delta).write.mode("overwrite").parquet(
                 os.path.join(df_dir, f"batch_id={batch_id}")
             )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
         delta.unpersist()
 
     writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)

@@ -271,3 +271,41 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert out[3]["avg_logratio"] > out[4]["avg_logratio"]
     assert out[3]["n_grams"] == 9  # 10 tokens -> 9 bigram occurrences
     assert out[4]["n_grams"] == 8
+
+
+def test_dsir_weight_table_covers_every_bucket(spark):
+    """Advice r9: the frozen weight table must hold a row for EVERY
+    bucket in range(n_buckets) — buckets the training snapshot never
+    populated carry the smoothed floor — so a scored doc whose grams
+    all land in unseen buckets still surfaces with a finite score
+    instead of silently vanishing from the inner join."""
+    import math
+
+    n_buckets, alpha = 64, 1.0
+    train = spark.createDataFrame(
+        [(1, "alpha beta alpha beta alpha", "tgt"), (2, "alpha beta gamma", "pool")],
+        "doc_id long, text string, source string",
+    )
+    weights = cu.dsir_weight_table(
+        train, F.col("source") == "tgt", n_buckets=n_buckets, alpha=alpha
+    ).persist()
+    assert weights.count() == n_buckets
+    assert [r["bucket"] for r in weights.select("bucket").collect()] != []
+    # the training snapshot populates only a handful of buckets; every
+    # other bucket must carry the identical smoothed floor
+    tt, ts = 4, 2  # target/pool bigram occurrence totals of the fixture
+    floor = math.log(alpha / (tt + alpha * n_buckets)) - math.log(
+        alpha / (ts + alpha * n_buckets)
+    )
+    vals = sorted(r["w"] for r in weights.collect())
+    assert sum(1 for v in vals if abs(v - floor) < 1e-12) >= n_buckets - 4
+    # a doc written entirely in unseen vocabulary scores the floor, and
+    # it APPEARS in the output (the advice's vanishing-doc case)
+    probe = spark.createDataFrame(
+        [(9, "zebra walrus yacht")], "doc_id long, text string"
+    )
+    out = cu.dsir_score_docs(probe, weights, n_buckets=n_buckets).collect()
+    assert len(out) == 1
+    assert out[0]["n_grams"] == 2
+    assert out[0]["avg_logratio"] == pytest.approx(round(floor, 6), abs=1e-6)
+    weights.unpersist()

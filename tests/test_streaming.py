@@ -506,7 +506,9 @@ def test_compact_batch_index_mid_stream(spark, sf_dir, tmp_path):
 
 
 def test_streaming_winnow_refuses_index_without_df_table(spark, sf_dir, tmp_path):
-    """Guard: an existing fingerprint index with NO df table must fail
+    """Guard: an existing fingerprint index with HISTORY (a partition
+    other than the replaying batch's own — here batch_id=-1, the
+    external-seed/compaction convention) and NO df table must fail
     loudly when max_df is set — a silently delta-only df would let
     boilerplate fingerprints past the cap."""
     import shutil
@@ -518,7 +520,7 @@ def test_streaming_winnow_refuses_index_without_df_table(spark, sf_dir, tmp_path
     )
     index_dir = str(tmp_path / "fp_index")
     dd.winnow_fingerprint_rows(docs.limit(20)).write.parquet(
-        index_dir + "/batch_id=0"
+        index_dir + "/batch_id=-1"
     )
     src = str(tmp_path / "src")
     docs.filter(F.col("doc_id") < 5).coalesce(1).write.parquet(src)
@@ -532,6 +534,49 @@ def test_streaming_winnow_refuses_index_without_df_table(spark, sf_dir, tmp_path
         q.awaitTermination(120)
         raise AssertionError("stream should have failed")  # pragma: no cover
     shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+
+
+def test_streaming_winnow_first_batch_crash_autorecovers(spark, sf_dir, tmp_path):
+    """Advice r9: a first batch that crashed AFTER the index-partition
+    write but BEFORE the df-partition write (the pre-reorder layout)
+    leaves ``index_dir/batch_id=0`` with no df table.  The replay-
+    filtered index is empty in that state, so restart must auto-recover
+    — no ValueError, no manual rebuild — and the recovered run's pairs,
+    index, and df table must equal a clean run's."""
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    batch0 = docs.filter(F.col("doc_id") < 30)
+    index_dir = str(tmp_path / "fp_index")
+    pairs_dir = str(tmp_path / "pairs")
+    df_dir = str(tmp_path / "fp_df")
+    # simulate the crash window: batch 0's own index partition exists,
+    # nothing else does (no df, no pairs, no committed offset)
+    dd.winnow_fingerprint_rows(batch0).write.parquet(index_dir + "/batch_id=0")
+
+    src = str(tmp_path / "src")
+    batch0.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = jobs.streaming_winnow_dedup(
+        stream, index_dir, pairs_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        min_shared=1, max_df=100, df_dir=df_dir,
+    )
+    _drain(q)
+
+    cols = ["id_a", "id_b", "shared", "containment"]
+    assert _rows(spark.read.parquet(pairs_dir), cols) == _rows(
+        dd.winnow_overlap_pairs(batch0, min_shared=1, max_df=100), cols
+    )
+    fps = dd.winnow_fingerprint_rows(batch0)
+    assert _rows(spark.read.parquet(index_dir), ["id", "n_fp", "fp"]) == _rows(
+        fps, ["id", "n_fp", "fp"]
+    )
+    assert _rows(spark.read.parquet(df_dir).select("fp", "df"), ["fp", "df"]) == _rows(
+        dd.winnow_df_table(fps), ["fp", "df"]
+    )
 
 
 def test_compact_block_index_preserves_bucket_layout(spark, sf_dir, tmp_path):
