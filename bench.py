@@ -57,6 +57,7 @@ HEADLINE = [
     "winnow_contamination",
     "dsir_select",
     "decontaminate_corpus",
+    "dedup_winnow_keep_best",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

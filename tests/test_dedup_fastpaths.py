@@ -515,25 +515,66 @@ def test_winnow_overlap_containment_bounds(spark):
 
 def test_effectiveness_report_matches_keep_best(spark):
     """The corpus-card totals must reconcile with the keep-best verdicts
-    they summarize: docs_removed == #(keep=false), and every source row
-    conserves its doc count."""
+    they summarize, PER STRATEGY since round 10: each strategy row set's
+    docs_removed equals its lifecycle's #(keep=false), and every
+    (strategy, source) row conserves its doc count."""
     from firmable_company_data_pipeline_spark.queries.llmops import (
         dedup_effectiveness_report,
         dedup_keep_best,
+        dedup_winnow_keep_best,
     )
 
     sf = "/root/testdata/sf0.001"
     rep = dedup_effectiveness_report(spark, sf).collect()
-    kb = dedup_keep_best(spark, sf).collect()
-    dropped = sum(1 for r in kb if not r["keep"])
-    assert sum(r["docs_removed"] for r in rep) == dropped
+    assert {r["strategy"] for r in rep} == {"jaccard", "winnow"}
+    dropped = {
+        "jaccard": sum(
+            1 for r in dedup_keep_best(spark, sf).collect() if not r["keep"]
+        ),
+        "winnow": sum(
+            1
+            for r in dedup_winnow_keep_best(spark, sf).collect()
+            if not r["keep"]
+        ),
+    }
+    for strat, want in dropped.items():
+        got = sum(r["docs_removed"] for r in rep if r["strategy"] == strat)
+        assert got == want, (strat, got, want)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    by_source = {r["source"]: r["n_docs"] for r in rep}
-    for s, n in docs.groupBy("source").count().collect():
-        assert by_source[s] == n
+    source_counts = dict(docs.groupBy("source").count().collect())
     for r in rep:
+        assert r["n_docs"] == source_counts[r["source"]]
         assert 0 <= r["pct_docs_removed"] <= 1
         assert r["tokens_removed"] <= r["n_tokens"]
+
+
+def test_winnow_keep_best_reconciles_with_pairs(spark):
+    """dedup_winnow_keep_best is the winnow PAIR operator's lifecycle:
+    its row universe is exactly the docs appearing in dedup_winnow's
+    pairs, both ends of every pair share a cluster, every cluster
+    elects exactly one keeper, and the keeper dominates on
+    (n_chars DESC, doc_id ASC) — the shared survivor policy."""
+    from firmable_company_data_pipeline_spark.queries.llmops import (
+        dedup_winnow,
+        dedup_winnow_keep_best,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = dedup_winnow(spark, sf).collect()
+    out = dedup_winnow_keep_best(spark, sf).collect()
+    paired_docs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert {r["doc_id"] for r in out} == paired_docs and out
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in out}
+    for p in pairs:
+        assert cluster_of[p["id_a"]] == cluster_of[p["id_b"]]
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r["n_chars"], -r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
 
 
 def test_winnow_max_df_prunes_hot_fingerprints(spark):
@@ -782,6 +823,30 @@ def test_winnow_pair_report_reconciles(spark):
         assert row["n_runs"] == len(runs[key])
         assert row["sum_run_len"] == sum(runs[key])
         assert row["longest_run"] == max(runs[key])
+    # covered_a / covered_b: per-side interval unions of the matched
+    # k-char windows, reconciled against an independent Python union of
+    # the span coordinates (r9 verdict #7 — the "% matched" numerator,
+    # never double-counting characters matched on several diagonals)
+    spans: dict = {}
+    for r in dd.winnow_match_spans(df, min_shared=1).collect():
+        spans.setdefault((r["id_a"], r["id_b"]), []).append(
+            (r["pos_a"], r["pos_b"])
+        )
+
+    def union_len(positions):
+        covered = set()
+        for p in positions:
+            covered.update(range(p, p + dd.WINNOW_K))
+        return len(covered)
+
+    for key, row in report.items():
+        want_a = union_len({pa for pa, _ in spans[key]})
+        want_b = union_len({pb for _, pb in spans[key]})
+        assert row["covered_a"] == want_a
+        assert row["covered_b"] == want_b
+        assert row["covered_a"] <= row["sum_run_len"]
+        assert row["covered_b"] <= row["sum_run_len"]
+        assert row["covered_a"] >= row["longest_run"]
 
 
 def test_winnow_delta_df_table_partial_rows(spark):
