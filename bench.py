@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_incremental_blocks",
     "winnow_contamination",
     "dsir_select",
+    "dsir_resample",
     "decontaminate_corpus",
     "dedup_winnow_keep_best",
     "dedup_effectiveness_report",

@@ -541,6 +541,89 @@ def dsir_importance(
     )
 
 
+def gumbel_key(
+    id_expr: Column, seed: int, resolution: int = 1_000_000
+) -> Column:
+    """Deterministic standard-Gumbel draw per row: g = −ln(−ln(u)) with
+    u derived from the shared fold hash of ``"<seed>:<id>"``, passed
+    through one QUADRATIC mixing step — u = (((h² + h) mod p) mod
+    resolution + 0.5) / resolution ∈ (0, 1) strictly, so both logs are
+    finite.  The quadratic step matters: the fold hash is a short
+    polynomial, so changing the seed shifts every equal-length id's
+    hash by the SAME δ·31^n — any affine post-mix would preserve the
+    cross-document ordering and the "sample" would never vary with the
+    seed; the h² cross term (2hδ) breaks the common shift.
+    Hash-derived (not ``F.rand``) because the oracle must reproduce the
+    exact draw: the integer arithmetic is engine-exact (h < p ≈ 1e9 so
+    h² fits a 64-bit long) and the double ``ln`` agrees to far below
+    the 6-decimal rounding the callers apply.  Mirror:
+    ``-ln(-ln((((h*h + h) % p) % R + 0.5) / R))`` with
+    ``h = fold('<seed>:' || id::VARCHAR)``."""
+    h = char_fold_hash(F.concat(F.lit(f"{seed}:"), id_expr.cast("string")))
+    mixed = (h * h + h) % F.lit(HASH_MOD)
+    u = (mixed % resolution + F.lit(0.5)) / resolution
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: int = 7,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The SELECTION step DSIR exists for (Xie et al. 2023 §2: sampling
+    without replacement via the Gumbel-top-k trick): perturb each raw-
+    pool document's importance score with deterministic Gumbel noise
+    and keep the global top ``k`` — a sample whose inclusion
+    probabilities track the importance weights, unlike a hard top-k,
+    which collapses onto near-duplicate high-scorers.
+
+    Score = ``avg_logratio + g/temperature`` with ``g`` from
+    :func:`gumbel_key` (seeded, hash-derived, oracle-exact) and
+    ``avg_logratio`` from :func:`dsir_importance`; higher temperature →
+    noisier, more diverse selection; ``temperature → 0`` degenerates to
+    deterministic top-k.  Rounded to 6 decimals BEFORE ranking so both
+    engines rank identical values; ties broken by ``id_col``.
+
+    Output: (doc_id, avg_logratio, gumbel_score, sel_rank) for the
+    ``sel_rank <= k`` winners.
+
+    Scale shape: the importance sub-plan's two exchanges, one map-side
+    projection for the perturbation, then the distributed exact-rank
+    path (``operators/ranks.exact_global_row_number``: range
+    repartition + per-partition window + broadcast offsets) — never a
+    single-reducer global window or sort (the round-5 scale-killer
+    class this query is pinned against)."""
+    from firmable_company_data_pipeline_spark.operators import ranks
+
+    scored = dsir_importance(
+        df, is_target, text_col, id_col, n_buckets, alpha
+    ).select(
+        id_col,
+        "avg_logratio",
+        F.round(
+            F.col("avg_logratio") + gumbel_key(F.col(id_col), seed) / temperature,
+            6,
+        ).alias("gumbel_score"),
+    )
+    # ascending-only rank machinery: negate the (already-rounded) score
+    # — IEEE negation is exact, so no second rounding can disagree
+    ranked = ranks.exact_global_row_number(
+        scored.withColumn("_neg", -F.col("gumbel_score")),
+        ["_neg", id_col],
+        out="sel_rank",
+    )
+    return (
+        ranked.filter(F.col("sel_rank") <= k)
+        .select(id_col, "avg_logratio", "gumbel_score", "sel_rank")
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -575,6 +575,48 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# dsir_resample — the selection step on top of dsir_select's weights
+# (verdict r9 #2): seeded Gumbel-top-k, so inclusion probabilities
+# track the importance weights instead of collapsing onto near-
+# duplicate high-scorers.  k=100 of the ~400 scored pool docs at
+# sf0.01; rank rides the distributed exact-rank path, never a global
+# single-partition window (pinned in tests/test_plan_shapes.py).
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.dsir_resample(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        k=100,
+        n_buckets=256,
+        alpha=1.0,
+        seed=7,
+        temperature=1.0,
+    )
+
+
+DSIR_RESAMPLE_SQL = f"""
+WITH sel AS ({DSIR_SELECT_SQL}),
+per AS (
+  SELECT doc_id, avg_logratio,
+         {_fold("'7:' || doc_id::VARCHAR")} AS h,
+         round(avg_logratio
+               + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
+                           + 0.5) / 1000000.0))) / 1.0,
+               6) AS gumbel_score
+  FROM sel
+),
+rnk AS (
+  SELECT doc_id, avg_logratio, gumbel_score,
+         row_number() OVER (ORDER BY gumbel_score DESC, doc_id ASC)
+           AS sel_rank
+  FROM per
+)
+SELECT doc_id, avg_logratio, gumbel_score, sel_rank
+FROM rnk WHERE sel_rank <= 100
+"""
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -588,6 +630,7 @@ QUERIES = {
     "curate_corpus": curate_corpus,
     "curation_report": curation_report,
     "dsir_select": dsir_select,
+    "dsir_resample": dsir_resample,
 }
 
 ORACLES = {
@@ -603,4 +646,5 @@ ORACLES = {
     "curate_corpus": CURATE_CORPUS_SQL,
     "curation_report": CURATION_REPORT_SQL,
     "dsir_select": DSIR_SELECT_SQL,
+    "dsir_resample": DSIR_RESAMPLE_SQL,
 }

@@ -273,6 +273,41 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert out[4]["n_grams"] == 8
 
 
+def test_dsir_resample_tracks_weights(spark):
+    """Gumbel-top-k selection probabilities track the importance
+    weights on a two-population pool: across seeds, target-vocabulary
+    pool docs are selected far more often than disjoint-vocabulary
+    ones, the draw actually varies with the seed (it is a sample, not
+    a deterministic top-k), and ranks are contiguous 1..k."""
+    target_vocab = "alpha beta gamma delta epsilon zeta eta theta"
+    other_vocab = "zebra yacht xylo walrus vulture umber tiger sparrow"
+    rows = [(0, target_vocab + " " + target_vocab, "tgt")]
+    # 20 target-like + 20 disjoint pool docs, slight per-doc variation
+    tgt_words = target_vocab.split()
+    oth_words = other_vocab.split()
+    for i in range(20):
+        shift = tgt_words[i % 8 :] + tgt_words[: i % 8]
+        rows.append((10 + i, " ".join(shift + shift[:3]), "pool"))
+    for i in range(20):
+        shift = oth_words[i % 8 :] + oth_words[: i % 8]
+        rows.append((50 + i, " ".join(shift + shift[:3]), "pool"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    k = 10
+    picks: list[set] = []
+    for seed in range(6):
+        sel = cu.dsir_resample(
+            docs, F.col("source") == "tgt", k=k, n_buckets=64, seed=seed
+        ).collect()
+        assert sorted(r["sel_rank"] for r in sel) == list(range(1, k + 1))
+        picks.append({r["doc_id"] for r in sel})
+    n_tgt = sum(sum(1 for d in p if d < 50) for p in picks)
+    n_oth = sum(sum(1 for d in p if d >= 50) for p in picks)
+    assert n_tgt > 2 * n_oth, (n_tgt, n_oth)
+    # the seed matters: different seeds must not all pick one fixed set
+    assert len({frozenset(p) for p in picks}) > 1
+
+
 def test_dsir_weight_table_covers_every_bucket(spark):
     """Advice r9: the frozen weight table must hold a row for EVERY
     bucket in range(n_buckets) — buckets the training snapshot never

@@ -265,6 +265,23 @@ def test_seq_packing_single_partitioned_window(plans):
     assert "SinglePartition" not in p
 
 
+def test_dsir_resample_rank_is_distributed(plans):
+    """The Gumbel-top-k selection must ride the distributed exact-rank
+    path: a RANGE repartition + per-partition windows, never a
+    partitionless row_number over the whole pool (the round-5
+    single-reducer class)."""
+    import re
+
+    p = plans("dsir_resample")
+    assert "rangepartitioning" in p
+    # no partitionless row_number over the data — the only global
+    # window the rank machinery runs is the cumulative sum over the
+    # P-row per-partition counts table (kilobytes at any scale), which
+    # is not a row_number and never sees data rows
+    for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
+        raise AssertionError(f"global window found: {m.group(0)[:120]}")
+
+
 def test_semantic_dedup_joins_on_cell_only(plans):
     p = plans("semantic_dedup")
     # centroid cross-score is a broadcast nested loop against n_cells rows
