@@ -59,6 +59,7 @@ HEADLINE = [
     "dsir_resample",
     "decontaminate_corpus",
     "dedup_winnow_keep_best",
+    "quality_classifier_score",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

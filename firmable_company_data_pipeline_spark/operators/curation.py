@@ -900,3 +900,178 @@ def boilerplate_stats(
             "boiler_frac"
         ),
     )
+
+
+# Log-odds clamp before the sigmoid: |log_odds| above 30 already rounds
+# to probability 0.0 / 1.0 at 6 decimals, and clamping keeps exp()
+# comfortably in range on every engine (exp(30) ~ 1.07e13 — no overflow,
+# no engine-specific inf handling in the oracle comparison).
+NB_LOGODDS_CLAMP = 30.0
+
+
+def nb_quality_weights(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Closed-form multinomial Naive-Bayes trainer for the model-based
+    quality classifier (the fastText/DCLM-style hashed linear scorer
+    production pipelines rank with — Joulin et al. 2016's bag-of-feature
+    linear model; DataComp-LM trains the same shape with fastText).
+
+    The feature table is EXACTLY :func:`dsir_weight_table` with the
+    labeled positive class as the target: per hashed-bigram bucket,
+    w_b = ln P(b|good) − ln P(b|bad), add-``alpha`` smoothed over the
+    bucket space (every bucket in ``range(n_buckets)`` gets a row, so
+    unseen-at-training buckets score the finite smoothed floor).  On
+    top of that the class-prior log-odds ln((n_good + α)/(n_bad + α))
+    is stored as the ``bucket = -1`` row — the whole trained model
+    ships as ONE ≤ ``n_buckets``+1-row table, broadcastable anywhere
+    (the frozen-table streaming pattern shared with DSIR).
+
+    ``label`` is any boolean Column over ``df``'s rows; pass the
+    LABELED TRAIN SPLIT as ``df`` (filter before calling) — scoring any
+    corpus against the frozen table is :func:`nb_quality_score`.
+
+    Scale shape: the dsir_weight_table plan (one corpus-sized bigram
+    hash-agg, one dictionary-sized distribution agg) plus one 1-row
+    class-count aggregate — training on 100 TB of labeled docs is two
+    exchanges.
+    """
+    feats = dsir_weight_table(df, label, text_col, id_col, n_buckets, alpha)
+    prior = df.agg(
+        F.sum(F.when(label, F.lit(1)).otherwise(F.lit(0))).alias("npos"),
+        F.sum(F.when(~label, F.lit(1)).otherwise(F.lit(0))).alias("nneg"),
+    ).select(
+        F.lit(-1).cast("long").alias("bucket"),
+        (
+            F.log(F.col("npos") + F.lit(alpha))
+            - F.log(F.col("nneg") + F.lit(alpha))
+        ).alias("w"),
+    )
+    return feats.unionByName(prior)
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score documents against a frozen quality-classifier table from
+    :func:`nb_quality_weights` (or the import-gated
+    :func:`lr_quality_weights` — same ``(bucket, w)`` + ``bucket = -1``
+    intercept contract, so one scorer serves both estimators).
+
+    Output per document with ≥ 1 hashed bigram: (doc_id, n_grams,
+    log_odds, prob_good, is_good) where ``log_odds = prior +
+    Σ_b c(b)·w_b`` rounded to 4 decimals BEFORE the sigmoid (both
+    engines then exponentiate the identical double), ``prob_good =
+    σ(clamp(log_odds, ±NB_LOGODDS_CLAMP))`` rounded to 6, and
+    ``is_good = 1`` iff log_odds > 0.  Documents with fewer than two
+    tokens have no features and are absent — the same contract as the
+    DSIR scorer.
+
+    Scale shape (the streaming job's per-batch fold): one bigram-bucket
+    hash-agg over ``docs``, a broadcast join against the ≤
+    ``n_buckets``+1-row table, one per-doc rollup, then a map-side
+    broadcast crossJoin of the 1-row prior — scoring is two exchanges
+    at any corpus size, with no dependence on the training corpus.
+    """
+    prior = weights.filter(F.col("bucket") == -1).select(
+        F.col("w").alias("prior_w")
+    )
+    feats = weights.filter(F.col("bucket") >= 0)
+    tf = _dsir_tf(docs, text_col, id_col, n_buckets)
+    lo = (
+        tf.join(broadcast(feats), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("w")).alias("_s"),
+        )
+        .join(broadcast(prior), how="cross")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.round(F.col("_s") + F.col("prior_w"), 4).alias("log_odds"),
+        )
+    )
+    clamped = F.least(
+        F.greatest(F.col("log_odds"), F.lit(-NB_LOGODDS_CLAMP)),
+        F.lit(NB_LOGODDS_CLAMP),
+    )
+    return lo.select(
+        id_col,
+        "n_grams",
+        "log_odds",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-clamped)), 6).alias(
+            "prob_good"
+        ),
+        (F.col("log_odds") > 0).cast("int").alias("is_good"),
+    )
+
+
+def lr_quality_weights(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> DataFrame:
+    """MLlib LogisticRegression arm of the quality classifier — same
+    hashed-bigram features, same output contract as
+    :func:`nb_quality_weights` (``(bucket, w)`` rows + the intercept at
+    ``bucket = -1``), so :func:`nb_quality_score` scores either table.
+    Discriminative training beats the NB closed form when features
+    correlate (NB double-counts them); it costs L-BFGS passes over the
+    featurized corpus instead of one aggregation, and its weights are
+    solver outputs — NOT oracle-expressible, so this arm is pytest-
+    gated, never registered (the established import-gate seam:
+    rapidfuzz parity, PIL decode).
+
+    Features are the dense ``n_buckets``-dim bucket-count vector per
+    document, assembled JVM-side from the shared ``_dsir_tf`` rows and
+    handed to MLlib via ``array_to_vector`` — no Python-side row work;
+    only the n_buckets-dim coefficient vector returns to the driver.
+    """
+    try:
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover - env-gated
+        raise NotImplementedError(
+            "lr_quality_weights needs pyspark.ml (numpy): " + str(exc)
+        ) from exc
+
+    tf = _dsir_tf(df, text_col, id_col, n_buckets, is_target=label)
+    counts = (
+        tf.groupBy("id", "_tgt")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+            ).alias("m")
+        )
+        .select(
+            F.col("_tgt").cast("double").alias("label"),
+            array_to_vector(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                    lambda b: F.coalesce(
+                        F.element_at("m", b.cast("long")), F.lit(0)
+                    ).cast("double"),
+                )
+            ).alias("features"),
+        )
+    )
+    model = LogisticRegression(maxIter=max_iter, regParam=reg_param).fit(
+        counts
+    )
+    rows = [(b, float(w)) for b, w in enumerate(model.coefficients)]
+    rows.append((-1, float(model.intercept)))
+    return df.sparkSession.createDataFrame(rows, "bucket long, w double")

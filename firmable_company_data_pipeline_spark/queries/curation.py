@@ -617,6 +617,93 @@ FROM rnk WHERE sel_rank <= 100
 """
 
 
+# --------------------------------------------------------------------------
+# quality_classifier_score — the model-based quality scorer (verdict r9
+# #4): a closed-form multinomial Naive-Bayes over the shared hashed-
+# bigram features (the fastText/DCLM-style linear ranker), trained on
+# the 80% fold-hash train split with "curated sources" (src0-src3) as
+# the positive class, then scoring EVERY document against the frozen
+# <= 257-row weight table.  The heuristic filters (repetition,
+# boilerplate, surprisal) stay as cheap pre-screens; this is the
+# learned ranker production pipelines actually select with.
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    label = F.col("source").isin("src0", "src1", "src2", "src3")
+    in_train = (
+        ts.char_fold_hash(
+            F.concat(F.lit("qc|"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        < 80
+    )
+    weights = cu.nb_quality_weights(
+        docs.filter(in_train), label, n_buckets=256, alpha=1.0
+    )
+    return cu.nb_quality_score(docs, weights, n_buckets=256)
+
+
+QUALITY_CLASSIFIER_SCORE_SQL = f"""
+WITH train AS (
+  SELECT doc_id, text, source IN ('src0', 'src1', 'src2', 'src3') AS pos
+  FROM documents
+  WHERE {_fold("'qc|' || doc_id::VARCHAR")} % 100 < 80
+),
+ttok AS (SELECT doc_id, pos, {_TOKENS} AS t FROM train),
+tgrams AS (
+  SELECT doc_id, pos, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
+  FROM ttok, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+ttf AS (SELECT doc_id, pos, bucket, count(*) AS c FROM tgrams GROUP BY 1, 2, 3),
+seen AS (
+  SELECT bucket,
+         sum(CASE WHEN pos THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT pos THEN c ELSE 0 END) AS cs
+  FROM ttf GROUP BY 1
+),
+dist AS (
+  -- every bucket in range(256), unseen ones at the smoothed floor
+  -- (mirrors dsir_weight_table's full-bucket emission): the scoring
+  -- set is broader than the train split, so docs CAN hit buckets no
+  -- training gram landed in
+  SELECT r.bucket, coalesce(seen.ct, 0) AS ct, coalesce(seen.cs, 0) AS cs
+  FROM (SELECT unnest(range(256)) AS bucket) r
+  LEFT JOIN seen USING (bucket)
+),
+tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
+w AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
+  FROM dist, tot
+),
+prior AS (
+  SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
+       - ln(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0) AS prior_w
+  FROM train
+),
+stok AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+sgrams AS (
+  SELECT doc_id, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
+  FROM stok, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+stf AS (SELECT doc_id, bucket, count(*) AS c FROM sgrams GROUP BY 1, 2),
+lo0 AS (
+  SELECT stf.doc_id, CAST(sum(c) AS BIGINT) AS n_grams, sum(c * w.w) AS s
+  FROM stf JOIN w USING (bucket)
+  GROUP BY 1
+),
+lo AS (
+  SELECT doc_id, n_grams, round(s + prior_w, 4) AS log_odds FROM lo0, prior
+)
+SELECT doc_id, n_grams, log_odds,
+       round(1.0 / (1.0 + exp(-least(greatest(log_odds, -30.0), 30.0))), 6)
+         AS prob_good,
+       CASE WHEN log_odds > 0 THEN 1 ELSE 0 END AS is_good
+FROM lo
+"""
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -631,6 +718,7 @@ QUERIES = {
     "curation_report": curation_report,
     "dsir_select": dsir_select,
     "dsir_resample": dsir_resample,
+    "quality_classifier_score": quality_classifier_score,
 }
 
 ORACLES = {
@@ -647,4 +735,5 @@ ORACLES = {
     "curation_report": CURATION_REPORT_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "dsir_resample": DSIR_RESAMPLE_SQL,
+    "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
 }

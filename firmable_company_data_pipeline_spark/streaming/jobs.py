@@ -821,6 +821,43 @@ def streaming_dsir_score(
     return writer.start()
 
 
+def streaming_quality_score(
+    docs: DataFrame,
+    weights_dir: str,
+    scores_dir: str,
+    checkpoint: str | None = None,
+    n_buckets: int = 256,
+):
+    """Score a document stream against a FROZEN quality-classifier
+    table — the model-based quality ranker's continuous-ingest half,
+    sharing :func:`streaming_dsir_score`'s composition exactly: the
+    ≤ ``n_buckets``+1-row (bucket, w) table (feature log-odds + the
+    ``bucket = -1`` class prior) is trained once
+    (``operators/curation.nb_quality_weights`` — or the MLlib
+    ``lr_quality_weights`` arm, same contract — written to
+    ``weights_dir``) and every micro-batch is scored map-side against
+    its broadcast by ``nb_quality_score``.  Writes (doc_id, n_grams,
+    log_odds, prob_good, is_good) to ``scores_dir/batch_id=N``
+    (batch-keyed overwrite, idempotent on replay).  Scores are
+    per-document-independent, so the union over ANY batch split equals
+    the batch scorer (pinned in ``tests/test_streaming.py``); no
+    history axis — per-batch cost is O(batch) by construction.
+    Retrain and republish when labels or the pool drift."""
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        weights = spark.read.parquet(weights_dir)
+        cu.nb_quality_score(batch_df, weights, n_buckets=n_buckets).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scores_dir, f"batch_id={batch_id}"))
+
+    writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
     """Manifest repair at batch start (review r7): if ``_latest.json``
     points at any generation this batch is ABOUT TO REWRITE or that a

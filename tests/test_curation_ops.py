@@ -344,3 +344,103 @@ def test_dsir_weight_table_covers_every_bucket(spark):
     assert out[0]["n_grams"] == 2
     assert out[0]["avg_logratio"] == pytest.approx(round(floor, 6), abs=1e-6)
     weights.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (round 10): closed-form Naive-Bayes
+# log-odds over the shared hashed-gram features, scored via the frozen
+# broadcast table — graded against the heuristic filters on a planted
+# fixture the heuristics are structurally blind to.
+
+_CLEAN_POOL = (
+    "the quick brown fox jumps over a lazy dog near the quiet river "
+    "bank while autumn leaves drift slowly past the old stone bridge"
+).split()
+_SPAM_POOL = (
+    "buy cheap pills casino bonus win jackpot free prize claim lottery "
+    "viagra discount offer click subscribe deal credit loan insurance"
+).split()
+
+
+def _planted_quality_docs(spark):
+    """16 docs, 8 clean / 8 spam, each with NO in-doc token repetition
+    (every doc is a distinct 8-token rotation of its pool) — so the
+    Gopher repetition heuristic keeps every one of them, while the
+    vocabulary split is trivially learnable from labels."""
+    rows = []
+    for i in range(8):
+        toks = [_CLEAN_POOL[(i * 3 + j) % len(_CLEAN_POOL)] for j in range(8)]
+        rows.append((i, " ".join(dict.fromkeys(toks)), "clean"))
+    for i in range(8):
+        toks = [_SPAM_POOL[(i * 3 + j) % len(_SPAM_POOL)] for j in range(8)]
+        rows.append((100 + i, " ".join(dict.fromkeys(toks)), "spam"))
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+def test_nb_classifier_separates_spam_heuristics_miss(spark):
+    """The graded fixture: spam docs have zero in-doc repetition, so
+    repetition_stats keeps ALL of them (the heuristic is blind here);
+    the NB classifier trained on 12 labeled docs classifies the 4
+    HELD-OUT docs perfectly."""
+    docs = _planted_quality_docs(spark)
+    rep = {r["doc_id"]: r["keep"] for r in cu.repetition_stats(docs).collect()}
+    spam_ids = [i for i in rep if i >= 100]
+    assert spam_ids and all(rep[i] for i in spam_ids)  # heuristic misses
+
+    held_out = [6, 7, 106, 107]
+    train = docs.filter(~F.col("doc_id").isin(held_out))
+    w = cu.nb_quality_weights(train, F.col("kind") == "clean")
+    scored = {
+        r["doc_id"]: r for r in cu.nb_quality_score(docs, w).collect()
+    }
+    assert len(scored) == 16  # every doc has features
+    for i in held_out:
+        expect = 1 if i < 100 else 0
+        assert scored[i]["is_good"] == expect, (i, scored[i])
+        assert (scored[i]["prob_good"] > 0.5) == (expect == 1)
+        assert (scored[i]["log_odds"] > 0) == (expect == 1)
+        assert 0.0 <= scored[i]["prob_good"] <= 1.0
+
+
+def test_nb_weight_table_shape_and_prior(spark):
+    docs = _planted_quality_docs(spark)
+    w = cu.nb_quality_weights(docs, F.col("kind") == "clean", n_buckets=64)
+    rows = {r["bucket"]: r["w"] for r in w.collect()}
+    assert len(rows) == 65 and -1 in rows  # 64 feature rows + prior
+    # balanced classes -> prior log-odds exactly 0
+    assert rows[-1] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_nb_score_covers_unseen_buckets(spark):
+    """A doc whose grams hit buckets no training gram landed in must
+    still be scored (the full-bucket smoothed floor — the r9 advice
+    contract), never silently dropped."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", True), (2, "omega psi chi phi", False)],
+        "doc_id long, text string, good boolean",
+    )
+    w = cu.nb_quality_weights(train, F.col("good"))
+    probe = spark.createDataFrame(
+        [(9, "zzz9qq yy8xx ww7vv uu6tt")], "doc_id long, text string"
+    )
+    out = cu.nb_quality_score(probe, w).collect()
+    assert len(out) == 1 and out[0]["n_grams"] == 3
+    assert math.isfinite(out[0]["log_odds"])
+
+
+def test_lr_quality_weights_shared_scorer_contract(spark):
+    """The MLlib LogisticRegression arm emits the same (bucket, w) +
+    intercept-at-(-1) table, so the ONE scorer serves both estimators —
+    and it separates the planted fixture's held-out docs too."""
+    pytest.importorskip("numpy")
+    docs = _planted_quality_docs(spark)
+    held_out = [6, 7, 106, 107]
+    train = docs.filter(~F.col("doc_id").isin(held_out))
+    w = cu.lr_quality_weights(train, F.col("kind") == "clean", n_buckets=256)
+    rows = w.collect()
+    assert len(rows) == 257 and {r["bucket"] for r in rows} >= {-1, 0, 255}
+    scored = {
+        r["doc_id"]: r["is_good"] for r in cu.nb_quality_score(docs, w).collect()
+    }
+    for i in held_out:
+        assert scored[i] == (1 if i < 100 else 0), i

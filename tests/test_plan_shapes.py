@@ -681,3 +681,20 @@ def test_winnow_contamination_bipartite_plan(plans):
     p = plans("winnow_contamination")
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_quality_classifier_scoring_is_broadcast(plans):
+    """The learned quality scorer keeps the DSIR scoring shape: the
+    frozen weight table and the 1-row prior reach the per-doc rollup
+    via broadcast only, everything stays JVM-side, and the only
+    data-sized exchanges are the bigram-bucket hash-agg and the
+    per-doc rollup (the bounded rest is the training side's
+    dictionary/1-row aggregates)."""
+    import re
+
+    p = plans("quality_classifier_score")
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the weight/prior joins must never shuffle the scoring side
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p

@@ -437,6 +437,44 @@ def test_streaming_dsir_score_matches_batch(spark, sf_dir, tmp_path):
     assert composed == batch
 
 
+def test_streaming_quality_score_matches_batch(spark, sf_dir, tmp_path):
+    """Scoring two micro-batches against a frozen NB quality-classifier
+    table must reproduce the batch scorer exactly (per-document-
+    independent scores, so any batch split works) — the quality twin of
+    the DSIR streaming parity test."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    label = F.col("source").isin("src0", "src1", "src2", "src3")
+    weights_dir = str(tmp_path / "qc_w")
+    cu.nb_quality_weights(docs, label).write.parquet(weights_dir)
+
+    pool = docs.select("doc_id", "text")
+    src = str(tmp_path / "qc_src")
+    pool.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    pool.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    scores_dir = str(tmp_path / "qc_scores")
+    q = jobs.streaming_quality_score(
+        stream, weights_dir, scores_dir, checkpoint=str(tmp_path / "ckpt")
+    )
+    _drain(q)
+
+    cols = ["doc_id", "n_grams", "log_odds", "prob_good", "is_good"]
+    streamed = _rows(spark.read.parquet(scores_dir), cols)
+    batch = _rows(
+        cu.nb_quality_score(pool, spark.read.parquet(weights_dir)), cols
+    )
+    assert streamed == batch and streamed
+
+
 def test_compact_batch_index_mid_stream(spark, sf_dir, tmp_path):
     """Compacting the winnow fingerprint index + df table between two
     stream runs must leave the continued stream's pair output identical
