@@ -395,11 +395,30 @@ def minhash_lsh_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_band_rows(sigs: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """(id, sig, band, bucket, pbucket) — the BANDED, partition-prunable
+    layout of a MinHash signature index: one row per (doc, LSH band)
+    with the full signature carried for the estimate step, plus
+    ``pbucket = pmod(xxhash64(band, bucket), n_buckets)`` as the
+    physical partition key.  Write index appends
+    ``partitionBy("pbucket")`` and an ingest fold reads back only the
+    delta's ≤ ``n_buckets`` touched pbuckets — the posting-list trade:
+    LSH_BANDS× the storage of the flat (id, sig) layout, bought back as
+    a per-batch index scan of roughly touched/total buckets of the
+    bytes (the block index's layout, applied to the signature index).
+    Feed the pruned scan to :func:`minhash_delta_pairs` via
+    ``index_bands``."""
+    return _lsh_bands(sigs).withColumn(
+        "pbucket", F.pmod(F.xxhash64("band", "bucket"), F.lit(n_buckets))
+    )
+
+
 def minhash_delta_pairs(
     index_sigs: DataFrame,
     delta_sigs: DataFrame,
     threshold: float = 0.5,
     broadcast_delta: bool = False,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection for a growing corpus: pair a NEW
     batch's signatures against an existing signature index — emits
@@ -429,11 +448,24 @@ def minhash_delta_pairs(
     cost at O(delta + one pruned index pass) instead of re-exchanging
     all history every fold.  Leave False when the "delta" is a large
     backfill that would not fit a broadcast.
+
+    ``index_bands`` (round 10): pass the PRE-BANDED index rows — the
+    :func:`minhash_band_rows` layout, typically the partition-pruned
+    scan of a ``pbucket``-bucketed parquet index — instead of
+    ``index_sigs``; the fold then reads only the buckets the delta's
+    band keys can touch.  ``index_sigs`` is ignored when given.
     """
-    tagged = index_sigs.select(
-        "id", "sig", F.lit(False).alias("_new")
-    ).unionByName(delta_sigs.select("id", "sig", F.lit(True).alias("_new")))
-    left = _lsh_bands(tagged, extra=("_new",)).select(
+    delta_tagged = delta_sigs.select("id", "sig", F.lit(True).alias("_new"))
+    if index_bands is not None:
+        banded = index_bands.select(
+            "id", "sig", "band", "bucket", F.lit(False).alias("_new")
+        ).unionByName(_lsh_bands(delta_tagged, extra=("_new",)))
+    else:
+        tagged = index_sigs.select(
+            "id", "sig", F.lit(False).alias("_new")
+        ).unionByName(delta_tagged)
+        banded = _lsh_bands(tagged, extra=("_new",))
+    left = banded.select(
         F.col("id").alias("id_a"),
         F.col("sig").alias("sig_a"),
         F.col("_new").alias("_new_a"),

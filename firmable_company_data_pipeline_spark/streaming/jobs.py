@@ -344,10 +344,25 @@ def streaming_minhash_dedup(
     threshold: float = 0.5,
     labels_dir: str | None = None,
     broadcast_delta: bool = True,
+    n_buckets: int = 64,
 ):
     """Streaming near-duplicate detection over a document stream — the
     Structured-Streaming composition of the incremental index operator
     (``operators/dedup.py`` ``minhash_delta_pairs``).
+
+    Index layout (round 10): new streams write the BANDED
+    ``minhash_band_rows`` layout — one row per (doc, LSH band),
+    partitioned by ``pbucket = hash(band, bucket) % n_buckets`` inside
+    each ``batch_id=N`` — and each fold partition-prunes its index
+    scan to the delta's ≤ ``n_buckets`` touched pbuckets (the ≤
+    ``n_buckets``-value driver-side collect, the block index's O(1)-
+    rows contract).  The trade is LSH_BANDS× index storage for a
+    per-batch index read of roughly touched/total buckets of the
+    bytes.  An EXISTING flat (id, sig) index is detected by its schema
+    and served unchanged (no pruning, flat appends) — migrate by
+    running ``compact_batch_index`` once the flat index is rewritten
+    banded, or start a fresh index; mixing layouts in one directory is
+    never produced (parquet partition discovery would reject it).
 
     ``broadcast_delta`` (default True) assumes micro-batches are
     bounded — the LSH bucket join then streams the signature index
@@ -412,6 +427,11 @@ def streaming_minhash_dedup(
         spark = batch_df.sparkSession
         delta = dd.minhash_signatures(batch_df).persist()
         raw_index = _read_parquet_or_none(spark, index_dir)
+        # banded unless an existing index says otherwise (legacy flat
+        # layout — writes must follow reads or partition discovery would
+        # see conflicting directory depths)
+        banded = raw_index is None or "pbucket" in raw_index.columns
+        index = index_bands = None
         if raw_index is not None:
             # Exclude THIS batch's partition: on checkpoint replay (crash
             # after the index write, before the commit) the batch's own
@@ -419,26 +439,50 @@ def streaming_minhash_dedup(
             # reading them back would re-pair the batch against itself in
             # both orientations — duplicate pair rows, violating the
             # idempotent-replay contract below.
-            index = raw_index.filter(F.col("batch_id") != batch_id).select(
-                "id", "sig"
-            )
-        else:
+            hist = raw_index.filter(F.col("batch_id") != batch_id)
+            if banded:
+                # partition-prune the index scan to the delta's touched
+                # pbuckets (<= n_buckets values; the O(1)-rows contract)
+                pbks = [
+                    r[0]
+                    for r in dd.minhash_band_rows(delta, n_buckets)
+                    .select("pbucket")
+                    .distinct()
+                    .collect()
+                ]
+                index_bands = hist.filter(F.col("pbucket").isin(pbks)).select(
+                    "id", "sig", "band", "bucket"
+                )
+            else:
+                index = hist.select("id", "sig")
+        if index is None and index_bands is None:
             index = spark.createDataFrame([], delta.schema)
         # broadcast_delta (caller-controlled, see docstring): bounded
         # micro-batches stream the index map-side — history is scanned,
         # never re-shuffled per batch (measured by scale_probe
         # --streaming); large-backfill callers opt out
         pairs = dd.minhash_delta_pairs(
-            index, delta, threshold=threshold, broadcast_delta=broadcast_delta
+            index,
+            delta,
+            threshold=threshold,
+            broadcast_delta=broadcast_delta,
+            index_bands=index_bands,
         )
         if labels_dir is not None:
             pairs = pairs.persist()
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
-        delta.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
-        )
+        if banded:
+            dd.minhash_band_rows(delta, n_buckets).write.mode(
+                "overwrite"
+            ).partitionBy("pbucket").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
+        else:
+            delta.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
         if labels_dir is not None:
             import json as _json
             import shutil
@@ -505,6 +549,7 @@ def streaming_winnow_dedup(
     max_df: int | None = None,
     df_dir: str | None = None,
     broadcast_delta: bool = True,
+    n_buckets: int = 64,
 ):
     """Streaming MOSS/winnowing near-duplicate detection over a document
     stream — the Structured-Streaming composition of the incremental
@@ -551,6 +596,16 @@ def streaming_winnow_dedup(
     batch (the r8 verdict's winnow weak, closed in round 9 and measured
     flat by ``scale_probe.py --streaming``).  Pass False for a
     one-shot large backfill.
+
+    Index layout (round 10): new streams partition both the
+    fingerprint index AND the df partials by ``bucket = fp %
+    n_buckets`` inside each ``batch_id=N``, and each fold partition-
+    prunes both scans to the delta's ≤ ``n_buckets`` touched buckets
+    (only rows whose fp occurs in the delta can ever join or feed the
+    cap) — per-batch index bytes read drop to roughly touched/total
+    buckets.  An EXISTING flat index/df table is detected by schema
+    and served unchanged, each directory following its own layout —
+    mixed layouts within one directory are never produced.
     """
     from firmable_company_data_pipeline_spark.operators import dedup as dd
 
@@ -561,21 +616,48 @@ def streaming_winnow_dedup(
         spark = batch_df.sparkSession
         delta = dd.winnow_fingerprint_rows(batch_df).persist()
         raw_index = _read_parquet_or_none(spark, index_dir)
+        # bucketed unless an existing index says otherwise (legacy flat
+        # layout; writes follow reads per directory)
+        bucketed = raw_index is None or "bucket" in raw_index.columns
+
+        def delta_buckets() -> list[int]:
+            # the delta's touched buckets (<= n_buckets values; the
+            # O(1)-rows driver-side collect contract) — only index/df
+            # rows whose fp occurs in the delta can join or feed the cap
+            return [
+                r[0]
+                for r in delta.select(
+                    F.pmod(F.col("fp"), F.lit(n_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+
+        bks = delta_buckets() if bucketed else None
         if raw_index is not None:
             # exclude THIS batch's partition on checkpoint replay (same
             # self-pairing argument as the MinHash fold)
-            index = raw_index.filter(F.col("batch_id") != batch_id).select(
-                "id", "n_fp", "fp"
-            )
+            index = raw_index.filter(F.col("batch_id") != batch_id)
+            if bucketed:
+                index = index.filter(F.col("bucket").isin(bks))
+            index = index.select("id", "n_fp", "fp")
         else:
             index = spark.createDataFrame([], delta.schema)
         index_df = None
+        df_bucketed = bucketed
         if max_df is not None:
             raw_df = _read_parquet_or_none(spark, df_dir)
+            # the df table follows ITS OWN existing layout (a legacy
+            # flat table next to a freshly-bucketed index stays flat
+            # until compacted — never mixed within one directory)
+            df_bucketed = raw_df is None or "bucket" in raw_df.columns
             if raw_df is not None:
-                index_df = raw_df.filter(F.col("batch_id") != batch_id).select(
-                    "fp", "df"
-                )
+                index_df = raw_df.filter(F.col("batch_id") != batch_id)
+                if "bucket" in raw_df.columns:
+                    index_df = index_df.filter(
+                        F.col("bucket").isin(bks if bks is not None else delta_buckets())
+                    )
+                index_df = index_df.select("fp", "df")
             elif any(
                 g != batch_id for g in _batch_partition_ids(spark, index_dir)
             ):
@@ -615,12 +697,27 @@ def streaming_winnow_dedup(
         # replay overwrites both — never "index without df", the state
         # the guard above must treat as a lost df table.
         if max_df is not None:
-            dd.winnow_df_table(delta).write.mode("overwrite").parquet(
-                os.path.join(df_dir, f"batch_id={batch_id}")
+            partial = dd.winnow_df_table(delta)
+            if df_bucketed:
+                partial.withColumn(
+                    "bucket", F.pmod(F.col("fp"), F.lit(n_buckets))
+                ).write.mode("overwrite").partitionBy("bucket").parquet(
+                    os.path.join(df_dir, f"batch_id={batch_id}")
+                )
+            else:
+                partial.write.mode("overwrite").parquet(
+                    os.path.join(df_dir, f"batch_id={batch_id}")
+                )
+        if bucketed:
+            delta.withColumn(
+                "bucket", F.pmod(F.col("fp"), F.lit(n_buckets))
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
             )
-        delta.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
-        )
+        else:
+            delta.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
         delta.unpersist()
 
     writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
@@ -1122,7 +1219,7 @@ def read_rollup(spark, target_dir: str) -> DataFrame:
 _COMPACT_DELETE = "_COMPACT_DELETE.json"
 
 
-def compact_batch_index(spark, index_dir: str, partition_by: tuple = ()) -> None:
+def compact_batch_index(spark, index_dir: str, partition_by: tuple | None = None) -> None:
     """Fold a batch-keyed parquet index (``batch_id=N/`` per micro-batch
     — the layout of the MinHash/winnow signature indexes, the winnow df
     table, and the bucketed block index) into ONE compacted partition,
@@ -1152,8 +1249,13 @@ def compact_batch_index(spark, index_dir: str, partition_by: tuple = ()) -> None
     run); after (2) the marker makes the remaining steps resumable and
     idempotent — the resume runs FIRST on every invocation, so calling
     ``compact_batch_index`` again completes a crashed compaction before
-    starting a new one.  ``partition_by`` preserves a sub-layout (pass
-    ``("bucket",)`` for the block index)."""
+    starting a new one.  ``partition_by`` preserves a sub-layout; the
+    default (None) AUTO-DETECTS it from the index schema (``bucket`` —
+    block/winnow/df indexes — or ``pbucket`` — the banded MinHash
+    index), so compaction never silently flattens a bucketed layout
+    (the folds' partition-pruned reads would then face a mixed-depth
+    directory once new batches appended).  Pass an explicit tuple
+    (``()`` to force flat) to override."""
     import json
     import shutil
 
@@ -1177,6 +1279,10 @@ def compact_batch_index(spark, index_dir: str, partition_by: tuple = ()) -> None
     ids = [int(d.split("=", 1)[1]) for d in dirs]
     target = f"batch_id={min(min(ids), 0) - 1}"
     df = spark.read.parquet(index_dir).drop("batch_id")
+    if partition_by is None:
+        partition_by = tuple(
+            c for c in ("bucket", "pbucket") if c in df.columns
+        )
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

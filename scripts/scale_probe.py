@@ -350,9 +350,11 @@ def probe_minhash_fold(spark, work: str, docs_path: str, tag: str) -> float:
     for d in (index_dir, pairs_dir, src, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     hist = spark.read.parquet(os.path.join(docs_path, "documents.parquet"))
-    dd.minhash_signatures(hist).write.parquet(
-        os.path.join(index_dir, "batch_id=9999")
-    )
+    # seed in the round-10 banded/bucketed layout so the fold measures
+    # the partition-pruned path (pbucket = hash(band, bucket) % 64)
+    dd.minhash_band_rows(dd.minhash_signatures(hist)).write.partitionBy(
+        "pbucket"
+    ).parquet(os.path.join(index_dir, "batch_id=9999"))
     # the delta is IDENTICAL at both history sizes (500 sf0.1 docs,
     # ids shifted clear of any replica) so only the index size varies
     spark.read.parquet(os.path.join(SRC, "documents.parquet")).filter(
@@ -395,12 +397,18 @@ def probe_winnow_fold(spark, work: str, docs_path: str, tag: str) -> float:
     for d in (index_dir, pairs_dir, df_dir, src, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     hist = spark.read.parquet(os.path.join(docs_path, "documents.parquet"))
-    dd.winnow_fingerprint_rows(hist).write.parquet(
+    # seed in the round-10 bucketed layout (bucket = fp % 64) so the
+    # fold measures the partition-pruned index + df scans
+    dd.winnow_fingerprint_rows(hist).withColumn(
+        "bucket", F.pmod(F.col("fp"), F.lit(64))
+    ).write.partitionBy("bucket").parquet(
         os.path.join(index_dir, "batch_id=9999")
     )
     dd.winnow_df_table(
         spark.read.parquet(os.path.join(index_dir, "batch_id=9999"))
-    ).write.parquet(os.path.join(df_dir, "batch_id=9999"))
+    ).withColumn("bucket", F.pmod(F.col("fp"), F.lit(64))).write.partitionBy(
+        "bucket"
+    ).parquet(os.path.join(df_dir, "batch_id=9999"))
     # the delta is IDENTICAL at both history sizes (500 sf0.1 docs,
     # ids shifted clear of any replica) so only the index size varies
     spark.read.parquet(os.path.join(SRC, "documents.parquet")).filter(

@@ -231,9 +231,13 @@ def test_streaming_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
         dd.minhash_lsh_pairs(docs, threshold=0.0), ["id_a", "id_b", "est_jaccard"]
     )
     assert streamed == batch
-    # the index now holds one signature per doc with shingles
+    # the index holds the banded layout: one row per (doc, LSH band),
+    # partitioned by pbucket (round 10)
     idx = spark.read.parquet(index_dir)
-    assert idx.count() == idx.select("id").distinct().count()
+    assert "pbucket" in idx.columns
+    n_docs = idx.select("id").distinct().count()
+    assert idx.count() == n_docs * dd.LSH_BANDS
+    assert idx.select("id", "band").distinct().count() == idx.count()
     # the incrementally folded labeling equals a batch re-cluster of the
     # full pair set (round 6: incremental_components per micro-batch)
     got_labels = _rows(
@@ -473,6 +477,98 @@ def test_streaming_quality_score_matches_batch(spark, sf_dir, tmp_path):
         cu.nb_quality_score(pool, spark.read.parquet(weights_dir)), cols
     )
     assert streamed == batch and streamed
+
+
+def test_bucketed_index_folds_prune_partitions(spark, sf_dir, tmp_path):
+    """Round-10: the winnow and minhash folds over a bucketed index
+    read only the delta's touched bucket partitions — the scan's
+    physical plan carries the bucket partition filter, and the touched
+    partitions hold a strict fraction of the index bytes (roughly
+    touched/total buckets on a hash-uniform layout)."""
+    import glob as _glob
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def _bytes(pattern):
+        import os as _os
+
+        return sum(_os.path.getsize(f) for f in _glob.glob(pattern))
+
+    # --- winnow: bucket = fp % 64 -------------------------------------
+    w_index = str(tmp_path / "w_index")
+    q = jobs.streaming_winnow_dedup(
+        _stream(), w_index, str(tmp_path / "w_pairs"),
+        checkpoint=str(tmp_path / "w_ckpt"), min_shared=1,
+    )
+    _drain(q)
+    one = docs.orderBy("doc_id").limit(1)
+    delta = dd.winnow_fingerprint_rows(one)
+    bks = [
+        r[0]
+        for r in delta.select(F.pmod(F.col("fp"), F.lit(64)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    assert 0 < len(bks) < 64
+    pruned = (
+        spark.read.parquet(w_index)
+        .filter(F.col("batch_id") != 99)
+        .filter(F.col("bucket").isin(bks))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:400]
+    touched = sum(_bytes(f"{w_index}/batch_id=*/bucket={b}/*.parquet") for b in bks)
+    total = _bytes(f"{w_index}/batch_id=*/bucket=*/*.parquet")
+    assert 0 < touched < total
+    # hash-uniform layout: touched bytes track touched buckets (slack 3x)
+    assert touched / total <= 3 * len(bks) / 64
+
+    # --- minhash: pbucket = hash(band, bucket) % 64 -------------------
+    m_index = str(tmp_path / "m_index")
+    q = jobs.streaming_minhash_dedup(
+        _stream(), m_index, str(tmp_path / "m_pairs"),
+        checkpoint=str(tmp_path / "m_ckpt"), threshold=0.0,
+    )
+    _drain(q)
+    dsig = dd.minhash_signatures(one)
+    pbks = [
+        r[0]
+        for r in dd.minhash_band_rows(dsig, 64).select("pbucket").distinct().collect()
+    ]
+    assert 0 < len(pbks) <= dd.LSH_BANDS
+    prunedm = (
+        spark.read.parquet(m_index)
+        .filter(F.col("batch_id") != 99)
+        .filter(F.col("pbucket").isin(pbks))
+    )
+    planm = prunedm._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in planm and "pbucket" in planm.split(
+        "PartitionFilters"
+    )[1][:400]
+    touched = sum(
+        _bytes(f"{m_index}/batch_id=*/pbucket={b}/*.parquet") for b in pbks
+    )
+    total = _bytes(f"{m_index}/batch_id=*/pbucket=*/*.parquet")
+    assert 0 < touched < total
+    assert touched / total <= 3 * len(pbks) / 64
 
 
 def test_compact_batch_index_mid_stream(spark, sf_dir, tmp_path):
