@@ -57,6 +57,7 @@ HEADLINE = [
     "winnow_contamination",
     "dsir_select",
     "dsir_resample",
+    "dsir_resample_by_source",
     "decontaminate_corpus",
     "dedup_winnow_keep_best",
     "quality_classifier_score",

@@ -454,6 +454,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     alpha: float = 1.0,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" — hashed-n-gram flavor):
@@ -479,9 +480,16 @@ def dsir_importance(
     the 1-row totals, then a per-doc rollup — the per-doc join is
     map-side, so scoring 100 TB is two exchanges (the tf agg and the
     final per-doc agg)."""
+    # carry_cols: per-doc attributes (e.g. the source) threaded through
+    # the tf aggregation keys — id is unique per doc, so widening the
+    # groupBy with functionally-dependent columns adds no exchange and
+    # saves the corpus-sized join a caller would otherwise pay to get
+    # them back
+    carry = list(carry_cols)
     toks = spread(df).select(
         F.col(id_col).alias("id"),
         is_target.alias("_tgt"),
+        *carry,
         tokens(F.col(text_col)).alias("toks"),
     )
     grams = F.transform(
@@ -493,19 +501,21 @@ def dsir_importance(
     rows = toks.select(
         "id",
         "_tgt",
+        *carry,
         F.explode(
             F.when(F.size("toks") >= 2, grams).otherwise(
                 F.array().cast("array<string>")
             )
         ).alias("gram"),
     ).select(
-        "id", "_tgt", (char_fold_hash(F.col("gram")) % n_buckets).alias("bucket")
+        "id", "_tgt", *carry,
+        (char_fold_hash(F.col("gram")) % n_buckets).alias("bucket"),
     )
     # per-(doc, bucket) feature counts — the one corpus-sized exchange;
     # persisted because the distribution build and the scoring join both
     # read it
     tf = (
-        rows.groupBy("id", "_tgt", "bucket")
+        rows.groupBy("id", "_tgt", *carry, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
@@ -529,7 +539,7 @@ def dsir_importance(
     return (
         tf.filter(~F.col("_tgt"))
         .join(broadcast(w), "bucket")
-        .groupBy("id")
+        .groupBy("id", *carry)
         .agg(
             F.sum("c").alias("n_grams"),
             F.round(F.sum(F.col("c") * F.col("w")), 4).alias("logratio_sum"),
@@ -537,7 +547,13 @@ def dsir_importance(
                 "avg_logratio"
             ),
         )
-        .select(F.col("id").alias(id_col), "n_grams", "logratio_sum", "avg_logratio")
+        .select(
+            F.col("id").alias(id_col),
+            *carry,
+            "n_grams",
+            "logratio_sum",
+            "avg_logratio",
+        )
     )
 
 
@@ -621,6 +637,59 @@ def dsir_resample(
     return (
         ranked.filter(F.col("sel_rank") <= k)
         .select(id_col, "avg_logratio", "gumbel_score", "sel_rank")
+    )
+
+
+def dsir_resample_by_source(
+    df: DataFrame,
+    is_target: Column,
+    budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: int = 7,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Budgeted-per-source Gumbel-top-k DSIR selection — the mixing-
+    aware variant of :func:`dsir_resample`: each raw-pool SOURCE keeps
+    its own top ``budget`` Gumbel-perturbed documents, so one
+    target-like source can never crowd every other source out of the
+    sample (the per-source budget is how production mixing plans
+    consume importance weights).  Same seeded, oracle-exact
+    perturbation as the global arm.
+
+    Output: (doc_id, source, avg_logratio, gumbel_score, src_rank)
+    for the ``src_rank <= budget`` winners of each source.
+
+    Scale shape: the importance sub-plan's two exchanges (``source``
+    rides the tf aggregation keys via ``carry_cols`` — id is unique,
+    so the wider key adds NO exchange and no join), then ONE window
+    per source partition — parallel across sources, never global.
+    For a corpus where a single source is itself shuffle-partition-
+    sized, swap the exact per-source rank for an ``approx_percentile``
+    score threshold broadcast back (the :func:`quality_prune` seam —
+    documented approximation, same output contract)."""
+    scored = dsir_importance(
+        df, is_target, text_col, id_col, n_buckets, alpha,
+        carry_cols=(source_col,),
+    ).select(
+        id_col,
+        source_col,
+        "avg_logratio",
+        F.round(
+            F.col("avg_logratio") + gumbel_key(F.col(id_col), seed) / temperature,
+            6,
+        ).alias("gumbel_score"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("gumbel_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= budget)
+        .select(id_col, source_col, "avg_logratio", "gumbel_score", "src_rank")
     )
 
 

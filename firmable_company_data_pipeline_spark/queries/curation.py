@@ -704,6 +704,82 @@ FROM lo
 """
 
 
+# --------------------------------------------------------------------------
+# dsir_resample_by_source — the budgeted-per-source arm of the Gumbel-
+# top-k selection (verdict r9 #2's "k | budget_per_source" contract):
+# each pool source keeps its own top-25, so one target-like source
+# can't crowd the others out of the sample.  Source rides the tf
+# aggregation keys (carry_cols) — no extra exchange, no join; the rank
+# is one window per source partition, parallel across sources.
+def dsir_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.dsir_resample_by_source(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        budget=25,
+        n_buckets=256,
+        alpha=1.0,
+        seed=7,
+        temperature=1.0,
+    )
+
+
+DSIR_RESAMPLE_BY_SOURCE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+         {_TOKENS} AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, tgt,
+         {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
+  FROM tok, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+tf AS (
+  SELECT doc_id, source, tgt, bucket, count(*) AS c FROM grams
+  GROUP BY 1, 2, 3, 4
+),
+dist AS (
+  SELECT bucket,
+         sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cs
+  FROM tf GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
+w AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
+  FROM dist, tot
+),
+sel AS (
+  SELECT tf.doc_id, tf.source,
+         round(sum(c * w.w) / sum(c), 6) AS avg_logratio
+  FROM tf JOIN w USING (bucket)
+  WHERE NOT tgt
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, source, avg_logratio,
+         {_fold("'7:' || doc_id::VARCHAR")} AS h,
+         round(avg_logratio
+               + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
+                           + 0.5) / 1000000.0))) / 1.0,
+               6) AS gumbel_score
+  FROM sel
+),
+rnk AS (
+  SELECT doc_id, source, avg_logratio, gumbel_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY gumbel_score DESC, doc_id ASC)
+           AS src_rank
+  FROM per
+)
+SELECT doc_id, source, avg_logratio, gumbel_score, src_rank
+FROM rnk WHERE src_rank <= 25
+"""
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -718,6 +794,7 @@ QUERIES = {
     "curation_report": curation_report,
     "dsir_select": dsir_select,
     "dsir_resample": dsir_resample,
+    "dsir_resample_by_source": dsir_resample_by_source,
     "quality_classifier_score": quality_classifier_score,
 }
 
@@ -735,5 +812,6 @@ ORACLES = {
     "curation_report": CURATION_REPORT_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "dsir_resample": DSIR_RESAMPLE_SQL,
+    "dsir_resample_by_source": DSIR_RESAMPLE_BY_SOURCE_SQL,
     "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
 }

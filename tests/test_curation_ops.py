@@ -444,3 +444,41 @@ def test_lr_quality_weights_shared_scorer_contract(spark):
     }
     for i in held_out:
         assert scored[i] == (1 if i < 100 else 0), i
+
+
+def test_dsir_resample_by_source_budget_and_weights(spark):
+    """The per-source arm keeps exactly min(budget, pool size) docs per
+    source, never mixes sources in a rank partition, and within each
+    source still tracks the importance weights (target-like docs win
+    more often than off-target ones, across seeds)."""
+    rows = []
+    # target: 20 "wiki" docs establishing the target distribution
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta epsilon zeta", "wiki"))
+    # pool source A: 10 target-like, 10 off-target
+    for i in range(10):
+        rows.append((100 + i, "alpha beta gamma delta epsilon zeta", "crawlA"))
+        rows.append((200 + i, "xray yankee zulu quebec romeo sierra", "crawlA"))
+    # pool source B: tiny (3 docs) — budget exceeds it
+    for i in range(3):
+        rows.append((300 + i, "alpha beta gamma xray yankee zulu", "crawlB"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    hits = {"tgt": 0, "off": 0}
+    for seed in (1, 2, 3, 4, 5):
+        out = cu.dsir_resample_by_source(
+            docs, F.col("source") == "wiki", budget=8, seed=seed
+        ).collect()
+        by_src: dict = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert set(by_src) == {"crawlA", "crawlB"}
+        assert len(by_src["crawlA"]) == 8  # budget binds
+        assert len(by_src["crawlB"]) == 3  # pool smaller than budget
+        for src, rs in by_src.items():
+            assert sorted(r["src_rank"] for r in rs) == list(
+                range(1, len(rs) + 1)
+            ), src
+        for r in by_src["crawlA"]:
+            hits["tgt" if r["doc_id"] < 200 else "off"] += 1
+    assert hits["tgt"] > hits["off"], hits
