@@ -345,6 +345,7 @@ def streaming_minhash_dedup(
     labels_dir: str | None = None,
     broadcast_delta: bool = True,
     n_buckets: int = 64,
+    banded: bool = True,
 ):
     """Streaming near-duplicate detection over a document stream — the
     Structured-Streaming composition of the incremental index operator
@@ -358,11 +359,16 @@ def streaming_minhash_dedup(
     ``n_buckets``-value driver-side collect, the block index's O(1)-
     rows contract).  The trade is LSH_BANDS× index storage for a
     per-batch index read of roughly touched/total buckets of the
-    bytes.  An EXISTING flat (id, sig) index is detected by its schema
-    and served unchanged (no pruning, flat appends) — migrate by
-    running ``compact_batch_index`` once the flat index is rewritten
-    banded, or start a fresh index; mixing layouts in one directory is
-    never produced (parquet partition discovery would reject it).
+    bytes — a win in the TRICKLE regime (a delta whose ~LSH_BANDS×
+    |delta| band keys hash into a strict subset of the buckets); a
+    WIDE delta touches every bucket and then scans LSH_BANDS× the flat
+    layout's bytes, so pass ``banded=False`` at stream creation to pin
+    the flat (id, sig) layout for wide-batch ingest.  An EXISTING
+    index's layout always wins over the parameter (detected by schema;
+    reads and appends follow it) — migrate by rewriting the index in
+    the other layout and ``compact_batch_index``-ing, or start fresh;
+    mixing layouts in one directory is never produced (parquet
+    partition discovery would reject it).
 
     ``broadcast_delta`` (default True) assumes micro-batches are
     bounded — the LSH bucket join then streams the signature index
@@ -427,10 +433,12 @@ def streaming_minhash_dedup(
         spark = batch_df.sparkSession
         delta = dd.minhash_signatures(batch_df).persist()
         raw_index = _read_parquet_or_none(spark, index_dir)
-        # banded unless an existing index says otherwise (legacy flat
-        # layout — writes must follow reads or partition discovery would
-        # see conflicting directory depths)
-        banded = raw_index is None or "pbucket" in raw_index.columns
+        # an existing index's layout wins over the parameter (writes
+        # must follow reads or partition discovery would see
+        # conflicting directory depths)
+        use_banded = (
+            banded if raw_index is None else "pbucket" in raw_index.columns
+        )
         index = index_bands = None
         if raw_index is not None:
             # Exclude THIS batch's partition: on checkpoint replay (crash
@@ -440,7 +448,7 @@ def streaming_minhash_dedup(
             # both orientations — duplicate pair rows, violating the
             # idempotent-replay contract below.
             hist = raw_index.filter(F.col("batch_id") != batch_id)
-            if banded:
+            if use_banded:
                 # partition-prune the index scan to the delta's touched
                 # pbuckets (<= n_buckets values; the O(1)-rows contract)
                 pbks = [
@@ -473,7 +481,7 @@ def streaming_minhash_dedup(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
-        if banded:
+        if use_banded:
             dd.minhash_band_rows(delta, n_buckets).write.mode(
                 "overwrite"
             ).partitionBy("pbucket").parquet(
@@ -550,6 +558,7 @@ def streaming_winnow_dedup(
     df_dir: str | None = None,
     broadcast_delta: bool = True,
     n_buckets: int = 64,
+    bucketed: bool = True,
 ):
     """Streaming MOSS/winnowing near-duplicate detection over a document
     stream — the Structured-Streaming composition of the incremental
@@ -603,9 +612,13 @@ def streaming_winnow_dedup(
     prunes both scans to the delta's ≤ ``n_buckets`` touched buckets
     (only rows whose fp occurs in the delta can ever join or feed the
     cap) — per-batch index bytes read drop to roughly touched/total
-    buckets.  An EXISTING flat index/df table is detected by schema
-    and served unchanged, each directory following its own layout —
-    mixed layouts within one directory are never produced.
+    buckets.  Unlike the minhash banded layout this one has NO read
+    amplification (same rows, just partitioned); the only cost is ≤
+    ``n_buckets`` files per batch write, so ``bucketed=False`` exists
+    mainly for parity.  An EXISTING flat index/df table is detected by
+    schema and served unchanged, each directory following its own
+    layout (the parameter applies to new directories only) — mixed
+    layouts within one directory are never produced.
     """
     from firmable_company_data_pipeline_spark.operators import dedup as dd
 
@@ -616,9 +629,11 @@ def streaming_winnow_dedup(
         spark = batch_df.sparkSession
         delta = dd.winnow_fingerprint_rows(batch_df).persist()
         raw_index = _read_parquet_or_none(spark, index_dir)
-        # bucketed unless an existing index says otherwise (legacy flat
-        # layout; writes follow reads per directory)
-        bucketed = raw_index is None or "bucket" in raw_index.columns
+        # an existing index's layout wins over the parameter (writes
+        # follow reads per directory)
+        use_bucketed = (
+            bucketed if raw_index is None else "bucket" in raw_index.columns
+        )
 
         def delta_buckets() -> list[int]:
             # the delta's touched buckets (<= n_buckets values; the
@@ -633,24 +648,26 @@ def streaming_winnow_dedup(
                 .collect()
             ]
 
-        bks = delta_buckets() if bucketed else None
+        bks = delta_buckets() if use_bucketed else None
         if raw_index is not None:
             # exclude THIS batch's partition on checkpoint replay (same
             # self-pairing argument as the MinHash fold)
             index = raw_index.filter(F.col("batch_id") != batch_id)
-            if bucketed:
+            if use_bucketed:
                 index = index.filter(F.col("bucket").isin(bks))
             index = index.select("id", "n_fp", "fp")
         else:
             index = spark.createDataFrame([], delta.schema)
         index_df = None
-        df_bucketed = bucketed
+        df_bucketed = use_bucketed
         if max_df is not None:
             raw_df = _read_parquet_or_none(spark, df_dir)
             # the df table follows ITS OWN existing layout (a legacy
             # flat table next to a freshly-bucketed index stays flat
             # until compacted — never mixed within one directory)
-            df_bucketed = raw_df is None or "bucket" in raw_df.columns
+            df_bucketed = (
+                use_bucketed if raw_df is None else "bucket" in raw_df.columns
+            )
             if raw_df is not None:
                 index_df = raw_df.filter(F.col("batch_id") != batch_id)
                 if "bucket" in raw_df.columns:
@@ -708,7 +725,7 @@ def streaming_winnow_dedup(
                 partial.write.mode("overwrite").parquet(
                     os.path.join(df_dir, f"batch_id={batch_id}")
                 )
-        if bucketed:
+        if use_bucketed:
             delta.withColumn(
                 "bucket", F.pmod(F.col("fp"), F.lit(n_buckets))
             ).write.mode("overwrite").partitionBy("bucket").parquet(

@@ -571,6 +571,43 @@ def test_bucketed_index_folds_prune_partitions(spark, sf_dir, tmp_path):
     assert touched / total <= 3 * len(pbks) / 64
 
 
+def test_minhash_banded_false_pins_flat_layout(spark, sf_dir, tmp_path):
+    """banded=False at stream creation keeps the flat (id, sig) index
+    (the wide-batch regime where the banded layout would read
+    LSH_BANDS× the bytes), with pair output unchanged."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_dir = str(tmp_path / "flat_index")
+    pairs_dir = str(tmp_path / "flat_pairs")
+    q = jobs.streaming_minhash_dedup(
+        stream, index_dir, pairs_dir,
+        checkpoint=str(tmp_path / "ckpt"), threshold=0.0, banded=False,
+    )
+    _drain(q)
+    idx = spark.read.parquet(index_dir)
+    assert "pbucket" not in idx.columns and "sig" in idx.columns
+    assert idx.count() == idx.select("id").distinct().count()
+    streamed = _rows(spark.read.parquet(pairs_dir), ["id_a", "id_b", "est_jaccard"])
+    batch = _rows(
+        dd.minhash_lsh_pairs(docs, threshold=0.0), ["id_a", "id_b", "est_jaccard"]
+    )
+    assert streamed == batch
+
+
 def test_compact_batch_index_mid_stream(spark, sf_dir, tmp_path):
     """Compacting the winnow fingerprint index + df table between two
     stream runs must leave the continued stream's pair output identical
