@@ -199,6 +199,24 @@ SHOWCASE = [
         " — so the per-doc rollup is a broadcast left-join, no window,"
         " no sort-merge join anywhere.",
     ),
+    (
+        "quality_classifier_score",
+        "Round-10 model-based quality scorer: the trained Naive-Bayes"
+        " table (feature log-odds + class prior, <= 257 rows) reaches"
+        " the scoring rollup through BroadcastHashJoins only — the"
+        " corpus pays exactly two exchanges (bigram-bucket tf agg,"
+        " per-doc rollup); the prior is a 1-row broadcast crossJoin;"
+        " no SortMergeJoin, no Python, anywhere.",
+    ),
+    (
+        "dsir_resample",
+        "Round-10 Gumbel-top-k DSIR selection: the seeded perturbation"
+        " is a pure projection over the importance sub-plan; the global"
+        " top-k rides the distributed exact rank — RANGE repartition +"
+        " per-partition row_number + broadcast offsets — never a"
+        " partitionless window over data rows (the round-5"
+        " single-reducer class, plan-pinned).",
+    ),
 ]
 
 def main() -> None:
