@@ -482,9 +482,14 @@ def streaming_minhash_dedup(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
         if use_banded:
-            dd.minhash_band_rows(delta, n_buckets).write.mode(
-                "overwrite"
-            ).partitionBy("pbucket").parquet(
+            # repartition by the partition column first: without it each
+            # of the delta's shuffle partitions writes every pbucket it
+            # holds (up to tasks x n_buckets files per batch); after it,
+            # each pbucket lands in exactly one task — <= n_buckets
+            # files.  O(delta) exchange, never the index.
+            dd.minhash_band_rows(delta, n_buckets).repartition(
+                "pbucket"
+            ).write.mode("overwrite").partitionBy("pbucket").parquet(
                 os.path.join(index_dir, f"batch_id={batch_id}")
             )
         else:
@@ -718,19 +723,22 @@ def streaming_winnow_dedup(
             if df_bucketed:
                 partial.withColumn(
                     "bucket", F.pmod(F.col("fp"), F.lit(n_buckets))
-                ).write.mode("overwrite").partitionBy("bucket").parquet(
-                    os.path.join(df_dir, f"batch_id={batch_id}")
-                )
+                ).repartition("bucket").write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(os.path.join(df_dir, f"batch_id={batch_id}"))
             else:
                 partial.write.mode("overwrite").parquet(
                     os.path.join(df_dir, f"batch_id={batch_id}")
                 )
         if use_bucketed:
+            # repartition by bucket first — one file per touched bucket
+            # instead of tasks x buckets (O(delta) exchange, never the
+            # index; same note as the minhash banded write)
             delta.withColumn(
                 "bucket", F.pmod(F.col("fp"), F.lit(n_buckets))
-            ).write.mode("overwrite").partitionBy("bucket").parquet(
-                os.path.join(index_dir, f"batch_id={batch_id}")
-            )
+            ).repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
         else:
             delta.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"batch_id={batch_id}")
@@ -823,9 +831,11 @@ def streaming_block_dedup(
             "block_text",
             F.pmod(F.xxhash64("block_text"), F.lit(n_buckets)).alias("bucket"),
         )
-        new_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
-        )
+        # repartition by bucket first — one file per touched bucket per
+        # batch instead of tasks x buckets (O(delta) exchange)
+        new_blocks.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
         flagged.unpersist()
         blocks.unpersist()
 

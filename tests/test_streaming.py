@@ -540,6 +540,13 @@ def test_bucketed_index_folds_prune_partitions(spark, sf_dir, tmp_path):
     assert 0 < touched < total
     # hash-uniform layout: touched bytes track touched buckets (slack 3x)
     assert touched / total <= 3 * len(bks) / 64
+    # file-count cap: the pre-write repartition puts each bucket in one
+    # task, so a batch writes at most one file per touched bucket —
+    # never tasks x buckets
+    for bdir in _glob.glob(f"{w_index}/batch_id=*"):
+        n_files = len(_glob.glob(f"{bdir}/bucket=*/*.parquet"))
+        n_bucket_dirs = len(_glob.glob(f"{bdir}/bucket=*"))
+        assert n_files <= n_bucket_dirs
 
     # --- minhash: pbucket = hash(band, bucket) % 64 -------------------
     m_index = str(tmp_path / "m_index")
