@@ -346,6 +346,8 @@ def streaming_minhash_dedup(
     broadcast_delta: bool = True,
     n_buckets: int = 64,
     banded: bool = True,
+    labels_layout: str = "gen",
+    n_label_buckets: int = 64,
 ):
     """Streaming near-duplicate detection over a document stream — the
     Structured-Streaming composition of the incremental index operator
@@ -418,14 +420,20 @@ def streaming_minhash_dedup(
     read generation itself is kept so the NEXT replay still finds its
     input).  ``read_dedup_labels`` serves the newest generation.
 
-    Write amplification, stated honestly: each generation materializes
-    the FULL labeling (the newest generation alone is the complete
-    answer — no read-side chain merge), so the fold's COMPUTE is
-    delta-local while its WRITE is corpus-sized.  The seam if that ever
-    dominates: a cluster_id-bucketed layout with dynamic partition
-    overwrite (rewrite only buckets holding touched old/new cluster
-    ids — the ``foreach_batch_upsert`` pattern), or a Delta/Iceberg
-    MERGE touching only changed rows.
+    Write amplification: with the default ``labels_layout="gen"`` each
+    generation materializes the FULL labeling (the newest generation
+    alone is the complete answer — no read-side chain merge), so the
+    fold's COMPUTE is delta-local while its WRITE is corpus-sized —
+    the price of the atomically-published generation protocol.
+    ``labels_layout="bucketed"`` (round 10) closes that seam: labels
+    live in ONE ``lbucket = hash(doc_id) % n_label_buckets``-
+    partitioned target and each fold dynamic-overwrites only the
+    buckets holding a CHANGED label — per-batch write cost
+    O(changed + their buckets), with a marker protocol that makes the
+    non-atomic multi-bucket overwrite crash-repairable (see
+    ``_fold_labels_bucketed``).  A Delta/Iceberg MERGE is the
+    production endpoint of the same shape.  ``read_dedup_labels``
+    serves either layout.
     """
     from firmable_company_data_pipeline_spark.operators import dedup as dd
 
@@ -496,6 +504,13 @@ def streaming_minhash_dedup(
             delta.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"batch_id={batch_id}")
             )
+        if labels_dir is not None and labels_layout == "bucketed":
+            _fold_labels_bucketed(
+                spark, labels_dir, pairs, batch_id, n_label_buckets
+            )
+            pairs.unpersist()
+            delta.unpersist()
+            return
         if labels_dir is not None:
             import json as _json
             import shutil
@@ -982,6 +997,116 @@ def streaming_quality_score(
     return writer.start()
 
 
+_LABELS_FOLD_MARKER = "_fold_marker.json"
+
+
+def _fold_labels_bucketed(
+    spark, labels_dir: str, pairs: DataFrame, batch_id: int, n_buckets: int
+) -> None:
+    """Fold a batch's delta pairs into a BUCKETED labels target —
+    ``lbucket = pmod(xxhash64(doc_id), n_buckets)`` partitions rewritten
+    via dynamic partition overwrite, only for buckets holding a CHANGED
+    label.  This closes the gen-layout's write amplification (each
+    generation materialized the FULL corpus-sized labeling even though
+    the fold's compute was delta-local): per-batch WRITE cost is now
+    O(changed rows + their buckets), the ``foreach_batch_upsert``
+    locality pattern applied to the labeling.
+
+    Crash protocol (a multi-bucket dynamic overwrite is not atomic —
+    a crash mid-commit can leave the labeling MIXED: some buckets
+    post-fold, some pre-fold):
+
+    1. compute the new full labeling (lazy; untouched clusters pass
+       through from the current files map-side) and its changed-bucket
+       list (≤ ``n_buckets`` ids driver-side);
+    2. publish ``_fold_marker.json`` naming those buckets (atomic
+       ``os.replace``) BEFORE the overwrite;
+    3. dynamic-overwrite exactly those bucket partitions with the new
+       labeling restricted to them;
+    4. remove the marker.
+
+    On any later fold that finds a marker (crash between 2 and 4 — of
+    this batch or a dead run), the labeling may be mixed, which can
+    strand rows: delta-locality pulls in only clusters named by a
+    delta endpoint's CURRENT label, and a stale row's old label may no
+    longer be any endpoint's label.  But every stale label points at a
+    center doc whose OWN row was relabeled — i.e. lives in a marker
+    bucket — so re-folding every cluster that the marker buckets' rows
+    name (by doc_id or cluster_id) repairs all possible staleness.
+    Those clusters are forced into the fold as their own STAR EDGES
+    (``(doc_id, cluster_id)`` pairs — true connectivity facts, so in
+    the healthy case they change nothing).  Replay after a COMPLETED
+    fold is a no-op by construction: re-folding the same pairs is
+    idempotent, the changed set is empty, and nothing is written."""
+    import json as _json
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    prev = _read_parquet_or_none(spark, labels_dir)
+    marker_p = os.path.join(labels_dir, _LABELS_FOLD_MARKER)
+    marker = None
+    if os.path.exists(marker_p):
+        with open(marker_p) as fh:
+            marker = _json.load(fh)
+    fold_pairs = pairs.select("id_a", "id_b")
+    if prev is None:
+        prev_l = fold_pairs.select(
+            F.col("id_a").alias("doc_id"), F.col("id_a").alias("cluster_id")
+        ).limit(0)
+    else:
+        prev_l = prev.select("doc_id", "cluster_id")
+        if marker:
+            sus_rows = prev.filter(F.col("lbucket").isin(marker["buckets"]))
+            sus_ids = (
+                sus_rows.select(F.col("doc_id").alias("sid"))
+                .unionByName(sus_rows.select(F.col("cluster_id").alias("sid")))
+                .distinct()
+            )
+            recovery = (
+                prev.join(sus_ids, prev["cluster_id"] == F.col("sid"))
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("cluster_id").alias("id_b"),
+                )
+            )
+            fold_pairs = fold_pairs.unionByName(recovery)
+    new_labels = (
+        dd.incremental_components(prev_l, fold_pairs)
+        .withColumn("lbucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+        .persist()
+    )
+    if prev is None:
+        changed = new_labels
+    else:
+        changed = new_labels.join(
+            prev.select("doc_id", F.col("cluster_id").alias("_old")),
+            "doc_id",
+            "left",
+        ).filter(~F.col("cluster_id").eqNullSafe(F.col("_old")))
+    tb = {r[0] for r in changed.select("lbucket").distinct().collect()}
+    if marker:
+        tb |= set(marker["buckets"])
+    if not tb:
+        new_labels.unpersist()
+        return
+    os.makedirs(labels_dir, exist_ok=True)
+    tmp = marker_p + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"batch_id": batch_id, "buckets": sorted(tb)}, fh)
+    os.replace(tmp, marker_p)
+    (
+        new_labels.filter(F.col("lbucket").isin(sorted(tb)))
+        .repartition("lbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lbucket")
+        .parquet(labels_dir)
+    )
+    os.remove(marker_p)
+    new_labels.unpersist()
+
+
 def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
     """Manifest repair at batch start (review r7): if ``_latest.json``
     points at any generation this batch is ABOUT TO REWRITE or that a
@@ -1042,7 +1167,13 @@ def read_dedup_labels(spark, labels_dir: str) -> DataFrame:
     Mid-stream caveat: the returned DataFrame is lazy and pins the
     resolved generation's files; the stream retains that generation for
     one further micro-batch (the prune keeps read-gen + current), so
-    collect within a micro-batch interval or snapshot the frame."""
+    collect within a micro-batch interval or snapshot the frame.
+
+    ``labels_layout="bucketed"`` targets (round 10) are detected by
+    their ``lbucket=*`` partitions and served directly (the partition
+    column is layout, not data); a pending ``_fold_marker.json`` means
+    a fold crashed mid-overwrite — the view may mix pre- and post-fold
+    buckets until the next fold repairs it, stated rather than hidden."""
     import json as _json
 
     path = os.path.join(labels_dir, "_latest.json")
@@ -1050,6 +1181,11 @@ def read_dedup_labels(spark, labels_dir: str) -> DataFrame:
         with open(path) as fh:
             gen = _json.load(fh)["gen"]
     except FileNotFoundError:
+        if any(
+            d.startswith("lbucket=")
+            for d in (os.listdir(labels_dir) if os.path.isdir(labels_dir) else [])
+        ):
+            return spark.read.parquet(labels_dir).drop("lbucket")
         raise FileNotFoundError(f"no label manifest under {labels_dir}") from None
     return spark.read.parquet(os.path.join(labels_dir, f"gen={gen}"))
 

@@ -578,6 +578,158 @@ def test_bucketed_index_folds_prune_partitions(spark, sf_dir, tmp_path):
     assert touched / total <= 3 * len(pbks) / 64
 
 
+def test_streaming_minhash_bucketed_labels_match_batch(spark, sf_dir, tmp_path):
+    """labels_layout='bucketed': the incrementally folded labeling still
+    equals a batch re-cluster of the full pair set, but the second
+    fold's WRITE is bucket-local — buckets holding no changed label
+    keep byte-identical files across the fold (the write-amplification
+    seam the gen layout documented, closed)."""
+    import glob as _glob
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    cut = docs.approxQuantile("doc_id", [0.95], 0.0)[0]
+    src = str(tmp_path / "docs_src")
+    labels_dir = str(tmp_path / "blabels")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = jobs.streaming_minhash_dedup(
+            stream, str(tmp_path / "bidx"), str(tmp_path / "bpairs"),
+            checkpoint=ckpt, threshold=0.0,
+            labels_dir=labels_dir, labels_layout="bucketed",
+            n_label_buckets=64,
+        )
+        _drain(q)
+
+    def bucket_files():
+        return {
+            d: sorted(
+                (os.path.basename(f), os.path.getsize(f))
+                for f in _glob.glob(f"{d}/*.parquet")
+            )
+            for d in _glob.glob(f"{labels_dir}/lbucket=*")
+        }
+
+    import os
+
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    first = _rows(
+        jobs.read_dedup_labels(spark, labels_dir), ["doc_id", "cluster_id"]
+    )
+    want_first = _rows(
+        dd.connected_components(
+            dd.minhash_lsh_pairs(docs.filter(F.col("doc_id") <= cut), threshold=0.0)
+        ),
+        ["doc_id", "cluster_id"],
+    )
+    assert first == want_first and first
+    before = bucket_files()
+
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    got = _rows(jobs.read_dedup_labels(spark, labels_dir), ["doc_id", "cluster_id"])
+    want = _rows(
+        dd.connected_components(dd.minhash_lsh_pairs(docs, threshold=0.0)),
+        ["doc_id", "cluster_id"],
+    )
+    assert got == want and got
+    after = bucket_files()
+    untouched = [d for d in before if after.get(d) == before[d]]
+    touched = [d for d in after if after[d] != before.get(d)]
+    # the ~5% delta must leave most buckets byte-identical AND rewrite some
+    assert touched and untouched
+    assert len(untouched) > len(before) // 2, (len(untouched), len(before))
+    # no crash marker left behind
+    assert not os.path.exists(f"{labels_dir}/{jobs._LABELS_FOLD_MARKER}")
+
+
+def test_bucketed_labels_fold_crash_repair(spark, tmp_path):
+    """The marker protocol repairs a crash mid-overwrite: with one
+    touched bucket manually rolled back to its pre-fold content (the
+    MIXED state a non-atomic multi-bucket overwrite can leave) and the
+    marker still present, replaying the fold reaches the batch-CC
+    answer — the marker buckets' star edges pull every possibly-stale
+    cluster back into the fold.  A replay after a COMPLETED fold is a
+    no-op (idempotent, nothing written)."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    labels_dir = str(tmp_path / "labels")
+    pairs1 = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    jobs._fold_labels_bucketed(spark, labels_dir, pairs1, 0, 8)
+    got1 = _rows(
+        spark.read.parquet(labels_dir).select("doc_id", "cluster_id"),
+        ["doc_id", "cluster_id"],
+    )
+    assert got1 == {(1, 1), (2, 1), (3, 3), (4, 3)}
+
+    pre = str(tmp_path / "pre_fold2")
+    shutil.copytree(labels_dir, pre)
+    # fold 2 bridges the two clusters: every doc relabels to 1
+    pairs2 = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    jobs._fold_labels_bucketed(spark, labels_dir, pairs2, 1, 8)
+    want = {(1, 1), (2, 1), (3, 1), (4, 1)}
+    assert _rows(
+        spark.read.parquet(labels_dir).select("doc_id", "cluster_id"),
+        ["doc_id", "cluster_id"],
+    ) == want
+
+    # completed-fold replay: idempotent no-op, no marker afterwards
+    jobs._fold_labels_bucketed(spark, labels_dir, pairs2, 1, 8)
+    assert _rows(
+        spark.read.parquet(labels_dir).select("doc_id", "cluster_id"),
+        ["doc_id", "cluster_id"],
+    ) == want
+    assert not os.path.exists(os.path.join(labels_dir, jobs._LABELS_FOLD_MARKER))
+
+    # fabricate the crash: roll EVERY touched bucket whose content
+    # changed back to its pre-fold-2 state one at a time and verify the
+    # replay repairs each mixed state
+    def files(d):
+        return {
+            os.path.basename(p): os.path.getsize(p)
+            for p in _glob.glob(f"{d}/*.parquet")
+        }
+
+    changed_buckets = [
+        os.path.basename(d)
+        for d in _glob.glob(f"{labels_dir}/lbucket=*")
+        if os.path.isdir(os.path.join(pre, os.path.basename(d)))
+        and files(d) != files(os.path.join(pre, os.path.basename(d)))
+    ]
+    assert changed_buckets, "fold 2 must rewrite at least one pre-existing bucket"
+    all_touched = sorted(
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(f"{labels_dir}/lbucket=*")
+    )
+    for cb in changed_buckets:
+        shutil.rmtree(os.path.join(labels_dir, cb))
+        shutil.copytree(os.path.join(pre, cb), os.path.join(labels_dir, cb))
+        with open(os.path.join(labels_dir, jobs._LABELS_FOLD_MARKER), "w") as fh:
+            json.dump({"batch_id": 1, "buckets": all_touched}, fh)
+        jobs._fold_labels_bucketed(spark, labels_dir, pairs2, 1, 8)
+        assert _rows(
+            spark.read.parquet(labels_dir).select("doc_id", "cluster_id"),
+            ["doc_id", "cluster_id"],
+        ) == want, cb
+        assert not os.path.exists(
+            os.path.join(labels_dir, jobs._LABELS_FOLD_MARKER)
+        )
+
+
 def test_minhash_banded_false_pins_flat_layout(spark, sf_dir, tmp_path):
     """banded=False at stream creation keeps the flat (id, sig) index
     (the wide-batch regime where the banded layout would read
