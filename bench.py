@@ -61,6 +61,7 @@ HEADLINE = [
     "decontaminate_corpus",
     "dedup_winnow_keep_best",
     "quality_classifier_score",
+    "quality_classifier_eval",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

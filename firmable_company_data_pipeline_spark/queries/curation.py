@@ -780,6 +780,186 @@ FROM rnk WHERE src_rank <= 25
 """
 
 
+# --------------------------------------------------------------------------
+# quality_classifier_eval — the held-out evaluation card that completes
+# the classifier lifecycle (train → score → EVALUATE): confusion counts
+# and precision/recall/accuracy/F1 of the NB quality classifier on the
+# 20% fold-hash held-out split it never trained on.  The truth join is
+# an equi-join on doc_id over the held-out set only (O(eval), one
+# exchange per side); everything after is a 1-row aggregate.  Docs with
+# fewer than two tokens have no features and are excluded from the eval
+# set on both engines (the scorer's documented contract).
+#
+# Expected reading on the SYNTHETIC corpus: near-chance (accuracy ≈ the
+# majority class, F1 ≈ 0.08 at sf0.01) — the generator draws every
+# source from ONE shared vocabulary, so there is no learnable signal
+# between "curated" and other sources.  That is the card doing its job:
+# it reports that this labeled split cannot train a useful ranker.  The
+# estimator itself separates cleanly when signal exists — pinned by the
+# planted-fixture test (spam vocabulary, held-out accuracy 100%) in
+# tests/test_curation_ops.py.
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    label = F.col("source").isin("src0", "src1", "src2", "src3")
+    in_train = (
+        ts.char_fold_hash(
+            F.concat(F.lit("qc|"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        < 80
+    )
+    weights = cu.nb_quality_weights(
+        docs.filter(in_train), label, n_buckets=256, alpha=1.0
+    )
+    held = docs.filter(~in_train)
+    scored = cu.nb_quality_score(held, weights, n_buckets=256)
+    truth = held.select("doc_id", label.cast("int").alias("y"))
+    j = scored.join(truth, "doc_id")
+    hit = lambda y, g: F.sum(  # noqa: E731
+        ((F.col("y") == y) & (F.col("is_good") == g)).cast("int")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        hit(1, 1).alias("tp"),
+        hit(0, 1).alias("fp"),
+        hit(1, 0).alias("fn"),
+        hit(0, 0).alias("tn"),
+    )
+    rate = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, 6)
+    )
+    prec = rate(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = rate(F.col("tp"), F.col("tp") + F.col("fn"))
+    return agg.select(
+        "n_eval",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        rate(F.col("tp") + F.col("tn"), F.col("n_eval")).alias("accuracy"),
+        prec.alias("precision_good"),
+        rec.alias("recall_good"),
+        F.when(
+            (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") + F.col("fn") > 0)
+            & (F.col("tp") > 0),
+            F.round(
+                2.0
+                * (F.col("tp") / (F.col("tp") + F.col("fp")))
+                * (F.col("tp") / (F.col("tp") + F.col("fn")))
+                / (
+                    F.col("tp") / (F.col("tp") + F.col("fp"))
+                    + F.col("tp") / (F.col("tp") + F.col("fn"))
+                ),
+                6,
+            ),
+        ).alias("f1_good"),
+    )
+
+
+_QC_SCORED_CTES = """
+train AS (
+  SELECT doc_id, text, source IN ('src0', 'src1', 'src2', 'src3') AS pos
+  FROM documents
+  WHERE {fold_expr} % 100 < 80
+),
+ttok AS (SELECT doc_id, pos, {tokens} AS t FROM train),
+tgrams AS (
+  SELECT doc_id, pos, {gram_fold} % 256 AS bucket
+  FROM ttok, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+ttf AS (SELECT doc_id, pos, bucket, count(*) AS c FROM tgrams GROUP BY 1, 2, 3),
+seen AS (
+  SELECT bucket,
+         sum(CASE WHEN pos THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT pos THEN c ELSE 0 END) AS cs
+  FROM ttf GROUP BY 1
+),
+dist AS (
+  SELECT r.bucket, coalesce(seen.ct, 0) AS ct, coalesce(seen.cs, 0) AS cs
+  FROM (SELECT unnest(range(256)) AS bucket) r
+  LEFT JOIN seen USING (bucket)
+),
+tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
+w AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
+  FROM dist, tot
+),
+prior AS (
+  SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
+       - ln(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0) AS prior_w
+  FROM train
+),
+held AS (
+  SELECT doc_id, text,
+         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE {fold_expr} % 100 >= 80
+),
+stok AS (SELECT doc_id, {tokens} AS t FROM held),
+sgrams AS (
+  SELECT doc_id, {gram_fold} % 256 AS bucket
+  FROM stok, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+stf AS (SELECT doc_id, bucket, count(*) AS c FROM sgrams GROUP BY 1, 2),
+lo0 AS (
+  SELECT stf.doc_id, sum(c * w.w) AS s
+  FROM stf JOIN w USING (bucket)
+  GROUP BY 1
+),
+verdicts AS (
+  SELECT lo0.doc_id,
+         CASE WHEN round(s + prior_w, 4) > 0 THEN 1 ELSE 0 END AS is_good
+  FROM lo0, prior
+)
+"""
+
+
+QUALITY_CLASSIFIER_EVAL_SQL = (
+    "WITH "
+    + _QC_SCORED_CTES.format(
+        fold_expr=_fold("'qc|' || doc_id::VARCHAR"),
+        tokens=_TOKENS,
+        gram_fold=_fold("t[i+1] || ' ' || t[i+2]"),
+    )
+    + """
+SELECT count(*) AS n_eval,
+       CAST(sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN y = 0 AND is_good = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN y = 1 AND is_good = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN y = 0 AND is_good = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       round((sum(CASE WHEN y = is_good THEN 1 ELSE 0 END) * 1.0)
+             / count(*), 6) AS accuracy,
+       CASE WHEN sum(CASE WHEN is_good = 1 THEN 1 ELSE 0 END) > 0 THEN
+         round(sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) * 1.0
+               / sum(CASE WHEN is_good = 1 THEN 1 ELSE 0 END), 6)
+       END AS precision_good,
+       CASE WHEN sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0 THEN
+         round(sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) * 1.0
+               / sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 6)
+       END AS recall_good,
+       CASE WHEN sum(CASE WHEN is_good = 1 THEN 1 ELSE 0 END) > 0
+             AND sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0
+             AND sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) > 0 THEN
+         round(2.0
+               * (sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) * 1.0
+                  / sum(CASE WHEN is_good = 1 THEN 1 ELSE 0 END))
+               * (sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) * 1.0
+                  / sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+               / ((sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) * 1.0
+                   / sum(CASE WHEN is_good = 1 THEN 1 ELSE 0 END))
+                  + (sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) * 1.0
+                     / sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))), 6)
+       END AS f1_good
+FROM verdicts JOIN held USING (doc_id)
+"""
+)
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -796,6 +976,7 @@ QUERIES = {
     "dsir_resample": dsir_resample,
     "dsir_resample_by_source": dsir_resample_by_source,
     "quality_classifier_score": quality_classifier_score,
+    "quality_classifier_eval": quality_classifier_eval,
 }
 
 ORACLES = {
@@ -814,4 +995,5 @@ ORACLES = {
     "dsir_resample": DSIR_RESAMPLE_SQL,
     "dsir_resample_by_source": DSIR_RESAMPLE_BY_SOURCE_SQL,
     "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
+    "quality_classifier_eval": QUALITY_CLASSIFIER_EVAL_SQL,
 }
