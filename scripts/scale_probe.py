@@ -83,6 +83,16 @@ PROBE_QUERIES = {
     # (the rest of that batch — SCD2, FK audit, recall report — is
     # plain join/window/agg shapes the TPC-H families already probe)
     "dedup_lifecycle": ["dedup_keep_best", "leakage_safe_split"],
+    # round-10 additions: the NB classifier shares DSIR's two-exchange
+    # scoring shape (train + score in one plan here); the resample arms
+    # add the exact-rank path / per-source windows on top of
+    # dsir_select's sub-plan
+    "selection": [
+        "quality_classifier_score",
+        "dsir_resample",
+        "dsir_resample_by_source",
+        "dedup_winnow_keep_best",
+    ],
 }
 
 
