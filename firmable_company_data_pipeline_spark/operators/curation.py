@@ -599,12 +599,17 @@ def dsir_resample(
     probabilities track the importance weights, unlike a hard top-k,
     which collapses onto near-duplicate high-scorers.
 
-    Score = ``avg_logratio + g/temperature`` with ``g`` from
-    :func:`gumbel_key` (seeded, hash-derived, oracle-exact) and
-    ``avg_logratio`` from :func:`dsir_importance`; higher temperature →
-    noisier, more diverse selection; ``temperature → 0`` degenerates to
-    deterministic top-k.  Rounded to 6 decimals BEFORE ranking so both
-    engines rank identical values; ties broken by ``id_col``.
+    Score = ``avg_logratio/temperature + g`` with ``g`` a UNIT Gumbel
+    draw from :func:`gumbel_key` (seeded, hash-derived, oracle-exact)
+    and ``avg_logratio`` from :func:`dsir_importance` — the Gumbel-max
+    identity then makes inclusion probabilities ∝ exp(w/T): higher
+    temperature → noisier, more diverse selection; ``temperature → 0``
+    degenerates to deterministic top-k (review r10: the previous
+    ``w + g/T`` form implemented the inverse of this contract; at the
+    default T=1 the two forms are value-identical, so the registered
+    query and its oracle are unaffected).  Rounded to 6 decimals BEFORE
+    ranking so both engines rank identical values; ties broken by
+    ``id_col``.
 
     Output: (doc_id, avg_logratio, gumbel_score, sel_rank) for the
     ``sel_rank <= k`` winners.
@@ -623,7 +628,7 @@ def dsir_resample(
         id_col,
         "avg_logratio",
         F.round(
-            F.col("avg_logratio") + gumbel_key(F.col(id_col), seed) / temperature,
+            F.col("avg_logratio") / temperature + gumbel_key(F.col(id_col), seed),
             6,
         ).alias("gumbel_score"),
     )
@@ -658,7 +663,8 @@ def dsir_resample_by_source(
     target-like source can never crowd every other source out of the
     sample (the per-source budget is how production mixing plans
     consume importance weights).  Same seeded, oracle-exact
-    perturbation as the global arm.
+    perturbation and ``exp(w/T)`` temperature contract as the global
+    arm.
 
     Output: (doc_id, source, avg_logratio, gumbel_score, src_rank)
     for the ``src_rank <= budget`` winners of each source.
@@ -679,7 +685,7 @@ def dsir_resample_by_source(
         source_col,
         "avg_logratio",
         F.round(
-            F.col("avg_logratio") + gumbel_key(F.col(id_col), seed) / temperature,
+            F.col("avg_logratio") / temperature + gumbel_key(F.col(id_col), seed),
             6,
         ).alias("gumbel_score"),
     )

@@ -600,9 +600,9 @@ WITH sel AS ({DSIR_SELECT_SQL}),
 per AS (
   SELECT doc_id, avg_logratio,
          {_fold("'7:' || doc_id::VARCHAR")} AS h,
-         round(avg_logratio
+         round(avg_logratio / 1.0
                + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
-                           + 0.5) / 1000000.0))) / 1.0,
+                           + 0.5) / 1000000.0))),
                6) AS gumbel_score
   FROM sel
 ),
@@ -642,15 +642,19 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.nb_quality_score(docs, weights, n_buckets=256)
 
 
-QUALITY_CLASSIFIER_SCORE_SQL = f"""
-WITH train AS (
+# The NB training mirror (train split -> full-bucket weight table +
+# class prior) is ONE template shared by the score and eval oracles
+# (review r10: two divergence-prone copies before) — {score_src} is the
+# relation whose documents get scored.
+_QC_TRAIN_CTES = """
+train AS (
   SELECT doc_id, text, source IN ('src0', 'src1', 'src2', 'src3') AS pos
   FROM documents
-  WHERE {_fold("'qc|' || doc_id::VARCHAR")} % 100 < 80
+  WHERE {fold_expr} % 100 < 80
 ),
-ttok AS (SELECT doc_id, pos, {_TOKENS} AS t FROM train),
+ttok AS (SELECT doc_id, pos, {tokens} AS t FROM train),
 tgrams AS (
-  SELECT doc_id, pos, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
+  SELECT doc_id, pos, {gram_fold} % 256 AS bucket
   FROM ttok, unnest(range(len(t) - 1)) AS u(i)
   WHERE len(t) >= 2
 ),
@@ -681,9 +685,9 @@ prior AS (
        - ln(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0) AS prior_w
   FROM train
 ),
-stok AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+stok AS (SELECT doc_id, {tokens} AS t FROM {score_src}),
 sgrams AS (
-  SELECT doc_id, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
+  SELECT doc_id, {gram_fold} % 256 AS bucket
   FROM stok, unnest(range(len(t) - 1)) AS u(i)
   WHERE len(t) >= 2
 ),
@@ -692,7 +696,23 @@ lo0 AS (
   SELECT stf.doc_id, CAST(sum(c) AS BIGINT) AS n_grams, sum(c * w.w) AS s
   FROM stf JOIN w USING (bucket)
   GROUP BY 1
-),
+)
+"""
+
+
+def _qc_ctes(score_src: str) -> str:
+    return _QC_TRAIN_CTES.format(
+        fold_expr=_fold("'qc|' || doc_id::VARCHAR"),
+        tokens=_TOKENS,
+        gram_fold=_fold("t[i+1] || ' ' || t[i+2]"),
+        score_src=score_src,
+    )
+
+
+QUALITY_CLASSIFIER_SCORE_SQL = (
+    "WITH "
+    + _qc_ctes("documents")
+    + """,
 lo AS (
   SELECT doc_id, n_grams, round(s + prior_w, 4) AS log_odds FROM lo0, prior
 )
@@ -702,6 +722,7 @@ SELECT doc_id, n_grams, log_odds,
        CASE WHEN log_odds > 0 THEN 1 ELSE 0 END AS is_good
 FROM lo
 """
+)
 
 
 # --------------------------------------------------------------------------
@@ -762,9 +783,9 @@ sel AS (
 per AS (
   SELECT doc_id, source, avg_logratio,
          {_fold("'7:' || doc_id::VARCHAR")} AS h,
-         round(avg_logratio
+         round(avg_logratio / 1.0
                + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
-                           + 0.5) / 1000000.0))) / 1.0,
+                           + 0.5) / 1000000.0))),
                6) AS gumbel_score
   FROM sel
 ),
@@ -857,76 +878,25 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QC_SCORED_CTES = """
-train AS (
-  SELECT doc_id, text, source IN ('src0', 'src1', 'src2', 'src3') AS pos
-  FROM documents
-  WHERE {fold_expr} % 100 < 80
-),
-ttok AS (SELECT doc_id, pos, {tokens} AS t FROM train),
-tgrams AS (
-  SELECT doc_id, pos, {gram_fold} % 256 AS bucket
-  FROM ttok, unnest(range(len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2
-),
-ttf AS (SELECT doc_id, pos, bucket, count(*) AS c FROM tgrams GROUP BY 1, 2, 3),
-seen AS (
-  SELECT bucket,
-         sum(CASE WHEN pos THEN c ELSE 0 END) AS ct,
-         sum(CASE WHEN NOT pos THEN c ELSE 0 END) AS cs
-  FROM ttf GROUP BY 1
-),
-dist AS (
-  SELECT r.bucket, coalesce(seen.ct, 0) AS ct, coalesce(seen.cs, 0) AS cs
-  FROM (SELECT unnest(range(256)) AS bucket) r
-  LEFT JOIN seen USING (bucket)
-),
-tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
-w AS (
-  SELECT bucket,
-         ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
-  FROM dist, tot
-),
-prior AS (
-  SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
-       - ln(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0) AS prior_w
-  FROM train
-),
+QUALITY_CLASSIFIER_EVAL_SQL = (
+    "WITH "
+    + _qc_ctes(
+        """(SELECT doc_id, text FROM documents
+     WHERE {fe} % 100 >= 80)""".format(fe=_fold("'qc|' || doc_id::VARCHAR"))
+    )
+    + """,
 held AS (
-  SELECT doc_id, text,
+  SELECT doc_id,
          CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
               THEN 1 ELSE 0 END AS y
   FROM documents
-  WHERE {fold_expr} % 100 >= 80
-),
-stok AS (SELECT doc_id, {tokens} AS t FROM held),
-sgrams AS (
-  SELECT doc_id, {gram_fold} % 256 AS bucket
-  FROM stok, unnest(range(len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2
-),
-stf AS (SELECT doc_id, bucket, count(*) AS c FROM sgrams GROUP BY 1, 2),
-lo0 AS (
-  SELECT stf.doc_id, sum(c * w.w) AS s
-  FROM stf JOIN w USING (bucket)
-  GROUP BY 1
+  WHERE {fe} % 100 >= 80
 ),
 verdicts AS (
   SELECT lo0.doc_id,
          CASE WHEN round(s + prior_w, 4) > 0 THEN 1 ELSE 0 END AS is_good
   FROM lo0, prior
 )
-"""
-
-
-QUALITY_CLASSIFIER_EVAL_SQL = (
-    "WITH "
-    + _QC_SCORED_CTES.format(
-        fold_expr=_fold("'qc|' || doc_id::VARCHAR"),
-        tokens=_TOKENS,
-        gram_fold=_fold("t[i+1] || ' ' || t[i+2]"),
-    )
-    + """
 SELECT count(*) AS n_eval,
        CAST(sum(CASE WHEN y = 1 AND is_good = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        CAST(sum(CASE WHEN y = 0 AND is_good = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -956,7 +926,7 @@ SELECT count(*) AS n_eval,
                      / sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))), 6)
        END AS f1_good
 FROM verdicts JOIN held USING (doc_id)
-"""
+""".replace("{fe}", _fold("'qc|' || doc_id::VARCHAR"))
 )
 
 

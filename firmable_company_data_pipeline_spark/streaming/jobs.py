@@ -330,6 +330,56 @@ def declare_upsert_layout(spark, target_dir: str, n_buckets: int = 32) -> None:
     fs.createNewFile(marker)
 
 
+def _pin_bucket_count(spark, target_dir: str, n_buckets: int) -> None:
+    """Pin a bucketed directory's bucket count with the upsert sink's
+    ``_N_BUCKETS_*`` marker (review r10): every bucketed layout this
+    module maintains (winnow index + df partials, banded minhash index,
+    bucketed labels) prunes reads or routes writes by ``value % n`` —
+    a restart with a different ``n`` would prune against partitions
+    laid out under the old modulus and silently drop index rows
+    (missed pairs, undercounted df caps) or strand stale label rows.
+    The first fold declares the count; every later fold fails loudly on
+    a mismatch.  A directory seeded EXTERNALLY in a bucketed layout is
+    declared at its first fold with the fold's ``n`` — seed with the
+    same bucket count you will fold with (the scale-probe seeds do)."""
+    existing = _bucket_markers(spark, target_dir)
+    if existing and existing != [n_buckets]:
+        raise ValueError(
+            f"bucketed target {target_dir} is declared with n_buckets "
+            f"{existing}, not {n_buckets}; re-bucketing requires a rebuild"
+        )
+    if not existing:
+        fs, marker = _hadoop_fs(
+            spark, target_dir.rstrip("/") + f"/_N_BUCKETS_{n_buckets}"
+        )
+        fs.createNewFile(marker)
+
+
+def _labels_layout_of(spark, labels_dir: str) -> str | None:
+    """Detect an existing labels target's layout — ``"gen"`` (manifest
+    or ``gen=*`` generations), ``"bucketed"`` (``lbucket=*``
+    partitions), or None for an absent/empty target.  An existing
+    target's layout always wins over the job parameter (review r10 —
+    the index layouts' rule): trusting the parameter would let a
+    restart without ``labels_layout="bucketed"`` run the gen path over
+    a bucketed target, see no generations, and silently rebuild the
+    labeling from one batch's pairs (and mix both layouts in one
+    directory)."""
+    fs, base = _hadoop_fs(spark, labels_dir.rstrip("/"))
+    if not fs.exists(base):
+        return None
+    for pat, layout in (
+        ("/_latest.json", "gen"),
+        ("/gen=*", "gen"),
+        ("/lbucket=*", "bucketed"),
+    ):
+        _, p = _hadoop_fs(spark, labels_dir.rstrip("/") + pat)
+        st = fs.globStatus(p)
+        if st is not None and len(st) > 0:
+            return layout
+    return None
+
+
 def read_upsert_target(spark, target_dir: str) -> DataFrame:
     """Logical view of a :func:`foreach_batch_upsert` target (the
     ``_bucket`` partition key is layout, not data)."""
@@ -447,6 +497,12 @@ def streaming_minhash_dedup(
         use_banded = (
             banded if raw_index is None else "pbucket" in raw_index.columns
         )
+        bands = None
+        if use_banded:
+            _pin_bucket_count(spark, index_dir, n_buckets)
+            # banded once, shared by the pbucket collect and the index
+            # append (review r10: the band expansion ran twice per batch)
+            bands = dd.minhash_band_rows(delta, n_buckets).persist()
         index = index_bands = None
         if raw_index is not None:
             # Exclude THIS batch's partition: on checkpoint replay (crash
@@ -461,10 +517,7 @@ def streaming_minhash_dedup(
                 # pbuckets (<= n_buckets values; the O(1)-rows contract)
                 pbks = [
                     r[0]
-                    for r in dd.minhash_band_rows(delta, n_buckets)
-                    .select("pbucket")
-                    .distinct()
-                    .collect()
+                    for r in bands.select("pbucket").distinct().collect()
                 ]
                 index_bands = hist.filter(F.col("pbucket").isin(pbks)).select(
                     "id", "sig", "band", "bucket"
@@ -495,20 +548,22 @@ def streaming_minhash_dedup(
             # holds (up to tasks x n_buckets files per batch); after it,
             # each pbucket lands in exactly one task — <= n_buckets
             # files.  O(delta) exchange, never the index.
-            dd.minhash_band_rows(delta, n_buckets).repartition(
+            bands.repartition("pbucket").write.mode("overwrite").partitionBy(
                 "pbucket"
-            ).write.mode("overwrite").partitionBy("pbucket").parquet(
-                os.path.join(index_dir, f"batch_id={batch_id}")
-            )
+            ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
         else:
             delta.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"batch_id={batch_id}")
             )
-        if labels_dir is not None and labels_layout == "bucketed":
+        if labels_dir is not None and (
+            _labels_layout_of(spark, labels_dir) or labels_layout
+        ) == "bucketed":
             _fold_labels_bucketed(
                 spark, labels_dir, pairs, batch_id, n_label_buckets
             )
             pairs.unpersist()
+            if bands is not None:
+                bands.unpersist()
             delta.unpersist()
             return
         if labels_dir is not None:
@@ -559,6 +614,8 @@ def streaming_minhash_dedup(
                         os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
                     )
             pairs.unpersist()
+        if bands is not None:
+            bands.unpersist()
         delta.unpersist()
 
     writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
@@ -654,6 +711,8 @@ def streaming_winnow_dedup(
         use_bucketed = (
             bucketed if raw_index is None else "bucket" in raw_index.columns
         )
+        if use_bucketed:
+            _pin_bucket_count(spark, index_dir, n_buckets)
 
         def delta_buckets() -> list[int]:
             # the delta's touched buckets (<= n_buckets values; the
@@ -688,6 +747,8 @@ def streaming_winnow_dedup(
             df_bucketed = (
                 use_bucketed if raw_df is None else "bucket" in raw_df.columns
             )
+            if df_bucketed:
+                _pin_bucket_count(spark, df_dir, n_buckets)
             if raw_df is not None:
                 index_df = raw_df.filter(F.col("batch_id") != batch_id)
                 if "bucket" in raw_df.columns:
@@ -1042,7 +1103,12 @@ def _fold_labels_bucketed(
 
     from firmable_company_data_pipeline_spark.operators import dedup as dd
 
+    _pin_bucket_count(spark, labels_dir, n_buckets)
     prev = _read_parquet_or_none(spark, labels_dir)
+    # the marker itself is a driver-local json (open/os.replace) — the
+    # same protocol surface as the gen layout's _latest.json manifest;
+    # a non-posix labels_dir (HDFS/S3) needs both protocols ported to
+    # the Hadoop FS API (documented limitation, shared across layouts)
     marker_p = os.path.join(labels_dir, _LABELS_FOLD_MARKER)
     marker = None
     if os.path.exists(marker_p):
@@ -1181,10 +1247,10 @@ def read_dedup_labels(spark, labels_dir: str) -> DataFrame:
         with open(path) as fh:
             gen = _json.load(fh)["gen"]
     except FileNotFoundError:
-        if any(
-            d.startswith("lbucket=")
-            for d in (os.listdir(labels_dir) if os.path.isdir(labels_dir) else [])
-        ):
+        # bucketed-layout detection through Spark's own filesystem (the
+        # _batch_partition_ids rule — a driver-local listdir would read
+        # an HDFS/S3 target as absent)
+        if _labels_layout_of(spark, labels_dir) == "bucketed":
             return spark.read.parquet(labels_dir).drop("lbucket")
         raise FileNotFoundError(f"no label manifest under {labels_dir}") from None
     return spark.read.parquet(os.path.join(labels_dir, f"gen={gen}"))

@@ -482,3 +482,30 @@ def test_dsir_resample_by_source_budget_and_weights(spark):
         for r in by_src["crawlA"]:
             hits["tgt" if r["doc_id"] < 200 else "off"] += 1
     assert hits["tgt"] > hits["off"], hits
+
+
+def test_dsir_resample_temperature_contract(spark):
+    """temperature → 0 must DEGENERATE TO DETERMINISTIC top-k by
+    importance weight (inclusion ∝ exp(w/T) — review r10: the previous
+    w + g/T form implemented the inverse), identically across seeds."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "wiki") for i in range(20)]
+    for i in range(10):
+        rows.append((100 + i, "alpha beta gamma delta epsilon zeta", "pool"))
+        rows.append((200 + i, "xray yankee zulu quebec romeo sierra", "pool"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tgt = F.col("source") == "wiki"
+    top_by_weight = {
+        r["doc_id"]
+        for r in cu.dsir_importance(docs, tgt)
+        .orderBy(F.desc("avg_logratio"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    }
+    for seed in (1, 2, 3):
+        picked = {
+            r["doc_id"]
+            for r in cu.dsir_resample(
+                docs, tgt, k=10, seed=seed, temperature=1e-4
+            ).collect()
+        }
+        assert picked == top_by_weight, seed

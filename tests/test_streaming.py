@@ -547,6 +547,13 @@ def test_bucketed_index_folds_prune_partitions(spark, sf_dir, tmp_path):
         n_files = len(_glob.glob(f"{bdir}/bucket=*/*.parquet"))
         n_bucket_dirs = len(_glob.glob(f"{bdir}/bucket=*"))
         assert n_files <= n_bucket_dirs
+    # the bucket count is pinned: a restart with a different n_buckets
+    # would prune against the old modulus — it must fail loudly
+    import pytest as _pytest
+
+    jobs._pin_bucket_count(spark, w_index, 64)  # matching count: fine
+    with _pytest.raises(ValueError, match="n_buckets"):
+        jobs._pin_bucket_count(spark, w_index, 32)
 
     # --- minhash: pbucket = hash(band, bucket) % 64 -------------------
     m_index = str(tmp_path / "m_index")
@@ -597,17 +604,21 @@ def test_streaming_minhash_bucketed_labels_match_batch(spark, sf_dir, tmp_path):
     labels_dir = str(tmp_path / "blabels")
     ckpt = str(tmp_path / "ckpt")
 
-    def run_stream():
+    def run_stream(declare_layout):
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        # the SECOND run deliberately omits labels_layout: the existing
+        # target's layout must win over the "gen" default (review r10 —
+        # a restart without the kwarg would otherwise rebuild the
+        # labeling from one batch's pairs and mix layouts)
+        kw = {"labels_layout": "bucketed"} if declare_layout else {}
         q = jobs.streaming_minhash_dedup(
             stream, str(tmp_path / "bidx"), str(tmp_path / "bpairs"),
             checkpoint=ckpt, threshold=0.0,
-            labels_dir=labels_dir, labels_layout="bucketed",
-            n_label_buckets=64,
+            labels_dir=labels_dir, n_label_buckets=64, **kw,
         )
         _drain(q)
 
@@ -623,7 +634,8 @@ def test_streaming_minhash_bucketed_labels_match_batch(spark, sf_dir, tmp_path):
     import os
 
     docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(src)
-    run_stream()
+    run_stream(declare_layout=True)
+    assert jobs._labels_layout_of(spark, labels_dir) == "bucketed"
     first = _rows(
         jobs.read_dedup_labels(spark, labels_dir), ["doc_id", "cluster_id"]
     )
@@ -637,7 +649,7 @@ def test_streaming_minhash_bucketed_labels_match_batch(spark, sf_dir, tmp_path):
     before = bucket_files()
 
     docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode("append").parquet(src)
-    run_stream()
+    run_stream(declare_layout=False)
     got = _rows(jobs.read_dedup_labels(spark, labels_dir), ["doc_id", "cluster_id"])
     want = _rows(
         dd.connected_components(dd.minhash_lsh_pairs(docs, threshold=0.0)),
