@@ -1040,7 +1040,10 @@ def nb_quality_score(
     """Score documents against a frozen quality-classifier table from
     :func:`nb_quality_weights` (or the import-gated
     :func:`lr_quality_weights` — same ``(bucket, w)`` + ``bucket = -1``
-    intercept contract, so one scorer serves both estimators).
+    intercept contract, so one scorer serves both estimators).  A table
+    WITHOUT a ``bucket = -1`` row (e.g. a raw :func:`dsir_weight_table`)
+    scores with prior 0 — even prior odds (advice r10; previously this
+    case silently returned an empty frame).
 
     Output per document with ≥ 1 hashed bigram: (doc_id, n_grams,
     log_odds, prob_good, is_good) where ``log_odds = prior +
@@ -1057,8 +1060,16 @@ def nb_quality_score(
     broadcast crossJoin of the 1-row prior — scoring is two exchanges
     at any corpus size, with no dependence on the training corpus.
     """
-    prior = weights.filter(F.col("bucket") == -1).select(
-        F.col("w").alias("prior_w")
+    # The prior is folded through an aggregate so the broadcast side is
+    # ALWAYS exactly one row (advice r10): a bare filter+crossJoin
+    # silently emptied the whole result when the table lacked the
+    # ``bucket = -1`` row — e.g. a raw :func:`dsir_weight_table` passed
+    # directly, which is a legitimate call (score against the DSIR
+    # log-ratio features with no class prior): it now scores with
+    # prior 0, i.e. even prior odds.  max() over the ≤1 matching row is
+    # the row's value; over zero rows it is NULL → coalesce to 0.0.
+    prior = weights.filter(F.col("bucket") == -1).agg(
+        F.coalesce(F.max("w"), F.lit(0.0)).alias("prior_w")
     )
     feats = weights.filter(F.col("bucket") >= 0)
     tf = _dsir_tf(docs, text_col, id_col, n_buckets)
@@ -1137,8 +1148,13 @@ def lr_quality_weights(
             array_to_vector(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                    # try_element_at, not element_at: under ANSI mode
+                    # (the Spark 4 default) element_at on a map RAISES
+                    # MAP_KEY_DOES_NOT_EXIST for the common missing-
+                    # bucket case instead of returning NULL, so the
+                    # coalesce would never run (advice r10)
                     lambda b: F.coalesce(
-                        F.element_at("m", b.cast("long")), F.lit(0)
+                        F.try_element_at("m", b.cast("long")), F.lit(0)
                     ).cast("double"),
                 )
             ).alias("features"),

@@ -542,18 +542,24 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_SELECT_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+# ONE weight-table + importance-score mirror shared by dsir_select,
+# dsir_resample and dsir_resample_by_source (advice r10: the by-source
+# oracle re-inlined the full chain, so the r10 temperature fix had to
+# land in two places), parameterized on the carried grouping columns —
+# the SQL twin of dsir_importance's carry_cols seam.
+def _dsir_sel_ctes(carry_cols: tuple[str, ...] = ()) -> str:
+    carry = "".join(f", {c}" for c in carry_cols)
+    return f"""tok AS (
+  SELECT doc_id{carry}, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
          {_TOKENS} AS t
   FROM documents
 ),
 grams AS (
-  SELECT doc_id, tgt, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
+  SELECT doc_id{carry}, tgt, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
   FROM tok, unnest(range(len(t) - 1)) AS u(i)
   WHERE len(t) >= 2
 ),
-tf AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+tf AS (SELECT doc_id{carry}, tgt, bucket, count(*) AS c FROM grams GROUP BY ALL),
 dist AS (
   SELECT bucket,
          sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
@@ -565,13 +571,36 @@ w AS (
   SELECT bucket,
          ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
   FROM dist, tot
-)
-SELECT tf.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-       round(sum(c * w), 4) AS logratio_sum,
-       round(sum(c * w) / sum(c), 6) AS avg_logratio
-FROM tf JOIN w USING (bucket)
-WHERE NOT tgt
-GROUP BY 1
+),
+sel AS (
+  SELECT tf.doc_id{carry}, CAST(sum(c) AS BIGINT) AS n_grams,
+         round(sum(c * w.w), 4) AS logratio_sum,
+         round(sum(c * w.w) / sum(c), 6) AS avg_logratio
+  FROM tf JOIN w USING (bucket)
+  WHERE NOT tgt
+  GROUP BY ALL
+)"""
+
+
+# The seeded Gumbel perturbation on sel's scores — shared by both
+# resample oracles (same advice-r10 dedup; T=1, seed=7, the registered
+# defaults).
+def _dsir_gumbel_per(carry_cols: tuple[str, ...] = ()) -> str:
+    carry = "".join(f", {c}" for c in carry_cols)
+    return f"""per AS (
+  SELECT doc_id{carry}, avg_logratio,
+         {_fold("'7:' || doc_id::VARCHAR")} AS h,
+         round(avg_logratio / 1.0
+               + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
+                           + 0.5) / 1000000.0))),
+               6) AS gumbel_score
+  FROM sel
+)"""
+
+
+DSIR_SELECT_SQL = f"""
+WITH {_dsir_sel_ctes()}
+SELECT doc_id, n_grams, logratio_sum, avg_logratio FROM sel
 """
 
 
@@ -596,16 +625,8 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DSIR_RESAMPLE_SQL = f"""
-WITH sel AS ({DSIR_SELECT_SQL}),
-per AS (
-  SELECT doc_id, avg_logratio,
-         {_fold("'7:' || doc_id::VARCHAR")} AS h,
-         round(avg_logratio / 1.0
-               + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
-                           + 0.5) / 1000000.0))),
-               6) AS gumbel_score
-  FROM sel
-),
+WITH {_dsir_sel_ctes()},
+{_dsir_gumbel_per()},
 rnk AS (
   SELECT doc_id, avg_logratio, gumbel_score,
          row_number() OVER (ORDER BY gumbel_score DESC, doc_id ASC)
@@ -746,49 +767,8 @@ def dsir_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DSIR_RESAMPLE_BY_SOURCE_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, source, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
-         {_TOKENS} AS t
-  FROM documents
-),
-grams AS (
-  SELECT doc_id, source, tgt,
-         {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
-  FROM tok, unnest(range(len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2
-),
-tf AS (
-  SELECT doc_id, source, tgt, bucket, count(*) AS c FROM grams
-  GROUP BY 1, 2, 3, 4
-),
-dist AS (
-  SELECT bucket,
-         sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
-         sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cs
-  FROM tf GROUP BY 1
-),
-tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
-w AS (
-  SELECT bucket,
-         ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
-  FROM dist, tot
-),
-sel AS (
-  SELECT tf.doc_id, tf.source,
-         round(sum(c * w.w) / sum(c), 6) AS avg_logratio
-  FROM tf JOIN w USING (bucket)
-  WHERE NOT tgt
-  GROUP BY 1, 2
-),
-per AS (
-  SELECT doc_id, source, avg_logratio,
-         {_fold("'7:' || doc_id::VARCHAR")} AS h,
-         round(avg_logratio / 1.0
-               + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
-                           + 0.5) / 1000000.0))),
-               6) AS gumbel_score
-  FROM sel
-),
+WITH {_dsir_sel_ctes(("source",))},
+{_dsir_gumbel_per(("source",))},
 rnk AS (
   SELECT doc_id, source, avg_logratio, gumbel_score,
          row_number() OVER (PARTITION BY source

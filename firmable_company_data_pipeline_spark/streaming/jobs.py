@@ -339,9 +339,13 @@ def _pin_bucket_count(spark, target_dir: str, n_buckets: int) -> None:
     laid out under the old modulus and silently drop index rows
     (missed pairs, undercounted df caps) or strand stale label rows.
     The first fold declares the count; every later fold fails loudly on
-    a mismatch.  A directory seeded EXTERNALLY in a bucketed layout is
-    declared at its first fold with the fold's ``n`` — seed with the
-    same bucket count you will fold with (the scale-probe seeds do)."""
+    a mismatch.  A NON-EMPTY target without a marker is refused
+    (advice r10 — the same guard ``foreach_batch_upsert`` already has):
+    silently adopting the fold's ``n`` for a directory seeded under a
+    DIFFERENT modulus would partition-prune against the wrong bucket
+    assignment and drop index rows (missed pairs, undercounted df
+    caps).  External seeders declare their layout via
+    :func:`declare_upsert_layout` (the scale-probe seeds do)."""
     existing = _bucket_markers(spark, target_dir)
     if existing and existing != [n_buckets]:
         raise ValueError(
@@ -349,6 +353,12 @@ def _pin_bucket_count(spark, target_dir: str, n_buckets: int) -> None:
             f"{existing}, not {n_buckets}; re-bucketing requires a rebuild"
         )
     if not existing:
+        if _read_parquet_or_none(spark, target_dir) is not None:
+            raise ValueError(
+                f"bucketed target {target_dir} carries no _N_BUCKETS_* "
+                "layout marker: it was seeded externally without "
+                "declare_upsert_layout()"
+            )
         fs, marker = _hadoop_fs(
             spark, target_dir.rstrip("/") + f"/_N_BUCKETS_{n_buckets}"
         )
@@ -1103,12 +1113,21 @@ def _fold_labels_bucketed(
 
     from firmable_company_data_pipeline_spark.operators import dedup as dd
 
+    # the crash marker is driver-local json (open/os.replace) — the
+    # same protocol surface as the gen layout's _latest.json manifest.
+    # On a non-posix labels_dir (HDFS/S3) the fold would RUN but the
+    # marker protocol would be inert: a crash mid-overwrite would never
+    # be detected or repaired (advice r10) — refuse rather than run a
+    # repair protocol that cannot fire; porting means moving both
+    # manifest protocols to the Hadoop FS API.
+    if "://" in labels_dir and not labels_dir.startswith("file:"):
+        raise NotImplementedError(
+            f"bucketed labels fold needs a driver-local labels_dir for "
+            f"its crash-repair marker; got {labels_dir} — use the gen "
+            "layout ported to your FS, or a local staging dir"
+        )
     _pin_bucket_count(spark, labels_dir, n_buckets)
     prev = _read_parquet_or_none(spark, labels_dir)
-    # the marker itself is a driver-local json (open/os.replace) — the
-    # same protocol surface as the gen layout's _latest.json manifest;
-    # a non-posix labels_dir (HDFS/S3) needs both protocols ported to
-    # the Hadoop FS API (documented limitation, shared across layouts)
     marker_p = os.path.join(labels_dir, _LABELS_FOLD_MARKER)
     marker = None
     if os.path.exists(marker_p):

@@ -365,6 +365,9 @@ def probe_minhash_fold(spark, work: str, docs_path: str, tag: str) -> float:
     dd.minhash_band_rows(dd.minhash_signatures(hist)).write.partitionBy(
         "pbucket"
     ).parquet(os.path.join(index_dir, "batch_id=9999"))
+    # external seed => declare the layout (the fold refuses unmarked
+    # non-empty targets since round 11 — advice r10)
+    jobs.declare_upsert_layout(spark, index_dir, 64)
     # the delta is IDENTICAL at both history sizes (500 sf0.1 docs,
     # ids shifted clear of any replica) so only the index size varies
     spark.read.parquet(os.path.join(SRC, "documents.parquet")).filter(
@@ -419,6 +422,10 @@ def probe_winnow_fold(spark, work: str, docs_path: str, tag: str) -> float:
     ).withColumn("bucket", F.pmod(F.col("fp"), F.lit(64))).write.partitionBy(
         "bucket"
     ).parquet(os.path.join(df_dir, "batch_id=9999"))
+    # external seeds => declare the layouts (the fold refuses unmarked
+    # non-empty targets since round 11 — advice r10)
+    jobs.declare_upsert_layout(spark, index_dir, 64)
+    jobs.declare_upsert_layout(spark, df_dir, 64)
     # the delta is IDENTICAL at both history sizes (500 sf0.1 docs,
     # ids shifted clear of any replica) so only the index size varies
     spark.read.parquet(os.path.join(SRC, "documents.parquet")).filter(

@@ -509,3 +509,27 @@ def test_dsir_resample_temperature_contract(spark):
             ).collect()
         }
         assert picked == top_by_weight, seed
+
+
+def test_nb_score_raw_weight_table_scores_with_zero_prior(spark):
+    """Advice r10: a weight table WITHOUT the bucket = -1 prior row (a
+    raw dsir_weight_table passed straight to the scorer — a legitimate
+    call) must score with prior 0 / even prior odds, not silently
+    return an empty frame (the old filter+crossJoin collapse)."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", True), (2, "omega psi chi phi", False)],
+        "doc_id long, text string, good boolean",
+    )
+    raw = cu.dsir_weight_table(train, F.col("good"), n_buckets=64)
+    probe = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = cu.nb_quality_score(probe, raw, n_buckets=64).collect()
+    assert len(out) == 1  # never empty
+    # explicit zero-prior row gives the identical score: prior defaulted to 0
+    zero = raw.unionByName(
+        spark.createDataFrame([(-1, 0.0)], "bucket long, w double")
+    )
+    out0 = cu.nb_quality_score(probe, zero, n_buckets=64).collect()
+    assert out[0]["log_odds"] == out0[0]["log_odds"]
+    assert out[0]["prob_good"] == out0[0]["prob_good"]

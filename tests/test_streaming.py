@@ -1702,3 +1702,40 @@ def test_upsert_layout_declarations_cannot_conflict(spark, tmp_path):
     with pytest.raises(Exception, match="n_buckets|STREAM_FAILED|FOREACH_BATCH"):
         _drain(q)
     assert jobs._bucket_markers(spark, target) == [32]
+
+
+def test_pin_bucket_count_refuses_undeclared_seed(spark, tmp_path):
+    """Advice r10: an externally seeded, UNMARKED bucketed directory must
+    be refused — adopting the fold's n_buckets for a seed written under
+    a different modulus would partition-prune against the wrong bucket
+    assignment and silently drop index rows.  declare_upsert_layout is
+    the seeder's contract, after which pinning at the declared count is
+    fine and a different count still fails."""
+    from pyspark.sql import functions as F
+
+    seeded = str(tmp_path / "seeded_idx")
+    spark.range(20).select(
+        F.col("id").alias("fp"), F.pmod(F.col("id"), F.lit(16)).alias("bucket")
+    ).write.partitionBy("bucket").parquet(seeded + "/batch_id=9999")
+    with pytest.raises(ValueError, match="seeded externally"):
+        jobs._pin_bucket_count(spark, seeded, 16)
+    jobs.declare_upsert_layout(spark, seeded, 16)
+    jobs._pin_bucket_count(spark, seeded, 16)  # declared: fine
+    with pytest.raises(ValueError, match="n_buckets"):
+        jobs._pin_bucket_count(spark, seeded, 32)
+    # an EMPTY (absent) target still self-declares on first pin
+    fresh = str(tmp_path / "fresh_idx")
+    jobs._pin_bucket_count(spark, fresh, 16)
+    assert jobs._bucket_markers(spark, fresh) == [16]
+
+
+def test_bucketed_labels_fold_refuses_nonlocal_dir(spark):
+    """Advice r10: the bucketed labels fold's crash-repair marker is
+    driver-local posix I/O — on an HDFS/S3 labels_dir the fold would run
+    but the repair protocol could never fire, so the fold must refuse
+    up front rather than silently lose crash safety."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        jobs._fold_labels_bucketed(
+            spark, "s3a://bucket/labels", pairs, 0, 8
+        )
