@@ -1166,3 +1166,191 @@ def lr_quality_weights(
     rows = [(b, float(w)) for b, w in enumerate(model.coefficients)]
     rows.append((-1, float(model.intercept)))
     return df.sparkSession.createDataFrame(rows, "bucket long, w double")
+
+
+# Stupid-Backoff discount (Brants et al. 2007, "Large Language Models in
+# Machine Translation" §3: alpha = 0.4 "works well" at web scale and
+# needs no normalization) and the add-k floor applied at the UNIGRAM
+# level only, so an OOV token scores a finite smoothed probability
+# instead of ln(0) (a documented deviation from pure SB, which leaves
+# OOV at score 0; k matches BIGRAM_ADD_K).
+SB_ALPHA = 0.4
+SB_UNIGRAM_ADD_K = 0.5
+
+
+def trigram_lm_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the frozen half of the Stupid-Backoff trigram LM (the
+    CCNet-style reference-free quality signal — Wenzek et al. 2020 bin
+    corpora by LM perplexity; Brants et al. 2007's Stupid Backoff is
+    the count-table form that trains in one aggregation pass): ONE
+    table holding all three n-gram orders plus the token total,
+
+        (order, gram, c)  with  order ∈ {1, 2, 3}
+        and the ``order = 0, gram = ''`` row carrying N = Σ unigram c
+
+    — the same ship-one-broadcastable-table contract as
+    :func:`dsir_weight_table` / :func:`nb_quality_weights`, so the
+    streaming scorer composes identically (frozen table read per
+    batch, map-side joins).
+
+    Scale shape: ONE corpus pass — unigrams, bigrams and trigrams are
+    assembled MAP-SIDE from the in-row token array (transform/zip_with
+    over slices, no window, no posexplode shuffle) into a single tagged
+    gram stream, then one hash-agg with map-side combine; the total is
+    a 1-row aggregate over the dictionary-sized result.  The table is
+    Zipf-bounded (vocab + bigram + trigram vocabularies), not
+    corpus-sized; production builds prune ``c < threshold`` rows before
+    publishing — scoring below treats absent rows as unseen, so pruning
+    only sharpens the backoff, never breaks it."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    empty = F.array().cast("array<struct<o:int,g:string>>")
+
+    def tag(order: int, g: Column) -> Column:
+        return F.struct(F.lit(order).alias("o"), g.alias("g"))
+
+    unis = F.transform(t, lambda x: tag(1, x))
+    bis = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: tag(2, F.concat_ws(" ", a, b)),
+        ),
+    ).otherwise(empty)
+    bc = F.zip_with(
+        F.slice(t, 2, n - 2),
+        F.slice(t, 3, n - 2),
+        lambda b, c: F.concat_ws(" ", b, c),
+    )
+    tris = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(t, 1, n - 2), bc, lambda a, x: tag(3, F.concat_ws(" ", a, x))
+        ),
+    ).otherwise(empty)
+    grams = (
+        spread(df)
+        .select(F.explode(F.concat(unis, bis, tris)).alias("gr"))
+        .select(F.col("gr.o").alias("order"), F.col("gr.g").alias("gram"))
+        .groupBy("order", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = grams.filter(F.col("order") == 1).agg(
+        F.lit(0).alias("order"), F.lit("").alias("gram"), F.sum("c").alias("c")
+    )
+    return grams.unionByName(total)
+
+
+def trigram_lm_score_docs(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = SB_ALPHA,
+    add_k: float = SB_UNIGRAM_ADD_K,
+) -> DataFrame:
+    """Score documents against a frozen :func:`trigram_lm_table` —
+    per-trigram Stupid-Backoff score
+
+        S(c | a b) = c3(abc)/c2(ab)                    if c3 > 0
+                   = α · c2(bc)/c1(b)                  elif c2(bc) > 0
+                   = α² · (c1(c) + k)/(N + k·V)        otherwise
+
+    (α = 0.4 per Brants et al. 2007; the final unigram level is
+    add-``k`` smoothed over the train vocabulary V so OOV tokens score
+    finitely — documented deviation from pure SB's score-0 OOV).
+    Output per document with ≥ 1 trigram: (doc_id, n_trigrams,
+    avg_logscore) with ``avg_logscore = Σ c·ln S / Σ c`` rounded to 6
+    (count-weighted over DISTINCT doc-trigrams — algebraically the
+    occurrence-level mean).  Fluent text re-uses seen trigrams and
+    scores high; shuffled text with the identical unigram multiset
+    falls through to the α²-discounted floor — exactly the signal
+    unigram surprisal cannot see (pinned by the planted fixture in
+    tests/test_curation_ops.py).
+
+    Scale shape (the frozen-table fold, shared with
+    :func:`dsir_score_docs`): one (doc, trigram) hash-agg over ``docs``
+    (trigrams assembled map-side), five broadcast joins against the
+    dictionary-sized model slices (order-3 / order-2 ×2 / order-1 ×2),
+    a broadcast 1-row totals crossJoin, one per-doc rollup — scoring is
+    two exchanges at any corpus size.  If the trigram slice outgrows
+    the broadcast threshold, drop the hint: the joins degrade to
+    shuffle hash joins on the gram key and the contract is unchanged."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    bc = F.zip_with(
+        F.slice(t, 2, n - 2),
+        F.slice(t, 3, n - 2),
+        lambda b, c: F.concat_ws(" ", b, c),
+    )
+    tris = F.when(
+        n >= 3,
+        F.zip_with(F.slice(t, 1, n - 2), bc, lambda a, x: F.concat_ws(" ", a, x)),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        spread(docs)
+        .select(F.col(id_col).alias("id"), F.explode(tris).alias("tg"))
+        .groupBy("id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    parts = F.split(F.col("tg"), " ")
+    keyed = tf.select(
+        "id",
+        "tg",
+        "c",
+        F.concat_ws(" ", parts[0], parts[1]).alias("w12"),
+        F.concat_ws(" ", parts[1], parts[2]).alias("w23"),
+        parts[1].alias("w2"),
+        parts[2].alias("w3"),
+    )
+    m3 = model.filter(F.col("order") == 3).select(
+        F.col("gram").alias("tg"), F.col("c").alias("c3")
+    )
+    m2a = model.filter(F.col("order") == 2).select(
+        F.col("gram").alias("w12"), F.col("c").alias("c2ab")
+    )
+    m2b = model.filter(F.col("order") == 2).select(
+        F.col("gram").alias("w23"), F.col("c").alias("c2bc")
+    )
+    m1b = model.filter(F.col("order") == 1).select(
+        F.col("gram").alias("w2"), F.col("c").alias("c1b")
+    )
+    m1c = model.filter(F.col("order") == 1).select(
+        F.col("gram").alias("w3"), F.col("c").alias("c1c")
+    )
+    totals = model.agg(
+        F.sum(F.when(F.col("order") == 0, F.col("c"))).alias("n_tok"),
+        F.sum((F.col("order") == 1).cast("long")).alias("v"),
+    )
+    scored = (
+        keyed.join(broadcast(m3), "tg", "left")
+        .join(broadcast(m2a), "w12", "left")
+        .join(broadcast(m2b), "w23", "left")
+        .join(broadcast(m1b), "w2", "left")
+        .join(broadcast(m1c), "w3", "left")
+        .join(broadcast(totals), how="cross")
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2ab"))
+        .when(
+            F.col("c2bc").isNotNull(), F.lit(alpha) * F.col("c2bc") / F.col("c1b")
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (F.coalesce(F.col("c1c"), F.lit(0)) + F.lit(add_k))
+            / (F.col("n_tok") + F.lit(add_k) * F.col("v"))
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.round(F.sum(F.col("c") * F.log(s)) / F.sum("c"), 6).alias(
+                "avg_logscore"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_trigrams", "avg_logscore")
+    )

@@ -910,6 +910,76 @@ FROM verdicts JOIN held USING (doc_id)
 )
 
 
+# --------------------------------------------------------------------------
+# trigram_lm_score — the CCNet-style reference-free LM quality signal
+# (verdict r10 #3): a Stupid-Backoff trigram LM (Brants et al. 2007)
+# trained in one aggregation pass on the 80% fold-hash train split,
+# scoring EVERY document's mean per-trigram log-score against the
+# frozen count table.  Completes the quality ladder: unigram surprisal
+# -> add-k bigram surprisal -> backoff trigram LM -> NB classifier.
+# Held-out docs hit unseen trigrams and fall through the 0.4-discount
+# backoff chain — the word-order signal the unigram/bigram scores and
+# the bag-of-bucket classifier cannot see (planted-fixture pinned in
+# tests/test_curation_ops.py: shuffled text with the IDENTICAL unigram
+# multiset scores far lower).
+def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    in_train = (
+        ts.char_fold_hash(
+            F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        < 80
+    )
+    model = cu.trigram_lm_table(docs.filter(in_train))
+    return cu.trigram_lm_score_docs(docs, model)
+
+
+TRIGRAM_LM_SCORE_SQL = f"""
+WITH train AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+  WHERE {_fold("'lm|' || doc_id::VARCHAR")} % 100 < 80
+),
+uni AS (SELECT u.g AS gram, count(*) AS c FROM train, unnest(t) AS u(g) GROUP BY 1),
+bi AS (
+  SELECT t[i+1] || ' ' || t[i+2] AS gram, count(*) AS c
+  FROM train, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2 GROUP BY 1
+),
+tri AS (
+  SELECT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram, count(*) AS c
+  FROM train, unnest(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3 GROUP BY 1
+),
+tot AS (SELECT (SELECT sum(c) FROM uni) AS n_tok, (SELECT count(*) FROM uni) AS v),
+stok AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+stri AS (
+  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3, count(*) AS c
+  FROM stok, unnest(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT s.doc_id, s.c,
+         CASE WHEN t3.c IS NOT NULL THEN t3.c::DOUBLE / b12.c
+              WHEN b23.c IS NOT NULL THEN 0.4 * b23.c::DOUBLE / u2.c
+              ELSE (0.4 * 0.4) * (coalesce(u3.c, 0) + 0.5)
+                   / (tot.n_tok + 0.5 * tot.v)
+         END AS sc
+  FROM stri s
+  LEFT JOIN tri t3 ON t3.gram = s.w1 || ' ' || s.w2 || ' ' || s.w3
+  LEFT JOIN bi b12 ON b12.gram = s.w1 || ' ' || s.w2
+  LEFT JOIN bi b23 ON b23.gram = s.w2 || ' ' || s.w3
+  LEFT JOIN uni u2 ON u2.gram = s.w2
+  LEFT JOIN uni u3 ON u3.gram = s.w3
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+       round(sum(c * ln(sc)) / sum(c), 6) AS avg_logscore
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -927,6 +997,7 @@ QUERIES = {
     "dsir_resample_by_source": dsir_resample_by_source,
     "quality_classifier_score": quality_classifier_score,
     "quality_classifier_eval": quality_classifier_eval,
+    "trigram_lm_score": trigram_lm_score,
 }
 
 ORACLES = {
@@ -946,4 +1017,5 @@ ORACLES = {
     "dsir_resample_by_source": DSIR_RESAMPLE_BY_SOURCE_SQL,
     "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
     "quality_classifier_eval": QUALITY_CLASSIFIER_EVAL_SQL,
+    "trigram_lm_score": TRIGRAM_LM_SCORE_SQL,
 }

@@ -1068,6 +1068,41 @@ def streaming_quality_score(
     return writer.start()
 
 
+def streaming_trigram_score(
+    docs: DataFrame,
+    model_dir: str,
+    scores_dir: str,
+    checkpoint: str | None = None,
+):
+    """Score a document stream against a FROZEN Stupid-Backoff trigram
+    LM — the word-order quality signal's continuous-ingest half,
+    sharing :func:`streaming_dsir_score`'s composition exactly: the
+    one-table (order, gram, c) model is trained once
+    (``operators/curation.trigram_lm_table`` written to ``model_dir``,
+    dictionary-sized) and every micro-batch is scored map-side against
+    its broadcast slices by ``trigram_lm_score_docs``.  Writes
+    (doc_id, n_trigrams, avg_logscore) to ``scores_dir/batch_id=N``
+    (batch-keyed overwrite, idempotent on replay).  Scores are
+    per-document-independent, so the union over ANY batch split equals
+    the batch scorer (pinned in ``tests/test_streaming.py``); no
+    history axis — per-batch cost is O(batch) by construction.
+    Retrain and republish when the corpus drifts
+    (``corpus_drift_psi`` is the trigger metric)."""
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        model = spark.read.parquet(model_dir)
+        cu.trigram_lm_score_docs(batch_df, model).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scores_dir, f"batch_id={batch_id}"))
+
+    writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 _LABELS_FOLD_MARKER = "_fold_marker.json"
 
 

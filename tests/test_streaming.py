@@ -1739,3 +1739,42 @@ def test_bucketed_labels_fold_refuses_nonlocal_dir(spark):
         jobs._fold_labels_bucketed(
             spark, "s3a://bucket/labels", pairs, 0, 8
         )
+
+
+def test_streaming_trigram_score_matches_batch(spark, sf_dir, tmp_path):
+    """Scoring two micro-batches against a frozen Stupid-Backoff
+    trigram table must reproduce the batch scorer exactly (per-
+    document-independent scores) — the LM twin of the DSIR/quality
+    streaming parity tests."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    model_dir = str(tmp_path / "lm_model")
+    cu.trigram_lm_table(docs.filter(F.col("doc_id") % 3 != 0)).write.parquet(
+        model_dir
+    )
+
+    pool = docs.select("doc_id", "text")
+    src = str(tmp_path / "lm_src")
+    pool.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    pool.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    scores_dir = str(tmp_path / "lm_scores")
+    q = jobs.streaming_trigram_score(
+        stream, model_dir, scores_dir, checkpoint=str(tmp_path / "ckpt")
+    )
+    _drain(q)
+
+    cols = ["doc_id", "n_trigrams", "avg_logscore"]
+    streamed = _rows(spark.read.parquet(scores_dir), cols)
+    batch = _rows(
+        cu.trigram_lm_score_docs(pool, spark.read.parquet(model_dir)), cols
+    )
+    assert streamed == batch and streamed
