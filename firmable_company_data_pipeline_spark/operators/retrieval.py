@@ -502,3 +502,92 @@ def bpe_token_stats(
         .filter(F.col("rank") <= top_n)
         .select("subword", "n", "rank")
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """LEARN a BPE merge table from the corpus (Sennrich et al. 2016
+    Algorithm 1) — the iterative loop :func:`bpe_pair_counts` scores one
+    step of and :func:`bpe_apply` consumes the result of: at each step,
+    count corpus-weighted adjacent symbol pairs, take the most frequent
+    (ties by symbol strings ascending — both engines compare binary
+    ASCII), merge it everywhere, repeat.  Output, one row per learned
+    merge: (step, lhs, rhs, n_occurrences) with ``step`` = 1-based merge
+    rank — exactly the ranked merge list ``bpe_apply(words,
+    tuple((r.lhs, r.rhs) ...))`` consumes.
+
+    Shape (the bounded driver-side loop convention shared with
+    pagerank/connected-components): the ONE corpus-sized pass is the
+    word-frequency hash-agg; every iteration after that runs on the
+    VOCABULARY table (Zipf-bounded, independent of corpus size) —
+    symbol splitting and pair assembly are map-side array ops on the
+    delimited spelling (the ``bpe_apply`` device), pair counting is one
+    dictionary-scale hash-agg, the arg-max is a 1-ROW driver collect
+    (the bounded-read contract), and the merge applies as one
+    boundary-safe double ``replace`` projection.  The vocab frame is
+    re-persisted per step and localCheckpointed so the replace-chain
+    lineage stays O(1) per step, not O(step).  Merging semantics match
+    ``bpe_apply`` exactly, including its documented self-pair deviation
+    (runs >= 3 of a self-pair group leftmost-nonoverlapping).
+
+    Stops early when fewer than ``n_merges`` distinct pairs exist."""
+    spark = docs.sparkSession
+    words = (
+        spread(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "wc",
+            F.concat(
+                F.lit(_BPE_SEP),
+                F.regexp_replace("tok", "(.)", "$1" + _BPE_SEP),
+            ).alias("spelled"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for step in range(1, n_merges + 1):
+        syms = F.filter(
+            F.split(F.col("spelled"), "\\" + _BPE_SEP), lambda t: t != ""
+        )
+        n = F.size(syms)
+        pairs = (
+            cur.select("wc", syms.alias("s"), n.alias("n"))
+            .filter(F.col("n") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        F.slice("s", 1, F.col("n") - 1),
+                        F.slice("s", 2, F.col("n") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("wc").alias("n_occurrences"))
+        )
+        best = pairs.orderBy(
+            F.desc("n_occurrences"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1).collect()
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["n_occurrences"]
+        merges.append((step, lhs, rhs, int(cnt)))
+        pat = F.lit(_BPE_SEP + lhs + _BPE_SEP + rhs + _BPE_SEP)
+        rep = F.lit(_BPE_SEP + lhs + rhs + _BPE_SEP)
+        nxt = cur.select(
+            "wc",
+            F.replace(F.replace("spelled", pat, rep), pat, rep).alias("spelled"),
+        ).localCheckpoint(eager=True)
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, n_occurrences long"
+    )

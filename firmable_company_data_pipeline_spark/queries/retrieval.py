@@ -356,8 +356,71 @@ FROM cnt GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# bpe_train — LEARN a BPE merge table from the corpus (verdict r10 #4:
+# the iterative loop that closes the tokenizer lifecycle — before this,
+# bpe_pair_counts scored one step and bpe_apply consumed a GIVEN list;
+# now a user can produce the list).  Fixed small merge count so every
+# step is SQL-expressible: the oracle programmatically nests one
+# (pair-count -> argmax -> boundary-safe double-replace) CTE layer per
+# step, the exact shape the Spark loop executes (vocabulary-sized after
+# the one corpus word-count pass; argmax is a 1-row bounded driver
+# read, the pagerank/CC loop convention).
+_BPE_TRAIN_STEPS = 8
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return rt.bpe_train(docs, n_merges=_BPE_TRAIN_STEPS)
+
+
+def _bpe_train_sql(n_steps: int) -> str:
+    spell = r"'|' || regexp_replace(w, '(.)', '\1|', 'g')"
+    ctes = [
+        f"""w0 AS (
+  SELECT count(*) AS wc, {spell} AS spelled
+  FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for k in range(1, n_steps + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT s[i+1] AS lhs, s[i+2] AS rhs, sum(wc) AS n
+  FROM (SELECT wc, list_filter(string_split(spelled, '|'), x -> x != '') AS s
+        FROM w{k - 1}) t,
+       unnest(range(len(s) - 1)) AS u(i)
+  WHERE len(s) >= 2
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT {k} AS step, lhs, rhs, n FROM p{k}
+         ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+w{k} AS (
+  SELECT wc,
+         replace(replace(spelled, '|' || lhs || '|' || rhs || '|',
+                         '|' || lhs || rhs || '|'),
+                 '|' || lhs || '|' || rhs || '|',
+                 '|' || lhs || rhs || '|') AS spelled
+  FROM w{k - 1} CROSS JOIN b{k}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, lhs, rhs, n FROM b{k}" for k in range(1, n_steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT step, lhs, rhs, CAST(n AS BIGINT) AS n_occurrences"
+        f"\nFROM ({union})"
+    )
+
+
+BPE_TRAIN_SQL = _bpe_train_sql(_BPE_TRAIN_STEPS)
+
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
+    "bpe_train": bpe_train,
     "bm25_search": bm25_search,
     "hybrid_search_rrf": hybrid_search_rrf,
     "bpe_tokenize_stats": bpe_tokenize_stats,
@@ -370,6 +433,7 @@ QUERIES = {
 
 ORACLES = {
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
+    "bpe_train": BPE_TRAIN_SQL,
     "bm25_search": BM25_SEARCH_SQL,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_SQL,
     "bpe_tokenize_stats": BPE_TOKENIZE_STATS_SQL,
