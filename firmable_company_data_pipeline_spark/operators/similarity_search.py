@@ -437,3 +437,188 @@ def norm_histogram(
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .select("bin", F.round(F.col("bin") * bin_width, 2).alias("lo"), "n_vecs")
     )
+
+
+# Product-quantization geometry (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): split the D-dim space
+# into PQ_M subspaces of D/PQ_M dims, learn PQ_KS centroids per
+# subspace, store each vector as PQ_M small codes — PQ_M bytes per
+# vector at PQ_KS <= 256, the memory shape that keeps a 100-TB-scale
+# index resident (64-dim float32 = 256 B/vector; m=8, ks=8 codes =
+# 8 B/vector, a 32x reduction).
+PQ_M = 8
+PQ_KS = 8
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """Per-subspace PQ codebooks from the deterministic-centroid seam:
+    centroid ``cell`` of subspace ``sub`` is the sub-slice of the
+    ``cell``-th lowest-id corpus vector — bit-for-bit reproducible by
+    the DuckDB oracle, exactly :func:`default_centroids`' contract
+    (swap in per-subspace :func:`kmeans_centroids` sub-slices where
+    recall matters; the scorer only reads (sub, cell, centv)).  Output:
+    (sub, cell, centv) with ``m × ks`` rows — broadcast-sized at any
+    corpus scale.  The dim must divide evenly into ``m`` subspaces
+    (raise otherwise: a ragged tail would silently mis-slice)."""
+    d = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()["n"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
+    sub_d = d // m
+    base = (
+        corpus.select(
+            F.col(id_col).alias("cid"), to_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy("cid")
+        .limit(ks)
+    )
+    # ordinal cell ids via a window over <= ks rows (tiny by contract)
+    cells = base.withColumn(
+        "cell", F.row_number().over(Window.orderBy("cid")) - 1
+    )
+    return cells.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "cell",
+        "v",
+    ).select(
+        "sub",
+        "cell",
+        F.slice("v", F.col("sub") * sub_d + 1, sub_d).alias("centv"),
+    )
+
+
+def _pq_cb_array(codebooks: DataFrame):
+    """Fold the m × ks codebook into ONE broadcast array-of-structs row
+    sorted by (sub, cell) so ``element_at(cb, sub*ks + cell + 1)`` is a
+    direct index — the in-expression lookup-table device shared with
+    :func:`nearest_cells`."""
+    return broadcast(
+        codebooks.agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "cell", "centv"))
+            ).alias("cb")
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """Encode every vector as its PQ code word — (vec_id, codes
+    array<int> of length m) with ``codes[j] = argmin_c L2²(v_subj,
+    centv(j, c))``, ties to the lowest cell (array_sort on (dist,
+    cell) structs; the distance fold is the sequential left fold both
+    engines reproduce bit-for-bit).  MAP-ONLY against the broadcast
+    codebook row: encoding 100 TB is a scan — no shuffle, no window,
+    the index append is one write of m-byte codes per vector."""
+    sub_d = None
+    first = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()
+    sub_d = first["n"] // m
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
+    )
+    cb = _pq_cb_array(codebooks)
+
+    def dist(j, c):
+        cent = F.element_at(F.col("cb"), j * ks + c + 1)["centv"]
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub_d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(F.col("v"), j * sub_d + i) - F.element_at(cent, i))
+            * (F.element_at(F.col("v"), j * sub_d + i) - F.element_at(cent, i)),
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ks - 1)),
+                    lambda c: F.struct(dist(j, c).alias("d"), c.alias("cell")),
+                )
+            ),
+            1,
+        )["cell"],
+    )
+    return v.join(cb, how="cross").select("vec_id", codes.alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-approximate cosine top-k (asymmetric distance computation):
+    exact query vectors scored against each neighbor's CODEBOOK
+    RECONSTRUCTION — approx_sim = cos(q, recon(codes)) — so the only
+    per-neighbor state the index needs is the m-code word (m bytes) and
+    the scan reconstructs sub-vectors from the broadcast codebook
+    in-expression.  This reconstruct-then-fold form is value-identical
+    to Jégou-style per-query ADC lookup tables up to float-sum
+    association (the table precomputes the same subspace dot products);
+    the fold form is what the oracle reproduces bit-for-bit, so it is
+    the registered contract and the table form is the documented
+    production rewrite.  Output: (query_id, neighbor_id, approx_sim,
+    rank) for ``rank <= k`` — same contract as :func:`quantized_topk`,
+    recall pinned against it on the clustered fixture in
+    tests/test_similarity_search.py.
+
+    Scale shape: encode is map-only (see :func:`pq_encode`); scoring
+    joins the (small, sampled) query set against the code table with a
+    broadcast of the queries, reconstructing and folding inside
+    whole-stage codegen; the per-query top-k window partitions on
+    query_id.  Index memory: m bytes/vector + the m×ks×(D/m)-double
+    codebook — independent of corpus size."""
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, id_col, vec_col, m, ks)
+    )
+    codes = pq_encode(corpus, cbs, id_col, vec_col, m, ks)
+    cb = _pq_cb_array(cbs)
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.col("cb"), j * ks + F.element_at(F.col("codes"), j + 1) + 1
+            )["centv"],
+        )
+    )
+    docs = codes.join(cb, how="cross").select(
+        F.col("vec_id").alias("neighbor_id"),
+        recon.alias("rv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+    )
+    scored = docs.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(
+        dot(F.col("qv"), F.col("rv"))
+        / (F.sqrt(norm2(F.col("qv"))) * F.sqrt(norm2(F.col("rv")))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("approx_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -201,6 +201,73 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+# ann_pq — product-quantization ANN (verdict r10 #5; Jégou et al.
+# 2011): the index stores m=8 one-byte codes per vector (vs 256 B of
+# float32 — the 32x memory shape that keeps a 100-TB index resident);
+# codebooks are per-subspace sub-slices of the 8 lowest-id vectors (the
+# deterministic-centroid seam, so the oracle reproduces codes and
+# reconstructions bit-for-bit; the KMeans sub-codebook arm rides the
+# same (sub, cell, centv) contract).  approx_sim = cos(query,
+# reconstruction) — ADC with the lookup table expanded in-fold.
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+_PQ_DIST = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(8), i -> "
+    "(e.v[cb.sub*8 + i + 1] - cb.centv[i + 1])"
+    " * (e.v[cb.sub*8 + i + 1] - cb.centv[i + 1]))), (x, y) -> x + y)"
+)
+
+ANN_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM e ORDER BY vec_id LIMIT 8
+),
+cb AS (
+  SELECT u.j AS sub, cell, v[u.j*8 + 1 : u.j*8 + 8] AS centv
+  FROM base, unnest(range(8)) AS u(j)
+),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.cell, {_PQ_DIST} AS d
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d ASC, cell ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(cb.centv ORDER BY c.sub)) AS rv
+  FROM codes c JOIN cb ON cb.sub = c.sub AND cb.cell = c.cell
+  GROUP BY c.vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round({_QDOT.replace("nv", "r.rv")}
+               / ({_qnorm("qv")} * {_qnorm("r.rv")}), 6) AS approx_sim
+  FROM recon r CROSS JOIN q
+  WHERE r.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # training_shuffle_shards — deterministic corpus shuffle + round-robin
 # shard manifest: the "shuffle before sharding" step every training run
 # needs, with no RNG anywhere.  Shuffle order = fold-hash of a seeded
@@ -326,6 +393,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "contamination_check": contamination_check,
     "ann_quantized": ann_quantized,
+    "ann_pq": ann_pq,
     "training_shuffle_shards": training_shuffle_shards,
     "padding_efficiency_report": padding_efficiency_report,
 }
@@ -335,6 +403,7 @@ ORACLES = {
     "pii_redaction": PII_REDACTION_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "ann_quantized": ANN_QUANTIZED_SQL,
+    "ann_pq": ANN_PQ_SQL,
     "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
     "padding_efficiency_report": PADDING_EFFICIENCY_REPORT_SQL,
 }

