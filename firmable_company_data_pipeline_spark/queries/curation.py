@@ -911,6 +911,106 @@ FROM verdicts JOIN held USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# quality_classifier_sweep — the threshold-sweep card that completes
+# the eval (verdict r10 #6): cumulative precision/recall of the NB
+# quality classifier at each score DECILE of the held-out split — the
+# curve a data team reads to pick the keep-threshold (decile 1 = the
+# highest-scored 10%).  One exact ntile over the held-out scores (the
+# distributed rank path — range repartition + broadcast offsets, never
+# a single-reducer corpus sort), one 10-row hash-agg, then cumulative
+# windows over the 10-ROW aggregate (bounded by construction).
+# Monotone-cumulative invariants pinned in tests/test_curation_ops.py.
+def quality_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from firmable_company_data_pipeline_spark.operators.ranks import exact_ntile
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    label = F.col("source").isin("src0", "src1", "src2", "src3")
+    in_train = (
+        ts.char_fold_hash(
+            F.concat(F.lit("qc|"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        < 80
+    )
+    weights = cu.nb_quality_weights(
+        docs.filter(in_train), label, n_buckets=256, alpha=1.0
+    )
+    held = docs.filter(~in_train)
+    scored = cu.nb_quality_score(held, weights, n_buckets=256).select(
+        "doc_id", "log_odds"
+    )
+    truth = held.select("doc_id", label.cast("int").alias("y"))
+    j = scored.join(truth, "doc_id").withColumn("_neg", -F.col("log_odds"))
+    deciled = exact_ntile(j, 10, ["_neg", "doc_id"], out="decile")
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("y").alias("n_pos")
+    )
+    # cumulative over the 10-row aggregate: a partition-less window is
+    # bounded here by construction (<= 10 rows reach it)
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wc).alias("cum_docs"),
+        F.sum("n_pos").over(wc).alias("cum_tp"),
+        F.round(
+            F.sum("n_pos").over(wc) / F.sum("n_docs").over(wc), 6
+        ).alias("precision_cum"),
+        F.when(
+            F.sum("n_pos").over(wa) > 0,
+            F.round(F.sum("n_pos").over(wc) / F.sum("n_pos").over(wa), 6),
+        ).alias("recall_cum"),
+    )
+
+
+QUALITY_CLASSIFIER_SWEEP_SQL = (
+    "WITH "
+    + _qc_ctes(
+        """(SELECT doc_id, text FROM documents
+     WHERE {fe} % 100 >= 80)""".format(fe=_fold("'qc|' || doc_id::VARCHAR"))
+    )
+    + """,
+held AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE {fe} % 100 >= 80
+),
+sc AS (
+  SELECT lo0.doc_id, round(s + prior_w, 4) AS log_odds FROM lo0, prior
+),
+dec AS (
+  SELECT sc.doc_id, y,
+         ntile(10) OVER (ORDER BY log_odds DESC, sc.doc_id ASC) AS decile
+  FROM sc JOIN held USING (doc_id)
+),
+per AS (
+  SELECT decile, count(*) AS n_docs, sum(y) AS n_pos FROM dec GROUP BY 1
+)
+SELECT decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+       CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_tp,
+       round(sum(n_pos) OVER (ORDER BY decile) * 1.0
+             / sum(n_docs) OVER (ORDER BY decile), 6) AS precision_cum,
+       CASE WHEN sum(n_pos) OVER () > 0 THEN
+         round(sum(n_pos) OVER (ORDER BY decile) * 1.0
+               / sum(n_pos) OVER (), 6)
+       END AS recall_cum
+FROM per
+""".replace("{fe}", _fold("'qc|' || doc_id::VARCHAR"))
+)
+
+
+# --------------------------------------------------------------------------
 # trigram_lm_score — the CCNet-style reference-free LM quality signal
 # (verdict r10 #3): a Stupid-Backoff trigram LM (Brants et al. 2007)
 # trained in one aggregation pass on the 80% fold-hash train split,
@@ -997,6 +1097,7 @@ QUERIES = {
     "dsir_resample_by_source": dsir_resample_by_source,
     "quality_classifier_score": quality_classifier_score,
     "quality_classifier_eval": quality_classifier_eval,
+    "quality_classifier_sweep": quality_classifier_sweep,
     "trigram_lm_score": trigram_lm_score,
 }
 
@@ -1017,5 +1118,6 @@ ORACLES = {
     "dsir_resample_by_source": DSIR_RESAMPLE_BY_SOURCE_SQL,
     "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
     "quality_classifier_eval": QUALITY_CLASSIFIER_EVAL_SQL,
+    "quality_classifier_sweep": QUALITY_CLASSIFIER_SWEEP_SQL,
     "trigram_lm_score": TRIGRAM_LM_SCORE_SQL,
 }

@@ -585,3 +585,30 @@ def test_trigram_lm_table_one_table_contract(spark):
     assert len(out) == 1
     import math as _m
     assert _m.isfinite(out[0]["avg_logscore"])
+
+
+def test_quality_classifier_sweep_monotone_cumulative(spark):
+    """The threshold-sweep card's invariants (verdict r10 #6): cum_docs
+    and cum_tp nondecreasing in decile, cum_docs covers the whole
+    held-out set at decile 10, recall_cum nondecreasing and exactly 1.0
+    at decile 10 when any positive exists, precision_cum always
+    cum_tp/cum_docs."""
+    from firmable_company_data_pipeline_spark.queries.curation import (
+        quality_classifier_sweep,
+    )
+
+    rows = quality_classifier_sweep(spark, "/root/testdata/sf0.001").orderBy(
+        "decile"
+    ).collect()
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    prev_docs = prev_tp = 0
+    for r in rows:
+        assert r["cum_docs"] >= prev_docs and r["cum_tp"] >= prev_tp
+        assert r["cum_docs"] - prev_docs == r["n_docs"]
+        assert r["cum_tp"] - prev_tp == r["n_pos"]
+        assert r["precision_cum"] == pytest.approx(
+            round(r["cum_tp"] / r["cum_docs"], 6)
+        )
+        prev_docs, prev_tp = r["cum_docs"], r["cum_tp"]
+    if prev_tp > 0:
+        assert rows[-1]["recall_cum"] == pytest.approx(1.0)
