@@ -107,6 +107,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         analytics,
         cleaning,
         core,
+        corpus,
         curation,
         decorrelated,
         llmops,
@@ -124,6 +125,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     oracles: dict[str, str] = {}
     for mod in (
         core,
+        corpus,
         scalar,
         matching,
         llmops,

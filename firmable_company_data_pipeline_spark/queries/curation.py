@@ -547,54 +547,59 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle re-inlined the full chain, so the r10 temperature fix had to
 # land in two places), parameterized on the carried grouping columns —
 # the SQL twin of dsir_importance's carry_cols seam.
-def _dsir_sel_ctes(carry_cols: tuple[str, ...] = ()) -> str:
+def _dsir_sel_ctes(carry_cols: tuple[str, ...] = (), prefix: str = "") -> str:
+    # ``prefix`` namespaces every CTE so a composing query (the
+    # build_training_corpus flagship) can embed this chain next to
+    # other mirrors that also define tok/grams/sel names.
     carry = "".join(f", {c}" for c in carry_cols)
-    return f"""tok AS (
+    p = prefix
+    return f"""{p}tok AS (
   SELECT doc_id{carry}, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
          {_TOKENS} AS t
   FROM documents
 ),
-grams AS (
+{p}grams AS (
   SELECT doc_id{carry}, tgt, {_fold("t[i+1] || ' ' || t[i+2]")} % 256 AS bucket
-  FROM tok, unnest(range(len(t) - 1)) AS u(i)
+  FROM {p}tok, unnest(range(len(t) - 1)) AS u(i)
   WHERE len(t) >= 2
 ),
-tf AS (SELECT doc_id{carry}, tgt, bucket, count(*) AS c FROM grams GROUP BY ALL),
-dist AS (
+{p}tf AS (SELECT doc_id{carry}, tgt, bucket, count(*) AS c FROM {p}grams GROUP BY ALL),
+{p}dist AS (
   SELECT bucket,
          sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
          sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cs
-  FROM tf GROUP BY 1
+  FROM {p}tf GROUP BY 1
 ),
-tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
-w AS (
+{p}tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM {p}dist),
+{p}w AS (
   SELECT bucket,
          ln((ct + 1.0) / (tt + 256.0)) - ln((cs + 1.0) / (ts + 256.0)) AS w
-  FROM dist, tot
+  FROM {p}dist, {p}tot
 ),
-sel AS (
-  SELECT tf.doc_id{carry}, CAST(sum(c) AS BIGINT) AS n_grams,
-         round(sum(c * w.w), 4) AS logratio_sum,
-         round(sum(c * w.w) / sum(c), 6) AS avg_logratio
-  FROM tf JOIN w USING (bucket)
+{p}sel AS (
+  SELECT {p}tf.doc_id{carry}, CAST(sum(c) AS BIGINT) AS n_grams,
+         round(sum(c * {p}w.w), 4) AS logratio_sum,
+         round(sum(c * {p}w.w) / sum(c), 6) AS avg_logratio
+  FROM {p}tf JOIN {p}w USING (bucket)
   WHERE NOT tgt
   GROUP BY ALL
 )"""
 
 
 # The seeded Gumbel perturbation on sel's scores — shared by both
-# resample oracles (same advice-r10 dedup; T=1, seed=7, the registered
-# defaults).
-def _dsir_gumbel_per(carry_cols: tuple[str, ...] = ()) -> str:
+# resample oracles and the flagship (same advice-r10 dedup; T=1,
+# seed=7, the registered defaults).
+def _dsir_gumbel_per(carry_cols: tuple[str, ...] = (), prefix: str = "") -> str:
     carry = "".join(f", {c}" for c in carry_cols)
-    return f"""per AS (
+    p = prefix
+    return f"""{p}per AS (
   SELECT doc_id{carry}, avg_logratio,
          {_fold("'7:' || doc_id::VARCHAR")} AS h,
          round(avg_logratio / 1.0
                + (-ln(-ln((((h*h + h) % 1000000007) % 1000000
                            + 0.5) / 1000000.0))),
                6) AS gumbel_score
-  FROM sel
+  FROM {p}sel
 )"""
 
 

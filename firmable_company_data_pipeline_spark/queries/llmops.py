@@ -685,9 +685,11 @@ def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOW_CONTAMINATION_SQL = f"""
-WITH {_WINNOW_GRAMS_CTES},
-counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
+# The contamination screen's shared CTE chain (fingerprint counts, the
+# df-capped index, the train/eval sides, and the flagged-train set) —
+# ONE definition consumed by winnow_contamination, decontaminate_corpus
+# and the build_training_corpus flagship (the advice-r10 dedup rule).
+_CONTAM_BASE_CTES = """counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
 idx AS (
   SELECT doc_id, fp FROM (
     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
@@ -698,7 +700,21 @@ ev AS (
   SELECT i.doc_id AS eval_id, c.n_fp AS ne, i.fp
   FROM idx i JOIN counted c USING (doc_id)
   WHERE i.doc_id % 10 = 0
-)
+)"""
+
+_CONTAM_FLAGGED_CTE = """flagged AS (
+  SELECT DISTINCT train_id AS doc_id FROM (
+    SELECT train_id, eval_id, count(*) AS shared,
+           round(count(*)::DOUBLE / ne, 6) AS ec
+    FROM tr JOIN ev USING (fp)
+    GROUP BY train_id, eval_id, ne
+    HAVING count(*) >= 2 AND round(count(*)::DOUBLE / ne, 6) >= 0.2
+  )
+)"""
+
+WINNOW_CONTAMINATION_SQL = f"""
+WITH {_WINNOW_GRAMS_CTES},
+{_CONTAM_BASE_CTES}
 SELECT train_id, eval_id, count(*) AS shared,
        round(count(*)::DOUBLE / ne, 6) AS eval_containment
 FROM tr JOIN ev USING (fp)
@@ -743,27 +759,8 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_CORPUS_SQL = f"""
 WITH {_WINNOW_GRAMS_CTES},
-counted AS (SELECT doc_id, count(*) AS n_fp FROM wfps GROUP BY 1),
-idx AS (
-  SELECT doc_id, fp FROM (
-    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfps
-  ) WHERE df <= 100
-),
-tr AS (SELECT doc_id AS train_id, fp FROM idx WHERE doc_id % 10 != 0),
-ev AS (
-  SELECT i.doc_id AS eval_id, c.n_fp AS ne, i.fp
-  FROM idx i JOIN counted c USING (doc_id)
-  WHERE i.doc_id % 10 = 0
-),
-flagged AS (
-  SELECT DISTINCT train_id AS doc_id FROM (
-    SELECT train_id, eval_id, count(*) AS shared,
-           round(count(*)::DOUBLE / ne, 6) AS ec
-    FROM tr JOIN ev USING (fp)
-    GROUP BY train_id, eval_id, ne
-    HAVING count(*) >= 2 AND round(count(*)::DOUBLE / ne, 6) >= 0.2
-  )
-)
+{_CONTAM_BASE_CTES},
+{_CONTAM_FLAGGED_CTE}
 SELECT d.source,
        count(*) AS n_train_docs,
        CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
