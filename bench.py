@@ -62,6 +62,12 @@ HEADLINE = [
     "dedup_winnow_keep_best",
     "quality_classifier_score",
     "quality_classifier_eval",
+    "quality_classifier_sweep",
+    "trigram_lm_score",
+    "bpe_train",
+    "ann_pq",
+    "build_training_corpus",
+    "corpus_attrition_card",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",
