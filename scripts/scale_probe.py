@@ -93,6 +93,20 @@ PROBE_QUERIES = {
         "dsir_resample_by_source",
         "dedup_winnow_keep_best",
     ],
+    # round-11 additions: the LM scorer is the DSIR two-exchange shape
+    # with dictionary joins; bpe_train's corpus term is one word-count
+    # pass (the loop is vocabulary-sized); ann_pq is map-only encode +
+    # broadcast-query scoring; the sweep is the eval sub-plan + exact
+    # ntile; the two corpus-build views compose the audited screens
+    # (expect the sum of their parts, never superlinear)
+    "corpus_build": [
+        "trigram_lm_score",
+        "bpe_train",
+        "ann_pq",
+        "quality_classifier_sweep",
+        "build_training_corpus",
+        "corpus_attrition_card",
+    ],
 }
 
 
@@ -708,6 +722,12 @@ def main() -> None:
         "the batch query ratios",
     )
     ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: probe only this subset of the "
+        "batch families (new-round rows without re-running the full table)",
+    )
+    ap.add_argument(
         "--passes",
         type=int,
         default=3,
@@ -754,6 +774,12 @@ def main() -> None:
 
     qs = entry.queries()
     names = [n for fam in PROBE_QUERIES.values() for n in fam]
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in PROBE_QUERIES: {sorted(unknown)}")
+        names = [n for n in names if n in keep]
     base_passes, big_passes = [], []
     for p in range(max(1, args.passes)):
         base_passes.append(time_queries(spark, qs, names, SRC))

@@ -698,3 +698,46 @@ def test_quality_classifier_scoring_is_broadcast(plans):
     assert "CartesianProduct" not in p
     # the weight/prior joins must never shuffle the scoring side
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_trigram_lm_scoring_is_broadcast(plans):
+    """The trigram LM scorer keeps the frozen-table scoring shape: all
+    five dictionary joins (order-3, order-2 x2, order-1 x2) and the
+    1-row totals reach the per-doc rollup via broadcast only, no
+    Python, no cartesian — the only data-sized exchanges are the
+    doc-trigram hash-agg and the per-doc rollup."""
+    p = plans("trigram_lm_score")
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_ann_pq_encode_is_map_only_broadcast(plans):
+    """PQ scoring: the codebook row and the query set reach the code
+    table via broadcast; reconstruction and the cosine fold are
+    in-expression (no Python stage); the per-query top-k window
+    partitions on query_id (never partitionless over data)."""
+    import re
+
+    p = plans("ann_pq")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
+        raise AssertionError(f"global window found: {m.group(0)[:120]}")
+
+
+def test_corpus_flagship_selection_rank_is_distributed(plans):
+    """build_training_corpus composes the audited sub-plans; its two
+    global ranks (DSIR selection, shuffle-shards) must both ride the
+    distributed exact-rank path — range repartition + per-partition
+    windows — never a partitionless row_number over corpus rows, and
+    no Python stage anywhere."""
+    import re
+
+    p = plans("build_training_corpus")
+    assert "rangepartitioning" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
+        raise AssertionError(f"global window found: {m.group(0)[:120]}")
