@@ -155,16 +155,26 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_contam", F.lit(True))
     )
-    f6 = f3.join(near, "doc_id", "left").join(flagged, "doc_id", "left").select(
-        "doc_id",
-        "source",
-        "n_tok",
-        "k1",
-        "k2",
-        "k3",
-        F.coalesce("k4x", F.lit(True)).alias("k4"),
-        (F.col("doc_id") % 10 != 0).alias("k5"),
-        F.col("_contam").isNotNull().alias("contam"),
+    # persisted: f6 feeds BOTH the stage-6 survivor set (selection
+    # rank) and the final verdict join — without it the winnow
+    # contamination screen and the near-dup re-rank execute once per
+    # consumer (measured: the flagship's first bench run paid the
+    # whole screen pipeline several times over)
+    f6 = (
+        f3.join(near, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "k1",
+            "k2",
+            "k3",
+            F.coalesce("k4x", F.lit(True)).alias("k4"),
+            (F.col("doc_id") % 10 != 0).alias("k5"),
+            F.col("_contam").isNotNull().alias("contam"),
+        )
+        .persist()
     )
     is_target = F.col("source").isin(*_TARGETS)
     gum = cu.dsir_importance(
@@ -210,8 +220,20 @@ def build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shard manifest: survivors → mixing-epoch copies → seeded
     deterministic shuffle → round-robin shards → per-shard rollup."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    final = _corpus_ff(spark, sf_dir).filter(F.col("ff").isNull()).select(
-        "doc_id", "n_tok"
+    # localCheckpoint, not persist (the dedup_clusters_incremental
+    # lesson, one level up): the survivor set feeds the mixing plan
+    # broadcast, the copy join and the expansion join — three consumers
+    # that would otherwise each EMBED the entire verdict lineage (text
+    # features + CC + winnow screen + DSIR + exact rank) in their own
+    # plans; persist alone still re-analyzes that lineage per consumer
+    # and races the broadcast thread against the main job on the first
+    # materialization (measured: 73 s unshared → 24 s persisted → ~13 s
+    # checkpointed, vs the attrition card's 10 s single pass)
+    final = (
+        _corpus_ff(spark, sf_dir)
+        .filter(F.col("ff").isNull())
+        .select("doc_id", "n_tok")
+        .localCheckpoint(eager=True)
     )
     surv_docs = docs.join(final.select("doc_id"), "doc_id")
     copies = rt.apply_mixing(surv_docs)  # (doc_id, source, n_copies)
