@@ -622,3 +622,128 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_kmeans_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """TRAINED per-subspace PQ codebooks via MLlib KMeans — the
+    real-recall arm of :func:`pq_codebooks`, same (sub, cell, centv)
+    contract so :func:`pq_encode` / :func:`pq_topk` serve either table
+    (the kmeans_centroids / lr_quality_weights import-gate seam: solver
+    outputs are not oracle-expressible, so this arm is pytest-gated,
+    never registered).  One KMeans fit per subspace over the sub-sliced
+    vectors; only the m × ks × (D/m) centers reach the driver, as model
+    parameters.  Train on a sample at 100 TB; encoding cost is
+    unchanged either way."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover - env-gated
+        raise NotImplementedError(
+            "pq_kmeans_codebooks needs pyspark.ml (numpy): " + str(exc)
+        ) from exc
+
+    d = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()["n"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
+    sub_d = d // m
+    v = corpus.select(to_double(F.col(vec_col)).alias("v")).persist()
+    spark = corpus.sparkSession
+    rows = []
+    for j in range(m):
+        feats = v.select(
+            array_to_vector(F.slice("v", j * sub_d + 1, sub_d)).alias("features")
+        )
+        model = KMeans(k=ks, seed=seed + j, maxIter=max_iter).fit(feats)
+        for c, center in enumerate(model.clusterCenters()):
+            rows.append((j, c, [float(x) for x in center]))
+    v.unpersist()
+    return spark.createDataFrame(
+        rows, "sub int, cell int, centv array<double>"
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (Jégou et al. 2011 §IV:
+    coarse quantizer prunes the candidate set, product codes bound the
+    per-candidate memory): probe the ``nprobe`` IVF cells nearest each
+    query, then score ONLY the probed cells' vectors by their PQ
+    reconstruction (cosine ADC).  Per-query work is |cell|·nprobe
+    instead of N, per-candidate state is m bytes instead of the raw
+    vector — the index that stays RAM-resident at 100 TB.
+
+    Composition of the audited pieces: :func:`ivf_assign` (cell
+    partition of the code table), :func:`nearest_cells` (map-only query
+    probes), :func:`pq_encode` (map-only codes), the
+    :func:`pq_topk` reconstruction fold.  Output: (query_id,
+    neighbor_id, approx_sim, rank), self-matches excluded — restricted
+    to probed cells, so recall vs :func:`pq_topk` follows the IVF
+    nprobe/n_cells trade exactly.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else default_centroids(corpus, id_col, vec_col, n_cells)
+    )
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, id_col, vec_col, m, ks)
+    )
+    cells = ivf_assign(corpus, cents, id_col, vec_col).select(
+        "neighbor_id", "cell"
+    )
+    codes = pq_encode(corpus, cbs, id_col, vec_col, m, ks).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    cb = _pq_cb_array(cbs)
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.col("cb"), j * ks + F.element_at(F.col("codes"), j + 1) + 1
+            )["centv"],
+        )
+    )
+    docs = (
+        cells.join(codes, "neighbor_id")
+        .join(cb, how="cross")
+        .select("neighbor_id", "cell", recon.alias("rv"))
+    )
+    probes = nearest_cells(
+        queries, broadcast(cents), id_col, vec_col, "query_id", nprobe
+    ).withColumnsRenamed({"v": "qv", "n": "qn"})
+    sim = F.round(
+        dot(F.col("qv"), F.col("rv"))
+        / (F.col("qn") * F.sqrt(norm2(F.col("rv")))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    return (
+        probes.join(docs, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("approx_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
