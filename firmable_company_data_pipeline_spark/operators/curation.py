@@ -1354,3 +1354,44 @@ def trigram_lm_score_docs(
         )
         .select(F.col("id").alias(id_col), "n_trigrams", "avg_logscore")
     )
+
+
+def lm_perplexity_bins(
+    docs: DataFrame,
+    model: DataFrame,
+    n_bins: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CCNet head/middle/tail card (Wenzek et al. 2020 §3.3: corpora
+    are released in LM-perplexity TERCILES per language; here per
+    source): bin each source's documents into ``n_bins`` equal-count
+    buckets by their Stupid-Backoff LM score and report the bin
+    boundaries and sizes — the quality-tiering artifact a corpus
+    release quotes.  Bin 1 = the most-fluent (highest-score) tier.
+
+    Output per (source, bin): (source, bin, n_docs, min_logscore,
+    max_logscore, avg_logscore).
+
+    Shape: the frozen-table scorer (:func:`trigram_lm_score_docs` — two
+    exchanges) + one ntile window PER SOURCE PARTITION (parallel across
+    sources, never a global sort — the dsir_resample_by_source window
+    class) + one (source, bin) hash-agg.  For a single source that is
+    itself shuffle-partition-sized, swap the per-source ntile for
+    approx_percentile cutoffs broadcast back (the quality_prune seam;
+    documented approximation)."""
+    scored = trigram_lm_score_docs(docs, model, text_col, id_col).join(
+        spread(docs).select(F.col(id_col), F.col(source_col).alias("source")),
+        id_col,
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logscore"), F.asc(id_col)
+    )
+    binned = scored.withColumn("bin", F.ntile(n_bins).over(w))
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_logscore").alias("min_logscore"),
+        F.max("avg_logscore").alias("max_logscore"),
+        F.round(F.avg("avg_logscore"), 6).alias("avg_logscore"),
+    )

@@ -612,3 +612,24 @@ def test_quality_classifier_sweep_monotone_cumulative(spark):
         prev_docs, prev_tp = r["cum_docs"], r["cum_tp"]
     if prev_tp > 0:
         assert rows[-1]["recall_cum"] == pytest.approx(1.0)
+
+
+def test_lm_perplexity_bins_tiers_per_source(spark):
+    """CCNet-style terciles: per source, bins are equal-count (±1),
+    bin 1 holds the highest scores, and bin ranges never overlap
+    (max of bin b+1 <= min of bin b)."""
+    rows = []
+    for s in ("a", "b"):
+        for i in range(9):
+            fluent = "the cat sat on the mat " * (i + 1)
+            shuffled = "mat the on sat cat the " * (i + 1)
+            rows.append((len(rows), fluent if i % 3 else shuffled, s))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    model = cu.trigram_lm_table(docs.filter(F.col("doc_id") % 2 == 0))
+    card = cu.lm_perplexity_bins(docs, model, n_bins=3).collect()
+    by = {(r["source"], r["bin"]): r for r in card}
+    for s in ("a", "b"):
+        sizes = [by[(s, b)]["n_docs"] for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 9
+        for b in (1, 2):
+            assert by[(s, b + 1)]["max_logscore"] <= by[(s, b)]["min_logscore"]
