@@ -217,6 +217,31 @@ SHOWCASE = [
         " partitionless window over data rows (the round-5"
         " single-reducer class, plan-pinned).",
     ),
+    (
+        "trigram_lm_score",
+        "Round-11 Stupid-Backoff LM scorer: the frozen one-table model"
+        " reaches the per-doc rollup through five BroadcastHashJoins"
+        " (order-3 / order-2 x2 / order-1 x2) + a 1-row totals"
+        " crossJoin; the corpus pays exactly two exchanges (doc-trigram"
+        " tf agg, per-doc rollup); no SortMergeJoin, no Python.",
+    ),
+    (
+        "ann_pq",
+        "Round-11 product-quantization ANN: the m x ks codebook folds to"
+        " ONE broadcast array row; encoding (per-subspace argmin) and"
+        " reconstruction are in-expression transforms inside the scan"
+        " projection — map-only; queries broadcast into the scoring"
+        " join; the only window partitions on query_id.",
+    ),
+    (
+        "build_training_corpus",
+        "Round-11 corpus-build flagship: the seven audited screens meet"
+        " in doc_id equi-joins over one persisted verdict frame; both"
+        " global ranks (DSIR selection, shuffle-shards) ride the"
+        " distributed exact rank; the survivor set is localCheckpointed"
+        " so the mixing broadcast, copy join and expansion join share"
+        " one materialization instead of re-embedding the whole lineage.",
+    ),
 ]
 
 def main() -> None:
