@@ -216,9 +216,11 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shard manifest: survivors → mixing-epoch copies → seeded
-    deterministic shuffle → round-robin shards → per-shard rollup."""
+def _shard_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard-assigned corpus rows behind both the manifest and the
+    writer: survivors → mixing-epoch copies → seeded deterministic
+    shuffle → round-robin shards.  Output: (doc_id, source, n_tok, cp,
+    shard, pos_in_shard)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     # localCheckpoint, not persist (the dedup_clusters_incremental
     # lesson, one level up): the survivor set feeds the mixing plan
@@ -262,16 +264,88 @@ def build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = exact_global_row_number(
         keyed, ["shuffle_key", "doc_id", "cp"], out="rn"
     )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "cp",
+        ((F.col("rn") - 1) % _N_SHARDS).cast("int").alias("shard"),
+        (F.expr(f"(rn - 1) div {_N_SHARDS}") + 1).alias("pos_in_shard"),
+    )
+
+
+def build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard manifest: one per-shard rollup over :func:`_shard_rows`."""
     return (
-        ranked.groupBy(
-            ((F.col("rn") - 1) % _N_SHARDS).cast("int").alias("shard")
-        )
+        _shard_rows(spark, sf_dir)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
             F.count_distinct("source").alias("n_sources"),
         )
     )
+
+
+def write_training_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> list[dict]:
+    """MATERIALIZE the built corpus: shard-partitioned parquet (each row
+    one training example copy — doc_id, cp, source, n_tok,
+    pos_in_shard, text) plus a ``_manifest.json`` with the per-shard
+    rollup — the artifact a dataloader consumes.  Returns the manifest
+    rows (≤ ``_N_SHARDS``, a bounded driver read by construction).
+
+    Shape: the :func:`_shard_rows` plan + one text equi-join + a
+    ``partitionBy(shard)`` write with ``sortWithinPartitions(pos)`` so
+    each shard file is already in read order; a dataloader streams
+    ``shard=K`` sequentially with zero further shuffling.  The manifest
+    is driver-local json (the `_latest.json` protocol surface) — refuse
+    a non-local ``out_dir`` rather than write a manifest the readers
+    of that filesystem can't see (the advice-r10 labels-fold rule)."""
+    import json as _json
+    import os as _os
+
+    if "://" in out_dir and not out_dir.startswith("file:"):
+        raise NotImplementedError(
+            f"write_training_corpus writes a driver-local _manifest.json; "
+            f"got {out_dir} — port the manifest write to your FS first"
+        )
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    rows = _shard_rows(spark, sf_dir)
+    (
+        rows.join(docs.select("doc_id", "text"), "doc_id")
+        .repartition("shard")
+        .sortWithinPartitions("pos_in_shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    # the manifest is computed from the WRITTEN files, not by re-running
+    # the verdict pipeline: one scan of out_dir certifies exactly what a
+    # dataloader will read (and costs O(written), not O(pipeline))
+    manifest = [
+        {
+            "shard": r["shard"],
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "n_sources": r["n_sources"],
+        }
+        for r in spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("shard")
+        .collect()
+    ]
+    tmp = _os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump({"seed": _SHUFFLE_SEED, "shards": manifest}, fh, indent=1)
+    _os.replace(tmp, _os.path.join(out_dir, "_manifest.json"))
+    return manifest
 
 
 def corpus_attrition_card(spark: SparkSession, sf_dir: str) -> DataFrame:

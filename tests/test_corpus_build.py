@@ -96,3 +96,47 @@ def test_manifest_balances_against_mixing_expansion(spark, card):
         r["docs_out"] for s, r in per7.items() if s not in cb._TARGETS
     )
     assert pool_out <= cb._DSIR_BUDGET
+
+
+def test_write_training_corpus_shards_match_manifest(spark, tmp_path):
+    """The writer's artifact is self-consistent: the written shard
+    partitions reproduce the manifest rollup AND the registered
+    manifest query; pos_in_shard is contiguous 1..n per shard; text
+    rides every row; a non-local out_dir is refused (the manifest is
+    driver-local json)."""
+    import json
+
+    out = str(tmp_path / "corpus")
+    manifest = cb.write_training_corpus(spark, SF, out)
+    on_disk = json.load(open(out + "/_manifest.json"))
+    assert on_disk["shards"] == manifest and on_disk["seed"] == cb._SHUFFLE_SEED
+
+    written = spark.read.parquet(out)
+    assert "text" in written.columns
+    per = {
+        r["shard"]: r
+        for r in written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .collect()
+    }
+    query = {
+        r["shard"]: r for r in cb.build_training_corpus(spark, SF).collect()
+    }
+    assert set(per) == set(query)
+    for s, r in query.items():
+        assert per[s]["n_docs"] == r["n_docs"]
+        assert per[s]["n_tokens"] == r["n_tokens"]
+    for s in per:
+        pos = sorted(
+            x["pos_in_shard"]
+            for x in written.filter(F.col("shard") == s)
+            .select("pos_in_shard")
+            .collect()
+        )
+        assert pos == list(range(1, len(pos) + 1))
+
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        cb.write_training_corpus(spark, SF, "s3a://bucket/corpus")
