@@ -1866,3 +1866,103 @@ def read_histogram(spark, target_dir: str) -> DataFrame:
     if raw is None:
         return spark.createDataFrame([], "bin bigint, cnt bigint")
     return sk.hist_merge(raw)
+
+
+def streaming_corpus_screen(
+    docs: DataFrame,
+    quality_weights_dir: str,
+    lm_model_dir: str,
+    dsir_weights_dir: str,
+    eval_fp_dir: str,
+    verdicts_dir: str,
+    checkpoint: str | None = None,
+    min_prob_good: float = 0.5,
+    min_logscore: float = -8.0,
+    min_logratio: float = -1.0,
+    n_buckets: int = 256,
+):
+    """The INGEST shape of the corpus-build flagship: screen a document
+    stream through all four frozen scoring artifacts in ONE
+    foreachBatch fold — NB quality classifier, Stupid-Backoff trigram
+    LM, DSIR importance, and the winnow decontamination index — and
+    emit one admission verdict row per document:
+
+        (doc_id, prob_good, avg_logscore, avg_logratio, contaminated,
+         admit)
+
+    ``admit`` = every score present and over its threshold AND not
+    contaminated; a document too short to score (no bigrams/trigrams)
+    FAILS the corresponding screen (scores are left-joined, and a NULL
+    comparison is not TRUE — deterministic, mirrored in the batch
+    twin).  Batch-keyed idempotent writes to ``verdicts_dir/batch_id=N``.
+
+    Scale: all four artifacts are frozen and bounded (two ≤ n_buckets-
+    row weight tables, one dictionary-sized gram table, one benchmark-
+    sized fingerprint index) — every join is a broadcast against the
+    batch, so per-batch cost is O(batch) with NO history axis; the
+    union over any batch split equals the composed batch computation
+    (pinned in tests/test_streaming.py).  Retrain/republish artifacts
+    on drift; admitted doc_ids then feed the batch flagship's
+    dedup/selection/sharding stages, which are corpus-level decisions
+    and stay batch."""
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qw = spark.read.parquet(quality_weights_dir)
+        lm = spark.read.parquet(lm_model_dir)
+        dw = spark.read.parquet(dsir_weights_dir)
+        ev = F.broadcast(
+            spark.read.parquet(eval_fp_dir).select(
+                F.col("id").alias("eval_id"), "fp"
+            )
+        )
+        base = batch_df.select("doc_id")
+        q = cu.nb_quality_score(batch_df, qw, n_buckets=n_buckets).select(
+            "doc_id", "prob_good"
+        )
+        l = cu.trigram_lm_score_docs(batch_df, lm).select(
+            "doc_id", "avg_logscore"
+        )
+        d = cu.dsir_score_docs(batch_df, dw, n_buckets=n_buckets).select(
+            "doc_id", "avg_logratio"
+        )
+        contam = (
+            dd.winnow_fingerprint_rows(batch_df)
+            .select(F.col("id").alias("doc_id"), "fp")
+            .join(ev, "fp")
+            .select("doc_id")
+            .distinct()
+            .withColumn("_contam", F.lit(True))
+        )
+        verdicts = (
+            base.join(q, "doc_id", "left")
+            .join(l, "doc_id", "left")
+            .join(d, "doc_id", "left")
+            .join(contam, "doc_id", "left")
+            .select(
+                "doc_id",
+                "prob_good",
+                "avg_logscore",
+                "avg_logratio",
+                F.coalesce("_contam", F.lit(False)).alias("contaminated"),
+                (
+                    (F.col("prob_good") >= min_prob_good)
+                    & (F.col("avg_logscore") >= min_logscore)
+                    & (F.col("avg_logratio") >= min_logratio)
+                    & ~F.coalesce("_contam", F.lit(False))
+                )
+                .cast("boolean")
+                .alias("admit"),
+            )
+            .withColumn("admit", F.coalesce("admit", F.lit(False)))
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdicts_dir, f"batch_id={batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

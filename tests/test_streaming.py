@@ -1778,3 +1778,83 @@ def test_streaming_trigram_score_matches_batch(spark, sf_dir, tmp_path):
         cu.trigram_lm_score_docs(pool, spark.read.parquet(model_dir)), cols
     )
     assert streamed == batch and streamed
+
+
+def test_streaming_corpus_screen_matches_composed_batch(spark, sf_dir, tmp_path):
+    """The four-artifact ingest screen: verdicts over two micro-batches
+    equal the composed batch computation (per-doc-independent scores +
+    a frozen contamination index), admitted docs are exactly the
+    over-threshold uncontaminated set, and a too-short doc (no
+    bigrams/trigrams) is rejected, never dropped."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import curation as cu
+    from firmable_company_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    label = F.col("source").isin("src0", "src1", "src2", "src3")
+    qw_dir = str(tmp_path / "qw")
+    lm_dir = str(tmp_path / "lm")
+    dw_dir = str(tmp_path / "dw")
+    ev_dir = str(tmp_path / "ev")
+    cu.nb_quality_weights(docs, label).write.parquet(qw_dir)
+    cu.trigram_lm_table(docs.filter(F.col("doc_id") % 3 != 0)).write.parquet(lm_dir)
+    cu.dsir_weight_table(docs, label).write.parquet(dw_dir)
+    from firmable_company_data_pipeline_spark.session import spread as _spread
+
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    dd.winnow_fingerprint_rows(_spread(ev)).write.parquet(ev_dir)
+
+    pool = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    tiny = spark.createDataFrame([(999_999, "one")], "doc_id long, text string")
+    pool = pool.unionByName(tiny)
+    src = str(tmp_path / "src")
+    pool.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    pool.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "verdicts")
+    q = jobs.streaming_corpus_screen(
+        stream, qw_dir, lm_dir, dw_dir, ev_dir, out,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    _drain(q)
+
+    cols = ["doc_id", "prob_good", "avg_logscore", "avg_logratio",
+            "contaminated", "admit"]
+    got = spark.read.parquet(out)
+    streamed = _rows(got, cols)
+    assert got.count() == pool.count()  # every doc gets a verdict row
+
+    # composed batch twin
+    qb = cu.nb_quality_score(pool, spark.read.parquet(qw_dir)).select(
+        "doc_id", "prob_good")
+    lb = cu.trigram_lm_score_docs(pool, spark.read.parquet(lm_dir)).select(
+        "doc_id", "avg_logscore")
+    db = cu.dsir_score_docs(pool, spark.read.parquet(dw_dir)).select(
+        "doc_id", "avg_logratio")
+    evb = F.broadcast(spark.read.parquet(ev_dir).select(
+        F.col("id").alias("eval_id"), "fp"))
+    cb_ = (dd.winnow_fingerprint_rows(pool.withColumn("source", F.lit("x")))
+           .select(F.col("id").alias("doc_id"), "fp")
+           .join(evb, "fp").select("doc_id").distinct()
+           .withColumn("_contam", F.lit(True)))
+    batch = (pool.select("doc_id")
+             .join(qb, "doc_id", "left").join(lb, "doc_id", "left")
+             .join(db, "doc_id", "left").join(cb_, "doc_id", "left")
+             .select("doc_id", "prob_good", "avg_logscore", "avg_logratio",
+                     F.coalesce("_contam", F.lit(False)).alias("contaminated"),
+                     F.coalesce(
+                         (F.col("prob_good") >= 0.5)
+                         & (F.col("avg_logscore") >= -8.0)
+                         & (F.col("avg_logratio") >= -1.0)
+                         & ~F.coalesce("_contam", F.lit(False)),
+                         F.lit(False)).alias("admit")))
+    assert streamed == _rows(batch, cols)
+    # the too-short doc is present and rejected
+    tiny_row = [r for r in got.collect() if r["doc_id"] == 999_999]
+    assert len(tiny_row) == 1 and tiny_row[0]["admit"] is False
