@@ -1371,8 +1371,14 @@ def lm_perplexity_bins(
     boundaries and sizes — the quality-tiering artifact a corpus
     release quotes.  Bin 1 = the most-fluent (highest-score) tier.
 
-    Output per (source, bin): (source, bin, n_docs, min_logscore,
-    max_logscore, avg_logscore).
+    Output per (source, bin): (source, bin, n_docs, n_unscored,
+    min_logscore, max_logscore, avg_logscore) — ``n_unscored`` (the
+    same value on every bin row of a source) counts the source's
+    documents too short to score (< 3 tokens ⇒ no trigrams), which
+    CANNOT be tiered and are excluded from the bins; surfacing the
+    count keeps a dataset card quoting these tiers honest about the
+    source's full document population (review r11: they were silently
+    absent before).
 
     Shape: the frozen-table scorer (:func:`trigram_lm_score_docs` — two
     exchanges) + one ntile window PER SOURCE PARTITION (parallel across
@@ -1381,17 +1387,37 @@ def lm_perplexity_bins(
     itself shuffle-partition-sized, swap the per-source ntile for
     approx_percentile cutoffs broadcast back (the quality_prune seam;
     documented approximation)."""
-    scored = trigram_lm_score_docs(docs, model, text_col, id_col).join(
-        spread(docs).select(F.col(id_col), F.col(source_col).alias("source")),
-        id_col,
+    base = spread(docs).select(
+        F.col(id_col), F.col(source_col).alias("source")
+    )
+    scored = base.join(
+        trigram_lm_score_docs(docs, model, text_col, id_col), id_col, "left"
+    )
+    unscored = scored.groupBy("source").agg(
+        F.sum(F.col("avg_logscore").isNull().cast("long")).alias("n_unscored")
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("avg_logscore"), F.asc(id_col)
     )
-    binned = scored.withColumn("bin", F.ntile(n_bins).over(w))
-    return binned.groupBy("source", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("avg_logscore").alias("min_logscore"),
-        F.max("avg_logscore").alias("max_logscore"),
-        F.round(F.avg("avg_logscore"), 6).alias("avg_logscore"),
+    binned = scored.filter(F.col("avg_logscore").isNotNull()).withColumn(
+        "bin", F.ntile(n_bins).over(w)
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logscore").alias("min_logscore"),
+            F.max("avg_logscore").alias("max_logscore"),
+            F.round(F.avg("avg_logscore"), 6).alias("avg_logscore"),
+        )
+        .join(broadcast(unscored), "source")
+        .select(
+            "source",
+            "bin",
+            "n_docs",
+            "n_unscored",
+            "min_logscore",
+            "max_logscore",
+            "avg_logscore",
+        )
     )

@@ -492,16 +492,49 @@ def pq_codebooks(
     )
 
 
-def _pq_cb_array(codebooks: DataFrame):
+def _pq_cb_array(codebooks: DataFrame, m: int, ks: int):
     """Fold the m × ks codebook into ONE broadcast array-of-structs row
     sorted by (sub, cell) so ``element_at(cb, sub*ks + cell + 1)`` is a
     direct index — the in-expression lookup-table device shared with
-    :func:`nearest_cells`."""
+    :func:`nearest_cells`.  The direct index is only sound when the
+    table is EXACTLY m × ks rows (review r11: a corpus with fewer than
+    ks vectors, or a trained model returning fewer centers, would shift
+    the stride and silently decode the wrong subspace's centroids) —
+    short tables fail loudly at execution."""
     return broadcast(
         codebooks.agg(
             F.array_sort(
                 F.collect_list(F.struct("sub", "cell", "centv"))
             ).alias("cb")
+        ).select(
+            F.when(F.size("cb") == m * ks, F.col("cb"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"PQ codebook must have exactly {m * ks} "
+                            f"(m={m} x ks={ks}) rows, got "
+                        ),
+                        F.size("cb").cast("string"),
+                    )
+                )
+            )
+            .alias("cb")
+        )
+    )
+
+
+def _pq_reconstruct(m: int, ks: int, codes_col: str = "codes"):
+    """The codebook-reconstruction expression shared by :func:`pq_topk`
+    and :func:`ivf_pq_topk` (review r11: it was duplicated — a decode
+    fix must land once): concatenate each subspace's chosen centroid
+    from the broadcast ``cb`` array row."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.col("cb"), j * ks + F.element_at(F.col(codes_col), j + 1) + 1
+            )["centv"],
         )
     )
 
@@ -521,13 +554,17 @@ def pq_encode(
     engines reproduce bit-for-bit).  MAP-ONLY against the broadcast
     codebook row: encoding 100 TB is a scan — no shuffle, no window,
     the index append is one write of m-byte codes per vector."""
-    sub_d = None
-    first = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()
-    sub_d = first["n"] // m
+    d = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()["n"]
+    # re-checked here, not only in pq_codebooks (review r11): with a
+    # CALLER-supplied codebook a non-divisible dim would silently
+    # mis-slice and zip_with would NULL-pad every similarity downstream
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
+    sub_d = d // m
     v = corpus.select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
     )
-    cb = _pq_cb_array(codebooks)
+    cb = _pq_cb_array(codebooks, m, ks)
 
     def dist(j, c):
         cent = F.element_at(F.col("cb"), j * ks + c + 1)["centv"]
@@ -591,15 +628,8 @@ def pq_topk(
         else pq_codebooks(corpus, id_col, vec_col, m, ks)
     )
     codes = pq_encode(corpus, cbs, id_col, vec_col, m, ks)
-    cb = _pq_cb_array(cbs)
-    recon = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.element_at(
-                F.col("cb"), j * ks + F.element_at(F.col("codes"), j + 1) + 1
-            )["centv"],
-        )
-    )
+    cb = _pq_cb_array(cbs, m, ks)
+    recon = _pq_reconstruct(m, ks)
     docs = codes.join(cb, how="cross").select(
         F.col("vec_id").alias("neighbor_id"),
         recon.alias("rv"),
@@ -715,15 +745,8 @@ def ivf_pq_topk(
     codes = pq_encode(corpus, cbs, id_col, vec_col, m, ks).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
-    cb = _pq_cb_array(cbs)
-    recon = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.element_at(
-                F.col("cb"), j * ks + F.element_at(F.col("codes"), j + 1) + 1
-            )["centv"],
-        )
-    )
+    cb = _pq_cb_array(cbs, m, ks)
+    recon = _pq_reconstruct(m, ks)
     docs = (
         cells.join(codes, "neighbor_id")
         .join(cb, how="cross")

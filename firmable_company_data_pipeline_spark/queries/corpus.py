@@ -301,15 +301,19 @@ def write_training_corpus(
     each shard file is already in read order; a dataloader streams
     ``shard=K`` sequentially with zero further shuffling.  The manifest
     is driver-local json (the `_latest.json` protocol surface) — refuse
-    a non-local ``out_dir`` rather than write a manifest the readers
-    of that filesystem can't see (the advice-r10 labels-fold rule)."""
+    ANY scheme'd ``out_dir`` (including ``file:``, which ``open()``
+    cannot address — review r11: the parquet write would succeed and
+    the manifest write would then fail or land beside the wrong tree)
+    rather than produce shards whose manifest their readers can't see
+    (the advice-r10 labels-fold rule)."""
     import json as _json
     import os as _os
 
-    if "://" in out_dir and not out_dir.startswith("file:"):
+    if "://" in out_dir or out_dir.startswith("file:"):
         raise NotImplementedError(
             f"write_training_corpus writes a driver-local _manifest.json; "
-            f"got {out_dir} — port the manifest write to your FS first"
+            f"got {out_dir} — pass a plain local path or port the "
+            "manifest write to your FS first"
         )
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     rows = _shard_rows(spark, sf_dir)

@@ -1154,10 +1154,14 @@ def _fold_labels_bucketed(
     # marker protocol would be inert: a crash mid-overwrite would never
     # be detected or repaired (advice r10) — refuse rather than run a
     # repair protocol that cannot fire; porting means moving both
-    # manifest protocols to the Hadoop FS API.
-    if "://" in labels_dir and not labels_dir.startswith("file:"):
+    # manifest protocols to the Hadoop FS API.  ANY scheme is refused,
+    # including file: (review r11): os.path cannot address file: URIs
+    # either — the marker would land in a cwd-relative './file:/...'
+    # tree while Spark writes to the real path, leaving the protocol
+    # just as inert.  Pass the plain posix path.
+    if "://" in labels_dir or labels_dir.startswith("file:"):
         raise NotImplementedError(
-            f"bucketed labels fold needs a driver-local labels_dir for "
+            f"bucketed labels fold needs a plain driver-local path for "
             f"its crash-repair marker; got {labels_dir} — use the gen "
             "layout ported to your FS, or a local staging dir"
         )
@@ -1879,6 +1883,8 @@ def streaming_corpus_screen(
     min_prob_good: float = 0.5,
     min_logscore: float = -8.0,
     min_logratio: float = -1.0,
+    min_shared: int = 2,
+    min_containment: float = 0.2,
     n_buckets: int = 256,
 ):
     """The INGEST shape of the corpus-build flagship: screen a document
@@ -1895,6 +1901,18 @@ def streaming_corpus_screen(
     FAILS the corresponding screen (scores are left-joined, and a NULL
     comparison is not TRUE — deterministic, mirrored in the batch
     twin).  Batch-keyed idempotent writes to ``verdicts_dir/batch_id=N``.
+
+    Contamination uses the BATCH flagship's stage-6 rule (review r11:
+    any-single-shared-fingerprint diverged from it): a doc is
+    contaminated when it shares ≥ ``min_shared`` winnow fingerprints
+    with some eval doc AND covers ≥ ``min_containment`` of that eval
+    doc's fingerprints (the eval index carries ``n_fp``).  The one
+    DOCUMENTED divergence from the batch screen is the ``max_df``
+    hot-fingerprint cap, which needs corpus-wide document frequencies a
+    frozen eval index cannot supply — the ingest screen therefore flags
+    a SUPERSET on boilerplate-heavy fingerprints (same caveat as
+    ``streaming_contamination_screen``); re-screen admitted docs in the
+    batch flagship before shipping.
 
     Scale: all four artifacts are frozen and bounded (two ≤ n_buckets-
     row weight tables, one dictionary-sized gram table, one benchmark-
@@ -1915,7 +1933,7 @@ def streaming_corpus_screen(
         dw = spark.read.parquet(dsir_weights_dir)
         ev = F.broadcast(
             spark.read.parquet(eval_fp_dir).select(
-                F.col("id").alias("eval_id"), "fp"
+                F.col("id").alias("eval_id"), F.col("n_fp").alias("ne"), "fp"
             )
         )
         base = batch_df.select("doc_id")
@@ -1932,6 +1950,15 @@ def streaming_corpus_screen(
             dd.winnow_fingerprint_rows(batch_df)
             .select(F.col("id").alias("doc_id"), "fp")
             .join(ev, "fp")
+            .groupBy("doc_id", "eval_id", "ne")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(
+                (F.col("shared") >= min_shared)
+                & (
+                    F.round(F.col("shared") / F.col("ne"), 6)
+                    >= min_containment
+                )
+            )
             .select("doc_id")
             .distinct()
             .withColumn("_contam", F.lit(True))

@@ -140,3 +140,5 @@ def test_write_training_corpus_shards_match_manifest(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="driver-local"):
         cb.write_training_corpus(spark, SF, "s3a://bucket/corpus")
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        cb.write_training_corpus(spark, SF, "file:///tmp/corpus")

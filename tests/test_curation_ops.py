@@ -624,6 +624,7 @@ def test_lm_perplexity_bins_tiers_per_source(spark):
             fluent = "the cat sat on the mat " * (i + 1)
             shuffled = "mat the on sat cat the " * (i + 1)
             rows.append((len(rows), fluent if i % 3 else shuffled, s))
+    rows.append((len(rows), "tiny doc", "a"))  # < 3 tokens: unscoreable
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     model = cu.trigram_lm_table(docs.filter(F.col("doc_id") % 2 == 0))
     card = cu.lm_perplexity_bins(docs, model, n_bins=3).collect()
@@ -633,3 +634,6 @@ def test_lm_perplexity_bins_tiers_per_source(spark):
         assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 9
         for b in (1, 2):
             assert by[(s, b + 1)]["max_logscore"] <= by[(s, b)]["min_logscore"]
+    # the unscoreable doc is surfaced, not silently absent (review r11)
+    assert all(by[("a", b)]["n_unscored"] == 1 for b in (1, 2, 3))
+    assert all(by[("b", b)]["n_unscored"] == 0 for b in (1, 2, 3))

@@ -1739,6 +1739,12 @@ def test_bucketed_labels_fold_refuses_nonlocal_dir(spark):
         jobs._fold_labels_bucketed(
             spark, "s3a://bucket/labels", pairs, 0, 8
         )
+    # file: URIs are refused too (review r11): os.path cannot address
+    # them either, so the marker protocol would be just as inert
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        jobs._fold_labels_bucketed(
+            spark, "file:///tmp/labels", pairs, 0, 8
+        )
 
 
 def test_streaming_trigram_score_matches_batch(spark, sf_dir, tmp_path):
@@ -1838,10 +1844,15 @@ def test_streaming_corpus_screen_matches_composed_batch(spark, sf_dir, tmp_path)
     db = cu.dsir_score_docs(pool, spark.read.parquet(dw_dir)).select(
         "doc_id", "avg_logratio")
     evb = F.broadcast(spark.read.parquet(ev_dir).select(
-        F.col("id").alias("eval_id"), "fp"))
+        F.col("id").alias("eval_id"), F.col("n_fp").alias("ne"), "fp"))
     cb_ = (dd.winnow_fingerprint_rows(pool.withColumn("source", F.lit("x")))
            .select(F.col("id").alias("doc_id"), "fp")
-           .join(evb, "fp").select("doc_id").distinct()
+           .join(evb, "fp")
+           .groupBy("doc_id", "eval_id", "ne")
+           .agg(F.count(F.lit(1)).alias("shared"))
+           .filter((F.col("shared") >= 2)
+                   & (F.round(F.col("shared") / F.col("ne"), 6) >= 0.2))
+           .select("doc_id").distinct()
            .withColumn("_contam", F.lit(True)))
     batch = (pool.select("doc_id")
              .join(qb, "doc_id", "left").join(lb, "doc_id", "left")
