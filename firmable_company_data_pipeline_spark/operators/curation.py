@@ -1378,7 +1378,11 @@ def lm_perplexity_bins(
     CANNOT be tiered and are excluded from the bins; surfacing the
     count keeps a dataset card quoting these tiers honest about the
     source's full document population (review r11: they were silently
-    absent before).
+    absent before).  A source whose documents are ALL unscoreable
+    still emits one row (bin NULL, n_docs 0, the logscore columns
+    NULL) so its n_unscored count survives — the per-source frame is
+    the preserved side of the final join (advice r11: the previous
+    inner join dropped such sources entirely).
 
     Shape: the frozen-table scorer (:func:`trigram_lm_score_docs` — two
     exchanges) + one ntile window PER SOURCE PARTITION (parallel across
@@ -1402,22 +1406,22 @@ def lm_perplexity_bins(
     binned = scored.filter(F.col("avg_logscore").isNotNull()).withColumn(
         "bin", F.ntile(n_bins).over(w)
     )
-    return (
-        binned.groupBy("source", "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("avg_logscore").alias("min_logscore"),
-            F.max("avg_logscore").alias("max_logscore"),
-            F.round(F.avg("avg_logscore"), 6).alias("avg_logscore"),
-        )
-        .join(broadcast(unscored), "source")
-        .select(
-            "source",
-            "bin",
-            "n_docs",
-            "n_unscored",
-            "min_logscore",
-            "max_logscore",
-            "avg_logscore",
-        )
+    per_bin = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_logscore").alias("min_logscore"),
+        F.max("avg_logscore").alias("max_logscore"),
+        F.round(F.avg("avg_logscore"), 6).alias("avg_logscore"),
+    )
+    # unscored carries EVERY source (it aggregates the unfiltered doc
+    # frame), so left-joining the bin rollup onto it preserves
+    # all-unscoreable sources as a single (bin NULL, n_docs 0) row.
+    # Both sides are source×bin-bounded; broadcast the smaller rollup.
+    return unscored.join(broadcast(per_bin), "source", "left").select(
+        "source",
+        "bin",
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        "n_unscored",
+        "min_logscore",
+        "max_logscore",
+        "avg_logscore",
     )

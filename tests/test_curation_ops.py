@@ -637,3 +637,23 @@ def test_lm_perplexity_bins_tiers_per_source(spark):
     # the unscoreable doc is surfaced, not silently absent (review r11)
     assert all(by[("a", b)]["n_unscored"] == 1 for b in (1, 2, 3))
     assert all(by[("b", b)]["n_unscored"] == 0 for b in (1, 2, 3))
+
+
+def test_lm_perplexity_bins_all_unscored_source_survives(spark):
+    """A source whose docs are ALL too short to score (zero bin rows)
+    must still appear — one (bin NULL, n_docs 0) row carrying its
+    n_unscored count (advice r11: the old inner join dropped it)."""
+    rows = [
+        (0, "the cat sat on the mat", "scored"),
+        (1, "the cat sat on the mat again", "scored"),
+        (2, "tiny", "ghost"),
+        (3, "two words", "ghost"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    model = cu.trigram_lm_table(docs)
+    card = cu.lm_perplexity_bins(docs, model, n_bins=3).collect()
+    ghost = [r for r in card if r["source"] == "ghost"]
+    assert len(ghost) == 1
+    g = ghost[0]
+    assert g["bin"] is None and g["n_docs"] == 0 and g["n_unscored"] == 2
+    assert g["min_logscore"] is None and g["avg_logscore"] is None
