@@ -450,12 +450,21 @@ PQ_M = 8
 PQ_KS = 8
 
 
+def _pq_dim(corpus: DataFrame, vec_col: str) -> int:
+    """One dimension probe (a 1-row Spark job) shared by the PQ entry
+    points — advice r11: pq_topk ran it twice (codebooks + encode) and
+    ivf_pq_topk three times; now each top-level call probes once and
+    passes ``d`` down."""
+    return corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()["n"]
+
+
 def pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = PQ_M,
     ks: int = PQ_KS,
+    d: int | None = None,
 ) -> DataFrame:
     """Per-subspace PQ codebooks from the deterministic-centroid seam:
     centroid ``cell`` of subspace ``sub`` is the sub-slice of the
@@ -466,7 +475,8 @@ def pq_codebooks(
     (sub, cell, centv) with ``m × ks`` rows — broadcast-sized at any
     corpus scale.  The dim must divide evenly into ``m`` subspaces
     (raise otherwise: a ragged tail would silently mis-slice)."""
-    d = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()["n"]
+    if d is None:
+        d = _pq_dim(corpus, vec_col)
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
     sub_d = d // m
@@ -500,22 +510,36 @@ def _pq_cb_array(codebooks: DataFrame, m: int, ks: int):
     table is EXACTLY m × ks rows (review r11: a corpus with fewer than
     ks vectors, or a trained model returning fewer centers, would shift
     the stride and silently decode the wrong subspace's centroids) —
-    short tables fail loudly at execution."""
+    short tables fail loudly at execution.  The row COUNT alone is not
+    enough (advice r11): a caller-supplied table with a duplicated
+    (sub, cell) and a missing one passes the size check yet still
+    shifts the stride — so the sorted array's (sub, cell) sequence is
+    also checked against the expected grid position-by-position."""
+    grid_ok = F.forall(
+        F.transform(
+            F.col("cb"),
+            lambda e, i: (e["sub"] == (i / ks).cast("int"))
+            & (e["cell"] == i % ks),
+        ),
+        lambda ok: ok,
+    )
     return broadcast(
         codebooks.agg(
             F.array_sort(
                 F.collect_list(F.struct("sub", "cell", "centv"))
             ).alias("cb")
         ).select(
-            F.when(F.size("cb") == m * ks, F.col("cb"))
+            F.when((F.size("cb") == m * ks) & grid_ok, F.col("cb"))
             .otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            f"PQ codebook must have exactly {m * ks} "
-                            f"(m={m} x ks={ks}) rows, got "
+                            f"PQ codebook must be the complete {m} x {ks} "
+                            f"(sub, cell) grid ({m * ks} rows, no gaps or "
+                            "duplicates), got "
                         ),
                         F.size("cb").cast("string"),
+                        F.lit(" rows"),
                     )
                 )
             )
@@ -539,32 +563,13 @@ def _pq_reconstruct(m: int, ks: int, codes_col: str = "codes"):
     )
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = PQ_M,
-    ks: int = PQ_KS,
-) -> DataFrame:
-    """Encode every vector as its PQ code word — (vec_id, codes
-    array<int> of length m) with ``codes[j] = argmin_c L2²(v_subj,
-    centv(j, c))``, ties to the lowest cell (array_sort on (dist,
-    cell) structs; the distance fold is the sequential left fold both
-    engines reproduce bit-for-bit).  MAP-ONLY against the broadcast
-    codebook row: encoding 100 TB is a scan — no shuffle, no window,
-    the index append is one write of m-byte codes per vector."""
-    d = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()["n"]
-    # re-checked here, not only in pq_codebooks (review r11): with a
-    # CALLER-supplied codebook a non-divisible dim would silently
-    # mis-slice and zip_with would NULL-pad every similarity downstream
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
-    sub_d = d // m
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
-    )
-    cb = _pq_cb_array(codebooks, m, ks)
+def _pq_codes(sub_d: int, m: int, ks: int):
+    """The code-word expression shared by :func:`pq_encode` and the
+    fused :func:`ivf_pq_topk` scan — expects columns ``v`` (double
+    vector) and ``cb`` (the :func:`_pq_cb_array` row) in scope:
+    ``codes[j] = argmin_c L2²(v_subj, centv(j, c))``, ties to the
+    lowest cell, the sequential-left-fold distance both engines
+    reproduce bit-for-bit."""
 
     def dist(j, c):
         cent = F.element_at(F.col("cb"), j * ks + c + 1)["centv"]
@@ -576,7 +581,7 @@ def pq_encode(
             * (F.element_at(F.col("v"), j * sub_d + i) - F.element_at(cent, i)),
         )
 
-    codes = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.element_at(
             F.array_sort(
@@ -588,7 +593,39 @@ def pq_encode(
             1,
         )["cell"],
     )
-    return v.join(cb, how="cross").select("vec_id", codes.alias("codes"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    d: int | None = None,
+) -> DataFrame:
+    """Encode every vector as its PQ code word — (vec_id, codes
+    array<int> of length m) with ``codes[j] = argmin_c L2²(v_subj,
+    centv(j, c))``, ties to the lowest cell (array_sort on (dist,
+    cell) structs; the distance fold is the sequential left fold both
+    engines reproduce bit-for-bit).  MAP-ONLY against the broadcast
+    codebook row: encoding 100 TB is a scan — no shuffle, no window,
+    the index append is one write of m-byte codes per vector."""
+    if d is None:
+        d = _pq_dim(corpus, vec_col)
+    # re-checked here, not only in pq_codebooks (review r11): with a
+    # CALLER-supplied codebook a non-divisible dim would silently
+    # mis-slice and zip_with would NULL-pad every similarity downstream
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
+    sub_d = d // m
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
+    )
+    cb = _pq_cb_array(codebooks, m, ks)
+    return v.join(cb, how="cross").select(
+        "vec_id", _pq_codes(sub_d, m, ks).alias("codes")
+    )
 
 
 def pq_topk(
@@ -622,12 +659,13 @@ def pq_topk(
     whole-stage codegen; the per-query top-k window partitions on
     query_id.  Index memory: m bytes/vector + the m×ks×(D/m)-double
     codebook — independent of corpus size."""
+    d = _pq_dim(corpus, vec_col)
     cbs = (
         codebooks
         if codebooks is not None
-        else pq_codebooks(corpus, id_col, vec_col, m, ks)
+        else pq_codebooks(corpus, id_col, vec_col, m, ks, d=d)
     )
-    codes = pq_encode(corpus, cbs, id_col, vec_col, m, ks)
+    codes = pq_encode(corpus, cbs, id_col, vec_col, m, ks, d=d)
     cb = _pq_cb_array(cbs, m, ks)
     recon = _pq_reconstruct(m, ks)
     docs = codes.join(cb, how="cross").select(
@@ -700,6 +738,56 @@ def pq_kmeans_codebooks(
     )
 
 
+def pq_adc_tables(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    d: int | None = None,
+) -> DataFrame:
+    """Per-query ADC lookup tables (Jégou et al. 2011 §III-B — the
+    production PQ scorer the r11 docstrings promised as "the documented
+    production rewrite"): ONE row per query carrying ``lut[sub*ks +
+    cell] = (pdot, pnorm)`` where pdot = ⟨q_sub, centv(sub, cell)⟩ and
+    pnorm = |centv(sub, cell)|², each a sequential left fold over the
+    sub_d elements.  Scoring a candidate then costs m ``element_at``
+    lookups + an m-term fold (O(m)) instead of reconstructing and
+    folding the full d-dim vector (O(d)) — at m=8, d=64 an 8× cut in
+    per-candidate work, and the gap widens with d.  The table frame is
+    |Q| rows of m×ks structs — broadcast-sized for any sampled query
+    set, built by one cross join against the broadcast codebook row."""
+    if d is None:
+        d = _pq_dim(queries, vec_col)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
+    sub_d = d // m
+    cb = _pq_cb_array(codebooks, m, ks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    )
+
+    def entry(t):
+        cent = F.element_at(F.col("cb"), t + 1)["centv"]
+        sub = (t / ks).cast("int")
+        pdot = F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub_d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.col("qv"), sub * sub_d + i) * F.element_at(cent, i),
+        )
+        pnorm = F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub_d)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(cent, i) * F.element_at(cent, i),
+        )
+        return F.struct(pdot.alias("pdot"), pnorm.alias("pnorm"))
+
+    lut = F.transform(F.sequence(F.lit(0), F.lit(m * ks - 1)), entry)
+    return q.join(cb, how="cross").select("query_id", lut.alias("lut"))
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -712,23 +800,39 @@ def ivf_pq_topk(
     ks: int = PQ_KS,
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    scorer: str = "adc",
 ) -> DataFrame:
     """IVF-PQ — the production ANN composition (Jégou et al. 2011 §IV:
     coarse quantizer prunes the candidate set, product codes bound the
     per-candidate memory): probe the ``nprobe`` IVF cells nearest each
-    query, then score ONLY the probed cells' vectors by their PQ
-    reconstruction (cosine ADC).  Per-query work is |cell|·nprobe
-    instead of N, per-candidate state is m bytes instead of the raw
-    vector — the index that stays RAM-resident at 100 TB.
+    query, then score ONLY the probed cells' vectors from their m-byte
+    PQ codes.  Per-query work is |cell|·nprobe instead of N,
+    per-candidate state is m bytes instead of the raw vector — the
+    index that stays RAM-resident at 100 TB.
 
-    Composition of the audited pieces: :func:`ivf_assign` (cell
-    partition of the code table), :func:`nearest_cells` (map-only query
-    probes), :func:`pq_encode` (map-only codes), the
-    :func:`pq_topk` reconstruction fold.  Output: (query_id,
-    neighbor_id, approx_sim, rank), self-matches excluded — restricted
-    to probed cells, so recall vs :func:`pq_topk` follows the IVF
-    nprobe/n_cells trade exactly.
-    """
+    ``scorer='adc'`` (default, registered r12): per-query lookup tables
+    from :func:`pq_adc_tables` — approx_sim = Σⱼ lut[j, codeⱼ].pdot /
+    (|q| · sqrt(Σⱼ lut[j, codeⱼ].pnorm)), an O(m) fold per candidate.
+    ``scorer='reconstruct'`` keeps the r11 oracle-contract form
+    (concatenate centroids, O(d) cosine fold) — value-identical up to
+    float-sum association, rank-identical on the fixtures (pinned in
+    tests/test_similarity_search.py).
+
+    Scale shape (r12 rewrite): cell id and code word are BOTH computed
+    in the same single corpus scan against broadcast rows
+    (:func:`ivf_assign`'s nearest-cell explode + :func:`_pq_codes`) —
+    r11 built them as two scans joined on vec_id, a corpus-sized
+    shuffle the fusion deletes.  The probe side is |Q|·nprobe rows, so
+    the cell join broadcasts it; the only exchange left is the
+    per-query top-k window.  Output: (query_id, neighbor_id,
+    approx_sim, rank), self-matches excluded — restricted to probed
+    cells, so recall vs :func:`pq_topk` follows the IVF nprobe/n_cells
+    trade exactly."""
+    if scorer not in ("adc", "reconstruct"):
+        raise ValueError(f"unknown scorer {scorer!r}")
+    d = _pq_dim(corpus, vec_col)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
     cents = (
         centroids
         if centroids is not None
@@ -737,36 +841,64 @@ def ivf_pq_topk(
     cbs = (
         codebooks
         if codebooks is not None
-        else pq_codebooks(corpus, id_col, vec_col, m, ks)
-    )
-    cells = ivf_assign(corpus, cents, id_col, vec_col).select(
-        "neighbor_id", "cell"
-    )
-    codes = pq_encode(corpus, cbs, id_col, vec_col, m, ks).withColumnRenamed(
-        "vec_id", "neighbor_id"
+        else pq_codebooks(corpus, id_col, vec_col, m, ks, d=d)
     )
     cb = _pq_cb_array(cbs, m, ks)
-    recon = _pq_reconstruct(m, ks)
+    # ONE corpus scan: nearest cell (broadcast centroid row) and PQ code
+    # word (broadcast codebook row) computed side by side.
     docs = (
-        cells.join(codes, "neighbor_id")
+        ivf_assign(corpus, cents, id_col, vec_col)
+        .select("neighbor_id", "cell", F.col("cv").alias("v"))
         .join(cb, how="cross")
-        .select("neighbor_id", "cell", recon.alias("rv"))
+        .select("neighbor_id", "cell", _pq_codes(d // m, m, ks).alias("codes"))
     )
     probes = nearest_cells(
         queries, broadcast(cents), id_col, vec_col, "query_id", nprobe
     ).withColumnsRenamed({"v": "qv", "n": "qn"})
-    sim = F.round(
-        dot(F.col("qv"), F.col("rv"))
-        / (F.col("qn") * F.sqrt(norm2(F.col("rv")))),
-        6,
+    cand = (
+        broadcast(probes.select("query_id", "cell", "qn"))
+        .join(docs, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    if scorer == "adc":
+        lut = pq_adc_tables(queries, cbs, id_col, vec_col, m, ks, d=d)
+
+        def fold(field):
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("lut"),
+                    j * ks + F.element_at(F.col("codes"), j + 1) + 1,
+                )[field],
+            )
+
+        sim = F.round(
+            fold("pdot") / (F.col("qn") * F.sqrt(fold("pnorm"))), 6
+        )
+        scored = cand.join(broadcast(lut), "query_id").select(
+            "query_id", "neighbor_id", sim.alias("approx_sim")
+        )
+    else:
+        recon = _pq_reconstruct(m, ks)
+        qv = broadcast(
+            probes.select("query_id", "qv").dropDuplicates(["query_id"])
+        )
+        sim = F.round(
+            dot(F.col("qv"), F.col("rv"))
+            / (F.col("qn") * F.sqrt(norm2(F.col("rv")))),
+            6,
+        )
+        scored = (
+            cand.join(cb, how="cross")
+            .withColumn("rv", recon)
+            .join(qv, "query_id")
+            .select("query_id", "neighbor_id", sim.alias("approx_sim"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("neighbor_id")
     )
-    return (
-        probes.join(docs, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("approx_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -268,6 +268,122 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+# ivf_pq_topk — the IVF+PQ production ANN composition (Jégou et al.
+# 2011 §IV), registered round 12 (verdict r11 #2/#5): coarse quantizer
+# prunes candidates to |cell|·nprobe, product codes bound per-candidate
+# state to m bytes, and scoring is the per-query ADC LOOKUP TABLE (m
+# element_at's + an m-term fold per candidate — O(m), not the O(d)
+# reconstruction fold).  Deterministic seams: lowest-id IVF centroids +
+# lowest-id sub-sliced codebooks, so DuckDB reproduces cells, codes and
+# the partial-dot tables bit-for-bit.
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=2
+    )
+
+
+# cosine(vector v, centroid centv) — the IVF assignment score, verbatim
+# from the driver-green ANN_IVF_SQL fragment in queries/llmops.py.
+_IVF_COS = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(v)), i -> v[i+1] * centv[i+1])), (x, y) -> x + y)"
+    " / ({nv} * {nc})".format(nv=_qnorm("v"), nc=_qnorm("centv"))
+)
+
+# ADC partial sums per (query, sub, cell): the same left-fold
+# association as the Spark pq_adc_tables entries.
+_ADC_PDOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(8), i -> "
+    "q.qv[cb.sub*8 + i + 1] * cb.centv[i + 1])), (x, y) -> x + y)"
+)
+_ADC_PNORM = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(8), i -> "
+    "cb.centv[i + 1] * cb.centv[i + 1])), (x, y) -> x + y)"
+)
+# ordered fold over the m per-subspace partials — matches Spark's
+# F.aggregate over sequence(0, m-1)
+_ADC_FOLD = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list({col} ORDER BY sub)), "
+    "(x, y) -> x + y)"
+)
+
+IVF_PQ_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell, v AS centv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS pcell
+  FROM e ORDER BY vec_id LIMIT 8
+),
+cb AS (
+  SELECT u.j AS sub, pcell, v[u.j*8 + 1 : u.j*8 + 8] AS centv
+  FROM base, unnest(range(8)) AS u(j)
+),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.pcell, {_PQ_DIST} AS d
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, pcell FROM (
+    SELECT vec_id, sub, pcell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d ASC, pcell ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, {_qnorm("v")} AS qn, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.pcell,
+         {_ADC_PDOT} AS pdot, {_ADC_PNORM} AS pnorm
+  FROM q CROSS JOIN cb
+),
+parts AS (
+  SELECT p.query_id, a.neighbor_id, p.qn, l.sub, l.pdot, l.pnorm
+  FROM probes p
+  JOIN assign a USING (cell)
+  JOIN codes k ON k.vec_id = a.neighbor_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.pcell = k.pcell
+  WHERE p.query_id <> a.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_ADC_FOLD.format(col="pdot")}
+               / (qn * sqrt({_ADC_FOLD.format(col="pnorm")})), 6) AS approx_sim
+  FROM parts GROUP BY query_id, neighbor_id, qn
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # training_shuffle_shards — deterministic corpus shuffle + round-robin
 # shard manifest: the "shuffle before sharding" step every training run
 # needs, with no RNG anywhere.  Shuffle order = fold-hash of a seeded
@@ -394,6 +510,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "ann_quantized": ann_quantized,
     "ann_pq": ann_pq,
+    "ivf_pq_topk": ivf_pq_topk,
     "training_shuffle_shards": training_shuffle_shards,
     "padding_efficiency_report": padding_efficiency_report,
 }
@@ -404,6 +521,7 @@ ORACLES = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "ann_quantized": ANN_QUANTIZED_SQL,
     "ann_pq": ANN_PQ_SQL,
+    "ivf_pq_topk": IVF_PQ_TOPK_SQL,
     "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
     "padding_efficiency_report": PADDING_EFFICIENCY_REPORT_SQL,
 }

@@ -741,3 +741,22 @@ def test_corpus_flagship_selection_rank_is_distributed(plans):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[\]", p):
         raise AssertionError(f"global window found: {m.group(0)[:120]}")
+
+
+def test_ivf_pq_adc_single_exchange_all_broadcast(plans):
+    """IVF-PQ with the ADC scorer (r12 default): cell id + code word
+    come from ONE corpus scan against broadcast rows (the r11 two-scan
+    vec_id join is gone), probes and per-query lookup tables arrive by
+    broadcast, so the ONLY shuffle in the whole plan is the per-query
+    top-k window — and nothing corpus-sized ever sort-merge joins or
+    drops into Python."""
+    import re
+
+    p = plans("ivf_pq_topk")
+    # one hash exchange (the top-k window); the only other exchange the
+    # plan may carry is spread()'s round-robin local-parallelism split
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # and the per-query rank<=k pre-filters map-side before that shuffle
+    assert "WindowGroupLimit" in p

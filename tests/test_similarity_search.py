@@ -315,7 +315,9 @@ def test_ivf_pq_equals_pq_restricted_to_probed_cells(spark):
 
     emb = _block_structured(spark)
     queries = emb.filter(F.col("vec_id") % 40 == 9)
-    got = ivf_pq_topk(emb, queries, k=5, n_cells=8, nprobe=2)
+    # the reconstruct arm shares pq_topk's exact fold, so scores match
+    # bit-for-bit; the ADC default is rank-pinned separately below
+    got = ivf_pq_topk(emb, queries, k=5, n_cells=8, nprobe=2, scorer="reconstruct")
     rows = got.collect()
     assert got.columns == ["query_id", "neighbor_id", "approx_sim", "rank"]
     assert rows
@@ -344,3 +346,74 @@ def test_ivf_pq_equals_pq_restricted_to_probed_cells(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_pq_adc_rank_identical_to_reconstruct(spark):
+    """The ADC lookup-table scorer (r12 default) vs the reconstruct
+    fold: value-identical up to float-sum association, so the pinned
+    contract is RANK identity — same (query, neighbor, rank) triples —
+    plus score agreement to 1e-9 (well inside the 1e-6 rounding)."""
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        ivf_pq_topk,
+    )
+
+    emb = _block_structured(spark)
+    queries = emb.filter(F.col("vec_id") % 40 == 9)
+    adc = ivf_pq_topk(emb, queries, k=5, n_cells=8, nprobe=2).collect()
+    rec = ivf_pq_topk(
+        emb, queries, k=5, n_cells=8, nprobe=2, scorer="reconstruct"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    a = {key(r): r for r in adc}
+    b = {key(r): r for r in rec}
+    assert a.keys() == b.keys() and a
+    for kq in a:
+        assert a[kq]["neighbor_id"] == b[kq]["neighbor_id"]
+        assert abs(a[kq]["approx_sim"] - b[kq]["approx_sim"]) <= 1e-9
+
+
+def test_ivf_pq_recall_trade_vs_pq(spark):
+    """The nprobe/n_cells trade pinned on the block-structured fixture
+    (verdict r11 #2): full-probe IVF-PQ recalls exactly what cell-
+    unrestricted PQ recalls, and recall@10 vs brute force is monotone
+    non-decreasing in nprobe."""
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = _block_structured(spark)
+    queries = emb.filter(F.col("vec_id") % 40 == 9)
+    exact = _pairs(brute_force_topk(emb, queries, k=10))
+    pq_recall = len(_pairs(pq_topk(emb, queries, k=10)) & exact) / len(exact)
+    recalls = {}
+    for nprobe in (1, 2, 8):
+        got = _pairs(ivf_pq_topk(emb, queries, k=10, n_cells=8, nprobe=nprobe))
+        recalls[nprobe] = len(got & exact) / len(exact)
+    assert recalls[1] <= recalls[2] <= recalls[8]
+    # probing every cell removes the IVF restriction entirely
+    assert recalls[8] == pq_recall
+
+
+def test_pq_cb_array_rejects_incomplete_grid(spark):
+    """A codebook with the RIGHT row count but a duplicated (sub, cell)
+    and a missing one must fail loudly — the stride index would
+    silently decode the wrong subspace's centroids (advice r11)."""
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _block_structured(spark, n=40)
+    cbs = pq_codebooks(emb)
+    # swap one grid row for a duplicate of another: count still m*ks
+    broken = cbs.filter(
+        ~((F.col("sub") == 3) & (F.col("cell") == 4))
+    ).unionByName(
+        cbs.filter((F.col("sub") == 3) & (F.col("cell") == 5)).withColumn(
+            "cell", F.lit(7)  # (3,5) duplicated as a bogus (3,7)... gap at (3,4)
+        )
+    )
+    assert broken.count() == 64
+    with pytest.raises(Exception, match="complete .* grid"):
+        pq_encode(emb, broken).collect()
