@@ -504,8 +504,105 @@ GROUP BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# line_dedup_rewrite — cross-document repeated-segment REMOVAL applied
+# (CCNet §3.1 / RefinedWeb line dedup, new round 12): where
+# substring_dup_spans reports duplicated grams, this rewrites each
+# document, dropping every tumbling 8-token segment whose exact text
+# occurs in >= 2 distinct documents and reporting the retention.
+_SEG_W = 8
+
+
+def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.segment_dedup_rewrite(docs, w=_SEG_W, min_docs=2)
+
+
+LINE_DEDUP_REWRITE_SQL = f"""
+WITH {_TOK_CTE},
+segs AS (
+  SELECT doc_id, u.s AS seg,
+         array_to_string(t[u.s*{_SEG_W} + 1 : u.s*{_SEG_W} + {_SEG_W}], ' ') AS seg_text
+  FROM tok, unnest(range(CAST(ceil(len(t) / {_SEG_W}.0) AS BIGINT))) AS u(s)
+),
+dfreq AS (
+  SELECT seg_text, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY 1
+),
+verdicts AS (
+  SELECT s.doc_id, s.seg, s.seg_text, d.n_docs >= 2 AS dup
+  FROM segs s JOIN dfreq d USING (seg_text)
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round((count(*) - sum(CASE WHEN dup THEN 1 ELSE 0 END))::DOUBLE
+             / count(*), 6) AS kept_frac,
+       coalesce(string_agg(CASE WHEN NOT dup THEN seg_text END, ' '
+                           ORDER BY seg), '') AS text_kept
+FROM verdicts GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# zipf_fit_report — corpus-health diagnostic (new round 12): per-source
+# least-squares fit of ln(freq) ~ ln(rank) over the term-frequency
+# table (Zipf's law; natural text slopes near -1, synthetic/templated
+# text flattens, boilerplate-heavy crawls steepen the head — the
+# at-a-glance screen a corpus card quotes next to the tercile table).
+# Shape: one (source, word) hash-agg, one rank window PER SOURCE
+# partition (vocabulary-sized input, Zipf-bounded), one regr_* rollup.
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    freqs = (
+        docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("word"))
+    ranked = freqs.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("freq").alias("n_tokens"),
+            F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+    )
+
+
+ZIPF_FIT_REPORT_SQL = f"""
+WITH {_TOK_CTE},
+freqs AS (
+  SELECT d.source, u.word, count(*) AS freq
+  FROM documents d JOIN tok USING (doc_id), unnest(tok.t) AS u(word)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, word ASC) AS rank
+  FROM freqs
+)
+SELECT source,
+       count(*) AS n_types,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(freq::DOUBLE), ln(rank::DOUBLE)), 6) AS zipf_slope,
+       round(regr_intercept(ln(freq::DOUBLE), ln(rank::DOUBLE)), 6) AS zipf_intercept,
+       round(regr_r2(ln(freq::DOUBLE), ln(rank::DOUBLE)), 6) AS r2
+FROM ranked GROUP BY source
+"""
+
+
 QUERIES = {
     "substring_dup_spans": substring_dup_spans,
+    "line_dedup_rewrite": line_dedup_rewrite,
+    "zipf_fit_report": zipf_fit_report,
     "pii_redaction": pii_redaction,
     "contamination_check": contamination_check,
     "ann_quantized": ann_quantized,
@@ -517,6 +614,8 @@ QUERIES = {
 
 ORACLES = {
     "substring_dup_spans": SUBSTRING_DUP_SPANS_SQL,
+    "line_dedup_rewrite": LINE_DEDUP_REWRITE_SQL,
+    "zipf_fit_report": ZIPF_FIT_REPORT_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "ann_quantized": ANN_QUANTIZED_SQL,

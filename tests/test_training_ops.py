@@ -139,3 +139,63 @@ def test_padding_efficiency_report_invariants(spark):
         assert 0 <= r["waste_frac"] < 1
         assert r["padded_waste"] == r["n_docs"] * r["max_len"] - r["sum_len"]
     assert [r["max_len"] for r in rows] == sorted(r["max_len"] for r in rows)
+
+
+def test_segment_dedup_rewrite_drops_shared_boilerplate(spark):
+    """CCNet-style line dedup on a planted fixture: an 8-token
+    boilerplate segment shared by three docs is dropped everywhere,
+    unique segments survive in original order, an all-boilerplate doc
+    rewrites to '' (kept_frac 0), and a doc with a ragged tail keeps
+    its short final segment."""
+    boiler = "all rights reserved contact us for more info"  # 8 tokens
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight " + boiler),
+        (2, boiler),
+        (3, "unique doc with a short tail"),  # 6 tokens: 1 ragged segment
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.segment_dedup_rewrite(docs, w=8).collect()}
+    assert out[0]["n_segments"] == 2 and out[0]["n_dropped"] == 1
+    assert out[0]["text_kept"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1]["n_dropped"] == 1
+    assert out[1]["text_kept"] == "one two three four five six seven eight"
+    assert out[2]["text_kept"] == "" and out[2]["kept_frac"] == 0.0
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["text_kept"] == "unique doc with a short tail"
+    # order preserved across multiple kept segments
+    docs2 = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h " + boiler + " i j k l m n o p"),
+            (1, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    r0 = {r["doc_id"]: r for r in dd.segment_dedup_rewrite(docs2, w=8).collect()}[0]
+    assert r0["text_kept"] == "a b c d e f g h i j k l m n o p"
+    assert r0["n_segments"] == 3 and r0["n_dropped"] == 1
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """zipf_fit_report's regression is a real fit: a corpus whose term
+    frequencies are exactly freq(r) = round(1000 * r^-1) must fit a
+    slope near -1 with high r2; a uniform corpus fits slope ~0."""
+    from firmable_company_data_pipeline_spark.queries.training import (
+        zipf_fit_report,
+    )
+    import math
+
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * round(1000 * r**-1.0)
+    uni = [f"u{r:02d}" for r in range(1, 41)] * 25
+    rows = [(0, " ".join(words), "zipfian"), (1, " ".join(uni), "uniform")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r for r in zipf_fit_report(spark, d).collect()}
+    z, u = out["zipfian"], out["uniform"]
+    assert abs(z["zipf_slope"] + 1.0) < 0.05 and z["r2"] > 0.99
+    assert abs(u["zipf_slope"]) < 1e-6 and u["n_types"] == 40
