@@ -69,7 +69,11 @@ from firmable_company_data_pipeline_spark.operators import retrieval as rt
 from firmable_company_data_pipeline_spark.operators.ranks import (
     exact_global_row_number,
 )
-from firmable_company_data_pipeline_spark.session import load_tables, spread
+from firmable_company_data_pipeline_spark.session import (
+    fs_write_text,
+    load_tables,
+    spread,
+)
 
 _MOD = ts.HASH_MOD
 
@@ -300,21 +304,15 @@ def write_training_corpus(
     ``partitionBy(shard)`` write with ``sortWithinPartitions(pos)`` so
     each shard file is already in read order; a dataloader streams
     ``shard=K`` sequentially with zero further shuffling.  The manifest
-    is driver-local json (the `_latest.json` protocol surface) — refuse
-    ANY scheme'd ``out_dir`` (including ``file:``, which ``open()``
-    cannot address — review r11: the parquet write would succeed and
-    the manifest write would then fail or land beside the wrong tree)
-    rather than produce shards whose manifest their readers can't see
-    (the advice-r10 labels-fold rule)."""
+    is small json published through :func:`session.fs_write_text`
+    (verdict r11 #4 — the Hadoop-FS port of the ``_latest.json``
+    protocol surface): plain paths keep the atomic posix
+    tmp+``os.replace``, scheme'd paths (s3a/hdfs/``file:``) go through
+    the Hadoop FileSystem API so the manifest lands in the SAME store
+    as the shards — the r11 refusal branch replaced by a working
+    write."""
     import json as _json
-    import os as _os
 
-    if "://" in out_dir or out_dir.startswith("file:"):
-        raise NotImplementedError(
-            f"write_training_corpus writes a driver-local _manifest.json; "
-            f"got {out_dir} — pass a plain local path or port the "
-            "manifest write to your FS first"
-        )
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     rows = _shard_rows(spark, sf_dir)
     (
@@ -345,10 +343,11 @@ def write_training_corpus(
         .orderBy("shard")
         .collect()
     ]
-    tmp = _os.path.join(out_dir, "_manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump({"seed": _SHUFFLE_SEED, "shards": manifest}, fh, indent=1)
-    _os.replace(tmp, _os.path.join(out_dir, "_manifest.json"))
+    fs_write_text(
+        spark,
+        out_dir.rstrip("/") + "/_manifest.json",
+        _json.dumps({"seed": _SHUFFLE_SEED, "shards": manifest}, indent=1),
+    )
     return manifest
 
 

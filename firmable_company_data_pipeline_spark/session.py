@@ -15,6 +15,116 @@ import os
 from pyspark.sql import SparkSession
 
 
+def is_schemed_path(path: str) -> bool:
+    """True for any URI-schemed path (``s3a://…``, ``hdfs://…``, and
+    ``file:`` in either one- or three-slash form) — the paths
+    ``os.path`` / ``open()`` cannot address."""
+    return "://" in path or path.startswith("file:")
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through the filesystem SPARK is
+    configured to use.  ``os.path`` / ``glob`` / ``open`` only see the
+    driver's local disk, so probes and small-file protocol writes done
+    through them silently miss a populated HDFS/S3 target (advice r7);
+    the Hadoop FileSystem API is the one surface that always agrees
+    with the read/write path Spark itself takes."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Contents of a small driver-protocol file (manifest, crash
+    marker), or None when absent.  Plain paths read via ``open`` (posix
+    behavior unchanged); scheme'd paths via the Hadoop FS API, so a
+    marker on s3a/hdfs is read from the same store Spark writes."""
+    if not is_schemed_path(path):
+        try:
+            with open(path) as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # commons-io ships on Spark's classpath (hadoop-client pulls it)
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def fs_write_text(
+    spark: SparkSession, path: str, text: str, direct: bool = False
+) -> None:
+    """Publish a small driver-protocol file (the r12 Hadoop-FS port of
+    the ``_latest.json`` protocol surface — verdict r11 #4).
+
+    Plain paths: write ``path + '.tmp'`` then ``os.replace`` — the
+    atomic posix publish, byte-identical to the previous behavior.
+
+    Scheme'd paths, ``direct=False``: tmp write, delete any existing
+    target, ``FileSystem.rename`` — atomic on HDFS and LocalFileSystem;
+    on rename-less stores (S3A) the window between delete and rename
+    can leave the file ABSENT, which readers see as a loud
+    FileNotFound, never a partial read.
+
+    Scheme'd paths, ``direct=True``: a single ``create(overwrite)``
+    write.  A crash mid-write leaves a PARTIAL file that fails json
+    parsing loudly — choose this where a silently MISSING file would
+    be worse than a loudly corrupt one (the labels-fold crash marker:
+    losing it would skip repair silently)."""
+    if not is_schemed_path(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+        return
+    fs, jdst = hadoop_fs(spark, path)
+    if direct:
+        out = fs.create(jdst, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return
+    _, jtmp = hadoop_fs(spark, path + ".tmp")
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(jdst, False)
+    if not fs.rename(jtmp, jdst):
+        raise IOError(f"publish rename failed for {path}")
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Delete a driver-protocol file on whatever store holds it; True
+    if something was removed.  Plain paths via ``os`` (unchanged)."""
+    if not is_schemed_path(path):
+        try:
+            os.remove(path)
+            return True
+        except FileNotFoundError:
+            return False
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.delete(jpath, False))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    """``makedirs(exist_ok=True)`` on whatever store holds ``path``."""
+    if not is_schemed_path(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, jpath = hadoop_fs(spark, path)
+    fs.mkdirs(jpath)
+
+
 def default_parallelism() -> int:
     """Local test parallelism; on a real cluster Spark's own defaults win."""
     try:

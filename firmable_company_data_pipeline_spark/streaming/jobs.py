@@ -1147,31 +1147,28 @@ def _fold_labels_bucketed(
     import json as _json
 
     from firmable_company_data_pipeline_spark.operators import dedup as dd
+    from firmable_company_data_pipeline_spark.session import (
+        fs_delete,
+        fs_mkdirs,
+        fs_read_text,
+        fs_write_text,
+    )
 
-    # the crash marker is driver-local json (open/os.replace) — the
-    # same protocol surface as the gen layout's _latest.json manifest.
-    # On a non-posix labels_dir (HDFS/S3) the fold would RUN but the
-    # marker protocol would be inert: a crash mid-overwrite would never
-    # be detected or repaired (advice r10) — refuse rather than run a
-    # repair protocol that cannot fire; porting means moving both
-    # manifest protocols to the Hadoop FS API.  ANY scheme is refused,
-    # including file: (review r11): os.path cannot address file: URIs
-    # either — the marker would land in a cwd-relative './file:/...'
-    # tree while Spark writes to the real path, leaving the protocol
-    # just as inert.  Pass the plain posix path.
-    if "://" in labels_dir or labels_dir.startswith("file:"):
-        raise NotImplementedError(
-            f"bucketed labels fold needs a plain driver-local path for "
-            f"its crash-repair marker; got {labels_dir} — use the gen "
-            "layout ported to your FS, or a local staging dir"
-        )
+    # the crash marker goes through session.fs_* (verdict r11 #4 — the
+    # Hadoop-FS port of the protocol surface): plain paths keep the
+    # atomic posix tmp+os.replace publish, scheme'd paths
+    # (s3a/hdfs/file:) write through the Hadoop FileSystem API so the
+    # marker lives in the SAME store as the labeling it repairs — the
+    # r10/r11 refusal branch replaced by working writes.  The marker
+    # publish uses direct=True on scheme'd stores: a crash mid-write
+    # leaves a partial marker the next fold fails on LOUDLY (json
+    # parse), whereas a delete+rename window could lose the marker and
+    # silently skip repair.
     _pin_bucket_count(spark, labels_dir, n_buckets)
     prev = _read_parquet_or_none(spark, labels_dir)
-    marker_p = os.path.join(labels_dir, _LABELS_FOLD_MARKER)
-    marker = None
-    if os.path.exists(marker_p):
-        with open(marker_p) as fh:
-            marker = _json.load(fh)
+    marker_p = labels_dir.rstrip("/") + "/" + _LABELS_FOLD_MARKER
+    marker_txt = fs_read_text(spark, marker_p)
+    marker = _json.loads(marker_txt) if marker_txt is not None else None
     fold_pairs = pairs.select("id_a", "id_b")
     if prev is None:
         prev_l = fold_pairs.select(
@@ -1214,11 +1211,13 @@ def _fold_labels_bucketed(
     if not tb:
         new_labels.unpersist()
         return
-    os.makedirs(labels_dir, exist_ok=True)
-    tmp = marker_p + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump({"batch_id": batch_id, "buckets": sorted(tb)}, fh)
-    os.replace(tmp, marker_p)
+    fs_mkdirs(spark, labels_dir)
+    fs_write_text(
+        spark,
+        marker_p,
+        _json.dumps({"batch_id": batch_id, "buckets": sorted(tb)}),
+        direct=True,
+    )
     (
         new_labels.filter(F.col("lbucket").isin(sorted(tb)))
         .repartition("lbucket")
@@ -1227,7 +1226,7 @@ def _fold_labels_bucketed(
         .partitionBy("lbucket")
         .parquet(labels_dir)
     )
-    os.remove(marker_p)
+    fs_delete(spark, marker_p)
     new_labels.unpersist()
 
 

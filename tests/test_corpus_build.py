@@ -102,8 +102,7 @@ def test_write_training_corpus_shards_match_manifest(spark, tmp_path):
     """The writer's artifact is self-consistent: the written shard
     partitions reproduce the manifest rollup AND the registered
     manifest query; pos_in_shard is contiguous 1..n per shard; text
-    rides every row; a non-local out_dir is refused (the manifest is
-    driver-local json)."""
+    rides every row."""
     import json
 
     out = str(tmp_path / "corpus")
@@ -138,7 +137,23 @@ def test_write_training_corpus_shards_match_manifest(spark, tmp_path):
         )
         assert pos == list(range(1, len(pos) + 1))
 
-    with pytest.raises(NotImplementedError, match="driver-local"):
-        cb.write_training_corpus(spark, SF, "s3a://bucket/corpus")
-    with pytest.raises(NotImplementedError, match="driver-local"):
-        cb.write_training_corpus(spark, SF, "file:///tmp/corpus")
+
+def test_write_training_corpus_schemed_path(spark, tmp_path):
+    """Verdict r11 #4: a scheme'd out_dir works — shards AND manifest
+    land in the same (Hadoop-FS-addressed) store.  file: is the
+    cheapest non-posix-addressed scheme: open()/os.path cannot reach
+    it, so a driver-local manifest write would land in a cwd-relative
+    './file:/...' tree; the Hadoop FileSystem API resolves it to the
+    real path."""
+    import json
+    import os
+
+    local = str(tmp_path / "corpus_schemed")
+    manifest = cb.write_training_corpus(spark, SF, "file://" + local)
+    # the manifest is readable at the REAL location through plain posix
+    assert os.path.exists(local + "/_manifest.json")
+    on_disk = json.load(open(local + "/_manifest.json"))
+    assert on_disk["shards"] == manifest and on_disk["seed"] == cb._SHUFFLE_SEED
+    assert {r["shard"] for r in spark.read.parquet(local).select("shard").distinct().collect()} == {
+        m["shard"] for m in manifest
+    }

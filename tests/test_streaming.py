@@ -1729,22 +1729,38 @@ def test_pin_bucket_count_refuses_undeclared_seed(spark, tmp_path):
     assert jobs._bucket_markers(spark, fresh) == [16]
 
 
-def test_bucketed_labels_fold_refuses_nonlocal_dir(spark):
-    """Advice r10: the bucketed labels fold's crash-repair marker is
-    driver-local posix I/O — on an HDFS/S3 labels_dir the fold would run
-    but the repair protocol could never fire, so the fold must refuse
-    up front rather than silently lose crash safety."""
-    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
-    with pytest.raises(NotImplementedError, match="driver-local"):
-        jobs._fold_labels_bucketed(
-            spark, "s3a://bucket/labels", pairs, 0, 8
-        )
-    # file: URIs are refused too (review r11): os.path cannot address
-    # them either, so the marker protocol would be just as inert
-    with pytest.raises(NotImplementedError, match="driver-local"):
-        jobs._fold_labels_bucketed(
-            spark, "file:///tmp/labels", pairs, 0, 8
-        )
+def test_bucketed_labels_fold_schemed_dir(spark, tmp_path):
+    """Verdict r11 #4: the crash-repair marker protocol now runs
+    through the Hadoop FS API, so a scheme'd labels_dir WORKS instead
+    of being refused — fold, repair and marker cleanup all on the
+    file:-addressed store (the cheapest scheme posix I/O cannot
+    address), with results identical to the posix path."""
+    import json
+    import os
+
+    local = str(tmp_path / "labels_schemed")
+    labels_dir = "file://" + local
+    pairs1 = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    jobs._fold_labels_bucketed(spark, labels_dir, pairs1, 0, 8)
+    # marker cleaned up at the REAL location; labels readable
+    assert not os.path.exists(os.path.join(local, jobs._LABELS_FOLD_MARKER))
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(labels_dir).select("doc_id", "cluster_id").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 3)}
+    # a pending marker (crash simulation) triggers the repair path and
+    # is removed by the next completed fold
+    with open(os.path.join(local, jobs._LABELS_FOLD_MARKER), "w") as fh:
+        json.dump({"batch_id": 0, "buckets": [0]}, fh)
+    pairs2 = spark.createDataFrame([(2, 5)], "id_a long, id_b long")
+    jobs._fold_labels_bucketed(spark, labels_dir, pairs2, 1, 8)
+    assert not os.path.exists(os.path.join(local, jobs._LABELS_FOLD_MARKER))
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(labels_dir).select("doc_id", "cluster_id").collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 1), (3, 3), (4, 3)}
 
 
 def test_streaming_trigram_score_matches_batch(spark, sf_dir, tmp_path):
