@@ -45,10 +45,16 @@ one repetition pass, CC label propagation, the winnow screen, the DSIR
 two-exchange scorer) plus one bounded per-cluster window, one
 distributed exact rank for selection, one for the shuffle — no new
 shuffle class beyond the audited components.  Self-containment note
-(the registry convention, as with ``leakage_safe_split``): both queries
-recompute the verdict frame rather than reading a persisted one; a
-production run writes ``_corpus_ff`` to parquet once and each view is
-one aggregation over it.
+(the registry convention, as with ``leakage_safe_split``): both
+REGISTERED queries recompute the verdict frame rather than reading a
+persisted one — that is the oracle contract.  The production arm
+(r12, verdict r11 #3) is implemented alongside:
+``write_corpus_verdicts`` materializes the frame once (parquet,
+``partitionBy(ff)``), and ``build_training_corpus_from_verdicts`` /
+``corpus_attrition_card_from_verdicts`` /
+``write_training_corpus(verdicts_dir=...)`` are one bounded
+aggregation over it — reconciled row-for-row against the
+self-contained views in tests/test_corpus_build.py.
 
 Oracle-parity: the SQL mirrors are composed from the SAME shared CTE
 constants the standalone oracles use (``llmops``'s cluster walk, winnow
@@ -220,11 +226,40 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shard_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def write_corpus_verdicts(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the 7-stage verdict frame ONCE — the production arm
+    the flagship docstring promises (verdict r11 #3): a run writes this
+    parquet after curation, and every downstream consumer (manifest,
+    attrition card, shard writer, audits) is one aggregation over it
+    instead of re-running text features + CC + winnow + DSIR per view.
+    Layout: ``partitionBy(ff)`` (≤ 8 directories — the labels-fold
+    discipline of partitioning by the pruning key), so the survivor
+    read (``ff IS NULL``) partition-prunes to a single directory and a
+    per-stage audit reads only its stage."""
+    _corpus_ff(spark, sf_dir).write.mode("overwrite").partitionBy("ff").parquet(
+        out_dir
+    )
+
+
+def read_corpus_verdicts(spark: SparkSession, verdicts_dir: str) -> DataFrame:
+    """The persisted verdict frame, back in :func:`_corpus_ff`'s column
+    order (partition discovery appends ``ff`` last and types the null
+    partition as the null ff)."""
+    return spark.read.parquet(verdicts_dir).select(
+        "doc_id", "source", "n_tok", F.col("ff").cast("int").alias("ff")
+    )
+
+
+def _shard_rows(
+    spark: SparkSession, sf_dir: str, verdicts: DataFrame | None = None
+) -> DataFrame:
     """The shard-assigned corpus rows behind both the manifest and the
     writer: survivors → mixing-epoch copies → seeded deterministic
     shuffle → round-robin shards.  Output: (doc_id, source, n_tok, cp,
-    shard, pos_in_shard)."""
+    shard, pos_in_shard).  ``verdicts``: pass a persisted
+    :func:`write_corpus_verdicts` frame to skip recomputing the verdict
+    pipeline (the production arm); default recomputes self-containedly
+    (the registry/oracle contract)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     # localCheckpoint, not persist (the dedup_clusters_incremental
     # lesson, one level up): the survivor set feeds the mixing plan
@@ -235,9 +270,9 @@ def _shard_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and races the broadcast thread against the main job on the first
     # materialization (measured: 73 s unshared → 24 s persisted → ~13 s
     # checkpointed, vs the attrition card's 10 s single pass)
+    ffd = verdicts if verdicts is not None else _corpus_ff(spark, sf_dir)
     final = (
-        _corpus_ff(spark, sf_dir)
-        .filter(F.col("ff").isNull())
+        ffd.filter(F.col("ff").isNull())
         .select("doc_id", "n_tok")
         .localCheckpoint(eager=True)
     )
@@ -292,7 +327,10 @@ def build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_training_corpus(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    verdicts_dir: str | None = None,
 ) -> list[dict]:
     """MATERIALIZE the built corpus: shard-partitioned parquet (each row
     one training example copy — doc_id, cp, source, n_tok,
@@ -314,7 +352,13 @@ def write_training_corpus(
     import json as _json
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    rows = _shard_rows(spark, sf_dir)
+    rows = _shard_rows(
+        spark,
+        sf_dir,
+        verdicts=(
+            read_corpus_verdicts(spark, verdicts_dir) if verdicts_dir else None
+        ),
+    )
     (
         rows.join(docs.select("doc_id", "text"), "doc_id")
         .repartition("shard")
@@ -351,12 +395,9 @@ def write_training_corpus(
     return manifest
 
 
-def corpus_attrition_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (stage, source) attrition: docs in / dropped / out and the
-    tokens surviving the stage — derived from the (source, first-fail)
-    contingency table (≤ sources × 8 rows) crossed with the 7-row stage
-    dimension, so everything after the verdict frame is bounded."""
-    ffd = _corpus_ff(spark, sf_dir)
+def _attrition_card_over(spark: SparkSession, ffd: DataFrame) -> DataFrame:
+    """The bounded attrition rollup over any verdict frame — shared by
+    the self-contained registry view and the persisted production arm."""
     per = ffd.groupBy("source", "ff").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").alias("tok")
     )
@@ -377,6 +418,46 @@ def corpus_attrition_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def corpus_attrition_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (stage, source) attrition: docs in / dropped / out and the
+    tokens surviving the stage — derived from the (source, first-fail)
+    contingency table (≤ sources × 8 rows) crossed with the 7-row stage
+    dimension, so everything after the verdict frame is bounded.
+    Self-contained (recomputes the verdict frame — the oracle
+    contract); production runs use :func:`corpus_attrition_card_from_verdicts`."""
+    return _attrition_card_over(spark, _corpus_ff(spark, sf_dir))
+
+
+def build_training_corpus_from_verdicts(
+    spark: SparkSession, sf_dir: str, verdicts_dir: str
+) -> DataFrame:
+    """The shard manifest over a PERSISTED verdict frame (verdict r11
+    #3): the survivor read partition-prunes to the ``ff IS NULL``
+    directory, so the view costs one mixing rollup + the shuffle rank —
+    never the 7-stage pipeline.  Value-identical to
+    :func:`build_training_corpus` by construction (reconciled in
+    tests/test_corpus_build.py)."""
+    return (
+        _shard_rows(
+            spark, sf_dir, verdicts=read_corpus_verdicts(spark, verdicts_dir)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+def corpus_attrition_card_from_verdicts(
+    spark: SparkSession, sf_dir: str, verdicts_dir: str
+) -> DataFrame:
+    """The attrition card over a PERSISTED verdict frame — one bounded
+    rollup over the ≤8-partition parquet."""
+    return _attrition_card_over(spark, read_corpus_verdicts(spark, verdicts_dir))
 
 
 def _ff_ctes() -> str:

@@ -157,3 +157,58 @@ def test_write_training_corpus_schemed_path(spark, tmp_path):
     assert {r["shard"] for r in spark.read.parquet(local).select("shard").distinct().collect()} == {
         m["shard"] for m in manifest
     }
+
+
+def test_persisted_verdicts_reconcile_with_self_contained(spark, tmp_path):
+    """The production arm (verdict r11 #3): write_corpus_verdicts once,
+    then the manifest, attrition card and shard writer over the
+    persisted frame must reproduce the self-contained registry views
+    row-for-row — and the persisted reads must be cheap (no verdict
+    recomputation: their plans scan the verdicts parquet, not the
+    documents-table lineage)."""
+    import json
+    import time
+
+    vd = str(tmp_path / "verdicts")
+    cb.write_corpus_verdicts(spark, SF, vd)
+
+    # stage counts identical
+    self_card = sorted(
+        map(tuple, cb.corpus_attrition_card(spark, SF).collect())
+    )
+    t0 = time.time()
+    pers_card = sorted(
+        map(tuple, cb.corpus_attrition_card_from_verdicts(spark, SF, vd).collect())
+    )
+    card_secs = time.time() - t0
+    assert pers_card == self_card
+
+    # manifest identical
+    self_man = sorted(
+        map(tuple, cb.build_training_corpus(spark, SF).collect())
+    )
+    pers_man = sorted(
+        map(tuple, cb.build_training_corpus_from_verdicts(spark, SF, vd).collect())
+    )
+    assert pers_man == self_man
+
+    # the persisted card never touches the documents table: one parquet
+    # source only (the self-contained plan embeds the full lineage)
+    plan = (
+        cb.corpus_attrition_card_from_verdicts(spark, SF, vd)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan
+    assert card_secs < 30  # bounded rollup, not the 7-stage pipeline
+
+    # the shard writer accepts the persisted frame and its manifest
+    # matches the self-contained writer's rollup
+    out = str(tmp_path / "corpus_from_verdicts")
+    manifest = cb.write_training_corpus(spark, SF, out, verdicts_dir=vd)
+    on_disk = json.load(open(out + "/_manifest.json"))
+    assert on_disk["shards"] == manifest
+    assert sorted(
+        (m["shard"], m["n_docs"], m["n_tokens"], m["n_sources"]) for m in manifest
+    ) == self_man
