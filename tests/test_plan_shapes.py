@@ -760,3 +760,31 @@ def test_ivf_pq_adc_single_exchange_all_broadcast(plans):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     # and the per-query rank<=k pre-filters map-side before that shuffle
     assert "WindowGroupLimit" in p
+
+
+def test_global_topk_family_keeps_windowgrouplimit_pushdown(plans):
+    """The top-k window pattern (row_number + rank<=k) is only
+    scale-safe because Spark rewrites it — partitionless windows to
+    TakeOrderedAndProject (or partial+final WindowGroupLimit), ranked
+    per-group windows to partial WindowGroupLimit, so every input
+    partition pre-filters to k rows before the merge (verdict r11 note
+    #2).  A refactor that breaks the rewrite (referencing the rank
+    column twice, filtering later, adding a second window function)
+    silently regresses into a full single-partition sort — pin both
+    forms on representative family members."""
+    # global top-k: the rewrite may land as either safe form
+    for name in ("top_revenue_orders", "waiting_suppliers", "bm25_search"):
+        p = plans(name)
+        assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p, (
+            f"{name} lost the global top-k pushdown"
+        )
+    # per-group rank<=k: partial (map-side) WindowGroupLimit must
+    # precede the exchange (PLANS.md pins these carried it at r11)
+    for name in ("hybrid_search_rrf", "ann_ivf_incremental"):
+        p = plans(name)
+        assert "WindowGroupLimit" in p, f"{name} lost the rank pushdown"
+        # the details section prints "row_number(), k, Partial" for the
+        # map-side node (and ", Final" for the post-exchange merge)
+        assert "row_number(), 20, Partial" in p or ", Partial" in p, (
+            f"{name}: no partial WindowGroupLimit before the merge"
+        )
