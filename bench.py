@@ -68,6 +68,10 @@ HEADLINE = [
     "ann_pq",
     "build_training_corpus",
     "corpus_attrition_card",
+    "lm_perplexity_bins",
+    "ivf_pq_topk",
+    "line_dedup_rewrite",
+    "zipf_fit_report",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

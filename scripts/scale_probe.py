@@ -107,6 +107,18 @@ PROBE_QUERIES = {
         "build_training_corpus",
         "corpus_attrition_card",
     ],
+    # round-12 additions: the tercile card adds a per-source ntile +
+    # bounded rollup on top of the LM scorer; IVF-PQ is one corpus scan
+    # against broadcast rows + the top-k window; line dedup is the
+    # substring_dup_spans shuffle shape with ~1x (tumbling) volume plus
+    # a per-doc reassembly agg; the zipf fit is one term hash-agg +
+    # per-source windows over Zipf-bounded vocabularies
+    "r12": [
+        "lm_perplexity_bins",
+        "ivf_pq_topk",
+        "line_dedup_rewrite",
+        "zipf_fit_report",
+    ],
 }
 
 
