@@ -646,9 +646,10 @@ def pq_topk(
     in-expression.  This reconstruct-then-fold form is value-identical
     to Jégou-style per-query ADC lookup tables up to float-sum
     association (the table precomputes the same subspace dot products);
-    the fold form is what the oracle reproduces bit-for-bit, so it is
-    the registered contract and the table form is the documented
-    production rewrite.  Output: (query_id, neighbor_id, approx_sim,
+    the fold form is what the ann_pq oracle reproduces bit-for-bit, so
+    it stays this query's registered contract — the ADC table form is
+    implemented in :func:`pq_adc_tables` and is :func:`ivf_pq_topk`'s
+    default scorer (r12).  Output: (query_id, neighbor_id, approx_sim,
     rank) for ``rank <= k`` — same contract as :func:`quantized_topk`,
     recall pinned against it on the clustered fixture in
     tests/test_similarity_search.py.
