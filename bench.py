@@ -69,6 +69,7 @@ HEADLINE = [
     "build_training_corpus",
     "corpus_attrition_card",
     "lm_perplexity_bins",
+    "distinct_ngram_diversity",
     "ivf_pq_topk",
     "line_dedup_rewrite",
     "zipf_fit_report",

@@ -1356,6 +1356,83 @@ def trigram_lm_score_docs(
     )
 
 
+def ngram_diversity(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Distinct-n diversity card (Li et al. 2016, "A Diversity-Promoting
+    Objective Function for Neural Conversation Models" — distinct-1/2
+    are the standard text-diversity metrics; templated or looping
+    sources collapse toward 0, varied prose stays high): per source,
+
+        distinct_n = |unique n-grams| / n-gram occurrences,  n ∈ {1,2,3}
+
+    Output: (source, n_tokens, distinct_1, distinct_2, distinct_3),
+    ratios rounded to 6.  Complements :func:`repetition_stats` (per-DOC
+    Gopher screens) and ``zipf_fit_report`` (frequency-shape) with the
+    corpus-level diversity number a dataset card quotes.
+
+    Scale shape: the :func:`trigram_lm_table` gram assembly — all three
+    orders built MAP-SIDE from the in-row token array into one tagged
+    stream — then one (source, order, gram) hash-agg with map-side
+    combine and a (source, order) rollup pivoted in-expression; two
+    exchanges at any corpus size, output bounded by sources."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    empty = F.array().cast("array<struct<o:int,g:string>>")
+
+    def tag(order: int, g: Column) -> Column:
+        return F.struct(F.lit(order).alias("o"), g.alias("g"))
+
+    unis = F.transform(t, lambda x: tag(1, x))
+    bis = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: tag(2, F.concat_ws(" ", a, b)),
+        ),
+    ).otherwise(empty)
+    bc = F.zip_with(
+        F.slice(t, 2, n - 2),
+        F.slice(t, 3, n - 2),
+        lambda b, c: F.concat_ws(" ", b, c),
+    )
+    tris = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(t, 1, n - 2), bc, lambda a, x: tag(3, F.concat_ws(" ", a, x))
+        ),
+    ).otherwise(empty)
+    per = (
+        spread(df)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(F.concat(unis, bis, tris)).alias("gr"),
+        )
+        .select("source", F.col("gr.o").alias("o"), F.col("gr.g").alias("g"))
+        .groupBy("source", "o", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source", "o")
+        .agg(F.count(F.lit(1)).alias("n_unique"), F.sum("c").alias("n_occ"))
+    )
+
+    def ratio(o: int) -> Column:
+        return F.round(
+            F.sum(F.when(F.col("o") == o, F.col("n_unique")))
+            / F.sum(F.when(F.col("o") == o, F.col("n_occ"))),
+            6,
+        )
+
+    return per.groupBy("source").agg(
+        F.sum(F.when(F.col("o") == 1, F.col("n_occ")))
+        .cast("long")
+        .alias("n_tokens"),
+        ratio(1).alias("distinct_1"),
+        ratio(2).alias("distinct_2"),
+        ratio(3).alias("distinct_3"),
+    )
+
+
 def lm_perplexity_bins(
     docs: DataFrame,
     model: DataFrame,

@@ -1188,6 +1188,42 @@ FROM unscored u LEFT JOIN per_bin p USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# distinct_ngram_diversity — the distinct-1/2/3 corpus diversity card
+# (Li et al. 2016; new round 12, outside the driver window — r13 head
+# candidate): per source, unique-to-occurrence n-gram ratios.
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return cu.ngram_diversity(docs)
+
+
+DISTINCT_NGRAM_DIVERSITY_SQL = f"""
+WITH tok AS (SELECT d.source, {_TOKENS} AS t FROM documents d),
+grams AS (
+  SELECT source, 1 AS o, u.g FROM tok, unnest(t) AS u(g)
+  UNION ALL
+  SELECT source, 2 AS o, t[i+1] || ' ' || t[i+2] AS g
+  FROM tok, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2
+  UNION ALL
+  SELECT source, 3 AS o, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM tok, unnest(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3
+),
+per AS (
+  SELECT source, o, count(DISTINCT g) AS n_unique, count(*) AS n_occ
+  FROM grams GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(CASE WHEN o = 1 THEN n_occ END) AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN o = 1 THEN n_unique END)
+             / sum(CASE WHEN o = 1 THEN n_occ END)::DOUBLE, 6) AS distinct_1,
+       round(sum(CASE WHEN o = 2 THEN n_unique END)
+             / sum(CASE WHEN o = 2 THEN n_occ END)::DOUBLE, 6) AS distinct_2,
+       round(sum(CASE WHEN o = 3 THEN n_unique END)
+             / sum(CASE WHEN o = 3 THEN n_occ END)::DOUBLE, 6) AS distinct_3
+FROM per GROUP BY source
+"""
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -1208,6 +1244,7 @@ QUERIES = {
     "quality_classifier_sweep": quality_classifier_sweep,
     "trigram_lm_score": trigram_lm_score,
     "lm_perplexity_bins": lm_perplexity_bins,
+    "distinct_ngram_diversity": distinct_ngram_diversity,
 }
 
 ORACLES = {
@@ -1230,4 +1267,5 @@ ORACLES = {
     "quality_classifier_sweep": QUALITY_CLASSIFIER_SWEEP_SQL,
     "trigram_lm_score": TRIGRAM_LM_SCORE_SQL,
     "lm_perplexity_bins": LM_PERPLEXITY_BINS_SQL,
+    "distinct_ngram_diversity": DISTINCT_NGRAM_DIVERSITY_SQL,
 }

@@ -657,3 +657,23 @@ def test_lm_perplexity_bins_all_unscored_source_survives(spark):
     g = ghost[0]
     assert g["bin"] is None and g["n_docs"] == 0 and g["n_unscored"] == 2
     assert g["min_logscore"] is None and g["avg_logscore"] is None
+
+
+def test_ngram_diversity_separates_templated_from_varied(spark):
+    """Distinct-n on a planted fixture: a source that loops one
+    sentence collapses (few unique n-grams over many occurrences)
+    while a source of all-distinct tokens maxes out (distinct_1 = 1),
+    and distinct-n falls with n on the templated source."""
+    rows = [
+        (0, "the cat sat on the mat " * 20, "templated"),
+        (1, "the cat sat on the mat " * 20, "templated"),
+        (2, "alpha beta gamma delta epsilon zeta", "varied"),
+        (3, "eta theta iota kappa lambda mu", "varied"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in cu.ngram_diversity(docs).collect()}
+    t, v = out["templated"], out["varied"]
+    assert v["distinct_1"] == 1.0 and v["distinct_2"] == 1.0
+    assert t["distinct_1"] < 0.05  # 5 unique tokens / 240 occurrences
+    assert t["distinct_2"] <= t["distinct_1"] * 2  # no diversity recovery
+    assert t["n_tokens"] == 240 and v["n_tokens"] == 12
