@@ -753,13 +753,20 @@ def segment_dedup_rewrite(
     note as :func:`substring_dup_spans`."""
     t = tokens(F.col(text_col))
     n_seg = F.ceil(F.size(t) / F.lit(w)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda s: F.struct(
-            s.alias("seg"),
-            F.concat_ws(" ", F.slice(t, s * w + 1, w)).alias("seg_text"),
+    # NULL-text guard (review r12): size(NULL) is -1 under non-ANSI
+    # semantics, and sequence(0, -1) steps DOWNWARD to [0, -1] — two
+    # phantom segments where the oracle (len(NULL) -> NULL -> no rows)
+    # emits none.  A NULL-text doc contributes no segments and no row.
+    segs = F.when(
+        t.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda s: F.struct(
+                s.alias("seg"),
+                F.concat_ws(" ", F.slice(t, s * w + 1, w)).alias("seg_text"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<seg:int,seg_text:string>>"))
     occ = (
         spread(df)
         .select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))

@@ -719,7 +719,7 @@ def pq_kmeans_codebooks(
             "pq_kmeans_codebooks needs pyspark.ml (numpy): " + str(exc)
         ) from exc
 
-    d = corpus.select(F.size(to_double(F.col(vec_col))).alias("n")).first()["n"]
+    d = _pq_dim(corpus, vec_col)
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
     sub_d = d // m

@@ -29,16 +29,39 @@ from pyspark.sql.types import (
 from firmable_company_data_pipeline_spark.streaming import windows as W
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` through the filesystem SPARK is
-    configured to use.  ``os.path`` / ``glob`` only see the driver's
-    local disk, so existence probes through them silently misreport a
-    populated HDFS/S3 target as empty (advice r7); the Hadoop
-    FileSystem API is the one probe that always agrees with the read
-    path Spark will take."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+# one definition in session.py (r12 review: this module and session
+# each carried a verbatim copy that would drift independently)
+from firmable_company_data_pipeline_spark.session import (
+    hadoop_fs as _hadoop_fs,
+)
+from firmable_company_data_pipeline_spark.session import (
+    fs_delete as _fs_delete,
+)
+from firmable_company_data_pipeline_spark.session import (
+    fs_mkdirs as _fs_mkdirs,
+)
+from firmable_company_data_pipeline_spark.session import (
+    fs_read_text as _fs_read_text,
+)
+from firmable_company_data_pipeline_spark.session import (
+    fs_write_text as _fs_write_text,
+)
+from firmable_company_data_pipeline_spark.session import (
+    is_schemed_path as _is_schemed_path,
+)
+
+
+def _rmtree_any(spark: SparkSession, path: str) -> None:
+    """Recursive delete on whatever store holds ``path`` — plain paths
+    via ``shutil`` (unchanged), scheme'd paths via the Hadoop FS API
+    (a driver-local rmtree would silently leak HDFS/S3 trees)."""
+    if not _is_schemed_path(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.delete(jpath, True)
 
 
 def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -578,11 +601,10 @@ def streaming_minhash_dedup(
             return
         if labels_dir is not None:
             import json as _json
-            import shutil
 
-            all_gens = _label_gens(labels_dir)
+            all_gens = _label_gens(labels_dir, spark=spark)
             prev_gens = sorted(g for g in all_gens if g < batch_id)
-            _repair_label_manifest(labels_dir, batch_id, prev_gens)
+            _repair_label_manifest(labels_dir, batch_id, prev_gens, spark=spark)
             if prev_gens:
                 prev = spark.read.parquet(
                     os.path.join(labels_dir, f"gen={prev_gens[-1]}")
@@ -599,10 +621,11 @@ def streaming_minhash_dedup(
             # publish atomically AFTER the write: readers resolve via the
             # manifest, so a crash mid-write can never surface a partial
             # generation (review r6; the compact_rollup rename pattern)
-            tmp = os.path.join(labels_dir, "_latest.json.tmp")
-            with open(tmp, "w") as fh:
-                _json.dump({"gen": batch_id}, fh)
-            os.replace(tmp, os.path.join(labels_dir, "_latest.json"))
+            _fs_write_text(
+                spark,
+                os.path.join(labels_dir, "_latest.json"),
+                _json.dumps({"gen": batch_id}),
+            )
             # ALL deletion happens only after the new generation exists
             # and the manifest points at it (advice r6: deleting dead-run
             # generations up front meant a crash between the delete and
@@ -613,16 +636,12 @@ def streaming_minhash_dedup(
             # them and would shadow read_dedup_labels forever (review r6);
             # gen == batch_id was just overwritten by this batch's write.
             for g in (g for g in all_gens if g > batch_id):
-                shutil.rmtree(
-                    os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
-                )
+                _rmtree_any(spark, os.path.join(labels_dir, f"gen={g}"))
             # (2) prune history the NEXT replay can no longer need:
             # anything older than the generation this batch read from
             if prev_gens:
                 for g in prev_gens[:-1]:
-                    shutil.rmtree(
-                        os.path.join(labels_dir, f"gen={g}"), ignore_errors=True
-                    )
+                    _rmtree_any(spark, os.path.join(labels_dir, f"gen={g}"))
             pairs.unpersist()
         if bands is not None:
             bands.unpersist()
@@ -1147,12 +1166,6 @@ def _fold_labels_bucketed(
     import json as _json
 
     from firmable_company_data_pipeline_spark.operators import dedup as dd
-    from firmable_company_data_pipeline_spark.session import (
-        fs_delete,
-        fs_mkdirs,
-        fs_read_text,
-        fs_write_text,
-    )
 
     # the crash marker goes through session.fs_* (verdict r11 #4 — the
     # Hadoop-FS port of the protocol surface): plain paths keep the
@@ -1167,7 +1180,7 @@ def _fold_labels_bucketed(
     _pin_bucket_count(spark, labels_dir, n_buckets)
     prev = _read_parquet_or_none(spark, labels_dir)
     marker_p = labels_dir.rstrip("/") + "/" + _LABELS_FOLD_MARKER
-    marker_txt = fs_read_text(spark, marker_p)
+    marker_txt = _fs_read_text(spark, marker_p)
     marker = _json.loads(marker_txt) if marker_txt is not None else None
     fold_pairs = pairs.select("id_a", "id_b")
     if prev is None:
@@ -1211,8 +1224,8 @@ def _fold_labels_bucketed(
     if not tb:
         new_labels.unpersist()
         return
-    fs_mkdirs(spark, labels_dir)
-    fs_write_text(
+    _fs_mkdirs(spark, labels_dir)
+    _fs_write_text(
         spark,
         marker_p,
         _json.dumps({"batch_id": batch_id, "buckets": sorted(tb)}),
@@ -1226,11 +1239,16 @@ def _fold_labels_bucketed(
         .partitionBy("lbucket")
         .parquet(labels_dir)
     )
-    fs_delete(spark, marker_p)
+    _fs_delete(spark, marker_p)
     new_labels.unpersist()
 
 
-def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int]) -> None:
+def _repair_label_manifest(
+    labels_dir: str,
+    batch_id: int,
+    prev_gens: list[int],
+    spark: SparkSession | None = None,
+) -> None:
     """Manifest repair at batch start (review r7): if ``_latest.json``
     points at any generation this batch is ABOUT TO REWRITE or that a
     dead run left behind (gen >= this batch id — gen > batch_id is a
@@ -1245,33 +1263,43 @@ def _repair_label_manifest(labels_dir: str, batch_id: int, prev_gens: list[int])
     either lands or readers keep seeing ``prev_gens[-1]`` (which pruning
     always retains for the replay).  With no valid previous generation
     the manifest is removed — a loud FileNotFoundError from
-    ``read_dedup_labels`` beats serving a doomed clustering as current."""
+    ``read_dedup_labels`` beats serving a doomed clustering as current.
+    Protocol I/O rides ``session.fs_*`` (r12): plain paths unchanged,
+    scheme'd paths through the Hadoop FS API (``spark`` required)."""
     import json as _json
 
     manifest = os.path.join(labels_dir, "_latest.json")
-    if not os.path.exists(manifest):
+    txt = _fs_read_text(spark, manifest)
+    if txt is None:
         return
     try:
-        with open(manifest) as fh:
-            cur_gen = _json.load(fh)["gen"]
+        cur_gen = _json.loads(txt)["gen"]
     except (ValueError, KeyError, TypeError):
         cur_gen = None
     if isinstance(cur_gen, int) and cur_gen < batch_id:
         return  # healthy: points at a previous generation this batch reads
     if prev_gens:
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump({"gen": prev_gens[-1]}, fh)
-        os.replace(tmp, manifest)
+        _fs_write_text(spark, manifest, _json.dumps({"gen": prev_gens[-1]}))
     else:
-        os.remove(manifest)
+        _fs_delete(spark, manifest)
 
 
-def _label_gens(labels_dir: str) -> list[int]:
-    if not os.path.exists(labels_dir):
-        return []
+def _label_gens(labels_dir: str, spark: SparkSession | None = None) -> list[int]:
+    """``gen=N`` generation ids under ``labels_dir`` — plain paths via
+    ``os.listdir`` (unchanged), scheme'd paths via Hadoop listStatus
+    (a driver-local listdir reads a populated HDFS/S3 target as empty,
+    the advice-r7 probe class; ``spark`` required there)."""
+    if not _is_schemed_path(labels_dir):
+        if not os.path.exists(labels_dir):
+            return []
+        names = os.listdir(labels_dir)
+    else:
+        fs, jdir = _hadoop_fs(spark, labels_dir)
+        if not fs.exists(jdir):
+            return []
+        names = [st.getPath().getName() for st in fs.listStatus(jdir)]
     out = []
-    for d in os.listdir(labels_dir):
+    for d in names:
         if d.startswith("gen="):
             try:
                 out.append(int(d.split("=", 1)[1]))
@@ -1299,17 +1327,15 @@ def read_dedup_labels(spark, labels_dir: str) -> DataFrame:
     buckets until the next fold repairs it, stated rather than hidden."""
     import json as _json
 
-    path = os.path.join(labels_dir, "_latest.json")
-    try:
-        with open(path) as fh:
-            gen = _json.load(fh)["gen"]
-    except FileNotFoundError:
+    txt = _fs_read_text(spark, os.path.join(labels_dir, "_latest.json"))
+    if txt is None:
         # bucketed-layout detection through Spark's own filesystem (the
         # _batch_partition_ids rule — a driver-local listdir would read
         # an HDFS/S3 target as absent)
         if _labels_layout_of(spark, labels_dir) == "bucketed":
             return spark.read.parquet(labels_dir).drop("lbucket")
-        raise FileNotFoundError(f"no label manifest under {labels_dir}") from None
+        raise FileNotFoundError(f"no label manifest under {labels_dir}")
+    gen = _json.loads(txt)["gen"]
     return spark.read.parquet(os.path.join(labels_dir, f"gen={gen}"))
 
 

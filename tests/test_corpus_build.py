@@ -167,7 +167,6 @@ def test_persisted_verdicts_reconcile_with_self_contained(spark, tmp_path):
     recomputation: their plans scan the verdicts parquet, not the
     documents-table lineage)."""
     import json
-    import time
 
     vd = str(tmp_path / "verdicts")
     cb.write_corpus_verdicts(spark, SF, vd)
@@ -176,11 +175,9 @@ def test_persisted_verdicts_reconcile_with_self_contained(spark, tmp_path):
     self_card = sorted(
         map(tuple, cb.corpus_attrition_card(spark, SF).collect())
     )
-    t0 = time.time()
     pers_card = sorted(
         map(tuple, cb.corpus_attrition_card_from_verdicts(spark, SF, vd).collect())
     )
-    card_secs = time.time() - t0
     assert pers_card == self_card
 
     # manifest identical
@@ -201,7 +198,6 @@ def test_persisted_verdicts_reconcile_with_self_contained(spark, tmp_path):
         .toString()
     )
     assert "documents.parquet" not in plan
-    assert card_secs < 30  # bounded rollup, not the 7-stage pipeline
 
     # the shard writer accepts the persisted frame and its manifest
     # matches the self-contained writer's rollup

@@ -783,8 +783,10 @@ def test_global_topk_family_keeps_windowgrouplimit_pushdown(plans):
     for name in ("hybrid_search_rrf", "ann_ivf_incremental"):
         p = plans(name)
         assert "WindowGroupLimit" in p, f"{name} lost the rank pushdown"
-        # the details section prints "row_number(), k, Partial" for the
-        # map-side node (and ", Final" for the post-exchange merge)
-        assert "row_number(), 20, Partial" in p or ", Partial" in p, (
+        # the details section prints "row_number(), <k>, Partial" for
+        # the map-side node (and ", Final" for the post-exchange merge)
+        import re
+
+        assert re.search(r"row_number\(\), \d+, Partial", p), (
             f"{name}: no partial WindowGroupLimit before the merge"
         )

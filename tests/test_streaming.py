@@ -1885,3 +1885,40 @@ def test_streaming_corpus_screen_matches_composed_batch(spark, sf_dir, tmp_path)
     # the too-short doc is present and rejected
     tiny_row = [r for r in got.collect() if r["doc_id"] == 999_999]
     assert len(tiny_row) == 1 and tiny_row[0]["admit"] is False
+
+
+def test_gen_layout_manifest_protocol_schemed_dir(spark, tmp_path):
+    """Review r12: the gen-layout _latest.json protocol (publish,
+    repair, read, generation listing) also rides the Hadoop FS port —
+    exercised end-to-end on a file:-scheme labels_dir, where the old
+    open()/os.listdir code would have read the target as absent."""
+    import json
+    import os
+
+    from firmable_company_data_pipeline_spark.session import fs_read_text, fs_write_text
+
+    local = str(tmp_path / "labels_gen_schemed")
+    labels_dir = "file://" + local
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    labels.write.parquet(labels_dir + "/gen=1")
+    fs_write_text(spark, labels_dir + "/_latest.json", json.dumps({"gen": 1}))
+    # listing + read resolve through the scheme'd store
+    assert jobs._label_gens(labels_dir, spark=spark) == [1]
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in jobs.read_dedup_labels(spark, labels_dir).collect()
+    }
+    assert got == {(1, 1), (2, 1)}
+    # dead-run manifest (gen >= batch) re-pointed at the newest valid
+    # previous generation, on the scheme'd store
+    fs_write_text(spark, labels_dir + "/_latest.json", json.dumps({"gen": 9}))
+    jobs._repair_label_manifest(labels_dir, batch_id=5, prev_gens=[1], spark=spark)
+    assert json.loads(fs_read_text(spark, labels_dir + "/_latest.json"))["gen"] == 1
+    # and the manifest really lives at the posix-visible real path
+    assert os.path.exists(os.path.join(local, "_latest.json"))
+    # no valid previous generation -> manifest removed (loud readers)
+    fs_write_text(spark, labels_dir + "/_latest.json", json.dumps({"gen": 9}))
+    jobs._repair_label_manifest(labels_dir, batch_id=0, prev_gens=[], spark=spark)
+    assert fs_read_text(spark, labels_dir + "/_latest.json") is None

@@ -163,6 +163,14 @@ def test_segment_dedup_rewrite_drops_shared_boilerplate(spark):
     assert out[2]["text_kept"] == "" and out[2]["kept_frac"] == 0.0
     assert out[3]["n_dropped"] == 0
     assert out[3]["text_kept"] == "unique doc with a short tail"
+    # NULL text: no segments, no row (review r12 — size(NULL) = -1 made
+    # sequence(0, -1) step DOWN to [0, -1], two phantom '' segments)
+    docs_null = spark.createDataFrame(
+        [(0, None), (1, "a b c")], "doc_id long, text string"
+    )
+    out_null = {r["doc_id"]: r for r in dd.segment_dedup_rewrite(docs_null, w=8).collect()}
+    assert set(out_null) == {1}
+    assert out_null[1]["n_segments"] == 1 and out_null[1]["n_dropped"] == 0
     # order preserved across multiple kept segments
     docs2 = spark.createDataFrame(
         [
