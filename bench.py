@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_attrition_card",
     "lm_perplexity_bins",
     "distinct_ngram_diversity",
+    "quality_ensemble_topk",
     "ivf_pq_topk",
     "line_dedup_rewrite",
     "zipf_fit_report",

@@ -9,7 +9,7 @@ both engines, floats rounded before comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from firmable_company_data_pipeline_spark.functions import textstats as ts
@@ -1224,6 +1224,163 @@ FROM per GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# quality_ensemble_topk — signal-ensemble selection (the DCLM/FineWeb
+# production pattern: no single quality signal is trusted alone — the
+# Gopher repetition screen gates, then the learned NB classifier and
+# the Stupid-Backoff LM quality score are FUSED by reciprocal-rank
+# fusion and the corpus keeps the top of the fused order).  New round
+# 12, outside the driver window (r13 head candidate).
+#
+# Shape: the two scorers are their audited two-exchange sub-plans; the
+# two global ranks ride the distributed exact rank (range repartition +
+# broadcast offsets — never a single-reducer sort); RRF arithmetic is
+# exact integer-rank math (zero float-order risk); the final top-100 is
+# the WindowGroupLimit-rewritten row_number pattern.
+_RRF_K = 60
+_ENSEMBLE_TOP = 100
+
+
+def quality_ensemble_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.ranks import (
+        exact_global_row_number,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    label = F.col("source").isin("src0", "src1", "src2", "src3")
+    in_train_qc = (
+        ts.char_fold_hash(
+            F.concat(F.lit("qc|"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        < 80
+    )
+    weights = cu.nb_quality_weights(
+        docs.filter(in_train_qc), label, n_buckets=256, alpha=1.0
+    )
+    nb = cu.nb_quality_score(docs, weights, n_buckets=256).select(
+        "doc_id", "log_odds"
+    )
+    in_train_lm = (
+        ts.char_fold_hash(
+            F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        < 80
+    )
+    model = cu.trigram_lm_table(docs.filter(in_train_lm))
+    lm = cu.trigram_lm_score_docs(docs, model).select(
+        "doc_id", "avg_logscore"
+    )
+    keep = cu.repetition_stats(docs).select("doc_id", "keep")
+    base = (
+        nb.join(lm, "doc_id")
+        .join(keep, "doc_id")
+        .filter(F.col("keep"))
+        .select("doc_id", "log_odds", "avg_logscore")
+    )
+    r1 = exact_global_row_number(
+        base.withColumn("_n1", -F.col("log_odds")), ["_n1", "doc_id"], out="rank_nb"
+    )
+    r2 = exact_global_row_number(
+        r1.withColumn("_n2", -F.col("avg_logscore")),
+        ["_n2", "doc_id"],
+        out="rank_lm",
+    )
+    fused = r2.select(
+        "doc_id",
+        F.col("rank_nb").cast("long").alias("rank_nb"),
+        F.col("rank_lm").cast("long").alias("rank_lm"),
+        F.round(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_nb"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lm")),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ENSEMBLE_TOP)
+    )
+
+
+# the LM chain is TRIGRAM_LM_SCORE_SQL's, lm-prefixed (the NB template
+# already owns the CTE names train/tot/stok in this oracle's scope)
+QUALITY_ENSEMBLE_TOPK_SQL = (
+    "WITH "
+    + _qc_ctes("documents")
+    + f""",
+nb AS (SELECT doc_id, round(s + prior_w, 4) AS log_odds FROM lo0, prior),
+rep AS (SELECT doc_id, keep FROM ({{rep_sql}}) r),
+lmtrain AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+  WHERE {_fold("'lm|' || doc_id::VARCHAR")} % 100 < 80
+),
+lmuni AS (SELECT u.g AS gram, count(*) AS c FROM lmtrain, unnest(t) AS u(g) GROUP BY 1),
+lmbi AS (
+  SELECT t[i+1] || ' ' || t[i+2] AS gram, count(*) AS c
+  FROM lmtrain, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2 GROUP BY 1
+),
+lmtri AS (
+  SELECT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram, count(*) AS c
+  FROM lmtrain, unnest(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3 GROUP BY 1
+),
+lmtot AS (SELECT (SELECT sum(c) FROM lmuni) AS n_tok, (SELECT count(*) FROM lmuni) AS v),
+lmstok AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+lmstri AS (
+  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3, count(*) AS c
+  FROM lmstok, unnest(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+  GROUP BY 1, 2, 3, 4
+),
+lmscored AS (
+  SELECT s.doc_id, s.c,
+         CASE WHEN t3.c IS NOT NULL THEN t3.c::DOUBLE / b12.c
+              WHEN b23.c IS NOT NULL THEN 0.4 * b23.c::DOUBLE / u2.c
+              ELSE (0.4 * 0.4) * (coalesce(u3.c, 0) + 0.5)
+                   / (lmtot.n_tok + 0.5 * lmtot.v)
+         END AS sc
+  FROM lmstri s
+  LEFT JOIN lmtri t3 ON t3.gram = s.w1 || ' ' || s.w2 || ' ' || s.w3
+  LEFT JOIN lmbi b12 ON b12.gram = s.w1 || ' ' || s.w2
+  LEFT JOIN lmbi b23 ON b23.gram = s.w2 || ' ' || s.w3
+  LEFT JOIN lmuni u2 ON u2.gram = s.w2
+  LEFT JOIN lmuni u3 ON u3.gram = s.w3
+  CROSS JOIN lmtot
+),
+lm AS (
+  SELECT doc_id, round(sum(c * ln(sc)) / sum(c), 6) AS avg_logscore
+  FROM lmscored GROUP BY 1
+),
+base AS (
+  SELECT nb.doc_id, nb.log_odds, lm.avg_logscore
+  FROM nb JOIN lm USING (doc_id) JOIN rep USING (doc_id)
+  WHERE rep.keep
+),
+eranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY log_odds DESC, doc_id ASC) AS rank_nb,
+         row_number() OVER (ORDER BY avg_logscore DESC, doc_id ASC) AS rank_lm
+  FROM base
+),
+fused AS (
+  SELECT doc_id,
+         CAST(rank_nb AS BIGINT) AS rank_nb,
+         CAST(rank_lm AS BIGINT) AS rank_lm,
+         round(1.0 / ({_RRF_K} + rank_nb) + 1.0 / ({_RRF_K} + rank_lm), 6) AS rrf
+  FROM eranked
+)
+SELECT doc_id, rank_nb, rank_lm, rrf, rank FROM (
+  SELECT doc_id, rank_nb, rank_lm, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {_ENSEMBLE_TOP}
+"""
+).replace("{rep_sql}", QUALITY_REPETITION_SQL)
+
+
 QUERIES = {
     "boilerplate_screen": boilerplate_screen,
     "ann_recall_report": ann_recall_report,
@@ -1245,6 +1402,7 @@ QUERIES = {
     "trigram_lm_score": trigram_lm_score,
     "lm_perplexity_bins": lm_perplexity_bins,
     "distinct_ngram_diversity": distinct_ngram_diversity,
+    "quality_ensemble_topk": quality_ensemble_topk,
 }
 
 ORACLES = {
@@ -1268,4 +1426,5 @@ ORACLES = {
     "trigram_lm_score": TRIGRAM_LM_SCORE_SQL,
     "lm_perplexity_bins": LM_PERPLEXITY_BINS_SQL,
     "distinct_ngram_diversity": DISTINCT_NGRAM_DIVERSITY_SQL,
+    "quality_ensemble_topk": QUALITY_ENSEMBLE_TOPK_SQL,
 }

@@ -118,6 +118,8 @@ PROBE_QUERIES = {
         "ivf_pq_topk",
         "line_dedup_rewrite",
         "zipf_fit_report",
+        "distinct_ngram_diversity",
+        "quality_ensemble_topk",
     ],
 }
 

@@ -677,3 +677,26 @@ def test_ngram_diversity_separates_templated_from_varied(spark):
     assert t["distinct_1"] < 0.05  # 5 unique tokens / 240 occurrences
     assert t["distinct_2"] <= t["distinct_1"] * 2  # no diversity recovery
     assert t["n_tokens"] == 240 and v["n_tokens"] == 12
+
+
+def test_quality_ensemble_topk_invariants(spark, sf_dir):
+    """RRF fusion invariants on the real corpus: output is the top-100
+    of the fused order with contiguous ranks; rrf is exactly the
+    integer-rank formula (recomputable); signal ranks are positive and
+    distinct per signal; and the fused head is not a copy of either
+    single signal's head (the point of ensembling)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["quality_ensemble_topk"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    assert sorted(r["rank"] for r in rows) == list(range(1, 101))
+    for r in rows:
+        expect = round(1.0 / (60 + r["rank_nb"]) + 1.0 / (60 + r["rank_lm"]), 6)
+        assert abs(r["rrf"] - expect) < 1e-9
+    # descending rrf with doc_id tiebreak
+    ordered = sorted(rows, key=lambda r: r["rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a["rrf"], -a["doc_id"]) >= (b["rrf"], -b["doc_id"])
+    # fusion differs from both single-signal orders somewhere in the head
+    assert any(r["rank"] != r["rank_nb"] for r in rows)
+    assert any(r["rank"] != r["rank_lm"] for r in rows)
