@@ -71,6 +71,7 @@ HEADLINE = [
     "lm_perplexity_bins",
     "distinct_ngram_diversity",
     "quality_ensemble_topk",
+    "ann_ivf_pq_residual",
     "ivf_pq_topk",
     "line_dedup_rewrite",
     "zipf_fit_report",

@@ -384,6 +384,134 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+# ann_ivf_pq_residual — IVFADC proper (Jégou et al. 2011 §IV-A, the
+# FAISS IndexIVFPQ encoding; new round 12): PQ codes cover the RESIDUAL
+# v − c(cell) so the coarse quantizer absorbs between-cell variance and
+# the m bytes only encode within-cell spread.  Scoring decomposes
+# v̂ = c + recon: num = <q,c> + Σ pdot; ||v̂||² = ||c||² + 2·Σ xdot +
+# Σ pnorm — three ordered m-term folds per candidate, all tables
+# broadcast.  Residual codebooks come from the ks lowest-id
+# NON-centroid vectors (centroid residuals are identically zero).
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators import similarity_search as ann
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.ivf_pq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=2
+    )
+
+
+_PQ_RDIST = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(8), i -> "
+    "(r.rv0[cb.sub*8 + i + 1] - cb.centv[i + 1])"
+    " * (r.rv0[cb.sub*8 + i + 1] - cb.centv[i + 1]))), (x, y) -> x + y)"
+)
+_QC_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(len(v)), i -> v[i+1] * centv[i+1])), (x, y) -> x + y)"
+)
+_X_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(8), i -> "
+    "c.centv[cb.sub*8 + i + 1] * cb.centv[i + 1])), (x, y) -> x + y)"
+)
+
+ANN_IVF_PQ_RESIDUAL_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell, v AS centv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.neighbor_id AS vec_id, a.cell,
+         list_transform(range(len(a.cv)), i -> a.cv[i+1] - c.centv[i+1]) AS rv0
+  FROM assign a JOIN cents c USING (cell)
+),
+rbase AS (
+  SELECT vec_id, rv0, row_number() OVER (ORDER BY vec_id) - 1 AS pcell
+  FROM (SELECT * FROM resid
+        WHERE vec_id NOT IN (SELECT cell FROM cents)
+        ORDER BY vec_id LIMIT 8)
+),
+rcb AS (
+  SELECT u.j AS sub, pcell, rv0[u.j*8 + 1 : u.j*8 + 8] AS centv
+  FROM rbase, unnest(range(8)) AS u(j)
+),
+dists AS (
+  SELECT r.vec_id, cb.sub, cb.pcell, {_PQ_RDIST} AS d
+  FROM resid r CROSS JOIN rcb cb
+),
+codes AS (
+  SELECT vec_id, sub, pcell FROM (
+    SELECT vec_id, sub, pcell,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d ASC, pcell ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+xt AS (
+  SELECT c.cell, cb.sub, cb.pcell, {_X_DOT} AS xdot
+  FROM cents c CROSS JOIN rcb cb
+),
+cn AS (
+  SELECT cell,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(centv, x -> x * x)), (x, y) -> x + y) AS cnorm2
+  FROM cents
+),
+probes AS (
+  SELECT query_id, cell, {_qnorm("v")} AS qn, {_QC_DOT} AS qcdot FROM (
+    SELECT e.vec_id AS query_id, e.v, c.cell, c.centv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.pcell,
+         {_ADC_PDOT} AS pdot, {_ADC_PNORM} AS pnorm
+  FROM q CROSS JOIN rcb cb
+),
+parts AS (
+  SELECT p.query_id, a.neighbor_id, p.cell, p.qn, p.qcdot,
+         l.sub, l.pdot, l.pnorm, x.xdot
+  FROM probes p
+  JOIN assign a USING (cell)
+  JOIN codes k ON k.vec_id = a.neighbor_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.pcell = k.pcell
+  JOIN xt x ON x.cell = p.cell AND x.sub = k.sub AND x.pcell = k.pcell
+  WHERE p.query_id <> a.neighbor_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round((p.qcdot + {_ADC_FOLD.format(col="pdot")})
+               / (p.qn * sqrt(cn.cnorm2
+                              + 2 * {_ADC_FOLD.format(col="xdot")}
+                              + {_ADC_FOLD.format(col="pnorm")})), 6)
+           AS approx_sim
+  FROM parts p JOIN cn ON cn.cell = p.cell
+  GROUP BY p.query_id, p.neighbor_id, p.qn, p.qcdot, cn.cnorm2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # training_shuffle_shards — deterministic corpus shuffle + round-robin
 # shard manifest: the "shuffle before sharding" step every training run
 # needs, with no RNG anywhere.  Shuffle order = fold-hash of a seeded
@@ -608,6 +736,7 @@ QUERIES = {
     "ann_quantized": ann_quantized,
     "ann_pq": ann_pq,
     "ivf_pq_topk": ivf_pq_topk,
+    "ann_ivf_pq_residual": ann_ivf_pq_residual,
     "training_shuffle_shards": training_shuffle_shards,
     "padding_efficiency_report": padding_efficiency_report,
 }
@@ -621,6 +750,7 @@ ORACLES = {
     "ann_quantized": ANN_QUANTIZED_SQL,
     "ann_pq": ANN_PQ_SQL,
     "ivf_pq_topk": IVF_PQ_TOPK_SQL,
+    "ann_ivf_pq_residual": ANN_IVF_PQ_RESIDUAL_SQL,
     "training_shuffle_shards": TRAINING_SHUFFLE_SHARDS_SQL,
     "padding_efficiency_report": PADDING_EFFICIENCY_REPORT_SQL,
 }

@@ -120,6 +120,7 @@ PROBE_QUERIES = {
         "zipf_fit_report",
         "distinct_ngram_diversity",
         "quality_ensemble_topk",
+        "ann_ivf_pq_residual",
     ],
 }
 

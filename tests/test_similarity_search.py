@@ -417,3 +417,55 @@ def test_pq_cb_array_rejects_incomplete_grid(spark):
     assert broken.count() == 64
     with pytest.raises(Exception, match="complete .* grid"):
         pq_encode(emb, broken).collect()
+
+
+def test_ivf_pq_residual_recall_ladder(spark):
+    """IVFADC residual encoding (r12): at IDENTICAL index memory and
+    identical coarse centroids, quantizing the residual v - c(cell)
+    must beat quantizing the raw vector (the coarse quantizer absorbs
+    between-cell variance), and training the residual sub-codebooks
+    must beat the deterministic lowest-id seam — the monotone ladder
+    Jégou et al. 2011 §IV-A predicts.  Deterministic fixture + fixed
+    seeds, so the ladder is exact, not statistical."""
+    pytest.importorskip("pyspark.ml")
+    import numpy as np
+
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        ivf_residuals,
+        pq_kmeans_codebooks,
+    )
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(8, 64)) * 3
+    rows = []
+    for i in range(800):
+        vec = centers[i // 100] + 0.3 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 100 < 2)
+    exact = _pairs(brute_force_topk(emb, queries, k=10))
+    cents = kmeans_centroids(emb, n_cells=8, seed=7).persist()
+    cents.count()
+
+    def recall(df):
+        got = _pairs(df)
+        return len(got & exact) / len(exact)
+
+    plain = recall(ivf_pq_topk(emb, queries, k=10, nprobe=2, centroids=cents))
+    resid = recall(
+        ivf_pq_residual_topk(emb, queries, k=10, nprobe=2, centroids=cents)
+    )
+    tcbs = pq_kmeans_codebooks(
+        ivf_residuals(emb, cents), id_col="vec_id", vec_col="resid", seed=3
+    )
+    trained = recall(
+        ivf_pq_residual_topk(
+            emb, queries, k=10, nprobe=2, centroids=cents, codebooks=tcbs
+        )
+    )
+    cents.unpersist()
+    assert resid > plain
+    assert trained >= resid
+    assert trained >= 0.25  # measured 0.281 on this exact fixture
