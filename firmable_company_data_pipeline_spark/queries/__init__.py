@@ -103,6 +103,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         retrieval,
         scalar,
         scale,
+        selection,
         streaming_batch,
         training,
         warehouse,
@@ -127,6 +128,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
         retrieval,
         analytics,
         warehouse,
+        selection,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -386,8 +386,146 @@ GROUP BY CUBE (n_name, year(o_orderdate))
 """
 
 
+# ---------------------------------------------------------------------------
+# benford_revenue_audit — data-quality screen: first-significant-digit
+# distribution of o_totalprice vs Benford's law, with per-digit Pearson
+# chi-square terms.  Fabricated or re-keyed monetary columns fail this
+# audit long before row-level rules fire, so it belongs next to the
+# fk/dq packs as an ingest gate.  ONE map-side-combined hash-agg to 9
+# rows, then bounded 9-row arithmetic — at 100 TB the scan is the whole
+# cost and every predicate-free column except o_totalprice is pruned.
+# First digit via the DECIMAL's canonical string head (both engines
+# print 2-dp decimals identically), NOT floor(log10): log10 is libm-
+# and-boundary fragile at exact powers of ten, substring is exact.
+_BENFORD_EXP = tuple(__import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def benford_revenue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    per = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n_orders"))
+    # 9-row frame from here down: the unpartitioned window is bounded by
+    # construction (digits 1..9), the plan-shape suite's allowed class.
+    total = F.sum("n_orders").over(Window.rowsBetween(*(Window.unboundedPreceding, Window.unboundedFollowing)))
+    exp_frac = F.element_at(F.array(*[F.lit(v) for v in _BENFORD_EXP]), F.col("digit"))
+    expected_n = total * exp_frac
+    return per.select(
+        "digit",
+        "n_orders",
+        F.round(F.col("n_orders") / total, 6).alias("obs_frac"),
+        F.round(exp_frac, 6).alias("exp_frac"),
+        F.round(
+            (F.col("n_orders") - expected_n) * (F.col("n_orders") - expected_n)
+            / expected_n,
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ::DOUBLE[]: DuckDB types bare decimal-point literals as DECIMAL, and
+# round(DECIMAL, 6) stays DECIMAL — which would hash-mismatch Spark's
+# DOUBLE column even at identical values.
+_BENFORD_ARR = "([" + ", ".join(repr(v) for v in _BENFORD_EXP) + "]::DOUBLE[])"
+
+BENFORD_REVENUE_AUDIT_SQL = f"""
+WITH per AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n_orders)::DOUBLE AS n FROM per)
+SELECT digit, n_orders,
+       round(n_orders / n, 6) AS obs_frac,
+       round(({_BENFORD_ARR})[digit], 6) AS exp_frac,
+       round((n_orders - n * ({_BENFORD_ARR})[digit])
+             * (n_orders - n * ({_BENFORD_ARR})[digit])
+             / (n * ({_BENFORD_ARR})[digit]), 6) AS chi2_term
+FROM per, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# skyline_suppliers — 2-D Pareto frontier (maximize lifetime revenue AND
+# account balance): the classic skyline operator, distributed as a
+# sweep rather than the quadratic NOT-EXISTS the oracle uses.  A point
+# survives iff its balance tops every strictly-higher-revenue point's
+# balance and it holds its own revenue-group's max.  Shape: one
+# per-supplier agg shuffle, one distinct-revenue agg, then
+# ``prefix_agg(inclusive=False)`` — the range-partition + broadcast-
+# offset running max from operators/ranks.py, so no single reducer ever
+# sees the frontier sort even at 10^8 suppliers.  Comparisons ride the
+# 2-dp DECIMAL (exact in both engines; 2-dp values are also exact as
+# doubles, so the oracle's DOUBLE compare orders identically).
+def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.ranks import prefix_agg
+
+    t = _t(spark, sf_dir, "supplier", "lineitem")
+    li = t["lineitem"].select(
+        "l_suppkey",
+        (_dec2(F.col("l_extendedprice")) * _dec2(F.lit(1) - F.col("l_discount"), 5)).alias(
+            "amt"
+        ),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(_dec_sum(F.col("amt")), 2).alias("rev"))
+    sup = (
+        t["supplier"]
+        .select("s_suppkey", "s_name", F.col("s_acctbal").alias("bal"))
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            "bal",
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(27,10)")).alias("rev"),
+        )
+    )
+    grp = sup.groupBy("rev").agg(F.max("bal").alias("grp_max"))
+    swept = prefix_agg(
+        grp.withColumn("neg_rev", -F.col("rev")),
+        order_cols=["neg_rev"],
+        value_col="grp_max",
+        fn="max",
+        inclusive=False,
+        out="hi_bal",
+    )
+    frontier = swept.filter(
+        F.col("hi_bal").isNull() | (F.col("grp_max") > F.col("hi_bal"))
+    ).select("rev", "grp_max")
+    return (
+        sup.join(F.broadcast(frontier), ["rev"])
+        .filter(F.col("bal") == F.col("grp_max"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("bal").cast("double").alias("acctbal"),
+        )
+    )
+
+
+SKYLINE_SUPPLIERS_SQL = """
+WITH r AS (
+  SELECT s_suppkey AS suppkey, s_name AS name,
+         CAST(s_acctbal AS DOUBLE) AS acctbal,
+         CAST(COALESCE(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                                  * CAST(1 - l_discount AS DECIMAL(5,2))
+                                  AS DECIMAL(27,10))), 2), 0) AS DOUBLE) AS revenue
+  FROM supplier LEFT JOIN lineitem ON l_suppkey = s_suppkey
+  GROUP BY s_suppkey, s_name, s_acctbal
+)
+SELECT suppkey, name, revenue, acctbal
+FROM r a
+WHERE NOT EXISTS (
+  SELECT 1 FROM r b
+  WHERE b.revenue >= a.revenue AND b.acctbal >= a.acctbal
+    AND (b.revenue > a.revenue OR b.acctbal > a.acctbal)
+)
+"""
+
+
 QUERIES = {
     "forecast_revenue_change": forecast_revenue_change,
+    "benford_revenue_audit": benford_revenue_audit,
+    "skyline_suppliers": skyline_suppliers,
     "product_type_profit": product_type_profit,
     "returned_item_customers": returned_item_customers,
     "late_shipment_priority_counts": late_shipment_priority_counts,
@@ -397,6 +535,8 @@ QUERIES = {
 
 ORACLES = {
     "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
+    "benford_revenue_audit": BENFORD_REVENUE_AUDIT_SQL,
+    "skyline_suppliers": SKYLINE_SUPPLIERS_SQL,
     "product_type_profit": PRODUCT_TYPE_PROFIT_SQL,
     "returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
     "late_shipment_priority_counts": LATE_SHIPMENT_PRIORITY_COUNTS_SQL,
