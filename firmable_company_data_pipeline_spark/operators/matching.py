@@ -564,3 +564,102 @@ def match_cascade(
     if with_timestamp:
         out = out.withColumn("creation_dt", F.current_timestamp())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood matching (round 12) — the third classic blocking
+# family after key-blocking (fuzzy_match) and phonetic blocking: sort
+# BOTH sides on a normalized key and compare only rows that land within
+# ``window`` positions of each other in the merged order (Hernandez &
+# Stolfo 1995).  Catches what fixed blocks miss (near-identical names
+# in DIFFERENT postcode blocks) while still never going all-pairs.
+def sorted_neighborhood_match(
+    cc: DataFrame,
+    abr: DataFrame,
+    window: int = 8,
+    threshold: float = 80.0,
+) -> DataFrame:
+    """SNM over the merged (cc ∪ abr) stream, sorted by the token-sort
+    key; each cc row pairs with every abr row within ``window`` merged
+    positions, scores with the levenshtein ratio ON the keys (equal to
+    token_sort_ratio on the raw names — the key IS the normalization),
+    and keeps its best candidate at/above ``threshold``.
+
+    Output: (domain, company_name, abr_abn, entity_name, match_score,
+    pos_gap) — pos_gap is the merged-order distance, the SNM diagnostic
+    for tuning ``window``.
+
+    Scale shape: the global sort position comes from
+    ``operators.ranks.exact_global_row_number`` (range partition +
+    per-partition windows + broadcast offsets — no single-reducer
+    sort), and the neighborhood pairing is an EQUI-join on the
+    ``pos div window`` bucket with the cc side exploded to its three
+    adjacent buckets, so each row meets O(window) candidates and the
+    join shuffles on bucket ids, never a theta-join.  At 100 TB the
+    candidate volume is (n_cc + n_abr) * window — linear, the whole
+    point of SNM.
+    """
+    from firmable_company_data_pipeline_spark.functions.similarity import (
+        levenshtein_ratio,
+        token_sort,
+    )
+    from firmable_company_data_pipeline_spark.operators.ranks import (
+        exact_global_row_number,
+    )
+
+    united = cc.select(
+        token_sort(F.col("company_name")).alias("snm_key"),
+        F.lit(1).alias("is_cc"),
+        F.col("domain").alias("rid"),
+        F.col("company_name").alias("name"),
+    ).unionByName(
+        abr.select(
+            token_sort(F.col("entity_name")).alias("snm_key"),
+            F.lit(0).alias("is_cc"),
+            F.col("abn").alias("rid"),
+            F.col("entity_name").alias("name"),
+        )
+    )
+    pos = exact_global_row_number(united, ["snm_key", "is_cc", "rid"], out="pos")
+    left = pos.filter(F.col("is_cc") == 1).select(
+        F.col("rid").alias("domain"),
+        F.col("name").alias("company_name"),
+        F.col("snm_key").alias("l_key"),
+        F.col("pos").alias("l_pos"),
+        F.explode(
+            F.array(
+                F.expr(f"pos div {window} - 1"),
+                F.expr(f"pos div {window}"),
+                F.expr(f"pos div {window} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    right = pos.filter(F.col("is_cc") == 0).select(
+        F.col("rid").alias("abr_abn"),
+        F.col("name").alias("entity_name"),
+        F.col("snm_key").alias("r_key"),
+        F.col("pos").alias("r_pos"),
+        F.expr(f"pos div {window}").alias("bucket"),
+    )
+    score = F.round(levenshtein_ratio(F.col("l_key"), F.col("r_key")), 4)
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.abs(F.col("l_pos") - F.col("r_pos")) <= window)
+        .select(
+            "domain",
+            "company_name",
+            "abr_abn",
+            "entity_name",
+            score.alias("match_score"),
+            F.abs(F.col("l_pos") - F.col("r_pos")).cast("long").alias("pos_gap"),
+        )
+        .filter(F.col("match_score") >= threshold)
+    )
+    w_best = Window.partitionBy("domain").orderBy(
+        F.desc("match_score"), F.asc("entity_name"), F.asc("abr_abn")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -381,8 +381,69 @@ GROUP BY match_method
 )
 
 
+# --------------------------------------------------------------------------
+# match_sorted_neighborhood — the third classic blocking family (SNM,
+# Hernandez & Stolfo 1995): merged token-sort-key order, candidates
+# within a fixed positional window, best levenshtein-ratio match per cc
+# row.  Catches cross-block near-identicals the postcode blocks miss
+# (the cls==1 scrambled variants token-sort right next to their
+# entities regardless of block).  Spark side rides the distributed
+# exact global rank; the oracle is the same semantics with a plain
+# row_number + positional self-join.
+_SNM_WINDOW = 8
+_SNM_THRESHOLD = 80.0
+
+
+def match_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.matching import (
+        sorted_neighborhood_match,
+    )
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return sorted_neighborhood_match(
+        _cc_side(part), _abr_side(part), window=_SNM_WINDOW, threshold=_SNM_THRESHOLD
+    )
+
+
+_SNM_RATIO = _DUCK_RATIO.format(a="c.snm_key", b="a.snm_key")
+
+MATCH_SORTED_NEIGHBORHOOD_SQL = (
+    _DUCK_SIDES
+    + f"""
+, u AS (
+  SELECT {_DUCK_TS.format(x="company_name")} AS snm_key, 1 AS is_cc,
+         domain AS rid, company_name AS name
+  FROM cc
+  UNION ALL
+  SELECT {_DUCK_TS.format(x="entity_name")}, 0, abn, entity_name
+  FROM abr
+),
+pos AS (
+  SELECT snm_key, is_cc, rid, name,
+         row_number() OVER (ORDER BY snm_key, is_cc, rid) AS pos
+  FROM u
+)
+SELECT domain, company_name, abr_abn, entity_name, match_score, pos_gap
+FROM (
+  SELECT c.rid AS domain, c.name AS company_name,
+         a.rid AS abr_abn, a.name AS entity_name,
+         round({_SNM_RATIO}, 4) AS match_score,
+         abs(c.pos - a.pos)::BIGINT AS pos_gap,
+         row_number() OVER (PARTITION BY c.rid
+                            ORDER BY round({_SNM_RATIO}, 4) DESC,
+                                     a.name ASC, a.rid ASC) AS rn
+  FROM pos c JOIN pos a
+    ON c.is_cc = 1 AND a.is_cc = 0 AND abs(c.pos - a.pos) <= {_SNM_WINDOW}
+  WHERE round({_SNM_RATIO}, 4) >= {_SNM_THRESHOLD}
+)
+WHERE rn = 1
+"""
+)
+
+
 QUERIES = {
     "match_rule_based": match_rule_based,
+    "match_sorted_neighborhood": match_sorted_neighborhood,
     "match_phonetic_blocked": match_phonetic_blocked,
     "match_fuzzy_blocked": match_fuzzy_blocked,
     "match_llm_stub": match_llm_stub,
@@ -392,6 +453,7 @@ QUERIES = {
 
 ORACLES = {
     "match_rule_based": MATCH_RULE_BASED_SQL,
+    "match_sorted_neighborhood": MATCH_SORTED_NEIGHBORHOOD_SQL,
     "match_phonetic_blocked": MATCH_PHONETIC_BLOCKED_SQL,
     "match_fuzzy_blocked": MATCH_FUZZY_BLOCKED_SQL,
     "match_llm_stub": MATCH_LLM_STUB_SQL,

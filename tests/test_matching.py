@@ -315,3 +315,44 @@ def test_http_llm_client_against_live_endpoint():
     cands = [{"abn": "11111111111", "entity_name": "Acme Holdings Pty"}]
     out = HttpLLMClient()(["Acme Holdings Pty"], cands)
     assert out[0] in ("11111111111", None)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood matching (round 12).
+def test_sorted_neighborhood_finds_cross_block_scrambles(spark, abr_df):
+    """Word-scrambled names token-sort adjacent to their entity even in
+    a DIFFERENT postcode block — the case fixed blocking cannot see."""
+    from firmable_company_data_pipeline_spark.operators.matching import (
+        sorted_neighborhood_match,
+    )
+
+    rows = []
+    for i, (name, _pc, _state, _etype) in enumerate(ENTITIES):
+        words = name.split()
+        scrambled = " ".join([words[1], words[0]] + words[2:]).upper()
+        # note the WRONG postcode: SNM must still pair them
+        rows.append((f"snm{i}.com.au", scrambled, None, "9999"))
+    cc = spark.createDataFrame(
+        rows, "domain string, company_name string, abn string, postcode string"
+    )
+    out = sorted_neighborhood_match(cc, abr_df, window=4, threshold=80.0)
+    got = {r.domain: r for r in out.collect()}
+    assert len(got) == len(ENTITIES)  # every scramble matched, top-1 each
+    for i, (name, _pc, _state, _etype) in enumerate(ENTITIES):
+        r = got[f"snm{i}.com.au"]
+        assert r.entity_name == name
+        assert r.match_score == 100.0  # token-sort key identical
+        assert 1 <= r.pos_gap <= 4
+
+
+def test_sorted_neighborhood_threshold_and_window(spark, abr_df):
+    from firmable_company_data_pipeline_spark.operators.matching import (
+        sorted_neighborhood_match,
+    )
+
+    cc = spark.createDataFrame(
+        [("far.com.au", "Zzzz Unrelated Name Entirely", None, "9999")],
+        "domain string, company_name string, abn string, postcode string",
+    )
+    out = sorted_neighborhood_match(cc, abr_df, window=4, threshold=80.0)
+    assert out.count() == 0  # nothing within the window scores >= 80
