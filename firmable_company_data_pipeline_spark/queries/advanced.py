@@ -402,8 +402,223 @@ GROUP BY root_key
 """
 
 
+# ---------------------------------------------------------------------------
+# ks_drift_orders — exact two-sample Kolmogorov–Smirnov statistic
+# between consecutive order-year price distributions: the
+# distribution-level drift gate (corpus_drift_psi's binned PSI cousin,
+# but exact — no binning choice to defend).  D = sup|F_a − F_b| over
+# the merged value axis.
+#
+# Shape: per-distinct-value counts collapse first (ONE hash-agg), then
+# the running ECDFs ride a SINGLE ``prefix_agg`` range shuffle with
+# both counters packed into one long (c_a·2³² + c_total — exact while
+# each sample stays under 2³¹ rows; at larger scale widen the packing
+# to DECIMAL(38,0) with a 10¹⁸ shift, same plan).  Never a
+# single-reducer sort; the final sup is an ordinary max-agg.
+_KS_YEAR_A, _KS_YEAR_B = 1997, 1998
+_KS_SHIFT = 1 << 32
+
+
+def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.ranks import prefix_agg
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    tagged = o.filter(F.year("o_orderdate").isin(_KS_YEAR_A, _KS_YEAR_B)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.year("o_orderdate") == _KS_YEAR_A, 1).otherwise(0).alias("s_a"),
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("s_a").alias("c_a"), F.count(F.lit(1)).alias("c_t")
+    )
+    packed = g.select(
+        "v", (F.col("c_a") * F.lit(_KS_SHIFT) + F.col("c_t")).alias("packed")
+    )
+    run = prefix_agg(packed, ["v"], "packed", fn="sum", inclusive=True, out="cum")
+    cum_a = F.shiftright(F.col("cum"), 32)
+    cum_t = F.col("cum") % _KS_SHIFT
+    totals = g.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        (F.sum("c_t") - F.sum("c_a")).cast("long").alias("n_b"),
+    )
+    return (
+        run.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.abs(
+                    cum_a.cast("double") / F.col("n_a")
+                    - (cum_t - cum_a).cast("double") / F.col("n_b")
+                ),
+                6,
+            ).alias("d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("d").alias("ks_stat"))
+    )
+
+
+KS_DRIFT_ORDERS_SQL = f"""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN year(o_orderdate) = {_KS_YEAR_A} THEN 1 ELSE 0 END AS s_a
+  FROM orders
+  WHERE year(o_orderdate) IN ({_KS_YEAR_A}, {_KS_YEAR_B})
+),
+g AS (SELECT v, sum(s_a) AS c_a, count(*) AS c_t FROM s GROUP BY v),
+r AS (
+  SELECT sum(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+         sum(c_t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_t
+  FROM g
+),
+t AS (SELECT sum(c_a)::BIGINT AS n_a, (sum(c_t) - sum(c_a))::BIGINT AS n_b FROM g)
+SELECT n_a, n_b,
+       max(round(abs(cum_a / n_a::DOUBLE - (cum_t - cum_a) / n_b::DOUBLE), 6))
+         AS ks_stat
+FROM r, t
+GROUP BY n_a, n_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_price_outliers_mad — robust per-priority outlier screen:
+# median / MAD (median absolute deviation), flag |x − med| > k·MAD.
+# Mean/stddev screens move WITH the outliers they hunt; the MAD pair is
+# breakdown-point-0.5 robust.  Quantiles use the repo's discrete rule
+# (value at rank ceil(q·n) — nation_order_quantiles precedent) so both
+# engines pick the same ROW, never an interpolated float; every
+# comparison rides the exact DECIMAL.
+_MAD_K = 3
+
+
+def order_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    base = o.select(F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("price"))
+    w_rank = Window.partitionBy("priority").orderBy(F.asc("price"))
+    w_all = Window.partitionBy("priority")
+    med_pos = F.greatest(F.lit(1), F.ceil(F.lit(0.5) * F.count(F.lit(1)).over(w_all).cast("double")))
+    med = (
+        base.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("pos", med_pos)
+        .groupBy("priority")
+        .agg(F.max(F.when(F.col("rn") == F.col("pos"), F.col("price"))).alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "priority").withColumn(
+        "adev", F.abs(F.col("price") - F.col("med"))
+    )
+    w_dev = Window.partitionBy("priority").orderBy(F.asc("adev"))
+    mad_pos = F.greatest(F.lit(1), F.ceil(F.lit(0.5) * F.count(F.lit(1)).over(w_all).cast("double")))
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_dev))
+        .withColumn("pos", mad_pos)
+        .groupBy("priority")
+        .agg(F.max(F.when(F.col("rn") == F.col("pos"), F.col("adev"))).alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.col("med")).cast("double").alias("median_price"),
+            F.max(F.col("mad")).cast("double").alias("mad_price"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(_MAD_K) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac",
+            F.round(F.col("n_outliers") / F.col("n_orders").cast("double"), 6),
+        )
+    )
+
+
+ORDER_PRICE_OUTLIERS_MAD_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS price FROM orders
+),
+ranked AS (
+  SELECT priority, price,
+         row_number() OVER (PARTITION BY priority ORDER BY price) AS rn,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM base
+),
+med AS (
+  SELECT priority, max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN price END) AS med
+  FROM ranked GROUP BY priority
+),
+dev AS (
+  SELECT b.priority, b.price, abs(b.price - m.med) AS adev, m.med
+  FROM base b JOIN med m USING (priority)
+),
+dev_ranked AS (
+  SELECT priority, adev,
+         row_number() OVER (PARTITION BY priority ORDER BY adev) AS rn,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM dev
+),
+mad AS (
+  SELECT priority, max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN adev END) AS mad
+  FROM dev_ranked GROUP BY priority
+)
+SELECT d.priority,
+       count(*) AS n_orders,
+       CAST(max(d.med) AS DOUBLE) AS median_price,
+       CAST(max(m.mad) AS DOUBLE) AS mad_price,
+       sum(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       round(sum(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS outlier_frac
+FROM dev d JOIN mad m USING (priority)
+GROUP BY d.priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# unpivot_part_metrics — the UNPIVOT/melt operator (pivot's inverse,
+# closing the reshape family next to priority_year_pivot): part's two
+# numeric measures melt to (brand, metric, value) rows via stack(), then
+# one grouped profile per (brand, metric).  Sums ride DECIMAL so the
+# double conversion happens once on an exact value.
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")["part"]
+    melted = p.select(
+        F.col("p_brand").alias("brand"),
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DECIMAL(15,2)), "
+            "'retailprice', CAST(p_retailprice AS DECIMAL(15,2))) AS (metric, value)"
+        ),
+    )
+    return melted.groupBy("brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("min_v"),
+        F.max("value").cast("double").alias("max_v"),
+        F.round(
+            F.sum("value").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_v"),
+    )
+
+
+UNPIVOT_PART_METRICS_SQL = """
+WITH melted AS (
+  SELECT p_brand AS brand, 'size' AS metric,
+         CAST(p_size AS DECIMAL(15,2)) AS value FROM part
+  UNION ALL
+  SELECT p_brand, 'retailprice', CAST(p_retailprice AS DECIMAL(15,2)) FROM part
+)
+SELECT brand, metric, count(*) AS n,
+       CAST(min(value) AS DOUBLE) AS min_v,
+       CAST(max(value) AS DOUBLE) AS max_v,
+       round(CAST(sum(value) AS DOUBLE) / count(*), 6) AS avg_v
+FROM melted
+GROUP BY brand, metric
+"""
+
+
 QUERIES = {
     "asof_purchase_attribution": asof_purchase_attribution,
+    "ks_drift_orders": ks_drift_orders,
+    "order_price_outliers_mad": order_price_outliers_mad,
+    "unpivot_part_metrics": unpivot_part_metrics,
     "priority_year_pivot": priority_year_pivot,
     "nation_order_quantiles": nation_order_quantiles,
     "events_hourly_daily_rollup": events_hourly_daily_rollup,
@@ -414,6 +629,9 @@ QUERIES = {
 
 ORACLES = {
     "events_variant_stats": EVENTS_VARIANT_STATS_SQL,
+    "ks_drift_orders": KS_DRIFT_ORDERS_SQL,
+    "order_price_outliers_mad": ORDER_PRICE_OUTLIERS_MAD_SQL,
+    "unpivot_part_metrics": UNPIVOT_PART_METRICS_SQL,
     "asof_purchase_attribution": ASOF_PURCHASE_ATTRIBUTION_SQL,
     "priority_year_pivot": PRIORITY_YEAR_PIVOT_SQL,
     "nation_order_quantiles": NATION_ORDER_QUANTILES_SQL,

@@ -123,3 +123,66 @@ def test_skyline_matches_bruteforce(spark, sf_dir):
         )
     }
     assert sky == brute and sky
+
+
+# ------------------------------------------------------------- ks / mad
+def _write_orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_orderpriority string, o_totalprice decimal(15,2)"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    return str(tmp_path)
+
+
+def test_ks_drift_known_values(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    from firmable_company_data_pipeline_spark.queries.advanced import ks_drift_orders
+
+    d97, d98 = dt.date(1997, 6, 1), dt.date(1998, 6, 1)
+    # F_a jumps at {1,2}, F_b at {2,4}: sup|F_a-F_b| = 0.5
+    rows = [
+        (1, d97, "P", Decimal("1.00")),
+        (2, d97, "P", Decimal("2.00")),
+        (3, d98, "P", Decimal("2.00")),
+        (4, d98, "P", Decimal("4.00")),
+    ]
+    out = ks_drift_orders(spark, _write_orders(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b, r.ks_stat) == (2, 2, 0.5)
+
+
+def test_ks_drift_identical_samples_is_zero(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    from firmable_company_data_pipeline_spark.queries.advanced import ks_drift_orders
+
+    d97, d98 = dt.date(1997, 1, 2), dt.date(1998, 1, 2)
+    rows = []
+    for i, v in enumerate(["10.00", "20.00", "30.00"]):
+        rows.append((i, d97, "P", __import__("decimal").Decimal(v)))
+        rows.append((100 + i, d98, "P", __import__("decimal").Decimal(v)))
+    r = ks_drift_orders(spark, _write_orders(spark, tmp_path, rows)).collect()[0]
+    assert r.ks_stat == 0.0
+
+
+def test_mad_outliers_known_values(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    from firmable_company_data_pipeline_spark.queries.advanced import (
+        order_price_outliers_mad,
+    )
+
+    d = dt.date(1995, 1, 1)
+    prices = ["1.00", "2.00", "3.00", "4.00", "100.00"]
+    rows = [(i, d, "1-URGENT", Decimal(p)) for i, p in enumerate(prices)]
+    r = order_price_outliers_mad(spark, _write_orders(spark, tmp_path, rows)).collect()[0]
+    # med = 3 (rank ceil(2.5)=3), adevs sorted [0,1,1,2,97] -> mad = 1,
+    # outliers: adev > 3*1 -> only the 100.00 row
+    assert r.median_price == 3.0 and r.mad_price == 1.0
+    assert r.n_outliers == 1 and r.n_orders == 5
+    assert abs(r.outlier_frac - 0.2) < 1e-9
