@@ -1069,3 +1069,73 @@ def ivf_pq_residual_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (round 12) — Maximal Marginal Relevance
+# (Carbonell & Goldstein 1998): greedily build a k-set maximizing
+# λ·rel(v) − (1−λ)·max_{s∈S} cos(v, s), the standard diversity rerank
+# between ANN retrieval and the consumer (RAG context assembly, dedup-
+# aware sampling).  Inherently sequential in k, so the loop follows the
+# ``bpe_train`` bounded-iteration convention: k tiny argmax jobs, each
+# collecting exactly ONE row; the candidate scoring itself is a full
+# DataFrame pass (distributed over any corpus size), with the selected
+# set — k vectors, kilobytes — folded into the expression as literals.
+# Every cosine is rounded to 6 dp BEFORE the argmax compare, and ties
+# break on vec_id, so both engines pick identical rows.
+def mmr_rerank(
+    corpus: DataFrame,
+    query_id: int = 0,
+    k: int = 8,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Output: (rank 1..k, vec_id, mmr_score) — the diversified top-k
+    for the query vector ``query_id`` over the rest of the corpus."""
+    e = spread(corpus).select(
+        F.col(id_col).alias("vid"), to_double(F.col(vec_col)).alias("v")
+    )
+    qv = e.filter(F.col("vid") == query_id).select(F.col("v").alias("qv"))
+    rel = (
+        e.filter(F.col("vid") != query_id)
+        .crossJoin(broadcast(qv))
+        .select(
+            "vid",
+            "v",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(norm2(F.col("v"))) * F.sqrt(norm2(F.col("qv")))),
+                6,
+            ).alias("rel"),
+        )
+        .localCheckpoint()  # scored once, probed k times
+    )
+    spark = corpus.sparkSession
+    selected: list[tuple[int, list[float]]] = []
+    out_rows: list[tuple[int, int, float]] = []
+    for step in range(1, k + 1):
+        if selected:
+            pens = [
+                F.round(
+                    dot(F.col("v"), F.lit(sv))
+                    / (F.sqrt(norm2(F.col("v"))) * F.sqrt(norm2(F.lit(sv)))),
+                    6,
+                )
+                for _, sv in selected
+            ]
+            pen = F.greatest(*pens) if len(pens) > 1 else pens[0]
+            pool = rel.filter(~F.col("vid").isin([sid for sid, _ in selected]))
+        else:
+            pen = F.lit(0.0)
+            pool = rel
+        score = F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * pen, 6)
+        top = (
+            pool.select("vid", "v", score.alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((top["vid"], list(top["v"])))
+        out_rows.append((step, top["vid"], float(top["mmr"])))
+    return spark.createDataFrame(out_rows, "rank int, vec_id long, mmr_score double")

@@ -1441,6 +1441,63 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+# ann_mmr_rerank — Maximal Marginal Relevance diversified top-k
+# (operators/similarity_search.mmr_rerank): the greedy rerank between
+# retrieval and consumption.  The oracle unrolls the k greedy steps as
+# chained CTEs — each picks the argmax of round(λ·rel − (1−λ)·max
+# cos-to-selected, 6) with a vec_id tie-break, exactly the operator's
+# per-step argmax job.
+_MMR_K, _MMR_LAM, _MMR_QID = 8, 0.7, 0
+
+
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ann.mmr_rerank(emb, query_id=_MMR_QID, k=_MMR_K, lam=_MMR_LAM)
+
+
+def _mmr_sql(k: int, lam: float, qid: int) -> str:
+    def cos(a: str, b: str) -> str:
+        d = _DOT.replace("va", a).replace("vb", b)
+        return f"round({d} / ({_norm(a)} * {_norm(b)}), 6)"
+
+    # AS MATERIALIZED on every step CTE: s7's penalty references the
+    # UNION of s1..s6, each of which references its own predecessors —
+    # left to the inliner this expands exponentially in k (measured:
+    # the un-hinted form did not finish at k=8 where the materialized
+    # form runs in milliseconds).
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {qid})",
+        f"rel AS MATERIALIZED (SELECT vec_id, v, {cos('v', 'qv')} AS rel"
+        f" FROM e, q WHERE vec_id <> {qid})",
+    ]
+    for i in range(1, k + 1):
+        if i == 1:
+            pen = "0.0"
+            excl = ""
+        else:
+            sel = " UNION ALL ".join(
+                f"SELECT vec_id, v FROM s{j}" for j in range(1, i)
+            )
+            pen = f"(SELECT max({cos('r.v', 's.v')}) FROM ({sel}) s)"
+            excl = f" WHERE r.vec_id NOT IN (SELECT vec_id FROM ({sel}) sx)"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT r.vec_id, r.v,"
+            f" round({lam} * r.rel - {round(1.0 - lam, 10)} * {pen}, 6) AS mmr"
+            f" FROM rel r{excl}"
+            f" ORDER BY mmr DESC, r.vec_id ASC LIMIT 1)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, mmr AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+ANN_MMR_RERANK_SQL = _mmr_sql(_MMR_K, _MMR_LAM, _MMR_QID)
+
+
+# --------------------------------------------------------------------------
 # ann_ivf — IVF-cell ANN: deterministic centroids (8 lowest-id vectors),
 # nearest-cell assignment, nprobe=2 probing, exact re-score in probed cells.
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2182,6 +2239,7 @@ QUERIES = {
     "leakage_safe_split": leakage_safe_split,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_brute_force": ann_brute_force,
+    "ann_mmr_rerank": ann_mmr_rerank,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivf_incremental": ann_ivf_incremental,
@@ -2233,6 +2291,7 @@ ORACLES = {
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "ann_brute_force": ANN_BRUTE_FORCE_SQL,
+    "ann_mmr_rerank": ANN_MMR_RERANK_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "ann_ivf_incremental": ANN_IVF_SQL,

@@ -469,3 +469,44 @@ def test_ivf_pq_residual_recall_ladder(spark):
     assert resid > plain
     assert trained >= resid
     assert trained >= 0.25  # measured 0.281 on this exact fixture
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (round 12).
+def test_mmr_rerank_prefers_diversity(spark):
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),     # query
+        (1, [0.99, 0.14]),   # closest to q
+        (2, [0.98, 0.17]),   # near-duplicate of 1 (cos(1,2) ~ 1)
+        (3, [0.84, -0.55]),  # diverse (other side of q), still relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = [
+        r.neighbor_id
+        for r in brute_force_topk(emb, emb.filter("vec_id = 0"), k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert plain == [1, 2]  # relevance-only keeps the near-dup pair
+    mmr = mmr_rerank(emb, query_id=0, k=2, lam=0.5).orderBy("rank").collect()
+    assert [r.vec_id for r in mmr] == [1, 3]  # MMR swaps the dup for diversity
+    assert mmr[0].rank == 1 and mmr[1].rank == 2
+    # scores are the rounded greedy objective, monotone non-increasing
+    assert mmr[0].mmr_score >= mmr[1].mmr_score
+
+
+def test_mmr_rerank_k_exceeding_pool_is_total_order(spark):
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        mmr_rerank,
+    )
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_rerank(emb, query_id=0, k=3, lam=0.7).collect()
+    assert sorted(r.vec_id for r in out) == [1, 2, 3]
+    assert sorted(r.rank for r in out) == [1, 2, 3]
