@@ -75,6 +75,16 @@ HEADLINE = [
     "ivf_pq_topk",
     "line_dedup_rewrite",
     "zipf_fit_report",
+    "weighted_corpus_sample",
+    "nucleus_token_budget",
+    "char_entropy_quality",
+    "benford_revenue_audit",
+    "skyline_suppliers",
+    "match_sorted_neighborhood",
+    "ks_drift_orders",
+    "order_price_outliers_mad",
+    "unpivot_part_metrics",
+    "ann_mmr_rerank",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

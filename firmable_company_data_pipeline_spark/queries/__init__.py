@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 # round.  Names beyond the window are NOT listed: registration order
 # appends them after the head, and their relative order is immaterial.
 # Deferred to r13 head (green r8 evidence, no slot this round):
-#   user_value_records, user_week_over_week, value_quantile_sketch
+#   part_affinity, priority_year_pivot, promo_revenue_share,
+#   salted_user_event_stats, scd2_customer_history, scd2_point_in_time,
+#   semantic_dedup, small_quantity_revenue, training_shuffle_shards,
+#   unshipped_order_revenue, user_value_records, user_week_over_week,
+#   value_quantile_sketch
 _DRIVER_WINDOW_PRIORITY = (
     # -- new in round 12 --
     "lm_perplexity_bins",
@@ -41,6 +45,16 @@ _DRIVER_WINDOW_PRIORITY = (
     "distinct_ngram_diversity",
     "quality_ensemble_topk",
     "ann_ivf_pq_residual",
+    "weighted_corpus_sample",
+    "nucleus_token_budget",
+    "char_entropy_quality",
+    "benford_revenue_audit",
+    "skyline_suppliers",
+    "match_sorted_neighborhood",
+    "ks_drift_orders",
+    "order_price_outliers_mad",
+    "unpivot_part_metrics",
+    "ann_mmr_rerank",
     # -- the r8-evidence cohort, alphabetical --
     "ann_ivf",
     "ann_ivf_incremental",
@@ -75,16 +89,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "order_percentile_ranks",
     "orders_page_keyset",
     "padding_efficiency_report",
-    "part_affinity",
-    "priority_year_pivot",
-    "promo_revenue_share",
-    "salted_user_event_stats",
-    "scd2_customer_history",
-    "scd2_point_in_time",
-    "semantic_dedup",
-    "small_quantity_revenue",
-    "training_shuffle_shards",
-    "unshipped_order_revenue",
 )
 
 
