@@ -85,6 +85,9 @@ HEADLINE = [
     "order_price_outliers_mad",
     "unpivot_part_metrics",
     "ann_mmr_rerank",
+    "bloom_filtered_lineitems",
+    "kmv_distinct_users",
+    "part_copurchase_bfs",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

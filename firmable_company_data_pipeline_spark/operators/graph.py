@@ -196,3 +196,61 @@ def triangle_count(
             ).alias("clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Level-synchronous BFS (round 12): hop distance from a seed set, the
+# third classic iterative-graph primitive next to ``pagerank`` and
+# ``dedup.connected_components``.  Pipeline uses: blast-radius of a
+# contaminated document through the near-dup graph, reach of a promoted
+# product through co-purchases.
+#
+# Formulation is LEVEL-synchronous, not path-enumerating: each hop
+# expands the frontier through one equi-join on the edge list and
+# immediately dedups (distinct) and subtracts everything already
+# visited (left_anti) — so per hop the work is O(|edges touched|) and
+# the state is O(|reached nodes|), never O(#paths) (a path-recursive
+# formulation is exponential in dense graphs).  Per-hop localCheckpoint
+# truncates the growing union lineage (the bounded-iteration
+# convention of ``dedup.connected_components`` / ``retrieval.bpe_train``);
+# the hop count is a fixed small constant, so the driver loop holds no
+# data — only plan handles.
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Hop distance (0..max_hops) from ``seeds`` over the UNDIRECTED
+    graph given by ``edges`` (each row is symmetrized).  Output:
+    (id, dist) for every node reached within ``max_hops``; unreached
+    nodes are absent.  Seeds not present in the edge list still appear
+    at dist 0.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("id")
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            sym.join(frontier.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.union(
+            frontier.withColumn("dist", F.lit(hop))
+        ).localCheckpoint()
+    return visited

@@ -109,3 +109,95 @@ def salted_join(
     )
     out = l_salted.join(r_salted.hint("shuffle_hash"), keys + ["_salt"], how)
     return out.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered semi-join: the explicit runtime-filter (semi-join
+# reduction) every warehouse engine applies when a selective dim filter
+# should prune a fact scan BEFORE the join shuffle.  Spark's own AQE
+# injects these opportunistically (spark.sql.optimizer.runtimeFilter.*);
+# this operator is the deterministic, always-on form with a documented
+# bit budget, and — unlike the built-in — its filter stage is visible in
+# the plan and testable.
+#
+# Exactness: the bloom pass only DELETES left rows whose key provably
+# has no partner (no bit-vector miss can be a true match); survivors are
+# then exact-verified with a left-semi join, so the result is IDENTICAL
+# to the plain semi-join — the oracle for the demo query is plain
+# EXISTS SQL.  What changes is the shuffle volume: at 100 TB the fact
+# side sheds non-matching rows map-side (a ~KB bit vector broadcast to
+# every task) and only candidates enter the verify shuffle.
+_BLOOM_P = 1_000_000_007
+# Independent affine hashes (classic public LCG multipliers/increments:
+# glibc, Marsaglia, MSVC).  Affine maps mod a prime are bijections, so
+# each hash spreads a dense integer key domain uniformly over the bits.
+_BLOOM_AB = ((1103515245, 12345), (69069, 362437), (214013, 2531011))
+
+
+def _bloom_positions(key: F.Column, n_bits: int, n_hashes: int) -> list[F.Column]:
+    k = F.pmod(key.cast("long"), F.lit(_BLOOM_P))
+    return [
+        F.pmod(F.pmod(k * F.lit(a) + F.lit(b), F.lit(_BLOOM_P)), F.lit(n_bits))
+        for a, b in _BLOOM_AB[:n_hashes]
+    ]
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """``left`` rows whose ``left_key`` appears in ``right.right_key``
+    (exact left-semi semantics), evaluated as bloom prefilter → exact
+    verify.
+
+    Build: the right keys' ``n_hashes`` bit positions, distinct (≤
+    ``n_bits`` rows however large the right side is), packed into 32-bit
+    words and collected into ONE map row that broadcasts to the probe.
+    Probe: a map-side conjunction of ``n_hashes`` O(1) bit tests — zero
+    shuffle, no join — then the surviving candidates run the real
+    left-semi join.  With the default 8192 bits / 3 hashes the false-
+    positive rate at 1000 distinct build keys is ~0.4% (k·n/m = 0.37),
+    so the verify shuffle carries essentially only true matches.
+    """
+    if n_hashes > len(_BLOOM_AB):
+        raise ValueError(f"n_hashes must be <= {len(_BLOOM_AB)}")
+    rk = right.select(F.col(right_key).alias("_k")).dropDuplicates(["_k"])
+    pos = rk.select(
+        F.explode(F.array(*_bloom_positions(F.col("_k"), n_bits, n_hashes))).alias(
+            "p"
+        )
+    ).dropDuplicates(["p"])
+    # 2^(p mod 32) as a long: pow is exact for exponents < 53, and the
+    # pyspark shiftleft wrapper only takes a literal shift amount.
+    bit = F.pow(F.lit(2.0), (F.col("p") % 32).cast("double")).cast("long")
+    words = pos.groupBy(F.floor(F.col("p") / 32).alias("w")).agg(
+        F.bit_or(bit).alias("m")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("_bloom")
+    )
+    probe_pos = _bloom_positions(F.col(left_key), n_bits, n_hashes)
+    bit_tests = [
+        (
+            F.coalesce(
+                F.element_at(F.col("_bloom"), F.floor(p / 32)), F.lit(0).cast("long")
+            ).bitwiseAND(F.pow(F.lit(2.0), (p % 32).cast("double")).cast("long"))
+            != 0
+        )
+        for p in probe_pos
+    ]
+    cond = bit_tests[0]
+    for t in bit_tests[1:]:
+        cond = cond & t
+    candidates = (
+        left.crossJoin(F.broadcast(bloom)).filter(cond).drop("_bloom")
+    )
+    # Exact verify: un-hinted — Catalyst/AQE broadcasts rk when it is
+    # small enough, else a shuffle that now carries only candidates.
+    return candidates.join(
+        rk, candidates[left_key] == F.col("_k"), "left_semi"
+    )

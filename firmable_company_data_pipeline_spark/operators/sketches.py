@@ -137,3 +137,89 @@ def hist_partial(df: DataFrame, value_col: str = "value") -> DataFrame:
 def hist_merge(partials: DataFrame) -> DataFrame:
     """Fold any union of partial histograms — counters add."""
     return partials.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch (round 12): the
+# DETERMINISTIC cross-engine cousin of approx_count_distinct.  HLL
+# register layouts are engine-private (our approx_distinct_users query
+# can only carry an error-CONTRACT oracle); KMV is pure order
+# statistics over an explicit hash, so the estimate itself
+# hash-matches between Spark and DuckDB — and the sketch (k longs per
+# group) is mergeable: union two groups' bottom-k lists, re-sort, cut
+# at k.  Estimator (Bar-Yossef et al. 2002): with h uniform on [0, P),
+# the k-th smallest hash h_(k) satisfies E[h_(k)/P] ~ k/(n+1), giving
+# n-hat = (k-1) * P / h_(k).
+KMV_P = 1_000_000_007
+# Affine bijection on [0, P): spreads a dense integer id space
+# uniformly; same public-LCG constant family as the bloom/minhash
+# permutes.
+KMV_A, KMV_B = 1103515245, 12345
+_KMV_SALTS = 64
+
+
+def kmv_hash(key: F.Column) -> F.Column:
+    """h(key) = (key·A + B) mod P — a bijection, so distinct keys keep
+    distinct hashes (no collision correction term needed)."""
+    return F.pmod(
+        F.pmod(key.cast("long"), F.lit(KMV_P)) * F.lit(KMV_A) + F.lit(KMV_B),
+        F.lit(KMV_P),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group distinct-count estimate via the bottom-k of hashed
+    keys.  Output: (group, n_exact, est_distinct, rel_err) — n_exact is
+    the true COUNT(DISTINCT) computed alongside so the query doubles as
+    the sketch's error card.
+
+    Scale shape: distinct (group, hash) → per-(group, salt) bottom-k
+    with a row_number window — Spark rewrites rank<=k to
+    WindowGroupLimit, so every input partition pre-filters to k rows
+    per (group, salt) BEFORE the shuffle — → one final per-group merge
+    of ≤ 64·k hashes (array_sort + slice, driver-free).  No window
+    partition ever sorts more than its salt bucket's share, and the
+    final state per group is k longs however many distinct keys exist.
+    """
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("key"))
+        .distinct()
+        .select("g", kmv_hash(F.col("key")).alias("h"))
+    )
+    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)))
+    w = Window.partitionBy("g", "salt").orderBy(F.asc("h"))
+    bottom = salted.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    merged = bottom.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # n_kept < k can only happen when the group's TOTAL distinct count
+    # is < k (a salt bucket truncates only past k entries), so the
+    # exact count is sitting in the sketch — use it.
+    est = F.when(
+        F.size("hs") < k, F.size("hs").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_P)) / F.element_at("hs", k), 2)
+    )
+    exact = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("key"))
+        .groupBy("g")
+        .agg(F.count_distinct("key").alias("n_exact"))
+    )
+    return (
+        merged.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_exact",
+            est.alias("est_distinct"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    )

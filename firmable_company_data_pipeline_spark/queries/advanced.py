@@ -614,7 +614,81 @@ GROUP BY brand, metric
 """
 
 
+# ---------------------------------------------------------------------------
+# part_copurchase_bfs — hop-distance histogram from promoted parts over
+# the co-purchase graph (operators/graph.bfs_levels).  Edges: part pairs
+# co-occurring in >= 2 orders (the >= 2 support cut keeps the graph
+# sparse and meaningful — raw co-occurrence is near-complete at TPC-H
+# densities); seeds: parts with a PROMO type.  Per-order pair fanout is
+# bounded by lines-per-order (<= 7), so edge generation is linear in
+# lineitem; the three BFS hops are three equi-join+distinct rounds —
+# level-synchronous, state O(|reached|), never path-enumerating.
+# Oracle: the same level sets unrolled as MATERIALIZED CTEs (d1..d3
+# each excluding all prior levels), the ann_mmr_rerank chaining
+# discipline.
+def part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.graph import bfs_levels
+
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    seeds = (
+        t["part"]
+        .filter(F.col("p_type").like("PROMO%"))
+        .select(F.col("p_partkey").alias("id"))
+    )
+    levels = bfs_levels(edges, seeds, max_hops=3)
+    return (
+        levels.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("dist")
+    )
+
+
+PART_COPURCHASE_BFS_SQL = """
+WITH es AS MATERIALIZED (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS MATERIALIZED (
+  SELECT x AS src, y AS dst FROM es UNION SELECT y, x FROM es),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT p_partkey AS id FROM part WHERE p_type LIKE 'PROMO%'),
+d1 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id
+  WHERE e.dst NOT IN (SELECT id FROM d0)),
+d2 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM e JOIN d1 ON e.src = d1.id
+  WHERE e.dst NOT IN (SELECT id FROM d0 UNION ALL SELECT id FROM d1)),
+d3 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM e JOIN d2 ON e.src = d2.id
+  WHERE e.dst NOT IN (SELECT id FROM d0 UNION ALL SELECT id FROM d1
+                      UNION ALL SELECT id FROM d2))
+SELECT dist, count(*) AS n_parts FROM (
+  SELECT id, 0 AS dist FROM d0
+  UNION ALL SELECT id, 1 FROM d1
+  UNION ALL SELECT id, 2 FROM d2
+  UNION ALL SELECT id, 3 FROM d3)
+GROUP BY dist ORDER BY dist
+"""
+
+
 QUERIES = {
+    "part_copurchase_bfs": part_copurchase_bfs,
     "asof_purchase_attribution": asof_purchase_attribution,
     "ks_drift_orders": ks_drift_orders,
     "order_price_outliers_mad": order_price_outliers_mad,
@@ -630,6 +704,7 @@ QUERIES = {
 ORACLES = {
     "events_variant_stats": EVENTS_VARIANT_STATS_SQL,
     "ks_drift_orders": KS_DRIFT_ORDERS_SQL,
+    "part_copurchase_bfs": PART_COPURCHASE_BFS_SQL,
     "order_price_outliers_mad": ORDER_PRICE_OUTLIERS_MAD_SQL,
     "unpivot_part_metrics": UNPIVOT_PART_METRICS_SQL,
     "asof_purchase_attribution": ASOF_PURCHASE_ATTRIBUTION_SQL,

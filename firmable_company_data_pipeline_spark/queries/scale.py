@@ -686,8 +686,91 @@ def _vqs_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# bloom_filtered_lineitems — runtime-filter (semi-join reduction) demo:
+# lineitems of URGENT orders via operators/joins.bloom_semi_join — a
+# broadcast ~KB bit vector prunes the fact scan map-side, then an exact
+# left-semi verify; the result is IDENTICAL to the plain EXISTS oracle
+# (the bloom can only drop provably-unmatched rows).  The agg on top
+# keeps the output compact and pins the whole pruned pipeline.
+def bloom_filtered_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.joins import bloom_semi_join
+
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    hits = bloom_semi_join(
+        t["lineitem"], urgent, left_key="l_orderkey", right_key="o_orderkey"
+    )
+    return (
+        hits.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+BLOOM_FILTERED_LINEITEMS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*)                                          AS n_items,
+       round(sum(l_quantity), 2)                         AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey
+                AND o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_users — deterministic bottom-k distinct sketch per event
+# type (operators/sketches.kmv_distinct): unlike approx_distinct_users'
+# HLL (engine-private registers → error-contract oracle only), KMV is
+# order statistics over an explicit affine hash, so the ESTIMATE itself
+# hash-matches DuckDB computing the same sketch — and the query doubles
+# as the sketch's error card (n_exact + rel_err columns).
+_KMV_K = 64
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    return kmv_distinct(ev, "event_type", "user_id", k=_KMV_K)
+
+
+KMV_DISTINCT_USERS_SQL = f"""
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+h AS (
+  SELECT g, ((u % 1000000007) * 1103515245 + 12345) % 1000000007 AS h FROM du),
+r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+m AS (
+  SELECT g, count(*) AS n_exact,
+         max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM r GROUP BY g),
+e AS (
+  SELECT g, n_exact,
+         CASE WHEN n_exact < {_KMV_K} THEN n_exact::DOUBLE
+              ELSE round({_KMV_K - 1}.0 * 1000000007.0 / hk, 2) END AS est_distinct
+  FROM m)
+SELECT g AS event_type, n_exact, est_distinct,
+       round(abs(est_distinct - n_exact) / n_exact, 4) AS rel_err
+FROM e
+"""
+
+
 QUERIES = {
     "term_cms_heavy_hitters": term_cms_heavy_hitters,
+    "bloom_filtered_lineitems": bloom_filtered_lineitems,
+    "kmv_distinct_users": kmv_distinct_users,
     "cms_contamination_probe": cms_contamination_probe,
     "cms_error_contract": cms_error_contract,
     "skew_report_events": skew_report_events,
@@ -701,6 +784,8 @@ QUERIES = {
 
 ORACLES = {
     "term_cms_heavy_hitters": TERM_CMS_HEAVY_HITTERS_SQL,
+    "bloom_filtered_lineitems": BLOOM_FILTERED_LINEITEMS_SQL,
+    "kmv_distinct_users": KMV_DISTINCT_USERS_SQL,
     "cms_contamination_probe": CMS_CONTAMINATION_PROBE_SQL,
     "cms_error_contract": CMS_ERROR_CONTRACT_SQL,
     "skew_report_events": SKEW_REPORT_EVENTS_SQL,

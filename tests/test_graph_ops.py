@@ -71,3 +71,29 @@ def test_triangle_count_known_graph(spark):
     assert out[6]["n_triangles"] == 0 and out[7]["degree"] == 1
     # total triangle count: sum of per-node counts = 3 * 4 triangles
     assert sum(r["n_triangles"] for r in out.values()) == 12
+
+
+# ---------------------------------------------------------------------------
+# Level-synchronous BFS (round 12).
+def test_bfs_levels_chain_distances(spark):
+    from firmable_company_data_pipeline_spark.operators.graph import bfs_levels
+
+    # chain 1-2-3-4-5 plus an isolated seed 9 and an unreachable 7-8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "id long")
+    out = {r.id: r.dist for r in bfs_levels(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: absent
+
+
+def test_bfs_levels_undirected_and_min_dist(spark):
+    from firmable_company_data_pipeline_spark.operators.graph import bfs_levels
+
+    # edges listed one-way only; triangle gives two routes — min wins
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.dist for r in bfs_levels(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}

@@ -387,3 +387,58 @@ def test_embedding_drift_identical_and_orthogonal(spark, tmp_path):
     }
     assert got[0] == pytest.approx(1.0, abs=1e-6)
     assert got[1] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered semi-join (round 12): exactness vs the plain semi-join
+# and the superset property of the prefilter stage.
+def test_bloom_semi_join_equals_plain_semi(spark):
+    from firmable_company_data_pipeline_spark.operators.joins import bloom_semi_join
+    from firmable_company_data_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", "lineitem", "orders")
+    import pyspark.sql.functions as F
+
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    got = bloom_semi_join(
+        t["lineitem"], urgent, left_key="l_orderkey", right_key="o_orderkey"
+    )
+    want = t["lineitem"].join(
+        urgent.select("o_orderkey").distinct(),
+        t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bloom_semi_join_tiny_bits_still_exact(spark):
+    # 64 bits over 50 build keys -> dense vector, many false positives:
+    # the verify stage must still return the exact semi-join.
+    from firmable_company_data_pipeline_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    right = spark.createDataFrame([(i * 7,) for i in range(50)], "r long")
+    out = bloom_semi_join(left, right, left_key="k", right_key="r", n_bits=64)
+    got = sorted(r.k for r in out.collect())
+    assert got == sorted(i * 7 for i in range(50) if i * 7 < 500)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch (round 12).
+def test_kmv_distinct_exact_below_k_and_bounded_error_above(spark):
+    from firmable_company_data_pipeline_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", i % 10) for i in range(100)] + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {r.g: r for r in kmv_distinct(df, "g", "u", k=64).collect()}
+    # below k: the sketch IS the exact count
+    assert out["small"].n_exact == 10
+    assert out["small"].est_distinct == 10.0
+    assert out["small"].rel_err == 0.0
+    # above k: estimator within the ~4/sqrt(k) tail bound (k=64 -> 50%)
+    assert out["big"].n_exact == 5000
+    assert abs(out["big"].est_distinct - 5000) / 5000 < 0.5
+    assert out["big"].rel_err == round(abs(out["big"].est_distinct - 5000) / 5000, 4)
