@@ -790,3 +790,21 @@ def test_global_topk_family_keeps_windowgrouplimit_pushdown(plans):
         assert re.search(r"row_number\(\), \d+, Partial", p), (
             f"{name}: no partial WindowGroupLimit before the merge"
         )
+
+
+def test_kmv_sketch_rank_is_windowgrouplimit_and_bloom_broadcasts(plans):
+    """Round-12 additions: (a) kmv_distinct_users' per-(group,salt)
+    bottom-k rides the same partial WindowGroupLimit pushdown as the
+    top-k family — each input partition pre-filters to k rows before
+    the shuffle; (b) bloom_filtered_lineitems' bit-vector side reaches
+    the probe as a BROADCAST nested-loop (one row, by construction) —
+    if it ever became a shuffled cross join the prefilter would cost
+    more than the scan it prunes."""
+    import re
+
+    p = plans("kmv_distinct_users")
+    assert "WindowGroupLimit" in p, "kmv bottom-k lost the rank pushdown"
+    assert re.search(r"row_number\(\), \d+, Partial", p)
+    b = plans("bloom_filtered_lineitems")
+    assert "BroadcastNestedLoopJoin" in b, "bloom vector not broadcast"
+    assert "CartesianProduct" not in b
