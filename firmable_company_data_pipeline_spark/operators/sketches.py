@@ -167,6 +167,55 @@ def kmv_hash(key: F.Column) -> F.Column:
     )
 
 
+def kmv_partial(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch of ``df``: (g, hs) with ``hs`` the sorted
+    bottom-k hashes — k longs per group however many keys exist.  The
+    map-side build of the mergeable pair (``kmv_merge`` is the
+    combiner), same split as ``cms_partial``/``cms_merge``."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("key"))
+        .distinct()
+        .select("g", kmv_hash(F.col("key")).alias("h"))
+    )
+    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)))
+    w = Window.partitionBy("g", "salt").orderBy(F.asc("h"))
+    bottom = salted.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return bottom.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
+    )
+
+
+def kmv_merge(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Fold any union of per-batch KMV partials back into one sketch
+    per group: explode, dedup (a key seen in two batches hashes
+    identically — the hash is a bijection, so DISTINCT is exact
+    key-level dedup), re-sort, cut at k.  Input per group is ≤
+    n_batches·k longs, so the fold is bounded however much history the
+    batches cover.  Bottom-k of a union IS the bottom-k of the union of
+    bottom-ks — the merged sketch is identical to a single-pass build
+    (pinned by the stream-vs-batch test)."""
+    exploded = partials.select("g", F.explode("hs").alias("h")).distinct()
+    return exploded.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
+    )
+
+
+def kmv_estimate(hs: F.Column, k: int = 64) -> F.Column:
+    """Distinct-count estimate off a sketch array: exact size when the
+    group never filled k slots, else (k-1)·P/h_(k), rounded 2 dp."""
+    return F.when(F.size(hs) < k, F.size(hs).cast("double")).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(KMV_P)) / F.element_at(hs, k), 2
+        )
+    )
+
+
 def kmv_distinct(
     df: DataFrame, group_col: str, key_col: str, k: int = 64
 ) -> DataFrame:
@@ -183,30 +232,11 @@ def kmv_distinct(
     partition ever sorts more than its salt bucket's share, and the
     final state per group is k longs however many distinct keys exist.
     """
-    from pyspark.sql import Window
-
-    hashed = (
-        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("key"))
-        .distinct()
-        .select("g", kmv_hash(F.col("key")).alias("h"))
-    )
-    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)))
-    w = Window.partitionBy("g", "salt").orderBy(F.asc("h"))
-    bottom = salted.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
-    merged = bottom.groupBy("g").agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    # n_kept < k can only happen when the group's TOTAL distinct count
-    # is < k (a salt bucket truncates only past k entries), so the
-    # exact count is sitting in the sketch — use it.
-    est = F.when(
-        F.size("hs") < k, F.size("hs").cast("double")
-    ).otherwise(
-        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_P)) / F.element_at("hs", k), 2)
-    )
+    merged = kmv_partial(df, group_col, key_col, k)
+    # size(hs) < k can only happen when the group's TOTAL distinct
+    # count is < k (a salt bucket truncates only past k entries), so
+    # the exact count is sitting in the sketch — kmv_estimate uses it.
+    est = kmv_estimate(F.col("hs"), k)
     exact = (
         df.select(F.col(group_col).alias("g"), F.col(key_col).alias("key"))
         .groupBy("g")

@@ -1426,6 +1426,54 @@ def read_cms(spark, target_dir: str) -> DataFrame:
     return sk.cms_merge(raw)
 
 
+def streaming_kmv_refresh(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str | None = None,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+):
+    """Incrementally maintained KMV distinct sketch (round 12): each
+    micro-batch writes ITS OWN ``batch=<id>`` bottom-k partial (≤ k
+    longs per group, kilobytes, however large the batch) and
+    ``read_kmv`` folds them — the ``streaming_cms_refresh`` protocol
+    applied to the bottom-k structure.  Because the hash is a bijection
+    and bottom-k of a union equals bottom-k of the union of bottom-ks,
+    the folded sketch is IDENTICAL to the one-pass full-corpus build
+    (stream-vs-batch pinned), which a rotating HLL cannot promise
+    cross-engine.  History is never rescanned; a replayed batch
+    overwrites its own partition (idempotent)."""
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        sk.kmv_partial(batch_df, group_col, key_col, k).write.mode(
+            "overwrite"
+        ).parquet(target_dir.rstrip("/") + f"/batch={batch_id}")
+
+    writer = events.writeStream.foreachBatch(refresh).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_kmv(spark, target_dir: str, k: int = 64) -> DataFrame:
+    """Merged sketch of a ``streaming_kmv_refresh`` target: (g, hs)
+    per group plus the ``est_distinct`` the sketch exists to provide.
+    Zero-batch targets yield an empty frame (same contract as
+    ``read_cms``)."""
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    raw = _read_parquet_or_none(spark, target_dir.rstrip("/") + "/batch=*")
+    if raw is None:
+        return spark.createDataFrame(
+            [], "g string, hs array<bigint>, est_distinct double"
+        )
+    return sk.kmv_merge(raw, k).withColumn(
+        "est_distinct", sk.kmv_estimate(F.col("hs"), k)
+    )
+
+
 def _batch_rollup(batch_df: DataFrame) -> DataFrame:
     """One micro-batch's partial rollup — the SINGLE definition of the
     partial-file schema, shared by the streaming refresh and the tests.

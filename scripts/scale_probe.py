@@ -122,6 +122,17 @@ PROBE_QUERIES = {
         "quality_ensemble_topk",
         "ann_ivf_pq_residual",
     ],
+    # round-12 late additions: MMR is k bounded argmax jobs over one
+    # scored frame (expect ~flat in corpus size beyond the scoring
+    # pass); the bloom probe is a map-side filter + semi-join (linear);
+    # BFS is three join+distinct rounds over the support>=2 edge list;
+    # KMV is the WindowGroupLimit bottom-k + one bounded merge
+    "r12b": [
+        "ann_mmr_rerank",
+        "bloom_filtered_lineitems",
+        "kmv_distinct_users",
+        "part_copurchase_bfs",
+    ],
 }
 
 

@@ -1922,3 +1922,50 @@ def test_gen_layout_manifest_protocol_schemed_dir(spark, tmp_path):
     fs_write_text(spark, labels_dir + "/_latest.json", json.dumps({"gen": 9}))
     jobs._repair_label_manifest(labels_dir, batch_id=0, prev_gens=[], spark=spark)
     assert fs_read_text(spark, labels_dir + "/_latest.json") is None
+
+
+def test_streaming_kmv_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally maintained KMV distinct sketch (per-batch
+    bottom-k partials folded at read) must equal the one-pass
+    full-corpus sketch hash-for-hash — bottom-k of a union is the
+    bottom-k of the union of bottom-ks, and the bijective hash makes
+    cross-batch dedup exact."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import sketches as sk
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "event_type", "user_id"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "kmv")
+    q = jobs.streaming_kmv_refresh(stream, target, checkpoint=str(tmp_path / "ck"))
+    _drain(q)
+
+    import glob as _glob
+
+    assert len(_glob.glob(f"{target}/batch=*")) >= 2  # the merge path ran
+    merged = {
+        r["g"]: (tuple(r["hs"]), r["est_distinct"])
+        for r in jobs.read_kmv(spark, target).collect()
+    }
+    full = {
+        r["g"]: tuple(r["hs"])
+        for r in sk.kmv_partial(ev, "event_type", "user_id").collect()
+    }
+    assert {g: hs for g, (hs, _) in merged.items()} == full
+    # the estimate column agrees with the batch card's estimate
+    card = {
+        r["event_type"]: r["est_distinct"]
+        for r in sk.kmv_distinct(ev, "event_type", "user_id").collect()
+    }
+    assert {g: est for g, (_, est) in merged.items()} == card
