@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_mmr_rerank",
     "bloom_filtered_lineitems",
     "kmv_distinct_users",
+    "kmv_join_cardinality",
     "part_copurchase_bfs",
     "dedup_effectiveness_report",
     "training_shuffle_shards",

@@ -253,3 +253,46 @@ def kmv_distinct(
             ).alias("rel_err"),
         )
     )
+
+
+def kmv_intersection(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-operation estimator (Beyer et al. 2007): estimate
+    |A ∪ B| and |A ∩ B| from the two sides' bottom-k sketches alone —
+    the pre-join cardinality diagnostic that answers "how big is this
+    join's key overlap" at 100 TB for the cost of two sketch builds
+    (each one WindowGroupLimit pass) instead of the join itself.
+
+    Union sketch = bottom-k of the merged lists; with ρ = the fraction
+    of union-sketch hashes present in BOTH sides' sketches,
+    est_inter = ρ · est_union.  Every term is order statistics over
+    the bijective hash — deterministic, cross-engine.
+
+    Output: one row (n_sketch_a, n_sketch_b, est_union, est_overlap,
+    est_jaccard) — all estimates 2 dp.
+    """
+    ga = df_a.select(F.lit("s").alias("_g"), F.col(key_a).alias("key"))
+    gb = df_b.select(F.lit("s").alias("_g"), F.col(key_b).alias("key"))
+    sa = kmv_partial(ga, "_g", "key", k).select(F.col("hs").alias("ha"))
+    sb = kmv_partial(gb, "_g", "key", k).select(F.col("hs").alias("hb"))
+    both = sa.crossJoin(sb)  # 1 row x 1 row
+    union_hs = F.slice(
+        F.array_sort(F.array_union(F.col("ha"), F.col("hb"))), 1, k
+    )
+    inter = F.array_intersect(
+        F.array_intersect(union_hs, F.col("ha")), F.col("hb")
+    )
+    est_union = kmv_estimate(union_hs, k)
+    rho = F.size(inter).cast("double") / F.size(union_hs)
+    return both.select(
+        F.size("ha").alias("n_sketch_a"),
+        F.size("hb").alias("n_sketch_b"),
+        est_union.alias("est_union"),
+        F.round(rho * est_union, 2).alias("est_overlap"),
+        F.round(rho, 4).alias("est_jaccard"),
+    )

@@ -767,10 +767,60 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# kmv_join_cardinality — KMV set-operation estimator (Beyer et al.
+# 2007, operators/sketches.kmv_intersection): estimate the key union /
+# overlap / Jaccard of orders.o_custkey vs customer.c_custkey from the
+# two bottom-64 sketches alone — the pre-join diagnostic that sizes a
+# join's key overlap for the cost of two sketch builds instead of the
+# join.  Deterministic order statistics end-to-end, so the oracle
+# replays the identical sketch arithmetic.
+def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.sketches import (
+        kmv_intersection,
+    )
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    return kmv_intersection(
+        t["orders"], "o_custkey", t["customer"], "c_custkey", k=_KMV_K
+    )
+
+
+KMV_JOIN_CARDINALITY_SQL = f"""
+WITH a AS MATERIALIZED (
+  SELECT DISTINCT ((o_custkey % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+  FROM orders),
+b AS MATERIALIZED (
+  SELECT DISTINCT ((c_custkey % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+  FROM customer),
+sa AS MATERIALIZED (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+sb AS MATERIALIZED (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+u AS MATERIALIZED (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) uu
+  ORDER BY h LIMIT {_KMV_K}),
+m AS (
+  SELECT (SELECT count(*) FROM sa) AS n_sketch_a,
+         (SELECT count(*) FROM sb) AS n_sketch_b,
+         (SELECT count(*) FROM u)  AS nu,
+         (SELECT max(h) FROM u)    AS hk,
+         (SELECT count(*) FROM u
+          WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS ni),
+e AS (
+  SELECT *, CASE WHEN nu < {_KMV_K} THEN nu::DOUBLE
+                 ELSE round({_KMV_K - 1}.0 * 1000000007.0 / hk, 2) END AS est_union
+  FROM m)
+SELECT n_sketch_a, n_sketch_b, est_union,
+       round(ni::DOUBLE / nu * est_union, 2) AS est_overlap,
+       round(ni::DOUBLE / nu, 4)             AS est_jaccard
+FROM e
+"""
+
+
 QUERIES = {
     "term_cms_heavy_hitters": term_cms_heavy_hitters,
     "bloom_filtered_lineitems": bloom_filtered_lineitems,
     "kmv_distinct_users": kmv_distinct_users,
+    "kmv_join_cardinality": kmv_join_cardinality,
     "cms_contamination_probe": cms_contamination_probe,
     "cms_error_contract": cms_error_contract,
     "skew_report_events": skew_report_events,
@@ -786,6 +836,7 @@ ORACLES = {
     "term_cms_heavy_hitters": TERM_CMS_HEAVY_HITTERS_SQL,
     "bloom_filtered_lineitems": BLOOM_FILTERED_LINEITEMS_SQL,
     "kmv_distinct_users": KMV_DISTINCT_USERS_SQL,
+    "kmv_join_cardinality": KMV_JOIN_CARDINALITY_SQL,
     "cms_contamination_probe": CMS_CONTAMINATION_PROBE_SQL,
     "cms_error_contract": CMS_ERROR_CONTRACT_SQL,
     "skew_report_events": SKEW_REPORT_EVENTS_SQL,

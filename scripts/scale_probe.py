@@ -131,6 +131,7 @@ PROBE_QUERIES = {
         "ann_mmr_rerank",
         "bloom_filtered_lineitems",
         "kmv_distinct_users",
+        "kmv_join_cardinality",
         "part_copurchase_bfs",
     ],
 }

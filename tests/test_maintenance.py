@@ -442,3 +442,23 @@ def test_kmv_distinct_exact_below_k_and_bounded_error_above(spark):
     assert out["big"].n_exact == 5000
     assert abs(out["big"].est_distinct - 5000) / 5000 < 0.5
     assert out["big"].rel_err == round(abs(out["big"].est_distinct - 5000) / 5000, 4)
+
+
+def test_kmv_intersection_estimates_overlap(spark):
+    from firmable_company_data_pipeline_spark.operators.sketches import (
+        kmv_intersection,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "k long")
+    row = kmv_intersection(a, "k", b, "k", k=64).collect()[0]
+    assert row.n_sketch_a == 64 and row.n_sketch_b == 64
+    # true union 1500, overlap 500, jaccard 1/3 — KMV with k=64 has
+    # ~1/sqrt(64) relative sd; assert the loose 50% tail bound
+    assert abs(row.est_union - 1500) / 1500 < 0.5
+    assert abs(row.est_overlap - 500) / 500 < 0.75
+    assert 0.05 < row.est_jaccard < 0.7
+    # disjoint sets: overlap estimate must collapse to ~0
+    c = spark.createDataFrame([(i,) for i in range(5000, 6000)], "k long")
+    row2 = kmv_intersection(a, "k", c, "k", k=64).collect()[0]
+    assert row2.est_jaccard < 0.1
