@@ -1130,12 +1130,15 @@ def mmr_rerank(
             pen = F.lit(0.0)
             pool = rel
         score = F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * pen, 6)
-        top = (
+        rows = (
             pool.select("vid", "v", score.alias("mmr"))
             .orderBy(F.desc("mmr"), F.asc("vid"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # k exceeds the candidate pool: emit the total order
+            break
+        top = rows[0]
         selected.append((top["vid"], list(top["v"])))
         out_rows.append((step, top["vid"], float(top["mmr"])))
     return spark.createDataFrame(out_rows, "rank int, vec_id long, mmr_score double")

@@ -510,3 +510,15 @@ def test_mmr_rerank_k_exceeding_pool_is_total_order(spark):
     out = mmr_rerank(emb, query_id=0, k=3, lam=0.7).collect()
     assert sorted(r.vec_id for r in out) == [1, 2, 3]
     assert sorted(r.rank for r in out) == [1, 2, 3]
+
+
+def test_mmr_rerank_k_beyond_pool_stops_gracefully(spark):
+    from firmable_company_data_pipeline_spark.operators.similarity_search import (
+        mmr_rerank,
+    )
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_rerank(emb, query_id=0, k=10, lam=0.7).collect()  # pool is 2
+    assert sorted(r.vec_id for r in out) == [1, 2]
+    assert sorted(r.rank for r in out) == [1, 2]
