@@ -133,6 +133,20 @@ SHOWCASE = [
         " both range joins.",
     ),
     (
+        "bloom_filtered_lineitems",
+        "Explicit runtime filter: the one-row bit-vector map reaches the"
+        " fact scan as a BroadcastNestedLoopJoin (map-side conjunction of"
+        " three O(1) bit tests), so only candidates enter the exact"
+        " left-semi verify shuffle.",
+    ),
+    (
+        "kmv_distinct_users",
+        "Deterministic bottom-k sketch: the per-(group,salt) row_number"
+        " carries the partial WindowGroupLimit, so each input partition"
+        " pre-filters to k rows before the exchange; the merge is one"
+        " bounded array agg.",
+    ),
+    (
         "salted_user_event_stats",
         "Skew-salted join: the join keys include _salt, no broadcast —"
         " each hot user spreads over 8 reducers; results identical to the"

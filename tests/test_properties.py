@@ -586,3 +586,59 @@ def test_block_dedup_properties(spark, texts):
         assert row["n_kept"] == len(kept)
         want = " ".join(kept) if kept else None
         assert row["clean_text"] == want, (i, t, row, want)
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch properties (round 12).
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=4),
+)
+def test_kmv_merge_of_any_split_equals_one_pass(spark, keys, n_splits):
+    """Mergeability: split the key stream arbitrarily, sketch each part,
+    fold — the result must equal the single-pass sketch (the claim the
+    streaming refresh rests on)."""
+    from firmable_company_data_pipeline_spark.operators.sketches import (
+        kmv_merge,
+        kmv_partial,
+    )
+
+    k = 16
+    rows = [("g", v) for v in keys]
+    full = spark.createDataFrame(rows, "g string, u long")
+    one_pass = {tuple(r.hs) for r in kmv_partial(full, "g", "u", k).collect()}
+    parts = [
+        spark.createDataFrame(rows[i::n_splits] or [("g", keys[0])], "g string, u long")
+        for i in range(n_splits)
+    ]
+    partials = [kmv_partial(p, "g", "u", k) for p in parts]
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.union(p)
+    folded = {tuple(r.hs) for r in kmv_merge(u, k).collect()}
+    assert folded == one_pass
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=200
+    ),
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=50
+    ),
+)
+def test_bloom_semi_join_exact_on_random_keys(spark, left_keys, right_keys):
+    """The bloom prefilter can only delete provably-unmatched rows: over
+    arbitrary (including negative) key sets and a deliberately dense
+    256-bit vector, the result equals the plain semi-join."""
+    from firmable_company_data_pipeline_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame([(v,) for v in left_keys], "k long")
+    right = spark.createDataFrame([(v,) for v in right_keys], "r long")
+    got = sorted(
+        r.k for r in bloom_semi_join(left, right, "k", "r", n_bits=256).collect()
+    )
+    want = sorted(v for v in left_keys if v in set(right_keys))
+    assert got == want
