@@ -357,3 +357,56 @@ def test_strip_html_bs4_arm_matches_reference_shape():
     assert title == "T & Co"  # strip=True + entity decode
     assert "visible text" in text
     assert json.loads(sd) == [{"a": 1}, {"b": 2}]
+
+
+# ---------------------------------------------------------------------------
+# ccfetch custom DataSource (round 12): the Spark 4 Python DataSource
+# arm must produce EXACTLY the pandas pipeline's staging frame.
+def test_ccfetch_datasource_matches_pipeline(spark, cc_index_path):
+    from firmable_company_data_pipeline_spark.sources.commoncrawl import (
+        derive_staging_fields,
+        fetch_warc_html,
+        parse_pages,
+    )
+    from firmable_company_data_pipeline_spark.sources.datasource import (
+        register_cc_datasource,
+    )
+
+    register_cc_datasource(spark)
+    ds = (
+        spark.read.format("ccfetch")
+        .option("path", cc_index_path)
+        .option("partitions", "3")
+        .load()
+    )
+    got = derive_staging_fields(ds)
+    want = parse_pages(fetch_warc_html(read_cc_index(spark, cc_index_path)))
+    def norm(rows):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in rows
+        }
+
+    g = norm(got.collect())
+    w = norm(want.collect())
+    assert g == w and len(g) == len(SLUGS)  # P8 guard drops the bad record
+
+
+def test_ccfetch_partition_planning_owns_each_line_once(spark, cc_index_path):
+    """Byte-range splits with line-ownership resolution: however many
+    partitions are requested (including more than there are lines), each
+    index record is read exactly once."""
+    from firmable_company_data_pipeline_spark.sources.datasource import (
+        register_cc_datasource,
+    )
+
+    register_cc_datasource(spark)
+    for n in (1, 2, 7, 64):
+        ds = (
+            spark.read.format("ccfetch")
+            .option("path", cc_index_path)
+            .option("partitions", str(n))
+            .load()
+        )
+        urls = [r.url for r in ds.select("url").collect()]
+        assert len(urls) == len(set(urls)) == len(SLUGS), f"partitions={n}"
