@@ -89,6 +89,7 @@ HEADLINE = [
     "kmv_distinct_users",
     "kmv_join_cardinality",
     "part_copurchase_bfs",
+    "dedup_bcubed_eval",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

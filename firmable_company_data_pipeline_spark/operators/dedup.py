@@ -2080,3 +2080,57 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# B-cubed cluster evaluation (round 12) — Bagga & Baldwin 1998, the
+# standard entity-resolution / dedup clustering metric: per-document
+# precision = |C_pred(d) ∩ C_gold(d)| / |C_pred(d)|, recall with the
+# gold cluster in the denominator, averaged over documents.  The whole
+# metric reduces to three hash-aggs over the (pred, gold) assignment
+# pairs: P = (1/N)·Σ_{p,g} n_pg²/n_p and R = (1/N)·Σ_{p,g} n_pg²/n_g.
+#
+# Cross-engine determinism: each term is computed as EXACT scaled
+# integer arithmetic — (n_pg²·10⁹) div n_p — and summed as BIGINT
+# (order-independent), so the oracle hash-matches; truncation loses
+# < 1 unit per (p,g) group → error on P/R < #groups/(N·10⁹), invisible
+# at the 6-dp rounding.  Overflow bound: n_pg²·10⁹ needs the largest
+# cluster ≤ ~3 000 docs to stay in int64 — at a corpus where clusters
+# exceed that, drop the scale a digit (documented seam).
+B3_SCALE = 10**9
+
+
+def bcubed_eval(assignments: DataFrame) -> DataFrame:
+    """(doc_id, p, g) → ONE row (n_docs, n_pred_clusters,
+    n_gold_clusters, bcubed_precision, bcubed_recall, bcubed_f1).
+    ``assignments`` must have one row per document with its predicted
+    and gold cluster ids."""
+    lab = assignments.localCheckpoint(eager=False)  # consumed 4×
+    npg = lab.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n_pg"))
+    np_ = lab.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    ng = lab.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    terms = (
+        npg.join(np_, "p")
+        .join(ng, "g")
+        .agg(
+            F.sum(F.expr(f"n_pg * n_pg * {B3_SCALE} div n_p")).alias("sp"),
+            F.sum(F.expr(f"n_pg * n_pg * {B3_SCALE} div n_g")).alias("sr"),
+        )
+    )
+    counts = lab.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("p").alias("n_pred_clusters"),
+        F.count_distinct("g").alias("n_gold_clusters"),
+    )
+    row = counts.crossJoin(terms)
+    denom = F.col("n_docs") * F.lit(float(B3_SCALE))
+    p = F.round(F.col("sp") / denom, 6)
+    r = F.round(F.col("sr") / denom, 6)
+    return row.select(
+        "n_docs",
+        "n_pred_clusters",
+        "n_gold_clusters",
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
+    )

@@ -1077,6 +1077,65 @@ SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src
 
 
 # --------------------------------------------------------------------------
+# dedup_bcubed_eval — B-cubed evaluation (Bagga & Baldwin 1998) of the
+# n-gram-Jaccard clustering against the exact-fingerprint gold: the
+# standard ER/dedup cluster metric, closing the evaluation gap next to
+# minhash_recall_report (pair-level) and match_quality_report
+# (match-stage level).  Docs in no near-dup pair are singletons in the
+# predicted clustering (coalesce to doc_id) so the metric covers the
+# whole corpus.  All arithmetic is exact scaled-integer (see
+# operators/dedup.bcubed_eval) so the oracle hash-matches.
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pred = cluster_labels(docs)
+    goldfp = docs.select("doc_id", ts.doc_fingerprint(F.col("text")).alias("fp"))
+    goldid = goldfp.groupBy("fp").agg(F.min("doc_id").alias("g"))
+    assignments = (
+        docs.select("doc_id")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("p")
+        )
+        .join(goldfp, "doc_id")
+        .join(goldid, "fp")
+        .select("doc_id", "p", "g")
+    )
+    return dd.bcubed_eval(assignments)
+
+
+DEDUP_BCUBED_EVAL_SQL = f"""
+WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+{_CLUSTERS_CTES},
+pred AS MATERIALIZED (SELECT src AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY src),
+goldfp AS MATERIALIZED (SELECT doc_id, {_FP} AS fp FROM documents),
+goldid AS (SELECT fp, min(doc_id) AS g FROM goldfp GROUP BY fp),
+lab AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(p.cluster_id, d.doc_id) AS p, gi.g
+  FROM documents d
+  LEFT JOIN pred p ON d.doc_id = p.doc_id
+  JOIN goldfp gf ON d.doc_id = gf.doc_id
+  JOIN goldid gi ON gf.fp = gi.fp),
+npg AS (SELECT p, g, count(*) AS n_pg FROM lab GROUP BY 1, 2),
+np AS (SELECT p, count(*) AS n_p FROM lab GROUP BY 1),
+ng AS (SELECT g, count(*) AS n_g FROM lab GROUP BY 1),
+t AS (SELECT sum(n_pg * n_pg * {dd.B3_SCALE} // n_p) AS sp,
+             sum(n_pg * n_pg * {dd.B3_SCALE} // n_g) AS sr
+      FROM npg JOIN np USING (p) JOIN ng USING (g)),
+c AS (SELECT count(*) AS n_docs, count(DISTINCT p) AS n_pred_clusters,
+             count(DISTINCT g) AS n_gold_clusters FROM lab),
+e AS (SELECT n_docs, n_pred_clusters, n_gold_clusters,
+             round(sp / (n_docs * {dd.B3_SCALE}.0), 6) AS bcubed_precision,
+             round(sr / (n_docs * {dd.B3_SCALE}.0), 6) AS bcubed_recall
+      FROM c, t)
+SELECT n_docs, n_pred_clusters, n_gold_clusters, bcubed_precision,
+       bcubed_recall,
+       round(2 * bcubed_precision * bcubed_recall /
+             (bcubed_precision + bcubed_recall), 6) AS bcubed_f1
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_keep_best — canonical-survivor selection: the *point* of dedup in
 # a training-data pipeline is not the cluster labels but the keep/drop
 # decision.  Per near-dup cluster keep the highest-quality member
@@ -2233,6 +2292,7 @@ QUERIES = {
     "dedup_clusters_incremental2": dedup_clusters_incremental2,
     "dedup_clusters_incremental_sliver": dedup_clusters_incremental_sliver,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_bcubed_eval": dedup_bcubed_eval,
     "dedup_winnow_keep_best": dedup_winnow_keep_best,
     "dedup_effectiveness_report": dedup_effectiveness_report,
     "minhash_recall_report": minhash_recall_report,
@@ -2285,6 +2345,7 @@ ORACLES = {
     "dedup_clusters_incremental2": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental_sliver": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_bcubed_eval": DEDUP_BCUBED_EVAL_SQL,
     "dedup_winnow_keep_best": DEDUP_WINNOW_KEEP_BEST_SQL,
     "dedup_effectiveness_report": DEDUP_EFFECTIVENESS_REPORT_SQL,
     "minhash_recall_report": MINHASH_RECALL_REPORT_SQL,

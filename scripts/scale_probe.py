@@ -133,6 +133,7 @@ PROBE_QUERIES = {
         "kmv_distinct_users",
         "kmv_join_cardinality",
         "part_copurchase_bfs",
+        "dedup_bcubed_eval",
     ],
 }
 

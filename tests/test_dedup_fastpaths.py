@@ -1045,3 +1045,27 @@ def test_winnow_match_spans_alignment(spark):
             assert (ib, r["pos_b"], r["fp"]) in fps
     # docs 1 and 2 are identical after normalization -> aligned spans
     assert all(r["pos_a"] == r["pos_b"] for r in by_pair[(1, 2)])
+
+
+# ---------------------------------------------------------------------------
+# B-cubed evaluation (round 12): hand-computed fixture.
+def test_bcubed_eval_hand_computed(spark):
+    from firmable_company_data_pipeline_spark.operators.dedup import bcubed_eval
+
+    # pred clusters {1,2},{3}; gold clusters {1},{2,3}
+    a = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 2), (3, 3, 2)], "doc_id long, p long, g long"
+    )
+    row = bcubed_eval(a).collect()[0]
+    assert row.n_docs == 3
+    assert row.n_pred_clusters == 2 and row.n_gold_clusters == 2
+    # P = (1/2 + 1/2 + 1)/3 = 2/3, R = (1 + 1/2 + 1/2)/3 = 2/3
+    assert row.bcubed_precision == 0.666667
+    assert row.bcubed_recall == 0.666667
+    assert row.bcubed_f1 == 0.666667
+    # perfect clustering scores 1.0 everywhere
+    perfect = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (3, 3, 2)], "doc_id long, p long, g long"
+    )
+    r2 = bcubed_eval(perfect).collect()[0]
+    assert (r2.bcubed_precision, r2.bcubed_recall, r2.bcubed_f1) == (1.0, 1.0, 1.0)
