@@ -142,6 +142,41 @@ def _bloom_positions(key: F.Column, n_bits: int, n_hashes: int) -> list[F.Column
     ]
 
 
+def bloom_partial(
+    keys: DataFrame, key_col: str, n_bits: int = 8192, n_hashes: int = 3
+) -> DataFrame:
+    """(w, m) bit-vector words for one key stream — ≤ n_bits/32 rows
+    however large the input; the map-side build of the mergeable pair
+    (``bloom_merge`` is the combiner — set bits OR, the same
+    partial/merge split as ``sketches.cms_partial``/``kmv_partial``),
+    which also makes the vector a streaming-refresh target."""
+    if n_hashes > len(_BLOOM_AB):
+        raise ValueError(f"n_hashes must be <= {len(_BLOOM_AB)}")
+    pos = (
+        keys.select(F.col(key_col).alias("_k"))
+        .dropDuplicates(["_k"])
+        .select(
+            F.explode(
+                F.array(*_bloom_positions(F.col("_k"), n_bits, n_hashes))
+            ).alias("p")
+        )
+        .dropDuplicates(["p"])
+    )
+    # 2^(p mod 32) as a long: pow is exact for exponents < 53, and the
+    # pyspark shiftleft wrapper only takes a literal shift amount.
+    bit = F.pow(F.lit(2.0), (F.col("p") % 32).cast("double")).cast("long")
+    return pos.groupBy(F.floor(F.col("p") / 32).alias("w")).agg(
+        F.bit_or(bit).alias("m")
+    )
+
+
+def bloom_merge(partials: DataFrame) -> DataFrame:
+    """Fold any union of per-batch bloom words into one vector — set
+    bits OR, so the folded vector is IDENTICAL to a one-pass build over
+    the union of the key streams (stream-vs-batch pinned)."""
+    return partials.groupBy("w").agg(F.bit_or(F.col("m")).alias("m"))
+
+
 def bloom_semi_join(
     left: DataFrame,
     right: DataFrame,
@@ -163,20 +198,8 @@ def bloom_semi_join(
     positive rate at 1000 distinct build keys is ~0.4% (k·n/m = 0.37),
     so the verify shuffle carries essentially only true matches.
     """
-    if n_hashes > len(_BLOOM_AB):
-        raise ValueError(f"n_hashes must be <= {len(_BLOOM_AB)}")
     rk = right.select(F.col(right_key).alias("_k")).dropDuplicates(["_k"])
-    pos = rk.select(
-        F.explode(F.array(*_bloom_positions(F.col("_k"), n_bits, n_hashes))).alias(
-            "p"
-        )
-    ).dropDuplicates(["p"])
-    # 2^(p mod 32) as a long: pow is exact for exponents < 53, and the
-    # pyspark shiftleft wrapper only takes a literal shift amount.
-    bit = F.pow(F.lit(2.0), (F.col("p") % 32).cast("double")).cast("long")
-    words = pos.groupBy(F.floor(F.col("p") / 32).alias("w")).agg(
-        F.bit_or(bit).alias("m")
-    )
+    words = bloom_partial(rk, "_k", n_bits, n_hashes)
     bloom = words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("_bloom")
     )

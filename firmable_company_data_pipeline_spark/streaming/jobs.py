@@ -1474,6 +1474,47 @@ def read_kmv(spark, target_dir: str, k: int = 64) -> DataFrame:
     )
 
 
+def streaming_bloom_refresh(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str | None = None,
+    key_col: str = "user_id",
+    n_bits: int = 8192,
+):
+    """Incrementally maintained bloom membership vector (round 12): the
+    third mergeable-sketch refresh next to CMS (counts) and KMV
+    (distincts) — set bits OR across batches, so the folded vector is
+    IDENTICAL to a one-pass build over the union of the key streams
+    (stream-vs-batch pinned).  Each micro-batch writes its own
+    ``batch=<id>`` word partial (≤ n_bits/32 rows, bytes); a downstream
+    ``bloom_semi_join``-style runtime filter can then be served from
+    the folded vector without rescanning any history (e.g. "has this
+    key EVER been seen" admission screens)."""
+    from firmable_company_data_pipeline_spark.operators import joins as bj
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        bj.bloom_partial(batch_df, key_col, n_bits).write.mode(
+            "overwrite"
+        ).parquet(target_dir.rstrip("/") + f"/batch={batch_id}")
+
+    writer = events.writeStream.foreachBatch(refresh).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_bloom(spark, target_dir: str) -> DataFrame:
+    """Folded (w, m) vector of a ``streaming_bloom_refresh`` target;
+    zero-batch targets yield an empty frame (the ``read_cms``
+    contract — an absent key tests negative against an empty vector)."""
+    from firmable_company_data_pipeline_spark.operators import joins as bj
+
+    raw = _read_parquet_or_none(spark, target_dir.rstrip("/") + "/batch=*")
+    if raw is None:
+        return spark.createDataFrame([], "w bigint, m bigint")
+    return bj.bloom_merge(raw)
+
+
 def _batch_rollup(batch_df: DataFrame) -> DataFrame:
     """One micro-batch's partial rollup — the SINGLE definition of the
     partial-file schema, shared by the streaming refresh and the tests.

@@ -1969,3 +1969,36 @@ def test_streaming_kmv_refresh_matches_batch(spark, sf_dir, tmp_path):
         for r in sk.kmv_distinct(ev, "event_type", "user_id").collect()
     }
     assert {g: est for g, (_, est) in merged.items()} == card
+
+
+def test_streaming_bloom_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally maintained bloom vector (per-batch word
+    partials OR-folded at read) must equal the one-pass full-stream
+    build word-for-word — set bits only accumulate."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators import joins as bj
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "bloom")
+    q = jobs.streaming_bloom_refresh(stream, target, checkpoint=str(tmp_path / "ck"))
+    _drain(q)
+
+    import glob as _glob
+
+    assert len(_glob.glob(f"{target}/batch=*")) >= 2
+    merged = {(r.w, r.m) for r in jobs.read_bloom(spark, target).collect()}
+    full = {(r.w, r.m) for r in bj.bloom_partial(ev, "user_id").collect()}
+    assert merged == full and len(full) > 0
