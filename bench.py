@@ -90,6 +90,7 @@ HEADLINE = [
     "kmv_join_cardinality",
     "part_copurchase_bfs",
     "dedup_bcubed_eval",
+    "asof_next_purchase",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

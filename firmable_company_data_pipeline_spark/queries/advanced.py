@@ -687,8 +687,75 @@ GROUP BY dist ORDER BY dist
 """
 
 
+# ---------------------------------------------------------------------------
+# asof_next_purchase — the FORWARD as-of arm with a tolerance (round 12;
+# pandas merge_asof(direction="forward", tolerance=...) parity): for
+# every click, the next purchase by the same user within 7 days — the
+# time-to-convert join, NULLs past the window.  Purchases are
+# pre-aggregated to one row per (user, ts) (min event_id) so the
+# exact-ts tie-break is engine-independent.  Same union+carry plan as
+# the backward arm — the forward carry is a first() over the following
+# frame on the SAME single shuffle.  gap_us is exact integer micros.
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_id"],
+        prefix="next_",
+        direction="forward",
+        tolerance=604_800,  # 7 days in seconds
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("next_purchase_id"),
+        F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("next_ts")).alias(
+            "gap_us"
+        ),
+    )
+
+
+ASOF_NEXT_PURCHASE_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'),
+p AS MATERIALIZED (
+  SELECT user_id, ts, min(event_id) AS purchase_id FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2),
+n AS (
+  SELECT c.click_id, c.user_id, c.ts,
+         (SELECT min(p.ts) FROM p
+          WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS nts
+  FROM c),
+f AS (
+  SELECT click_id, user_id, ts,
+         CASE WHEN nts IS NOT NULL
+                   AND epoch(nts) - epoch(ts) <= 604800.0
+              THEN nts END AS nts
+  FROM n)
+SELECT f.click_id, f.user_id, p.purchase_id AS next_purchase_id,
+       epoch_us(f.nts) - epoch_us(f.ts) AS gap_us
+FROM f LEFT JOIN p ON p.user_id = f.user_id AND p.ts = f.nts
+"""
+
+
 QUERIES = {
     "part_copurchase_bfs": part_copurchase_bfs,
+    "asof_next_purchase": asof_next_purchase,
     "asof_purchase_attribution": asof_purchase_attribution,
     "ks_drift_orders": ks_drift_orders,
     "order_price_outliers_mad": order_price_outliers_mad,
@@ -705,6 +772,7 @@ ORACLES = {
     "events_variant_stats": EVENTS_VARIANT_STATS_SQL,
     "ks_drift_orders": KS_DRIFT_ORDERS_SQL,
     "part_copurchase_bfs": PART_COPURCHASE_BFS_SQL,
+    "asof_next_purchase": ASOF_NEXT_PURCHASE_SQL,
     "order_price_outliers_mad": ORDER_PRICE_OUTLIERS_MAD_SQL,
     "unpivot_part_metrics": UNPIVOT_PART_METRICS_SQL,
     "asof_purchase_attribution": ASOF_PURCHASE_ATTRIBUTION_SQL,

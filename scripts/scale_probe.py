@@ -134,6 +134,7 @@ PROBE_QUERIES = {
         "kmv_join_cardinality",
         "part_copurchase_bfs",
         "dedup_bcubed_eval",
+        "asof_next_purchase",
     ],
 }
 

@@ -462,3 +462,46 @@ def test_kmv_intersection_estimates_overlap(spark):
     c = spark.createDataFrame([(i,) for i in range(5000, 6000)], "k long")
     row2 = kmv_intersection(a, "k", c, "k", k=64).collect()[0]
     assert row2.est_jaccard < 0.1
+
+
+# ---------------------------------------------------------------------------
+# as-of join directions + tolerance (round 12, pandas merge_asof parity).
+def test_asof_join_directions_and_tolerance(spark):
+    from firmable_company_data_pipeline_spark.operators.temporal import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 2, "b"), (1, 20, 3, "b2"), (1, 40, 4, "c")],
+        "k long, qts long, qid long, q string",
+    )
+    trades = spark.createDataFrame(
+        [(1, 5), (1, 20), (1, 25), (1, 30), (1, 100)], "k long, tts long"
+    )
+
+    def run(**kw):
+        out = asof_join(
+            trades, quotes, key="k", left_ts="tts", right_ts="qts",
+            right_cols=["q"], right_order="qid", **kw,
+        )
+        return {r.tts: r.asof_q for r in out.collect()}
+
+    assert run() == {5: None, 20: "b2", 25: "b2", 30: "b2", 100: "c"}
+    assert run(direction="forward") == {
+        5: "a",      # earliest later quote
+        20: "b2",    # exact match resolves backward-style (greatest qid)
+        25: "c",
+        30: "c",
+        100: None,   # nothing later
+    }
+    assert run(direction="nearest") == {
+        5: "a",      # only a forward candidate
+        20: "b2",    # distance 0
+        25: "b2",    # back d=5 beats fwd d=15
+        30: "b2",    # TIE (d=10 both ways) -> backward
+        100: "c",
+    }
+    assert run(tolerance=10) == {
+        5: None, 20: "b2", 25: "b2", 30: "b2", 100: None,  # d=60 nulled
+    }
+    assert run(direction="nearest", tolerance=7) == {
+        5: "a", 20: "b2", 25: "b2", 30: None, 100: None,
+    }
