@@ -91,6 +91,7 @@ HEADLINE = [
     "part_copurchase_bfs",
     "dedup_bcubed_eval",
     "asof_next_purchase",
+    "weighted_median_price",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 # round.  Names beyond the window are NOT listed: registration order
 # appends them after the head, and their relative order is immaterial.
 # Deferred to r13 head (green r8 evidence, no slot this round):
-#   min_cost_supplier, nation_order_quantiles, order_lookup, order_percentile_ranks, orders_page_keyset,
+#   media_resize_checksum, min_cost_supplier, nation_order_quantiles, order_lookup, order_percentile_ranks, orders_page_keyset,
 #   padding_efficiency_report,
 #   part_affinity, priority_year_pivot, promo_revenue_share,
 #   salted_user_event_stats, scd2_customer_history, scd2_point_in_time,
@@ -63,6 +63,7 @@ _DRIVER_WINDOW_PRIORITY = (
     "part_copurchase_bfs",
     "dedup_bcubed_eval",
     "asof_next_purchase",
+    "weighted_median_price",
     # -- the r8-evidence cohort, alphabetical --
     "ann_ivf",
     "ann_ivf_incremental",
@@ -90,7 +91,6 @@ _DRIVER_WINDOW_PRIORITY = (
     "match_quality_report",
     "media_frame_plan",
     "media_phash_dups",
-    "media_resize_checksum",
 )
 
 

@@ -522,7 +522,83 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted_median_price — EXACT per-group weighted median (round 12):
+# the smallest price whose cumulative weight reaches half the group's
+# total (weight = quantity), the discrete-quantile rule generalized to
+# weights.  Pure integer arithmetic end-to-end (quantities are whole
+# numbers → cast long; the crossing test is 2·cum >= tot, no float
+# halves), so the oracle hash-matches.
+#
+# Scale shape: one (group, price) hash-agg collapses the fact table to
+# the distinct-price grid, then the cumulative weight rides
+# operators/ranks.prefix_agg over the GLOBAL (group, price) order —
+# range partition + per-partition windows + broadcast offsets, never a
+# single-reducer sort — with each group's own offset (the running total
+# of PRIOR groups) subtracted from a groups-sized (≤ |groups| rows)
+# broadcast table.  The final argmin is a bounded per-group aggregate.
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.ranks import prefix_agg
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    wq = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    cum = prefix_agg(wq, ["flag", "price"], "w", fn="sum", out="gcum")
+    grp = (
+        wq.groupBy("flag")
+        .agg(F.sum("w").alias("tot"))
+        .withColumn(
+            "goff",
+            F.coalesce(
+                F.sum("tot").over(
+                    Window.orderBy("flag").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    crossed = (
+        cum.join(F.broadcast(grp), "flag")
+        .withColumn("cum", F.col("gcum") - F.col("goff"))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+    )
+    return (
+        crossed.groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("tot").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_PRICE_SQL = """
+WITH wq AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         sum(l_quantity::BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT flag, price,
+         sum(w) OVER (PARTITION BY flag ORDER BY price) AS cum,
+         sum(w) OVER (PARTITION BY flag) AS tot
+  FROM wq)
+SELECT flag AS l_returnflag,
+       min(price) AS weighted_median_price,
+       min(tot)::BIGINT AS total_weight
+FROM c WHERE 2 * cum >= tot
+GROUP BY flag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "weighted_median_price": weighted_median_price,
     "forecast_revenue_change": forecast_revenue_change,
     "benford_revenue_audit": benford_revenue_audit,
     "skyline_suppliers": skyline_suppliers,
@@ -537,6 +613,7 @@ ORACLES = {
     "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
     "benford_revenue_audit": BENFORD_REVENUE_AUDIT_SQL,
     "skyline_suppliers": SKYLINE_SUPPLIERS_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_PRICE_SQL,
     "product_type_profit": PRODUCT_TYPE_PROFIT_SQL,
     "returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
     "late_shipment_priority_counts": LATE_SHIPMENT_PRIORITY_COUNTS_SQL,

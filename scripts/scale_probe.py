@@ -135,6 +135,7 @@ PROBE_QUERIES = {
         "part_copurchase_bfs",
         "dedup_bcubed_eval",
         "asof_next_purchase",
+        "weighted_median_price",
     ],
 }
 

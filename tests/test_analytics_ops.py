@@ -152,3 +152,33 @@ def test_ewma_matches_recurrence(spark):
     got = {r["day"]: r["ewma"] for r in out if r["event_type"] == "view"}
     for d in days:
         assert got[d] == pytest.approx(exp[d], abs=1e-3), d
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (round 12): hand-computed fixture through the
+# registered query's arithmetic (distinct-price grid + prefix sums).
+def test_weighted_median_hand_computed(spark, tmp_path):
+    import os
+
+    rows = [
+        # flag A: prices 10(w1), 20(w2), 30(w1) -> tot 4, median 20
+        ("A", 10.0, 1.0), ("A", 20.0, 2.0), ("A", 30.0, 1.0),
+        # flag B: even split 10(w1), 20(w1) -> lower value wins (discrete rule)
+        ("B", 10.0, 1.0), ("B", 20.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    d = str(tmp_path / "li")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    from firmable_company_data_pipeline_spark.queries.warehouse import (
+        weighted_median_price,
+    )
+
+    out = {
+        r.l_returnflag: (r.weighted_median_price, r.total_weight)
+        for r in weighted_median_price(spark, d).collect()
+    }
+    assert out == {"A": (20.0, 4), "B": (10.0, 2)}
