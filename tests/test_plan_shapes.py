@@ -124,6 +124,13 @@ def test_asof_join_is_join_free_single_shuffle(plans):
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # forward arm (round 12): the second carry rides the SAME window
+    # sort — still no join in the carry, and the only extra exchange is
+    # the purchases pre-aggregation (one row per (user, ts)); the final
+    # windows themselves add none.
+    f = plans("asof_next_purchase")
+    assert len(re.findall(r"\(\d+\) Exchange", f)) <= 2
+    assert "ArrowEvalPython" not in f and "BatchEvalPython" not in f
 
 
 def test_pivot_has_no_distinct_values_pass(plans):
