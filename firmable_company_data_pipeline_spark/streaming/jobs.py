@@ -1503,6 +1503,94 @@ def streaming_bloom_refresh(
     return writer.start()
 
 
+def streaming_asof_enrich(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str | None = None,
+    key_col: str = "user_id",
+    left_type: str = "purchase",
+    right_type: str = "click",
+):
+    """Streaming as-of enrichment (round 12): attach to every LEFT
+    event (purchase) the most recent RIGHT event (click) of the same
+    key at or before it — the stream side of
+    ``operators/temporal.asof_join``, which each micro-batch REUSES
+    verbatim against (frozen per-key state ∪ this batch's rights).
+
+    State is ONE row per key (the argmax-(ts, event_id) right seen so
+    far) however long the stream runs — the bounded-state shape a
+    stream-stream as-of maintains — refreshed through the scd2 fold's
+    stage-then-replace protocol so a replayed batch is idempotent.
+    Enriched lefts append batch-keyed under ``out/batch=<id>``.
+
+    Correctness contract (stream-vs-batch pinned): equals the batch
+    as-of over the full history whenever the source is time-ordered
+    across batches — every right with ``ts <=`` a left's ts arrives in
+    the same or an earlier micro-batch, the per-key ordering a
+    partitioned log delivers.  Out-of-order rights would need a
+    watermark + delayed emit; documented seam, not silently wrong
+    (late rights simply enrich only later lefts)."""
+    from firmable_company_data_pipeline_spark.operators.temporal import asof_join
+
+    base = target_dir.rstrip("/")
+    state_dir, out_dir = base + "/state", base + "/out"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rights = batch_df.filter(F.col("event_type") == right_type).select(
+            F.col(key_col),
+            F.col("ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+        prev = _read_parquet_or_none(spark, state_dir)
+        universe = (
+            rights if prev is None else prev.unionByName(rights)
+        ).persist()  # consumed twice: the enrich join + the state fold
+        lefts = batch_df.filter(F.col("event_type") == left_type).select(
+            F.col("event_id").alias("purchase_id"), F.col(key_col), F.col("ts")
+        )
+        enriched = asof_join(
+            lefts,
+            universe,
+            key=key_col,
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["click_id", "click_value"],
+            right_order="click_id",
+        )
+        enriched.write.mode("overwrite").parquet(out_dir + f"/batch={batch_id}")
+        new_state = (
+            universe.groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct("ts", "click_id", "click_value"),
+                    F.struct(F.col("ts"), F.col("click_id")),
+                ).alias("_s")
+            )
+            .select(key_col, "_s.*")
+        )
+        tmp = state_dir + f"._staging_{batch_id}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+        fs, jtmp = _hadoop_fs(spark, tmp)
+        fs.delete(jtmp, True)
+        universe.unpersist()
+
+    writer = events.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_asof_enriched(spark, target_dir: str) -> DataFrame:
+    """All enriched left rows of a ``streaming_asof_enrich`` target."""
+    out = _read_parquet_or_none(spark, target_dir.rstrip("/") + "/out/batch=*")
+    if out is None:
+        raise FileNotFoundError(f"no enriched batches under {target_dir}")
+    return out
+
+
 def read_bloom(spark, target_dir: str) -> DataFrame:
     """Folded (w, m) vector of a ``streaming_bloom_refresh`` target;
     zero-batch targets yield an empty frame (the ``read_cms``

@@ -2002,3 +2002,57 @@ def test_streaming_bloom_refresh_matches_batch(spark, sf_dir, tmp_path):
     merged = {(r.w, r.m) for r in jobs.read_bloom(spark, target).collect()}
     full = {(r.w, r.m) for r in bj.bloom_partial(ev, "user_id").collect()}
     assert merged == full and len(full) > 0
+
+
+def test_streaming_asof_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Over a time-ordered source (every right arrives no later than
+    the lefts it should enrich), the per-batch asof fold against the
+    bounded per-key state equals the batch as-of over full history."""
+    import time as _time
+
+    from firmable_company_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    mid = ev.orderBy("ts").select("ts").offset(n // 2).limit(1).first()[0]
+    src = str(tmp_path / "ev_src")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.3)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "asof")
+    q = jobs.streaming_asof_enrich(stream, target, checkpoint=str(tmp_path / "ck"))
+    _drain(q)
+
+    got = {
+        r.purchase_id: (r.asof_click_id, r.asof_click_value)
+        for r in jobs.read_asof_enriched(spark, target).collect()
+    }
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    want = {
+        r.purchase_id: (r.asof_click_id, r.asof_click_value)
+        for r in asof_join(
+            purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["click_id", "click_value"], right_order="click_id",
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+    # the state is ONE row per key however many clicks streamed
+    state = spark.read.parquet(f"{target}/state")
+    assert state.groupBy("user_id").count().filter("count > 1").count() == 0
