@@ -134,6 +134,21 @@ _BLOOM_P = 1_000_000_007
 _BLOOM_AB = ((1103515245, 12345), (69069, 362437), (214013, 2531011))
 
 
+def _require_integral_key(df: DataFrame, col: str) -> None:
+    """The affine bloom hashes work on integral keys; any other type
+    would cast to NULL long, every bit test would evaluate NULL, and
+    the 'identical to the plain semi-join' contract would silently
+    return ZERO rows (review r12) — refuse loudly instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"bloom key column {col!r} must be integral, got {dt.simpleString()}"
+            " — hash non-integral keys to a long (e.g. xxhash64) first"
+        )
+
+
 def _bloom_positions(key: F.Column, n_bits: int, n_hashes: int) -> list[F.Column]:
     k = F.pmod(key.cast("long"), F.lit(_BLOOM_P))
     return [
@@ -152,6 +167,10 @@ def bloom_partial(
     which also makes the vector a streaming-refresh target."""
     if n_hashes > len(_BLOOM_AB):
         raise ValueError(f"n_hashes must be <= {len(_BLOOM_AB)}")
+    _require_integral_key(keys, key_col)
+    # No distinct on positions: bit_or is idempotent, so duplicate
+    # positions cannot change any word — a dropDuplicates here was a
+    # whole redundant exchange per build (review r12).
     pos = (
         keys.select(F.col(key_col).alias("_k"))
         .dropDuplicates(["_k"])
@@ -160,7 +179,6 @@ def bloom_partial(
                 F.array(*_bloom_positions(F.col("_k"), n_bits, n_hashes))
             ).alias("p")
         )
-        .dropDuplicates(["p"])
     )
     # 2^(p mod 32) as a long: pow is exact for exponents < 53, and the
     # pyspark shiftleft wrapper only takes a literal shift amount.
@@ -198,7 +216,15 @@ def bloom_semi_join(
     positive rate at 1000 distinct build keys is ~0.4% (k·n/m = 0.37),
     so the verify shuffle carries essentially only true matches.
     """
-    rk = right.select(F.col(right_key).alias("_k")).dropDuplicates(["_k"])
+    _require_integral_key(left, left_key)
+    # rk feeds BOTH the bloom build and the exact verify join —
+    # checkpoint so the right side's scan + key-dedup shuffle runs once
+    # (review r12; the mmr_rerank consumed-N-times convention).
+    rk = (
+        right.select(F.col(right_key).alias("_k"))
+        .dropDuplicates(["_k"])
+        .localCheckpoint(eager=False)
+    )
     words = bloom_partial(rk, "_k", n_bits, n_hashes)
     bloom = words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("_bloom")

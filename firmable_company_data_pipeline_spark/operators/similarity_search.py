@@ -1129,7 +1129,13 @@ def mmr_rerank(
         else:
             pen = F.lit(0.0)
             pool = rel
-        score = F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * pen, 6)
+        # round(1-λ, 10), matching the oracle's constant: the raw float
+        # 1.0-0.7 is 0.30000000000000004, and a different multiplier can
+        # flip a 6-dp half-boundary round and with it the argmax
+        # (review r12).
+        score = F.round(
+            F.lit(lam) * F.col("rel") - F.lit(round(1.0 - lam, 10)) * pen, 6
+        )
         rows = (
             pool.select("vid", "v", score.alias("mmr"))
             .orderBy(F.desc("mmr"), F.asc("vid"))

@@ -159,8 +159,10 @@ _KMV_SALTS = 64
 
 
 def kmv_hash(key: F.Column) -> F.Column:
-    """h(key) = (key·A + B) mod P — a bijection, so distinct keys keep
-    distinct hashes (no collision correction term needed)."""
+    """h(key) = (key·A + B) mod P — a bijection on [0, P), so key
+    domains below P keep distinct hashes exactly; keys differing by a
+    multiple of P collide (the standard KMV hash-collision undercount,
+    negligible for k ≪ P)."""
     return F.pmod(
         F.pmod(key.cast("long"), F.lit(KMV_P)) * F.lit(KMV_A) + F.lit(KMV_B),
         F.lit(KMV_P),
@@ -176,10 +178,14 @@ def kmv_partial(
     combiner), same split as ``cms_partial``/``cms_merge``."""
     from pyspark.sql import Window
 
+    # Distinct on the HASH, not the key: kmv_merge dedups folded
+    # partials by hash, so the one-pass build must too or a key domain
+    # spanning a multiple of P breaks merge == one-pass (review r12 —
+    # identical output for domains < P, where the hash is a bijection).
     hashed = (
         df.select(F.col(group_col).alias("g"), F.col(key_col).alias("key"))
-        .distinct()
         .select("g", kmv_hash(F.col("key")).alias("h"))
+        .distinct()
     )
     salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS)))
     w = Window.partitionBy("g", "salt").orderBy(F.asc("h"))

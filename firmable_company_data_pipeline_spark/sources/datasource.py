@@ -112,7 +112,14 @@ class CCFetchReader(DataSourceReader):
                 f.readline()  # the line spanning `start` belongs upstream
             while True:
                 line_start = f.tell()
-                if line_start >= partition.end:
+                # A line starting EXACTLY at `end` belongs to THIS reader
+                # (break on >, not >=): the next reader unconditionally
+                # discards its first line, so `>=` would drop boundary-
+                # aligned lines from both readers (review r12 — repro'd
+                # with fixed-width records whose length divides the file
+                # size; the ownership pair (> here, skip-first there) is
+                # exactly Hadoop's text-split convention).
+                if line_start > partition.end:
                     break
                 line = f.readline()
                 if not line:
@@ -130,8 +137,11 @@ class CCFetchReader(DataSourceReader):
                     rec.get("offset"),
                     rec.get("length"),
                 )
-                if url is None or fn is None or off is None or ln is None:
-                    continue  # P8 missing-field guard, as in read_cc_index
+                # P8 missing-field guard — EXACTLY read_cc_index's rule
+                # (fetch coordinates only; a null url rides through like
+                # the pandas arm, review r12)
+                if fn is None or off is None or ln is None:
+                    continue
                 html = client.fetch(url, fn, off, ln)
                 if not html:
                     yield (url, None, "", None)

@@ -505,3 +505,35 @@ def test_asof_join_directions_and_tolerance(spark):
     assert run(direction="nearest", tolerance=7) == {
         5: "a", 20: "b2", 25: "b2", 30: None, 100: None,
     }
+
+
+def test_kmv_merge_equals_one_pass_across_hash_period(spark):
+    """Keys differing by a multiple of P collide post-hash; both the
+    one-pass build and the fold must dedup by HASH so merge == one-pass
+    holds on any key domain (review r12)."""
+    from firmable_company_data_pipeline_spark.operators.sketches import (
+        KMV_P,
+        kmv_merge,
+        kmv_partial,
+    )
+
+    rows = [("g", 5), ("g", 5 + KMV_P), ("g", 7)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    one = {tuple(r.hs) for r in kmv_partial(df, "g", "u", k=8).collect()}
+    a = kmv_partial(spark.createDataFrame(rows[:1], "g string, u long"), "g", "u", 8)
+    b = kmv_partial(spark.createDataFrame(rows[1:], "g string, u long"), "g", "u", 8)
+    folded = {tuple(r.hs) for r in kmv_merge(a.union(b), k=8).collect()}
+    assert folded == one
+    (hs,) = one
+    assert len(hs) == 2  # the colliding pair counts once in BOTH arms
+
+
+def test_bloom_semi_join_refuses_non_integral_keys(spark):
+    import pytest as _pytest
+
+    from firmable_company_data_pipeline_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame([("a",)], "k string")
+    right = spark.createDataFrame([("a",)], "r string")
+    with _pytest.raises(TypeError, match="integral"):
+        bloom_semi_join(left, right, "k", "r")

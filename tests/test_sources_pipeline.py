@@ -410,3 +410,58 @@ def test_ccfetch_partition_planning_owns_each_line_once(spark, cc_index_path):
         )
         urls = [r.url for r in ds.select("url").collect()]
         assert len(urls) == len(set(urls)) == len(SLUGS), f"partitions={n}"
+
+
+def test_ccfetch_boundary_aligned_lines_read_exactly_once(spark, tmp_path):
+    """Fixed-width records whose length divides the file size land
+    every partition boundary ON a line start — the case where the old
+    ownership rule dropped the boundary line from both readers
+    (review r12)."""
+    from firmable_company_data_pipeline_spark.sources.datasource import (
+        register_cc_datasource,
+    )
+
+    recs = []
+    for i in range(4):
+        r = json.dumps(
+            {
+                "url": f"https://www.x{i}.com.au/",
+                "filename": f"seg/{i}.warc.gz",
+                "offset": str(i),
+                "length": "500",
+            }
+        )
+        recs.append(r)
+    width = max(len(r) for r in recs) + 1
+    # pad inside the JSON (trailing spaces after the closing brace are
+    # stripped by the reader's line.strip) -> pad the filename instead
+    recs = [
+        json.dumps(
+            {
+                "url": f"https://www.x{i}.com.au/",
+                "filename": f"seg/{i}.warc.gz".ljust(30, "_"),
+                "offset": str(i).rjust(6, "0"),
+                "length": "500",
+            }
+        )
+        for i in range(4)
+    ]
+    assert len({len(r) for r in recs}) == 1  # truly fixed width
+    path = str(tmp_path / "fixed.json")
+    with open(path, "w") as fh:
+        fh.write("\n".join(recs) + "\n")
+
+    register_cc_datasource(spark)
+    for n in (1, 2, 4, 8):
+        got = (
+            spark.read.format("ccfetch")
+            .option("path", path)
+            .option("partitions", str(n))
+            .load()
+            .select("url")
+            .collect()
+        )
+        urls = [r.url for r in got]
+        assert sorted(urls) == sorted(
+            f"https://www.x{i}.com.au/" for i in range(4)
+        ), f"partitions={n}: {urls}"
