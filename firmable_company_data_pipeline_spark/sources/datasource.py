@@ -40,6 +40,19 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+# Module-top imports, NOT lazy inside read(): the reader executes on
+# Python WORKERS, and a lazy `import firmable_…` there requires every
+# worker to have the package on ITS path — exactly what a driver
+# running from a foreign cwd doesn't give them (found by the vanilla
+# foreign-cwd probe).  With the imports at module top and the module
+# registered for cloudpickle by-value serialization
+# (``register_cc_datasource``), the reader ships self-contained.
+from firmable_company_data_pipeline_spark.sources.commoncrawl import (
+    HttpFetchClient,
+    StubFetchClient,
+    _html_parser,
+)
+
 RAW_SCHEMA = "url string, title string, text string, structured_data string"
 
 
@@ -96,12 +109,6 @@ class CCFetchReader(DataSourceReader):
 
     def read(self, partition: CCIndexSlice) -> Iterator[tuple]:
         # Executor-side: one client + one parser instance per partition.
-        from firmable_company_data_pipeline_spark.sources.commoncrawl import (
-            HttpFetchClient,
-            StubFetchClient,
-            _html_parser,
-        )
-
         client = (
             HttpFetchClient() if self.client_kind == "http" else StubFetchClient()
         )
@@ -151,5 +158,23 @@ class CCFetchReader(DataSourceReader):
 
 
 def register_cc_datasource(spark) -> None:
-    """Register ``ccfetch`` with a session (idempotent)."""
+    """Register ``ccfetch`` with a session (idempotent).
+
+    Both this module and the commoncrawl parse module are registered
+    for cloudpickle BY-VALUE serialization first, so the reader class —
+    which executes on Python workers — carries its fetch client and
+    parser with it instead of asking every worker to import the
+    package (the ``__spark_entry__._pickle_package_by_value``
+    discipline, applied at the one entry point a driver uses for this
+    source)."""
+    try:
+        from pyspark import cloudpickle
+
+        import firmable_company_data_pipeline_spark.sources.commoncrawl as _cc
+        import firmable_company_data_pipeline_spark.sources.datasource as _ds
+
+        cloudpickle.register_pickle_by_value(_cc)
+        cloudpickle.register_pickle_by_value(_ds)
+    except Exception:  # pragma: no cover - belt-and-braces
+        pass
     spark.dataSource.register(CommonCrawlDataSource)

@@ -465,3 +465,47 @@ def test_ccfetch_boundary_aligned_lines_read_exactly_once(spark, tmp_path):
         assert sorted(urls) == sorted(
             f"https://www.x{i}.com.au/" for i in range(4)
         ), f"partitions={n}: {urls}"
+
+
+def test_ccfetch_survives_foreign_cwd_workers(tmp_path):
+    """The reader executes on Python workers: from a driver running in
+    a FOREIGN cwd (no package on the workers' path), the by-value
+    registration must ship the fetch client + parser inside the pickle
+    (review r12 — lazy in-read imports ModuleNotFoundError'd here)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idx = tmp_path / "idx.json"
+    with open(idx, "w") as fh:
+        for i in range(5):
+            fh.write(
+                json.dumps(
+                    {
+                        "url": f"https://www.a{i}.com.au/",
+                        "filename": f"s/{i}.warc.gz",
+                        "offset": str(i),
+                        "length": "500",
+                    }
+                )
+                + "\n"
+            )
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "s = SparkSession.builder.master('local[2]').getOrCreate()\n"
+        "from firmable_company_data_pipeline_spark.sources.datasource import register_cc_datasource\n"
+        "register_cc_datasource(s)\n"
+        "out = s.read.format('ccfetch').option('path', %r).option('partitions', '3').load()\n"
+        "print('CCFETCH_ROWS', out.count())\n" % (repo, str(idx))
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [_sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert "CCFETCH_ROWS 5" in r.stdout, r.stderr[-2000:]
