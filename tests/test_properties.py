@@ -642,3 +642,65 @@ def test_bloom_semi_join_exact_on_random_keys(spark, left_keys, right_keys):
     )
     want = sorted(v for v in left_keys if v in set(right_keys))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# as-of join property (round 12): all three directions + tolerance vs a
+# direct Python restatement of the documented spec, over random keyed
+# time series (unique right (key, ts) pairs — the registered queries
+# pre-aggregate to that grain, making tie-breaks engine-independent).
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.sampled_from(["backward", "forward", "nearest"]),
+    st.one_of(st.none(), st.integers(1, 15)),
+)
+def test_asof_join_matches_python_spec(spark, lefts, rights, direction, tol):
+    from firmable_company_data_pipeline_spark.operators.temporal import asof_join
+
+    rights = sorted({(k, t) for k, t in rights})  # unique (key, ts)
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rights)],
+        "k long, rts long, payload long",
+    )
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, lts long"
+    )
+
+    def oracle(k, t):
+        back = [(rt, p) for (rk, rt), p in
+                zip(rights, range(100, 100 + len(rights))) if rk == k and rt <= t]
+        fwd = [(rt, p) for (rk, rt), p in
+               zip(rights, range(100, 100 + len(rights))) if rk == k and rt >= t]
+        b = max(back) if back else None          # greatest ts wins
+        f = min(fwd) if fwd else None            # smallest ts wins
+        if direction == "backward":
+            m = b
+        elif direction == "forward":
+            m = b if (b and b[0] == t) else f    # exact match via backward
+        else:
+            if b is None:
+                m = f
+            elif f is None:
+                m = b
+            else:
+                m = f if abs(f[0] - t) < abs(b[0] - t) else b  # ties -> backward
+        if m is not None and tol is not None and abs(m[0] - t) > tol:
+            m = None
+        return m
+
+    out = asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        right_cols=["payload"], direction=direction, tolerance=tol,
+    ).collect()
+    got = {r.lid: (r.asof_rts, r.asof_payload) for r in out}
+    want = {
+        i: ((m[0], m[1]) if (m := oracle(k, t)) else (None, None))
+        for i, (k, t) in enumerate(lefts)
+    }
+    assert got == want
