@@ -704,3 +704,94 @@ def test_asof_join_matches_python_spec(spark, lefts, rights, direction, tol):
         for i, (k, t) in enumerate(lefts)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Level-synchronous BFS property (round 12): hop distances vs a direct
+# Python BFS over the same undirected random graph.
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=30),
+    st.lists(st.integers(0, 14), min_size=1, max_size=3),
+    st.integers(1, 4),
+)
+def test_bfs_levels_matches_python_bfs(spark, edges, seeds, max_hops):
+    from collections import deque
+
+    from firmable_company_data_pipeline_spark.operators.graph import bfs_levels
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    q = deque((s, 0) for s in set(seeds))
+    for s in set(seeds):
+        want[s] = 0
+    while q:
+        node, d = q.popleft()
+        if d == max_hops:
+            continue
+        for nb in adj.get(node, ()):
+            if nb not in want:
+                want[nb] = d + 1
+                q.append((nb, d + 1))
+
+    edf = spark.createDataFrame(edges or [(99, 99)], "src long, dst long")
+    if not edges:
+        edf = edf.limit(0)
+    sdf = spark.createDataFrame([(s,) for s in set(seeds)], "id long")
+    got = {
+        r.id: r.dist
+        for r in bfs_levels(edf, sdf, max_hops=max_hops).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Weighted-median property (round 12): the registered query's
+# arithmetic vs a direct Python computation of the discrete rule.
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(1, 30),      # price (as int -> double)
+            st.integers(1, 9),       # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_matches_python_spec(spark, tmp_path_factory, rows):
+    import os as _os
+
+    from firmable_company_data_pipeline_spark.queries.warehouse import (
+        weighted_median_price,
+    )
+
+    d = str(tmp_path_factory.mktemp("wm"))
+    df = spark.createDataFrame(
+        [(g, float(p), float(w)) for g, p, w in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    df.write.mode("overwrite").parquet(_os.path.join(d, "lineitem.parquet"))
+    got = {
+        r.l_returnflag: (r.weighted_median_price, r.total_weight)
+        for r in weighted_median_price(spark, d).collect()
+    }
+
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        acc: dict[int, int] = {}
+        for gg, p, w in rows:
+            if gg == g:
+                acc[p] = acc.get(p, 0) + w
+        tot = sum(acc.values())
+        cum = 0
+        for p in sorted(acc):
+            cum += acc[p]
+            if 2 * cum >= tot:
+                want[g] = (float(p), tot)
+                break
+    assert got == want
