@@ -158,7 +158,11 @@ def _bloom_positions(key: F.Column, n_bits: int, n_hashes: int) -> list[F.Column
 
 
 def bloom_partial(
-    keys: DataFrame, key_col: str, n_bits: int = 8192, n_hashes: int = 3
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(w, m) bit-vector words for one key stream — ≤ n_bits/32 rows
     however large the input; the map-side build of the mergeable pair
@@ -170,11 +174,19 @@ def bloom_partial(
     _require_integral_key(keys, key_col)
     # No distinct on positions: bit_or is idempotent, so duplicate
     # positions cannot change any word — a dropDuplicates here was a
-    # whole redundant exchange per build (review r12).
+    # whole redundant exchange per build (review r12).  The KEY dedup
+    # (which bounds the explode to n_distinct·n_hashes rows) is
+    # likewise skippable when the caller already deduped — set
+    # ``assume_distinct`` and the build runs exchange-free map-side
+    # straight into the word agg (advice r12: bloom_semi_join's rk is
+    # pre-deduped, so deduping again here was the same waste class).
+    # bit_or idempotence means a WRONG assume_distinct=True still
+    # yields the identical vector — only the explode volume grows.
+    keyed = keys.select(F.col(key_col).alias("_k"))
+    if not assume_distinct:
+        keyed = keyed.dropDuplicates(["_k"])
     pos = (
-        keys.select(F.col(key_col).alias("_k"))
-        .dropDuplicates(["_k"])
-        .select(
+        keyed.select(
             F.explode(
                 F.array(*_bloom_positions(F.col("_k"), n_bits, n_hashes))
             ).alias("p")
@@ -225,7 +237,7 @@ def bloom_semi_join(
         .dropDuplicates(["_k"])
         .localCheckpoint(eager=False)
     )
-    words = bloom_partial(rk, "_k", n_bits, n_hashes)
+    words = bloom_partial(rk, "_k", n_bits, n_hashes, assume_distinct=True)
     bloom = words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("_bloom")
     )

@@ -159,10 +159,14 @@ _KMV_SALTS = 64
 
 
 def kmv_hash(key: F.Column) -> F.Column:
-    """h(key) = (key·A + B) mod P — a bijection on [0, P), so key
-    domains below P keep distinct hashes exactly; keys differing by a
-    multiple of P collide (the standard KMV hash-collision undercount,
-    negligible for k ≪ P)."""
+    """h(key) = (key·A + B) mod P — a bijection on [0, P) ONLY: key
+    domains inside [0, P) keep distinct hashes exactly; keys differing
+    by a multiple of P collide (the standard KMV hash-collision
+    undercount, negligible for k ≪ P).  Negative keys are well-defined
+    (pmod folds them into [0, P)) but any DuckDB oracle replaying this
+    hash must fold the sign too — plain ``%`` follows the dividend's
+    sign, so mirror as ``((u % P) + P) % P`` (advice r12; done in
+    queries/scale.py's KMV oracles)."""
     return F.pmod(
         F.pmod(key.cast("long"), F.lit(KMV_P)) * F.lit(KMV_A) + F.lit(KMV_B),
         F.lit(KMV_P),

@@ -440,6 +440,23 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_a").cast("long").alias("n_a"),
         (F.sum("c_t") - F.sum("c_a")).cast("long").alias("n_b"),
     )
+    # Packing guard (advice r12): the (c_a·2³² + c_t) long packing is
+    # exact only while BOTH cumulative counters stay under 2³¹ — beyond
+    # that the statistic would corrupt SILENTLY.  Enforce at runtime on
+    # the 1-row totals frame (already computed, so the check is free):
+    # the filter's else-branch raises instead of returning a wrong D.
+    _lim = F.lit(1 << 31).cast("long")
+    totals = totals.filter(
+        F.when((F.col("n_a") < _lim) & (F.col("n_b") < _lim), F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "ks_drift_orders: a sample exceeds 2^31 rows; the packed"
+                    " (c_a, c_t) counters would overflow — widen the packing"
+                    " to DECIMAL(38,0) with a 10^18 shift (same plan shape)"
+                )
+            )
+        )
+    )
     return (
         run.crossJoin(F.broadcast(totals))
         .select(

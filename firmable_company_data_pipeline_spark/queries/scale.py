@@ -749,7 +749,11 @@ KMV_DISTINCT_USERS_SQL = f"""
 WITH du AS MATERIALIZED (
   SELECT DISTINCT event_type AS g, user_id AS u FROM events),
 h AS (
-  SELECT g, ((u % 1000000007) * 1103515245 + 12345) % 1000000007 AS h FROM du),
+  -- pmod mirror (advice r12): Spark's pmod is always non-negative while
+  -- DuckDB's % follows the dividend's sign, so fold the inner remainder
+  -- up front; the outer operand is then non-negative and plain % agrees.
+  SELECT g, (((u % 1000000007) + 1000000007) % 1000000007
+             * 1103515245 + 12345) % 1000000007 AS h FROM du),
 r AS (
   SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
 m AS (
@@ -788,10 +792,13 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_JOIN_CARDINALITY_SQL = f"""
 WITH a AS MATERIALIZED (
-  SELECT DISTINCT ((o_custkey % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+  -- pmod mirror (advice r12): see KMV_DISTINCT_USERS_SQL
+  SELECT DISTINCT (((o_custkey % 1000000007) + 1000000007) % 1000000007
+                   * 1103515245 + 12345) % 1000000007 AS h
   FROM orders),
 b AS MATERIALIZED (
-  SELECT DISTINCT ((c_custkey % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+  SELECT DISTINCT (((c_custkey % 1000000007) + 1000000007) % 1000000007
+                   * 1103515245 + 12345) % 1000000007 AS h
   FROM customer),
 sa AS MATERIALIZED (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
 sb AS MATERIALIZED (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),

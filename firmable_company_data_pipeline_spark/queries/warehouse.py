@@ -394,16 +394,29 @@ GROUP BY CUBE (n_name, year(o_orderdate))
 # fk/dq packs as an ingest gate.  ONE map-side-combined hash-agg to 9
 # rows, then bounded 9-row arithmetic — at 100 TB the scan is the whole
 # cost and every predicate-free column except o_totalprice is pruned.
-# First digit via the DECIMAL's canonical string head (both engines
-# print 2-dp decimals identically), NOT floor(log10): log10 is libm-
-# and-boundary fragile at exact powers of ten, substring is exact.
+# First SIGNIFICANT digit via the DECIMAL's canonical string (both
+# engines print 2-dp decimals identically), NOT floor(log10): log10 is
+# libm-and-boundary fragile at exact powers of ten, string scan is
+# exact.  regexp_extract of the first [1-9] (advice r12) rather than
+# substr(…, 1, 1): a plain head char yields 0 for values < 1 (outside
+# Benford's 1..9 support — element_at(arr, 0) raises in Spark) and '-'
+# for negatives.  Rows with NO significant digit (exact zeros) are
+# excluded — Benford's law is defined over nonzero magnitudes.
 _BENFORD_EXP = tuple(__import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10))
 
 
 def benford_revenue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
-    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
-    per = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n_orders"))
+    digit = F.nullif(
+        F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0),
+        F.lit(""),
+    ).cast("int")
+    per = (
+        o.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     # 9-row frame from here down: the unpartitioned window is bounded by
     # construction (digits 1..9), the plan-shape suite's allowed class.
     total = F.sum("n_orders").over(Window.rowsBetween(*(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -429,9 +442,13 @@ _BENFORD_ARR = "([" + ", ".join(repr(v) for v in _BENFORD_EXP) + "]::DOUBLE[])"
 
 BENFORD_REVENUE_AUDIT_SQL = f"""
 WITH per AS (
-  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+  -- first SIGNIFICANT digit (advice r12): regexp, not the head char —
+  -- values < 1 and negatives would otherwise yield 0 / '-'.
+  SELECT CAST(NULLIF(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]'), '') AS INT) AS digit,
          count(*) AS n_orders
-  FROM orders GROUP BY 1
+  FROM orders
+  GROUP BY 1
+  HAVING digit IS NOT NULL
 ),
 tot AS (SELECT sum(n_orders)::DOUBLE AS n FROM per)
 SELECT digit, n_orders,

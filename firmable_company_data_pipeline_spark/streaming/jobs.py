@@ -317,6 +317,24 @@ def _batch_partition_ids(spark, index_dir: str) -> list[int]:
     )
 
 
+def _committed_state_ids(spark, state_dir: str) -> list[int]:
+    """Sorted batch ids of a versioned state target's COMMITTED
+    snapshots — ``batch=<id>`` dirs whose ``_STATE_OK`` marker exists
+    (the marker is written after the parquet, so a crash mid-write
+    leaves an unmarked, invisible dir).  Listed through Spark's own
+    filesystem like ``_batch_partition_ids``; metadata-only."""
+    fs, pattern = _hadoop_fs(
+        spark, state_dir.rstrip("/") + "/batch=*/_STATE_OK"
+    )
+    statuses = fs.globStatus(pattern)
+    if statuses is None:
+        return []
+    return sorted(
+        int(s.getPath().getParent().getName().split("=", 1)[1])
+        for s in statuses
+    )
+
+
 def _bucket_markers(spark, target_dir: str) -> list[int]:
     """Every declared bucket count of an upsert target — the sorted
     integer suffixes of its ``_N_BUCKETS_*`` marker files, listed
@@ -1519,8 +1537,19 @@ def streaming_asof_enrich(
 
     State is ONE row per key (the argmax-(ts, event_id) right seen so
     far) however long the stream runs — the bounded-state shape a
-    stream-stream as-of maintains — refreshed through the scd2 fold's
-    stage-then-replace protocol so a replayed batch is idempotent.
+    stream-stream as-of maintains.  State snapshots are VERSIONED like
+    the outputs (``state/batch=<id>`` + a ``_STATE_OK`` commit marker
+    written after the parquet lands; advice r12): the previous
+    in-place overwrite had a crash window where ``state_dir`` was left
+    partial/empty and a replay would silently rebuild from the current
+    batch alone, dropping older per-key click state.  Now each fold
+    reads the newest COMMITTED snapshot with id < its own batch id —
+    a half-written snapshot has no marker and is invisible, and a
+    replayed batch rewrites its own snapshot idempotently.  Each
+    snapshot is a full compaction (universe → per-key argmax), so only
+    the latest is ever read; older ones are retained one deep (the
+    immediate predecessor, which a replay of the newest batch needs)
+    and deleted beyond that — pure cleanup AFTER the marker commit.
     Enriched lefts append batch-keyed under ``out/batch=<id>``.
 
     Correctness contract (stream-vs-batch pinned): equals the batch
@@ -1543,7 +1572,14 @@ def streaming_asof_enrich(
             F.col("event_id").alias("click_id"),
             F.col("value").alias("click_value"),
         )
-        prev = _read_parquet_or_none(spark, state_dir)
+        prior = [
+            i for i in _committed_state_ids(spark, state_dir) if i < batch_id
+        ]
+        prev = (
+            spark.read.parquet(state_dir + f"/batch={prior[-1]}")
+            if prior
+            else None
+        )
         universe = (
             rights if prev is None else prev.unionByName(rights)
         ).persist()  # consumed twice: the enrich join + the state fold
@@ -1570,17 +1606,33 @@ def streaming_asof_enrich(
             )
             .select(key_col, "_s.*")
         )
-        tmp = state_dir + f"._staging_{batch_id}"
-        new_state.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
-        fs, jtmp = _hadoop_fs(spark, tmp)
-        fs.delete(jtmp, True)
+        sdir = state_dir + f"/batch={batch_id}"
+        new_state.write.mode("overwrite").parquet(sdir)
+        fs, marker = _hadoop_fs(spark, sdir + "/_STATE_OK")
+        fs.createNewFile(marker)
+        # Retention AFTER the commit marker: keep this snapshot and its
+        # immediate predecessor (a replay of THIS batch folds from it);
+        # anything older is unreachable by construction.
+        for i in prior[:-1]:
+            dfs, jp = _hadoop_fs(spark, state_dir + f"/batch={i}")
+            dfs.delete(jp, True)
         universe.unpersist()
 
     writer = events.writeStream.foreachBatch(fold).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def read_asof_state(spark, target_dir: str) -> DataFrame:
+    """The newest COMMITTED per-key state snapshot of a
+    ``streaming_asof_enrich`` target (each snapshot is a full
+    compaction, so the latest alone is the whole state)."""
+    base = target_dir.rstrip("/") + "/state"
+    ids = _committed_state_ids(spark, base)
+    if not ids:
+        raise FileNotFoundError(f"no committed state snapshot under {base}")
+    return spark.read.parquet(base + f"/batch={ids[-1]}")
 
 
 def read_asof_enriched(spark, target_dir: str) -> DataFrame:

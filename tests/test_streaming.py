@@ -2053,6 +2053,10 @@ def test_streaming_asof_enrich_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 100
-    # the state is ONE row per key however many clicks streamed
-    state = spark.read.parquet(f"{target}/state")
+    # the state is ONE row per key however many clicks streamed; the
+    # newest committed snapshot is the whole state (advice r12:
+    # snapshots are versioned batch=<id> + _STATE_OK, retained one deep)
+    state = jobs.read_asof_state(spark, target)
     assert state.groupBy("user_id").count().filter("count > 1").count() == 0
+    ids = jobs._committed_state_ids(spark, f"{target}/state")
+    assert len(ids) <= 2  # retention: current + immediate predecessor
