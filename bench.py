@@ -92,6 +92,11 @@ HEADLINE = [
     "dedup_bcubed_eval",
     "asof_next_purchase",
     "weighted_median_price",
+    # round 13
+    "asof_nearest_event",
+    "overdue_orders_by_priority",
+    "local_supplier_region_revenue",
+    "part_revenue_share_screen",
     "dedup_effectiveness_report",
     "training_shuffle_shards",
     "padding_efficiency_report",
@@ -258,11 +263,25 @@ def clear_cached_state(spark):
         rdd.unpersist()
 
 
-def timed_query_run(spark, fn, sf_dir):
+def timed_query_run(spark, fn, sf_dir, passes=1):
     """One query's full measurement discipline — warm (untimed, best
-    effort), clear + GC, timed run with one retry for transient
-    binder/AQE flakes, clear + GC again so the next query's window is
-    clean.  Returns (seconds, None) or (None, error-string).
+    effort), then ``passes``× (clear + GC, timed run with one retry for
+    transient binder/AQE flakes), reporting the MINIMUM across passes,
+    then clear + GC again so the next query's window is clean.  Returns
+    (seconds, None) or (None, error-string).
+
+    Minima-of-N (round 13; verdict r12 #2): a single recorded timing
+    sits on whatever JVM/GC/codegen load the sweep window happens to
+    carry — two consecutive rounds of BENCH_rN.json cross-round
+    comparison produced phantom 2-3.5× "regressions" that only isolated
+    re-measurement could dismiss (r12: ann_ivf_incremental recorded
+    2.88 s vs 0.83 s real).  The minimum across adjacent passes is the
+    load-robust estimator of steady-state plan cost: noise classes are
+    strictly additive (GC pauses, compile stalls, CPU contention), so
+    min converges on the true floor while mean/median still carry them.
+    Warm-up runs ONCE, not per pass — its purpose is whole-stage-codegen
+    compilation, and the codegen cache holds across ADJACENT runs of
+    the same plan (the per-query-adjacency rationale below).
 
     Module-level and shared with scripts/scale_probe.py (review r7):
     the probe's ratios are only comparable to bench numbers if both are
@@ -275,25 +294,44 @@ def timed_query_run(spark, fn, sf_dir):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     except Exception:
         pass  # warm-up is best-effort; the timed run surfaces errors
+    best, err = None, None
+    for _ in range(max(1, passes)):
+        clear_cached_state(spark)
+        spark.sparkContext._jvm.System.gc()
+        for attempt in (1, 2):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                secs = round(time.time() - t0, 3)
+                if best is None or secs < best:
+                    best = secs
+                err = None
+                break
+            except Exception as exc:  # transient binder/AQE flakes: retry once
+                err = f"attempt {attempt}: {type(exc).__name__}: {str(exc)[:500]}"
+                clear_cached_state(spark)
     clear_cached_state(spark)
     spark.sparkContext._jvm.System.gc()
-    secs, err = None, None
-    for attempt in (1, 2):
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            secs = round(time.time() - t0, 3)
-            err = None
-            break
-        except Exception as exc:  # transient binder/AQE flakes: retry once
-            err = f"attempt {attempt}: {type(exc).__name__}: {str(exc)[:500]}"
-            clear_cached_state(spark)
-    clear_cached_state(spark)
-    spark.sparkContext._jvm.System.gc()
-    return secs, err
+    if best is not None:
+        return best, None
+    return None, err
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")),
+        help="timed passes per query; the MINIMUM is recorded (default 3 "
+        "— the load-robust artifact the driver records; see "
+        "timed_query_run's rationale).  1 restores the single-shot "
+        "pre-r13 behavior.",
+    )
+    args = ap.parse_args()
+    passes = max(1, args.passes)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
@@ -361,7 +399,7 @@ def main():
         sf_val = sf
     done = 0
     for name in names:
-        secs, err = timed_query_run(spark, qs[name], sf_dir)
+        secs, err = timed_query_run(spark, qs[name], sf_dir, passes=passes)
         if secs is not None:
             timings[name] = secs
         else:
@@ -398,6 +436,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "passes": passes,
     }
     if errors:
         payload["errors"] = errors
@@ -415,6 +454,7 @@ def main():
                 "n": len(timings),
                 "n_errors": len(errors),
                 "sf": payload["sf"],
+                "passes": passes,
             }
         )
     )

@@ -770,8 +770,86 @@ FROM f LEFT JOIN p ON p.user_id = f.user_id AND p.ts = f.nts
 """
 
 
+# ---------------------------------------------------------------------------
+# asof_nearest_event — the NEAREST as-of arm with a tolerance (round
+# 13; verdict r12 #3 — completes the merge_asof direction matrix in
+# the driver ledger: backward = asof_purchase_attribution, forward =
+# asof_next_purchase): for every purchase, the click by the same user
+# CLOSEST in time (before or after) within 1 day; NULLs past the
+# bound; equal-distance ties resolve to the earlier (backward) click —
+# the pandas tie rule the operator documents.  Clicks pre-aggregate to
+# one row per (user, ts) (min event_id) so ties are engine-independent
+# (the asof_next_purchase convention).  Same union+carry single-shuffle
+# plan: nearest runs BOTH carries over ONE window frame
+# (operators/temporal.py — reference analog: the temporal
+# generalization of transform/entity_matching.py:151-156's
+# best-candidate selection).  gap_us is signed exact integer micros
+# (negative = click before purchase).
+_ASOF_NEAREST_TOL_S = 86_400  # 1 day
+
+
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firmable_company_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        prefix="near_",
+        direction="nearest",
+        tolerance=_ASOF_NEAREST_TOL_S,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("near_click_id"),
+        F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("near_ts")).alias(
+            "gap_us"
+        ),
+    )
+
+
+# DuckDB mirror: LATERAL nearest-within-tolerance top-1.  The distance
+# replays the operator's exact arithmetic (integer micros / 1e6 as a
+# double) so the tolerance boundary cannot straddle a rounding ulp
+# between engines; tie order (dist ASC, ts ASC) is backward-wins.
+ASOF_NEAREST_EVENT_SQL = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'),
+c AS MATERIALIZED (
+  SELECT user_id, ts, min(event_id) AS click_id FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.purchase_id, p.user_id, n.click_id AS near_click_id,
+       epoch_us(n.ts) - epoch_us(p.ts) AS gap_us
+FROM p
+LEFT JOIN LATERAL (
+    SELECT c.click_id, c.ts
+    FROM c
+    WHERE c.user_id = p.user_id
+      AND abs(epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0
+          <= {float(_ASOF_NEAREST_TOL_S)}
+    ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC, c.ts ASC
+    LIMIT 1
+) n ON TRUE
+"""
+
+
 QUERIES = {
     "part_copurchase_bfs": part_copurchase_bfs,
+    "asof_nearest_event": asof_nearest_event,
     "asof_next_purchase": asof_next_purchase,
     "asof_purchase_attribution": asof_purchase_attribution,
     "ks_drift_orders": ks_drift_orders,
@@ -789,6 +867,7 @@ ORACLES = {
     "events_variant_stats": EVENTS_VARIANT_STATS_SQL,
     "ks_drift_orders": KS_DRIFT_ORDERS_SQL,
     "part_copurchase_bfs": PART_COPURCHASE_BFS_SQL,
+    "asof_nearest_event": ASOF_NEAREST_EVENT_SQL,
     "asof_next_purchase": ASOF_NEXT_PURCHASE_SQL,
     "order_price_outliers_mad": ORDER_PRICE_OUTLIERS_MAD_SQL,
     "unpivot_part_metrics": UNPIVOT_PART_METRICS_SQL,

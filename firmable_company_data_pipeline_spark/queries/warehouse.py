@@ -614,8 +614,204 @@ GROUP BY flag ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# overdue_orders_by_priority — TPC-H Q4 shape (round 13; verdict r12
+# #4): date-windowed orders with a correlated EXISTS over lineitem,
+# counted by priority.  The reduced schema has no
+# commitdate/receiptdate pair, so "overdue" adapts to the same
+# correlated cross-table comparison: some lineitem shipped more than
+# 90 days after the order date.  Plan: the oracle's textbook nested
+# EXISTS decorrelates to ONE left-semi join whose condition carries
+# both the equi-key and the correlated date predicate — orders
+# shuffles once on o_orderkey (at the driver SFs AQE broadcasts the
+# date-pruned order side instead), lineitem sheds its non-key columns
+# at the scan, and the final priority agg is a 5-row hash-agg.  The
+# date window pushes into the orders parquet scan (min/max row-group
+# pruning at 100 TB).
+_Q4_START, _Q4_END = "1996-01-01", "1996-04-01"
+_Q4_GRACE_DAYS = 90
+
+
+def overdue_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_START))
+        & (F.col("o_orderdate") < F.lit(_Q4_END))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    overdue = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_GRACE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return overdue.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+OVERDUE_ORDERS_BY_PRIORITY_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_START}'
+  AND o_orderdate <  TIMESTAMP '{_Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {_Q4_GRACE_DAYS} DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# local_supplier_region_revenue — TPC-H Q5 shape (round 13): revenue a
+# region's customers generated through SAME-NATION suppliers over one
+# order-year — the canonical 6-table multi-join with the local-supplier
+# correlation (c_nationkey = s_nationkey) that makes it more than a
+# star.  Plan, scale-first: region filter → nation (≤25 rows) →
+# supplier all broadcast, so lineitem sheds ~4/5 of its rows map-side
+# BEFORE the one real shuffle (the l_orderkey ⋈ date-pruned orders
+# join); customer then joins on o_custkey WITH the nation-equality
+# pushed into the join condition (un-hinted — AQE broadcasts at driver
+# SFs, shuffles at 100 TB where customer is fact-sized).  Revenue rides
+# the decimal closure (functions/money.py) so partial-agg addition is
+# exact and order-independent.
+_Q5_REGION = "ASIA"
+_Q5_START, _Q5_END = "1996-01-01", "1997-01-01"
+
+
+def local_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(
+        spark, sf_dir, "region", "nation", "supplier", "customer", "orders", "lineitem"
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == _Q5_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        t["supplier"]
+        .join(broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q5_START))
+            & (F.col("o_orderdate") < F.lit(_Q5_END))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_suppkey",
+        (_dec2(F.col("l_extendedprice")) * _dec2(F.lit(1) - F.col("l_discount"), 5)).alias(
+            "amt"
+        ),
+    )
+    joined = (
+        li.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.round(_dec_sum(F.col("amt")), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+LOCAL_SUPPLIER_REGION_REVENUE_SQL = f"""
+SELECT n_name AS nation_name,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                           * CAST(1 - l_discount AS DECIMAL(5,2))
+                           AS DECIMAL(27,10))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_START}'
+  AND o_orderdate <  TIMESTAMP '{_Q5_END}'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_revenue_share_screen — TPC-H Q11 shape (round 13): per-group
+# value with a HAVING threshold that is itself a SCALAR SUBQUERY over
+# the same aggregation — "parts whose lifetime revenue exceeds 1.5× the
+# average part's".  (Canonical Q11 thresholds on a fixed FRACTION of
+# the total, which is scale-variant by design; the avg-multiple keeps
+# the screen meaningful at every SF while preserving the exact shape:
+# agg → 1-row agg-of-agg → threshold filter.)  Plan: ONE per-part
+# hash-agg (map-side combined), localCheckpoint so the 1-row
+# avg-of-sums reuses it instead of re-scanning lineitem, then a
+# broadcast 1-row crossJoin carries the threshold to every row — the
+# decorrelated form of the oracle's nested HAVING.  Per-part sums ride
+# the decimal closure; the avg and share are doubles (both engines
+# divide the same exact sums).
+_Q11_AVG_MULTIPLE = 1.5
+
+
+def part_revenue_share_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        t["lineitem"]
+        .select(
+            "l_partkey",
+            (
+                _dec2(F.col("l_extendedprice")) * _dec2(F.lit(1) - F.col("l_discount"), 5)
+            ).alias("amt"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.round(_dec_sum(F.col("amt")), 2).alias("value"))
+        .localCheckpoint(eager=False)  # consumed twice: threshold + screen
+    )
+    thresh = per_part.agg(
+        (F.avg(F.col("value").cast("double")) * F.lit(_Q11_AVG_MULTIPLE)).alias(
+            "_thresh"
+        )
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value").cast("double") > F.col("_thresh"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+    )
+
+
+PART_REVENUE_SHARE_SCREEN_SQL = f"""
+WITH pp AS MATERIALIZED (
+  SELECT l_partkey AS partkey,
+         CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                             * CAST(1 - l_discount AS DECIMAL(5,2))
+                             AS DECIMAL(27,10))), 2) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey)
+SELECT partkey, part_value
+FROM pp
+WHERE part_value > {_Q11_AVG_MULTIPLE} * (SELECT avg(part_value) FROM pp)
+"""
+
+
 QUERIES = {
     "weighted_median_price": weighted_median_price,
+    "overdue_orders_by_priority": overdue_orders_by_priority,
+    "local_supplier_region_revenue": local_supplier_region_revenue,
+    "part_revenue_share_screen": part_revenue_share_screen,
     "forecast_revenue_change": forecast_revenue_change,
     "benford_revenue_audit": benford_revenue_audit,
     "skyline_suppliers": skyline_suppliers,
@@ -628,6 +824,9 @@ QUERIES = {
 
 ORACLES = {
     "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
+    "overdue_orders_by_priority": OVERDUE_ORDERS_BY_PRIORITY_SQL,
+    "local_supplier_region_revenue": LOCAL_SUPPLIER_REGION_REVENUE_SQL,
+    "part_revenue_share_screen": PART_REVENUE_SHARE_SCREEN_SQL,
     "benford_revenue_audit": BENFORD_REVENUE_AUDIT_SQL,
     "skyline_suppliers": SKYLINE_SUPPLIERS_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_PRICE_SQL,
