@@ -75,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--abr-limit", type=int, default=5)
     ap.add_argument("--online", action="store_true", help="real ranged-GET WARC fetch")
     ap.add_argument("--enable-llm", action="store_true")
+    ap.add_argument(
+        "--source",
+        choices=("mapinpandas", "ccfetch"),
+        default="mapinpandas",
+        help="CC extraction arm: the composable mapInPandas pipeline "
+        "(default) or the ccfetch Spark 4 Python DataSource twin "
+        "(fetch+parse fused into the scan; identical staging output)",
+    )
     args = ap.parse_args(argv)
 
     if not args.demo and not (args.cc_index and args.abr_xml):
@@ -94,7 +102,12 @@ def main(argv: list[str] | None = None) -> int:
             cc_index, abr_xml = _demo_inputs(Path(tmp))
         else:
             cc_index, abr_xml = args.cc_index, args.abr_xml
-        client = HttpFetchClient() if args.online else StubFetchClient()
+        # ccfetch takes a client KIND (the DataSource option); the
+        # mapinpandas arm takes an injectable client object.
+        if args.source == "ccfetch":
+            client = "http" if args.online else "stub"
+        else:
+            client = HttpFetchClient() if args.online else StubFetchClient()
         matched, obs = run_pipeline_observed(
             spark,
             cc_index,
@@ -103,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
             abr_limit=args.abr_limit,
             fetch_client=client,
             enable_llm=args.enable_llm,
+            source=args.source,
         )
         if args.out:
             write_overwrite(matched, args.out)

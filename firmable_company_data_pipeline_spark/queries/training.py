@@ -23,6 +23,36 @@ _TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
 _TOK_CTE = f"tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents)"
 
 
+# Spark-side twin of _TOK_CTE (round 13; verdict r12 #6): the training
+# family's tokenizing queries share ONE persisted (doc_id, source, t)
+# frame per (session, sf_dir) instead of each re-tokenizing documents
+# from the parquet scan.  Within a gate/contract run the first consumer
+# pays the scan + tokenize once; every later consumer reads the
+# InMemoryRelation (and its simpler scan stage compiles cheaper than
+# the full regexp/split pipeline).  Plain .persist(), NOT
+# localCheckpoint: bench.clear_cached_state unpersists everything
+# between queries, and an unpersisted localCheckpoint cannot recompute
+# (truncated lineage) while an unpersisted cache simply re-executes —
+# so bench timings still measure each query's full plan, unshared.
+# The dict is session-scoped by applicationId (a new session gets a
+# fresh entry; stale entries are unreachable DataFrames, collected with
+# the old session).  At 100 TB a team would materialize this view as a
+# table; the cache is the single-session stand-in with the same shape.
+_TOK_VIEW_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tok_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TOK_VIEW_CACHE.get(key)
+    if df is None:
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        df = docs.select(
+            "doc_id", "source", ts.tokens(F.col("text")).alias("t")
+        ).persist()
+        _TOK_VIEW_CACHE[key] = df
+    return df
+
+
 def _fold(expr: str) -> str:
     return (
         f"list_reduce(list_prepend(0::BIGINT, list_transform(string_split({expr}, ''), "
@@ -583,8 +613,9 @@ _N_LEN_BUCKETS = 16
 def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.operators.ranks import exact_ntile
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    lens = docs.select("doc_id", ts.token_count(F.col("text")).alias("n_tok"))
+    lens = _tok_view(spark, sf_dir).select(
+        "doc_id", F.size("t").alias("n_tok")
+    )
     # (n_tok, doc_id) is a total order: ties broken by id so the bucket
     # assignment is deterministic and engine-reproducible.
     bucketed = exact_ntile(lens, _N_LEN_BUCKETS, ["n_tok", "doc_id"], out="bucket")
@@ -680,9 +711,9 @@ FROM verdicts GROUP BY doc_id
 # Shape: one (source, word) hash-agg, one rank window PER SOURCE
 # partition (vocabulary-sized input, Zipf-bounded), one regr_* rollup.
 def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
     freqs = (
-        docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("word"))
+        _tok_view(spark, sf_dir)
+        .select("source", F.explode("t").alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -170,6 +170,42 @@ def test_run_pipeline_end_to_end(spark, cc_index_path, abr_xml_path):
     }
 
 
+def test_run_pipeline_ccfetch_arm_matches_default(spark, cc_index_path, abr_xml_path):
+    """PIPELINE-level arm equality (round 13; the round-12 pin was
+    frame-level only): run_pipeline(source='ccfetch') produces the
+    identical matched dimension to the default mapInPandas arm — the
+    DataSource twin is a drop-in extraction replacement end-to-end."""
+    import pyspark.sql.functions as F
+
+    def norm(df):
+        drop = [c for c in ("creation_dt",) if c in df.columns]  # now()
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.drop(*drop).collect()
+        }
+
+    want = norm(
+        run_pipeline(
+            spark, cc_index_path, abr_xml_path, fetch_client=StubFetchClient()
+        )
+    )
+    got = norm(
+        run_pipeline(spark, cc_index_path, abr_xml_path, source="ccfetch")
+    )
+    assert got == want and len(got) == len(SLUGS)
+    # a client OBJECT cannot cross the DataSource boundary — loud refusal
+    import pytest as _pytest
+
+    from firmable_company_data_pipeline_spark.pipeline.run import (
+        run_commoncrawl_extraction,
+    )
+
+    with _pytest.raises(ValueError, match="ccfetch"):
+        run_commoncrawl_extraction(
+            spark, cc_index_path, client=StubFetchClient(), source="ccfetch"
+        )
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key join without an Exchange —
     the co-located-join layout claimed in README's scale design."""
