@@ -137,15 +137,35 @@ PROBE_QUERIES = {
         "asof_next_purchase",
         "weighted_median_price",
     ],
+    # round-13 additions: Q4 is a date-pruned semi join (linear in the
+    # date window's facts); Q5 is the broadcast-dim star + one
+    # fact-fact orderkey shuffle; Q11 is one part hash-agg + a 1-row
+    # threshold broadcast; nearest-asof is the union+carry single
+    # shuffle (the asof_next_purchase shape with both carries)
+    "r13": [
+        "overdue_orders_by_priority",
+        "local_supplier_region_revenue",
+        "part_revenue_share_screen",
+        "asof_nearest_event",
+    ],
 }
 
 
-def build(spark, out: str, factor: int) -> None:
+def build(spark, out: str, factor: int, src: str = SRC, tables: set | None = None) -> None:
+    """Replicate ``src`` ``factor``× into ``out``.  ``tables`` (round
+    13): restrict replication to a subset (e.g. {'documents'} for the
+    100× document-family probe — replicating lineitem 100× would cost
+    GBs the document queries never read); non-listed tables are copied
+    VERBATIM at base scale, and the function prints which, so a mixed
+    directory can never silently masquerade as a uniformly scaled one."""
     from pyspark.sql import functions as F
 
     from firmable_company_data_pipeline_spark.queries.core import load_tables
 
     os.makedirs(out, exist_ok=True)
+
+    def wanted(name: str) -> bool:
+        return tables is None or name in tables
 
     def replicas(df, shifts: dict, mutate=None):
         parts = []
@@ -163,7 +183,7 @@ def build(spark, out: str, factor: int) -> None:
 
     t = load_tables(
         spark,
-        SRC,
+        src,
         "documents",
         "embeddings",
         "events",
@@ -213,14 +233,15 @@ def build(spark, out: str, factor: int) -> None:
     # indices run 0..factor-1, so rotations stay distinct while
     # factor-1 < dim (review r7: the earlier >= guard was off by one
     # and ran after the documents replica set was already written)
-    dim = len(t["embeddings"].select("embedding").first()[0])
-    if factor > dim:
-        raise ValueError(
-            f"--factor {factor} > embedding dim {dim}: replica rotations would "
-            "wrap to identity, making exact vector duplicates of replica 0 and "
-            "reintroducing the quadratic cross-replica pairing the disjoint "
-            "replica design exists to prevent"
-        )
+    if wanted("embeddings"):
+        dim = len(t["embeddings"].select("embedding").first()[0])
+        if factor > dim:
+            raise ValueError(
+                f"--factor {factor} > embedding dim {dim}: replica rotations would "
+                "wrap to identity, making exact vector duplicates of replica 0 and "
+                "reintroducing the quadratic cross-replica pairing the disjoint "
+                "replica design exists to prevent"
+            )
 
     # Per-replica ALPHABET ROTATION (replica r Caesar-rotates letters by
     # r and digits by r mod 10): a character bijection, so every
@@ -240,14 +261,21 @@ def build(spark, out: str, factor: int) -> None:
     # duplicate replica 0's (letters wrap later, at 26); both
     # reintroduce the cross-replica pairing the disjoint design exists
     # to prevent (review r8 — the first guard only caught the letter
-    # wrap).
-    if factor > 10:
-        raise ValueError(
-            f"--factor {factor} > 10: digit rotation (mod 10) would wrap to "
-            "identity and reintroduce cross-replica duplicate digit "
-            "vocabulary; extend mut_docs (e.g. per-replica digit "
-            "permutations) before probing beyond 10 replicas"
-        )
+    # wrap).  Round 13 (verdict r12 #5: the 100× probe): replicas
+    # r >= 10 switch to SEEDED RANDOM character permutations — still
+    # bijections, so every per-replica statistic (lengths, shingle and
+    # char-gram frequency distributions, near-dup density) is preserved
+    # exactly like the rotations, while two independent random
+    # alphabet permutations agree on ~1 letter in expectation, so a
+    # whole WORD mapping identically across two replicas has
+    # probability ~26^-len — the vocabularies stay effectively
+    # disjoint (and a random permutation colliding with one of the 10
+    # rotations is equally improbable).  Replicas 1-9 keep the exact
+    # rotations so a factor-10 build is byte-identical to the r8-r12
+    # probe data.  random.Random(r).shuffle is deterministic for a
+    # fixed seed (Mersenne Twister, stable across CPython versions),
+    # so the build is reproducible.
+    import random as _random
     import string as _string
 
     _lo, _up, _dg = _string.ascii_lowercase, _string.ascii_uppercase, _string.digits
@@ -255,16 +283,28 @@ def build(spark, out: str, factor: int) -> None:
     def mut_docs(df, r):
         if r == 0:
             return df
-        rot = (
-            _lo[r % 26 :] + _lo[: r % 26]
-            + _up[r % 26 :] + _up[: r % 26]
-            + _dg[r % 10 :] + _dg[: r % 10]
-        )
+        if r < 10:
+            rot = (
+                _lo[r % 26 :] + _lo[: r % 26]
+                + _up[r % 26 :] + _up[: r % 26]
+                + _dg[r % 10 :] + _dg[: r % 10]
+            )
+        else:
+            rng = _random.Random(1_000_003 * r + 17)
+            lo, dg = list(_lo), list(_dg)
+            rng.shuffle(lo)
+            rng.shuffle(dg)
+            rot = (
+                "".join(lo)
+                + "".join(c.upper() for c in lo)  # case-consistent map
+                + "".join(dg)
+            )
         return df.withColumn("text", F.translate("text", _lo + _up + _dg, rot))
 
-    replicas(t["documents"], step(t["documents"], "doc_id"), mut_docs).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "documents.parquet"))
+    if wanted("documents"):
+        replicas(t["documents"], step(t["documents"], "doc_id"), mut_docs).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "documents.parquet"))
 
     def mut_vecs(df, r):
         if r == 0:
@@ -275,45 +315,67 @@ def build(spark, out: str, factor: int) -> None:
         )
         return df.withColumn("embedding", rot)
 
-    replicas(t["embeddings"], step(t["embeddings"], "vec_id"), mut_vecs).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "embeddings.parquet"))
+    if wanted("embeddings"):
+        replicas(t["embeddings"], step(t["embeddings"], "vec_id"), mut_vecs).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "embeddings.parquet"))
 
     # events/orders are replicated even though no current probe family
     # reads them: a "10x" directory where only some fact tables scaled
     # would silently under-measure any family added later — the disk
     # cost at these SFs is trivial, the footgun is not.
-    ev_steps = step(t["events"], "event_id")
-    ev_steps["user_id"] = dom["custkey"]
-    replicas(t["events"], ev_steps).write.mode("overwrite").parquet(
-        os.path.join(out, "events.parquet")
-    )
+    if wanted("events"):
+        ev_steps = step(t["events"], "event_id")
+        ev_steps["user_id"] = dom["custkey"]
+        replicas(t["events"], ev_steps).write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet")
+        )
 
-    replicas(
-        t["lineitem"], dsteps("l_orderkey", "l_partkey", "l_suppkey")
-    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    if wanted("lineitem"):
+        replicas(
+            t["lineitem"], dsteps("l_orderkey", "l_partkey", "l_suppkey")
+        ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
 
-    replicas(t["orders"], dsteps("o_orderkey", "o_custkey")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "orders.parquet"))
+    if wanted("orders"):
+        replicas(t["orders"], dsteps("o_orderkey", "o_custkey")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "orders.parquet"))
 
-    replicas(t["customer"], dsteps("c_custkey")).write.mode("overwrite").parquet(
-        os.path.join(out, "customer.parquet")
-    )
-    replicas(t["supplier"], dsteps("s_suppkey")).write.mode("overwrite").parquet(
-        os.path.join(out, "supplier.parquet")
-    )
-    replicas(t["part"], dsteps("p_partkey")).write.mode("overwrite").parquet(
-        os.path.join(out, "part.parquet")
-    )
+    if wanted("customer"):
+        replicas(t["customer"], dsteps("c_custkey")).write.mode("overwrite").parquet(
+            os.path.join(out, "customer.parquet")
+        )
+    if wanted("supplier"):
+        replicas(t["supplier"], dsteps("s_suppkey")).write.mode("overwrite").parquet(
+            os.path.join(out, "supplier.parquet")
+        )
+    if wanted("part"):
+        replicas(t["part"], dsteps("p_partkey")).write.mode("overwrite").parquet(
+            os.path.join(out, "part.parquet")
+        )
 
-    # nation/region verbatim (nationkeys unshifted — see the FK note)
+    # nation/region verbatim (nationkeys unshifted — see the FK note),
+    # plus any table excluded by --tables, copied at BASE scale so the
+    # directory stays loadable — printed loudly (a mixed-scale dir must
+    # never silently pass for a uniformly scaled one).
     import shutil
 
-    for name in ("region", "nation"):
+    verbatim = ["region", "nation"]
+    if tables is not None:
+        skipped = sorted(
+            {"documents", "embeddings", "events", "lineitem",
+             "orders", "customer", "supplier", "part"} - tables
+        )
+        verbatim += skipped
+        if skipped:
+            print(
+                f"NOTE: mixed-scale probe dir — only {sorted(tables)} replicated "
+                f"{factor}x; {skipped} copied VERBATIM at base scale"
+            )
+    for name in verbatim:
         dst = os.path.join(out, f"{name}.parquet")
         if not os.path.exists(dst):
-            shutil.copy(os.path.join(SRC, f"{name}.parquet"), dst)
+            shutil.copy(os.path.join(src, f"{name}.parquet"), dst)
 
 
 # ---------------------------------------------------------------------------
@@ -744,6 +806,21 @@ def main() -> None:
     )
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument(
+        "--src",
+        default=SRC,
+        help="BASE side of the comparison (and replication source for "
+        "--factor builds).  The 100× document probe passes the existing "
+        "10× dir here and a factor-100 documents-only dir as --out, so "
+        "the reported ratio is one further decade (verdict r12 #5).",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated tables to replicate in the build; the rest "
+        "are copied verbatim at base scale (documents-only 100× builds "
+        "stay cheap).  Default: all.",
+    )
+    ap.add_argument(
         "--streaming",
         action="store_true",
         help="run the streaming fold-cost probes (per-batch fold time at "
@@ -779,7 +856,13 @@ def main() -> None:
 
     if not args.skip_gen:
         print(f"generating factor-{args.factor} probe data at {args.out} ...")
-        build(spark, args.out, args.factor)
+        build(
+            spark,
+            args.out,
+            args.factor,
+            src=args.src,
+            tables=set(args.tables.split(",")) if args.tables else None,
+        )
 
     if args.streaming:
         res = run_streaming_probes(spark, args.out, max(1, args.passes))
@@ -812,7 +895,7 @@ def main() -> None:
         names = [n for n in names if n in keep]
     base_passes, big_passes = [], []
     for p in range(max(1, args.passes)):
-        base_passes.append(time_queries(spark, qs, names, SRC))
+        base_passes.append(time_queries(spark, qs, names, args.src))
         big_passes.append(time_queries(spark, qs, names, args.out))
 
     def minima(passes):
@@ -824,20 +907,24 @@ def main() -> None:
 
     base, big = minima(base_passes), minima(big_passes)
 
-    print(f"\n{'query':34s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}   (minima over {len(base_passes)} passes)")
+    base_tag = os.path.basename(args.src.rstrip("/")) or "base"
+    big_tag = os.path.basename(args.out.rstrip("/")) or "scaled"
+    print(f"\n{'query':34s} {base_tag:>10s} {big_tag:>10s} {'ratio':>7s}   (minima over {len(base_passes)} passes)")
     ratios = {}
     for fam, fam_names in PROBE_QUERIES.items():
         for n in fam_names:
             b, g = base.get(n), big.get(n)
             if isinstance(b, float) and isinstance(g, float) and b > 0:
                 ratios[n] = round(g / b, 2)
-                print(f"{n:34s} {b:8.2f} {g:8.2f} {ratios[n]:7.2f}")
+                print(f"{n:34s} {b:10.2f} {g:10.2f} {ratios[n]:7.2f}")
             else:
-                print(f"{n:34s} {b!s:>8s} {g!s:>8s}     n/a")
+                print(f"{n:34s} {b!s:>10s} {g!s:>10s}     n/a")
     print(
         json.dumps(
             {
                 "factor": args.factor,
+                "src": args.src,
+                "out": args.out,
                 "passes": len(base_passes),
                 "base": base,
                 "scaled": big,

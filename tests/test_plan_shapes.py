@@ -386,6 +386,36 @@ def test_funnel_report_single_chained_plan(plans):
     assert p.count("Scan parquet") <= 12
 
 
+def test_q4_overdue_is_semi_join_with_pushed_window(plans):
+    p = plans("overdue_orders_by_priority")
+    # EXISTS decorrelated to ONE left-semi; the date window reaches the
+    # orders parquet scan; no nested loop / cartesian anywhere
+    assert "LeftSemi" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q5_local_supplier_broadcasts_dims_single_fact_shuffle(plans):
+    p = plans("local_supplier_region_revenue")
+    # region→nation→supplier chain broadcast (lineitem prunes map-side);
+    # the only sort-merge candidate is the fact-side orderkey join, and
+    # at driver SFs AQE broadcasts that too — assert no cartesian and
+    # at least 3 broadcast joins
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    # region filter pushed to its scan
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_q11_share_screen_reuses_checkpointed_agg(plans):
+    p = plans("part_revenue_share_screen")
+    # the 1-row threshold rides a broadcast nested-loop over ONE row
+    # (the bounded crossJoin class); the per-part agg subtree is
+    # localCheckpointed so lineitem is scanned once, not per consumer
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Scan parquet") <= 1  # checkpoint: at most the lazy first scan
+
+
 def test_decorrelated_q17_broadcasts_dim_no_nested_loop(plans):
     p = plans("small_quantity_revenue")
     # brand dim broadcast; per-part avg joined as hash-agg, never a
