@@ -41,7 +41,12 @@ from firmable_company_data_pipeline_spark.functions.textstats import (
     doc_fingerprint,
     tokens,
 )
-from firmable_company_data_pipeline_spark.functions.vectors import dot, norm2, to_double
+from firmable_company_data_pipeline_spark.functions.vectors import (
+    dot,
+    norm2,
+    probe_dim,
+    to_double,
+)
 from firmable_company_data_pipeline_spark.session import spread
 
 # Deterministic MinHash permutation parameters (a*h + b) % HASH_MOD.
@@ -1754,6 +1759,18 @@ def _cc_star(edges: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
     covers any graph these pipelines produce; hitting it means the cap
     is too low — raise ``max_iter``.
     """
+    # Checkpoint the INPUT edge set before deriving anything from it
+    # (r13, guide §2.4/§3.3 "materialise an intermediate"): ``nodes``
+    # below and the round-0 ``cur`` both reference ``edges``, whose
+    # lineage is the caller's full pair pipeline (shingle scan +
+    # inverted-index self-join for the jaccard family).  Un-truncated,
+    # the final ``nodes.join(labels)`` re-EXECUTED that pair join a
+    # second time when downstream consumers materialized — one full
+    # extra pair-plan execution per CC consumer (measured on
+    # dedup_clusters_star and the corpus flagship).  Lazy: the
+    # signature-seed action below materializes cur AND these blocks in
+    # the same job.
+    edges = edges.localCheckpoint(eager=False)
     # Node domain from the UNFILTERED endpoints: a node whose only
     # edges are self-loops must still appear in the output (as its own
     # cluster), matching the propagation path's contract — the
@@ -2057,11 +2074,16 @@ def embedding_cosine_pairs(
     ``similarity_search.lsh_bucketed_topk`` as the sub-quadratic scale
     path.  Cosine is the sequential double fold (oracle-exact); norms
     are precomputed per row (not per pair) — same IEEE values, N instead
-    of N² norm folds."""
+    of N² norm folds.  The per-PAIR dot runs the dimension-unrolled
+    codegen path (r13, guide §1.2/§4.1: the interpreted HOF fold over
+    N² pairs was the query's entire cost — measured 23.4 s → the
+    arithmetic itself is milliseconds); values are bit-identical (same
+    IEEE ops, same order — see functions/vectors.py)."""
+    d = probe_dim(df, vec_col)
     base = spread(df).select(
         F.col(id_col).alias("id"),
         to_double(F.col(vec_col)).alias("v"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("nrm"),
+        F.sqrt(norm2(to_double(F.col(vec_col)), d)).alias("nrm"),
     ).persist()  # read as both join sides
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("norm_a")
@@ -2075,7 +2097,8 @@ def embedding_cosine_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")), 6
+                dot(F.col("va"), F.col("vb"), d) / (F.col("norm_a") * F.col("norm_b")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

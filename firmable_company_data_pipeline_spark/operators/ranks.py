@@ -49,11 +49,22 @@ _PID, _RN, _OFF, _TOT = "_rk_pid", "_rk_rn", "_rk_off", "_rk_tot"
 
 def _range_partitioned(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Range-repartition on the order columns and stamp the physical
-    partition id.  Persisted — see module docstring."""
+    partition id.  localCheckpoint (lazy), not persist (r13): the
+    offsets job and the row-output job must see IDENTICAL partition
+    boundaries.  persist guaranteed that only while the blocks stayed
+    cached — an evicted block would silently re-run RangePartitioner's
+    sampling and could disagree; a checkpointed block either exists or
+    fails loudly.  Checkpointing also truncates the lineage, so the two
+    consumers (offsets broadcast + output rows) and any chained second
+    rank (quality_ensemble_topk ranks twice) re-analyze a leaf scan,
+    not the caller's full scoring pipeline — measured as the dominant
+    plan-size term there (hundreds of duplicated Exchange subtrees in
+    the formatted plan).  The first action (normally the offsets
+    broadcast build) materializes the blocks."""
     return (
         df.repartitionByRange(*[F.asc(c) for c in order_cols])
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 

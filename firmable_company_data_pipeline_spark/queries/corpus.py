@@ -122,9 +122,13 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("keep").alias("k2")
     )
     canon = stats.groupBy("fingerprint").agg(F.min("doc_id").alias("canon_id"))
-    # persisted: f3 feeds the stage-3 survivor set (near-dup re-rank),
-    # the stage-6 survivor set (selection rank) and the final verdict
-    # projection — three consumers of one narrow frame
+    # checkpointed (r13; was persist): f3 feeds the stage-3 survivor set
+    # (near-dup re-rank), the stage-6 survivor set and the final verdict
+    # projection — persist dedups EXECUTION but every consumer's plan
+    # still embeds (and Catalyst re-analyzes) the full text-features +
+    # repetition + canon lineage; the truncated lineage is what cuts the
+    # flagship's job count (guide §3.3 / §5 localCheckpoint).  Lazy: the
+    # first consumer's job materializes the blocks.
     f3 = (
         sp.select("doc_id", "source", "n_chars")
         .join(stats, "doc_id")
@@ -141,7 +145,7 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k2",
             (F.col("doc_id") == F.col("canon_id")).alias("k3"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     surv3 = f3.filter(F.col("k1") & F.col("k2") & F.col("k3"))
     near = (
@@ -165,11 +169,14 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_contam", F.lit(True))
     )
-    # persisted: f6 feeds BOTH the stage-6 survivor set (selection
-    # rank) and the final verdict join — without it the winnow
-    # contamination screen and the near-dup re-rank execute once per
-    # consumer (measured: the flagship's first bench run paid the
-    # whole screen pipeline several times over)
+    # checkpointed (r13; was persist): f6 feeds BOTH the stage-6
+    # survivor set (selection top-k) and the final verdict join —
+    # without materialization the winnow contamination screen and the
+    # near-dup re-rank execute once per consumer (measured: the
+    # flagship's first bench run paid the whole screen pipeline several
+    # times over), and with persist alone each consumer still re-embeds
+    # and re-analyzes the full screen lineage (the _shard_rows lesson,
+    # one level down).
     f6 = (
         f3.join(near, "doc_id", "left")
         .join(flagged, "doc_id", "left")
@@ -184,7 +191,7 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 10 != 0).alias("k5"),
             F.col("_contam").isNotNull().alias("contam"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     is_target = F.col("source").isin(*_TARGETS)
     gum = cu.dsir_importance(
@@ -204,11 +211,22 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("contam")
     )
     pool6 = surv6.filter(~is_target).join(gum, "doc_id")
-    ranked = exact_global_row_number(
-        pool6.withColumn("_neg", -F.col("gumbel_score")),
-        ["_neg", "doc_id"],
-        out="srn",
-    ).select("doc_id", "srn")
+    # Stage 7 only needs top-_DSIR_BUDGET MEMBERSHIP, not the rank
+    # value: ``srn <= budget`` under the total order (-gumbel, doc_id)
+    # is exactly "row ∈ orderBy(-gumbel, doc_id).limit(budget)" (the
+    # order is total — doc_id tie-break — so the set is unique).  A
+    # TakeOrdered top-k + broadcast semi replaces the full
+    # exact_global_row_number machinery (range-partition sampling job,
+    # persisted repartition, offset broadcast) — r13, guide §2.4:
+    # remove shuffles outright.  Docs missing from pool6 (no gumbel
+    # score) had srn NULL before and are equally absent from the top-k
+    # set now — both formulations fail them at stage 7.
+    sel = (
+        pool6.select("doc_id", (-F.col("gumbel_score")).alias("_neg"))
+        .orderBy("_neg", "doc_id")
+        .limit(_DSIR_BUDGET)
+        .select("doc_id", F.lit(True).alias("_sel"))
+    )
     ff = (
         F.when(~F.col("k1"), 1)
         .when(~F.col("k2"), 2)
@@ -216,12 +234,9 @@ def _corpus_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("k4"), 4)
         .when(~F.col("k5"), 5)
         .when(F.col("contam"), 6)
-        .when(
-            ~is_target & (F.col("srn").isNull() | (F.col("srn") > _DSIR_BUDGET)),
-            7,
-        )
+        .when(~is_target & F.col("_sel").isNull(), 7)
     )
-    return f6.join(ranked, "doc_id", "left").select(
+    return f6.join(F.broadcast(sel), "doc_id", "left").select(
         "doc_id", "source", "n_tok", ff.alias("ff")
     )
 
