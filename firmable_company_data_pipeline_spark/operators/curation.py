@@ -388,7 +388,7 @@ def dsir_weight_table(
             F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
             F.sum(F.when(~F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("cs"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     totals = dist.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
     # One row for EVERY bucket in range(n_buckets), not just the buckets
@@ -517,7 +517,7 @@ def dsir_importance(
     tf = (
         rows.groupBy("id", "_tgt", *carry, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     dist = tf.groupBy("bucket").agg(
         F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
@@ -739,7 +739,7 @@ def semantic_dedup_pairs(
     # the former per-id window here was a corpus-sized shuffle).
     assigned = nearest_cells(
         spread(emb), cents, id_col, vec_col, "id", 1
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("id").alias("id_a"), "cell", F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -938,7 +938,7 @@ def boilerplate_stats(
     pg = (
         occ.groupBy("source", "id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     doc_freq = pg.groupBy("source", "gram").agg(
         F.count(F.lit(1)).alias("doc_freq")

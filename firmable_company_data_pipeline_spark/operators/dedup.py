@@ -214,8 +214,11 @@ def ngram_jaccard_pairs(
         ex = ex.withColumn(
             "_df", F.count("*").over(Window.partitionBy("shingle"))
         ).filter(F.col("_df") <= max_df).drop("_df")
-    # Persisted: the inverted-index join reads this table as both sides.
-    ex = ex.persist()
+    # Materialized once (lazy localCheckpoint, r13; was persist): the
+    # inverted-index join reads this table as both sides, and the
+    # truncated lineage keeps consumers from re-analyzing the full
+    # shingle pipeline per reference.
+    ex = ex.localCheckpoint(eager=False)
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("shingle")
     )
@@ -381,7 +384,7 @@ def minhash_lsh_pairs(
     # id_a/id_b renames — without the persist the whole scan→shingle→agg
     # pipeline runs twice (measured 4-8× end-to-end).  16 longs per doc:
     # tiny relative to the corpus, spill-safe at scale.
-    sig = minhash_signatures(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(df, text_col, id_col, n).localCheckpoint(eager=False)
     bands = _lsh_bands(sig)
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -617,7 +620,7 @@ def simhash_pairs(
         .agg(*votes)
         .select("id", fp_expr.alias("fp"))
         .unionByName(no_shingles)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     band_structs = ", ".join(
         f"struct({i} AS band,"
@@ -1158,9 +1161,13 @@ def winnow_overlap_pairs(
     ex = winnow_fingerprint_rows(df, text_col, id_col, k, w)
     if max_df is not None:
         ex = _winnow_df_cap(ex, max_df)
-    # Persisted: the inverted-index join reads this table as both sides
-    # (without it the whole scan→window→agg pipeline runs twice).
-    return _winnow_pairs_join(ex.persist(), min_shared, min_containment)
+    # Materialized once (lazy localCheckpoint, r13; was persist): the
+    # inverted-index join reads this table as both sides (without it the
+    # whole scan→window→agg pipeline runs twice), and lineage truncation
+    # stops per-consumer re-analysis of that pipeline.
+    return _winnow_pairs_join(
+        ex.localCheckpoint(eager=False), min_shared, min_containment
+    )
 
 
 def _winnow_pairs_join(ex: DataFrame, min_shared: int, min_containment: float) -> DataFrame:
@@ -1225,14 +1232,14 @@ def winnow_match_spans(
     and the capped index is what both the pair join and the span
     semi-filter read — the corpus-length gram scan + per-doc selection
     window runs exactly once (pinned by ``tests/test_plan_shapes.py``)."""
-    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).persist()
+    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     sets = fps_pos.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
     ex = sets.select(
         "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
     )
     if max_df is not None:
         ex = _winnow_df_cap(ex, max_df)
-    ex = ex.persist()
+    ex = ex.localCheckpoint(eager=False)
     pairs = _winnow_pairs_join(ex, min_shared, min_containment).select(
         "id_a", "id_b"
     )
@@ -1360,15 +1367,15 @@ def winnow_pair_report(
     fingerprint table is persisted once; the pair gate, the span
     coordinates, and the islands coalescing are all derived from it —
     the corpus gram scan never re-runs."""
-    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).persist()
+    fps_pos = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     sets = fps_pos.groupBy("id").agg(F.collect_set("fp").alias("fpset"))
     ex = sets.select(
         "id", F.size("fpset").alias("n_fp"), F.explode("fpset").alias("fp")
     )
     if max_df is not None:
         ex = _winnow_df_cap(ex, max_df)
-    ex = ex.persist()
-    pairs = _winnow_pairs_join(ex, min_shared, min_containment).persist()
+    ex = ex.localCheckpoint(eager=False)
+    pairs = _winnow_pairs_join(ex, min_shared, min_containment).localCheckpoint(eager=False)
     capped = (
         fps_pos.join(ex.select("id", "fp"), ["id", "fp"], "left_semi")
         if max_df is not None
@@ -1384,7 +1391,7 @@ def winnow_pair_report(
         .distinct()
         # three consumers below (runs + the two per-side coverages) —
         # without the cache the pair-gate + two position joins rerun 3×
-        .persist()
+        .localCheckpoint(eager=False)
     )
     runs = _coalesce_runs(coords, k)
     stats = runs.groupBy("id_a", "id_b").agg(
@@ -1573,7 +1580,7 @@ def block_delta_dedup(
     to :func:`block_dedup` restricted to the delta's documents; when
     ingest order is doc_id order the union over batches equals the
     batch operator (pinned in ``tests/test_streaming.py``)."""
-    blocks = block_rows(delta_docs, text_col, id_col, block_tokens).persist()
+    blocks = block_rows(delta_docs, text_col, id_col, block_tokens).localCheckpoint(eager=False)
     return _reassemble_blocks(
         block_delta_flags(
             index_blocks, delta_docs, text_col, id_col, block_tokens,
@@ -1650,7 +1657,7 @@ def winnow_contamination(
         rows = _winnow_df_cap(rows, max_df)
     # persisted: the bipartite join reads this once per side; without
     # the cache the corpus gram scan runs twice
-    rows = rows.persist()
+    rows = rows.localCheckpoint(eager=False)
     is_eval = (F.col("id") % eval_mod) == 0
     tr = rows.filter(~is_eval).select(
         F.col("id").alias("train_id"), "fp"
@@ -1906,7 +1913,7 @@ def connected_components(
         return labels
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     # localCheckpoint, not persist, on the per-round label state: the
     # update references the previous labels twice, so the logical plan
     # doubles per round and Catalyst re-analysis turns superlinear once
@@ -2084,7 +2091,7 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("id"),
         to_double(F.col(vec_col)).alias("v"),
         F.sqrt(norm2(to_double(F.col(vec_col)), d)).alias("nrm"),
-    ).persist()  # read as both join sides
+    ).localCheckpoint(eager=False)  # read as both join sides
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("norm_a")
     )

@@ -65,11 +65,14 @@ def pagerank(
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
-        # Persisted PRE-PARTITIONED on the join key: every iteration's
-        # edge⋈rank join then reuses this layout for the edge side —
-        # one exchange per iteration instead of two.
+        # Checkpointed PRE-PARTITIONED on the join key (r13; was
+        # persist): every iteration's edge⋈rank join reuses this layout
+        # for the edge side — one exchange per iteration instead of two
+        # — and the truncated lineage keeps the per-iteration plans
+        # (which reference the edge set once per power step) from
+        # re-embedding the caller's full pair pipeline.
         .repartition(F.col("src"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # The ONLY driver-side value is the node count — one scalar, same
@@ -131,11 +134,12 @@ def triangle_count(
     Output: (id, degree, n_triangles, clustering) where clustering =
     2·T / (deg·(deg−1)), 0.0 for degree-1 nodes; rounded to 6 dp.
 
-    The undirected edge set is ``persist()``-ed (it feeds the degree
-    build, the orientation, and the final id join); same cache contract
-    as the MinHash signature/PageRank edge persists — the CALLER owns
-    cache lifetime and clears it between logical runs
-    (``spark.catalog.clearCache()``).
+    The undirected edge set is checkpointed (r13; was persist): it
+    feeds the degree build, the orientation, and the final id join, and
+    each of those consumers re-embedded (and Catalyst re-analyzed) the
+    caller's full pair-pipeline lineage under plain persist — the same
+    truncation rationale as the CC star input.  Blocks materialize
+    lazily with the first consumer's job.
     """
     a, b = F.col(id_a), F.col(id_b)
     und = (
@@ -147,7 +151,7 @@ def triangle_count(
         # arbitrary caller pair-streams behave.
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # Orient u→v iff (deg(u), u) < (deg(v), v); keep each edge once.

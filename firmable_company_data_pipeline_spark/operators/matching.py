@@ -541,14 +541,14 @@ def match_cascade(
     recomputes the stage — exchange reuse alone doesn't cover the two
     different plan shapes.
     """
-    rule = rule_based_match(cc, abr).persist()
+    rule = rule_based_match(cc, abr).localCheckpoint(eager=False)
 
     residual1 = anti_join_residual(cc, rule, "domain")
     fuzzy = fuzzy_match(residual1, abr, threshold=threshold, scorer=scorer)
 
     stages = [rule, fuzzy]
     if enable_llm:
-        fuzzy = fuzzy.persist()
+        fuzzy = fuzzy.localCheckpoint(eager=False)
         stages[1] = fuzzy
         # residual1 already excludes every rule-matched domain, so the
         # second residual only needs to subtract the fuzzy matches —

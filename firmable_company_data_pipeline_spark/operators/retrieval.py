@@ -87,7 +87,7 @@ def bm25_topk(
     tf = (
         occ.groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -350,7 +350,7 @@ def vocab_coverage(
         .select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # deterministic total order -> limit picks exactly the rank-filter set
     top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(max_cp)
@@ -547,7 +547,7 @@ def bpe_train(
                 F.regexp_replace("tok", "(.)", "$1" + _BPE_SEP),
             ).alias("spelled"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = words

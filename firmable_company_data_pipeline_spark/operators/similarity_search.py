@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from firmable_company_data_pipeline_spark.functions.vectors import dot, norm2, to_double
+from firmable_company_data_pipeline_spark.functions.vectors import (
+    dot,
+    norm2,
+    probe_dim,
+    to_double,
+)
 from firmable_company_data_pipeline_spark.session import spread
 
 
@@ -266,16 +271,19 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (self-matches
-    excluded).  Output: (query_id, neighbor_id, cos_sim, rank)."""
+    excluded).  Output: (query_id, neighbor_id, cos_sim, rank).  The
+    per-candidate dot runs the dimension-unrolled codegen path (r13) —
+    bit-identical values, no interpreted per-pair fold."""
+    d = probe_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double(F.col(vec_col)).alias("qv"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("qn"),
+        F.sqrt(norm2(to_double(F.col(vec_col)), d)).alias("qn"),
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         to_double(F.col(vec_col)).alias("cv"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("cn"),
+        F.sqrt(norm2(to_double(F.col(vec_col)), d)).alias("cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -285,7 +293,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                dot(F.col("qv"), F.col("cv"), d) / (F.col("qn") * F.col("cn")), 6
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -304,15 +312,16 @@ def lsh_bucketed_topk(
     """Approximate cosine top-k: candidates restricted to the query's
     sign-bucket (≈ N/2^planes of the corpus per query).  Same output
     shape as ``brute_force_topk``; recall < 1 by construction."""
+    d = probe_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double(F.col(vec_col)).alias("qv"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("qn"),
+        F.sqrt(norm2(to_double(F.col(vec_col)), d)).alias("qn"),
     ).withColumn("bucket", sign_bucket(F.col("qv"), planes))
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         to_double(F.col(vec_col)).alias("cv"),
-        F.sqrt(norm2(to_double(F.col(vec_col)))).alias("cn"),
+        F.sqrt(norm2(to_double(F.col(vec_col)), d)).alias("cn"),
     ).withColumn("bucket", sign_bucket(F.col("cv"), planes))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -322,7 +331,7 @@ def lsh_bucketed_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+                dot(F.col("qv"), F.col("cv"), d) / (F.col("qn") * F.col("cn")), 6
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -723,7 +732,7 @@ def pq_kmeans_codebooks(
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible into {m} PQ subspaces")
     sub_d = d // m
-    v = corpus.select(to_double(F.col(vec_col)).alias("v")).persist()
+    v = corpus.select(to_double(F.col(vec_col)).alias("v")).localCheckpoint(eager=False)
     spark = corpus.sparkSession
     rows = []
     for j in range(m):
@@ -1092,7 +1101,17 @@ def mmr_rerank(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Output: (rank 1..k, vec_id, mmr_score) — the diversified top-k
-    for the query vector ``query_id`` over the rest of the corpus."""
+    for the query vector ``query_id`` over the rest of the corpus.
+
+    r13 per-task-work pass (guide §1.2): the candidate norm
+    ``sqrt(norm2(v))`` is computed ONCE into the checkpointed frame
+    instead of once per penalty term per step (same expression on the
+    same data — identical IEEE value); the per-step penalty norm over
+    the SELECTED vector is a Python-computed literal (the same
+    sequential x*x left fold in doubles — bit-identical to the JVM
+    fold); and every dot runs the dimension-unrolled codegen path.
+    Values are unchanged — only the k probe jobs got cheaper."""
+    d = probe_dim(corpus, vec_col)
     e = spread(corpus).select(
         F.col(id_col).alias("vid"), to_double(F.col(vec_col)).alias("v")
     )
@@ -1104,22 +1123,32 @@ def mmr_rerank(
             "vid",
             "v",
             F.round(
-                dot(F.col("v"), F.col("qv"))
-                / (F.sqrt(norm2(F.col("v"))) * F.sqrt(norm2(F.col("qv")))),
+                dot(F.col("v"), F.col("qv"), d)
+                / (F.sqrt(norm2(F.col("v"), d)) * F.sqrt(norm2(F.col("qv"), d))),
                 6,
             ).alias("rel"),
+            F.sqrt(norm2(F.col("v"), d)).alias("nrm"),
         )
         .localCheckpoint()  # scored once, probed k times
     )
     spark = corpus.sparkSession
+
+    def _py_norm(vec: list[float]) -> float:
+        import math
+
+        acc = 0.0
+        for x in vec:  # the same sequential left fold as norm2()
+            acc = acc + x * x
+        return math.sqrt(acc)
+
     selected: list[tuple[int, list[float]]] = []
     out_rows: list[tuple[int, int, float]] = []
     for step in range(1, k + 1):
         if selected:
             pens = [
                 F.round(
-                    dot(F.col("v"), F.lit(sv))
-                    / (F.sqrt(norm2(F.col("v"))) * F.sqrt(norm2(F.lit(sv)))),
+                    dot(F.col("v"), F.lit(sv), d)
+                    / (F.col("nrm") * F.lit(_py_norm(sv))),
                     6,
                 )
                 for _, sv in selected

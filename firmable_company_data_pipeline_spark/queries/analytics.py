@@ -606,18 +606,34 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.operators.graph import triangle_count
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.alias("a")
-    b = basket.alias("b")
+    # Per-order pair expansion MAP-SIDE from the collected basket array
+    # (r13, guide §2.3/§2.4 — the shingle_sets shape): ONE exchange
+    # (groupBy orderkey, map-side combine dedups parts) instead of a
+    # row-level distinct exchange + a self-join that re-exchanges both
+    # sides.  array_sort + (i < j) index combos emit exactly the a < b
+    # distinct-part pairs the old self-join produced; baskets are
+    # order-line-bounded, so the per-row combo work is O(basket²) on a
+    # tiny array, never a shuffle.
+    basket = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    n = F.size("parts")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.get("parts", i).alias("id_a"),
+                    F.get("parts", j).alias("id_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
+        basket.filter(n >= 2)
+        .select(F.explode(combos).alias("pr"))
+        .groupBy(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= _TRI_MIN_ORDERS)
         .select("id_a", "id_b")

@@ -293,7 +293,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "fingerprint",
         ((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")).alias("q_keep"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     rep = cu.repetition_stats(docs).select("doc_id", F.col("keep").alias("rep_keep"))
     canon = q.groupBy("fingerprint").agg(F.min("doc_id").alias("canon_id"))
     ex = q.join(canon, "fingerprint").select(

@@ -572,7 +572,7 @@ def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs the gram-scan + selection-window pipeline.  In production
     # both sides come back from parquet (index_dir + the additive
     # winnow_df_table), so this cache stands in for that storage.
-    fps = dd.winnow_fingerprint_rows(docs).persist()
+    fps = dd.winnow_fingerprint_rows(docs).localCheckpoint(eager=False)
     index = fps.filter(F.col("id") % 10 != 0)
     delta = fps.filter(F.col("id") % 10 == 0)
     # broadcast_delta: the delta is a bounded ingest batch by contract,
@@ -807,7 +807,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signatures are per-doc, so one shingle pass over the corpus and a
     # split-by-id replaces two full pipelines (in production the index
     # side is read back from its parquet home, not recomputed at all).
-    sigs = dd.minhash_signatures(docs).persist()
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=False)
     index = sigs.filter(F.col("id") % 10 != 0)
     delta = sigs.filter(F.col("id") % 10 == 0)
     return dd.minhash_delta_pairs(index, delta, threshold=0.5)
@@ -974,7 +974,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (measured round 7: the two-fold chain went 24 s -> ~4 s of planning).
 def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint(eager=False)
     is_new_a = F.col("id_a") % 4 == 0
     is_new_b = F.col("id_b") % 4 == 0
     old_pairs = pairs.filter(~is_new_a & ~is_new_b)
@@ -1001,7 +1001,7 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # day, so truncating lineage per fold is the load-bearing pattern).
 def dedup_clusters_incremental2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint(eager=False)
     era = F.greatest(F.col("id_a"), F.col("id_b")) % 3
     base = pairs.filter(era == 0)
     day1 = pairs.filter(era == 1)
@@ -1028,7 +1028,7 @@ def dedup_clusters_incremental_sliver(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).persist()
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint(eager=False)
     is_new_a = F.col("id_a") % 100 == 0
     is_new_b = F.col("id_b") % 100 == 0
     old_pairs = pairs.filter(~is_new_a & ~is_new_b)
@@ -1627,7 +1627,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     # Frozen centroid set (8 rows); persisted because three consumers
     # (two assigns, one probe) would otherwise re-run the TakeOrdered.
-    cents = ann.default_centroids(emb, n_cells=8).persist()
+    cents = ann.default_centroids(emb, n_cells=8).localCheckpoint(eager=False)
     base = ann.ivf_assign(emb.filter(F.col("vec_id") % 4 != 0), cents)
     delta = ann.ivf_assign(emb.filter(F.col("vec_id") % 4 == 0), cents)
     index = base.unionByName(delta)
@@ -2087,7 +2087,7 @@ def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lifetime — the standing signature-table contract.
     ex = docs.select(
         "source", F.explode(dd.shingle_hashes(F.col("text"))).alias("shingle")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     tot = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     common = (
         ex.alias("a")
@@ -2180,7 +2180,7 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").over(w).alias("cum_end"),
         )
         .withColumn("cum_start", F.col("cum_end") - F.col("cnt") + 1)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     total = cum.agg(F.sum("cnt").cast("long").alias("n_total"))
     q = F.floor(F.col("n_total") / 10)

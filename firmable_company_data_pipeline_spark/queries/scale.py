@@ -275,7 +275,7 @@ def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-session callers, clearCache() between queries).
     occ = docs.select(F.explode(ts.tokens(F.col("text"))).alias("term")).select(
         "term", ts.char_fold_hash(F.col("term")).alias("h")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     sketch = sk.cms_partial(occ)
     exact = occ.groupBy("term").agg(
@@ -445,7 +445,7 @@ def cms_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clears caches between queries).
     occ = toks.select(F.explode(grams).alias("term")).select(
         "term", ts.char_fold_hash(F.col("term")).alias("h")
-    ).persist()
+    ).localCheckpoint(eager=False)
     sketch = sk.cms_partial(occ)
     exact = occ.groupBy("term").agg(
         F.count(F.lit(1)).alias("exact_n"), F.min("h").alias("h")
