@@ -330,6 +330,22 @@ def main():
         "timed_query_run's rationale).  1 restores the single-shot "
         "pre-r13 behavior.",
     )
+    ap.add_argument(
+        "--raw-out",
+        default=os.environ.get(
+            "SPARK_GRAFT_BENCH_RAW_OUT",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "plans",
+                "bench_raw_latest.json",
+            ),
+        ),
+        help="also write the FULL payload (all per-query seconds) to this "
+        "file (verdict r13 #7: the driver keeps only a truncated stdout "
+        "tail, which cost round 13 two-thirds of its per-query evidence). "
+        "Additions-only: the one-line stdout JSON contract is unchanged. "
+        "Set to '' to disable.",
+    )
     args = ap.parse_args()
     passes = max(1, args.passes)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -440,6 +456,16 @@ def main():
     }
     if errors:
         payload["errors"] = errors
+    if args.raw_out:
+        # Durable full per-query map (best-effort: a read-only checkout
+        # must never fail the bench itself).
+        try:
+            os.makedirs(os.path.dirname(args.raw_out), exist_ok=True)
+            with open(args.raw_out, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError:
+            pass
     print(json.dumps(payload))
     # Second, compact, total-only line printed LAST: the detailed line
     # above grows with the suite (~90 queries) and exceeded the driver's

@@ -541,14 +541,21 @@ def match_cascade(
     recomputes the stage — exchange reuse alone doesn't cover the two
     different plan shapes.
     """
-    rule = rule_based_match(cc, abr).localCheckpoint(eager=False)
+    # persist(), NOT localCheckpoint (r14, reverting an r13 sweep
+    # conversion): callers attach Observation metrics upstream
+    # (pipeline.run_pipeline_observed) and a checkpoint buries the
+    # CollectMetrics node inside an RDD leaf whose materialization
+    # never fires a query-execution end event — the observed counts
+    # silently read 0.  persist keeps the observe node in the acting
+    # plan (and keeps size stats for the downstream join planning).
+    rule = rule_based_match(cc, abr).persist()
 
     residual1 = anti_join_residual(cc, rule, "domain")
     fuzzy = fuzzy_match(residual1, abr, threshold=threshold, scorer=scorer)
 
     stages = [rule, fuzzy]
     if enable_llm:
-        fuzzy = fuzzy.localCheckpoint(eager=False)
+        fuzzy = fuzzy.persist()
         stages[1] = fuzzy
         # residual1 already excludes every rule-matched domain, so the
         # second residual only needs to subtract the fuzzy matches —

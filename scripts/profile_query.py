@@ -37,6 +37,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--tag", default="before")
     ap.add_argument("--plans", action="store_true")
+    ap.add_argument("--round", default="r14", help="plans/<round>/ output dir")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -47,7 +48,7 @@ def main() -> None:
     spark = get_spark("profile-r13")
     qs = entrymod.queries()
     tracker = spark.sparkContext.statusTracker()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(out_dir, exist_ok=True)
 
     spark.read.parquet(os.path.join(args.sf, "region.parquet")).count()

@@ -960,52 +960,49 @@ def test_winnow_delta_index_never_reshuffled(spark, tmp_path):
 
 def test_winnow_match_spans_single_gram_scan(spark):
     """One selection pipeline feeds both the pair gate and the span
-    listing (verdict r8 #2): exactly ONE distinct cached relation in
-    the spans plan computes the gram scan (the `sequence(1, n_grams)`
-    position explode); every other cache derives from it."""
+    listing (verdict r8 #2).  Since r13 the two shared tables are
+    ``localCheckpoint(eager=False)`` blocks, not ``persist()`` caches,
+    so the invariant is pinned over checkpointed-RDD scan leaves
+    instead of InMemoryRelations:
+
+    - exactly TWO distinct checkpoint RDDs appear as plan leaves — the
+      positioned fingerprint table fps_pos (id, pos, fp) and the capped
+      pair index ex (id, n_fp, fp);
+    - ex's RDD lineage bottoms out at fps_pos's RDD (the derived index
+      never re-runs the gram scan);
+    - the main plan contains no `sequence(1, n_grams)` gram-scan node
+      at all (the corpus-length scan sits entirely behind the fps_pos
+      checkpoint, computed once)."""
     df = spark.createDataFrame(_WINNOW_DOCS, "doc_id long, text string")
     out = dd.winnow_match_spans(df, min_shared=1, max_df=100)
-
-    relations: dict = {}
-
-    def collect_relations(node):
-        if node.nodeName() == "InMemoryRelation":
-            plan = node.cachedPlan()
-            relations.setdefault(plan.id(), plan)
-        if node.nodeName() == "InMemoryTableScan":
-            rel = node.relation()
-            plan = rel.cachedPlan()
-            if plan.id() not in relations:
-                relations[plan.id()] = plan
-                _walk_plan(plan, collect_relations)
-
     qe = out._jdf.queryExecution()
-    _walk_plan(qe.executedPlan(), collect_relations)
-    for plan in list(relations.values()):
-        _walk_plan(plan, collect_relations)
 
-    def has_gram_scan(plan):
-        hit = []
+    rdd_leaves: dict = {}  # rdd id -> (cols, jrdd)
 
-        def v(node):
-            if node.nodeName() != "InMemoryTableScan" and "sequence(1" in (
-                node.toString().splitlines()[0]
-            ):
-                hit.append(True)
+    def collect_rdd_scans(node):
+        if node.getClass().getSimpleName() == "RDDScanExec":
+            cols = tuple(
+                node.output().apply(i).name()
+                for i in range(node.output().size())
+            )
+            rdd = node.rdd()
+            rdd_leaves[rdd.id()] = (cols, rdd)
 
-        _walk_plan(plan, v)
-        return bool(hit)
+    _walk_plan(qe.executedPlan(), collect_rdd_scans)
 
-    gram_caches = [p for p in relations.values() if has_gram_scan(p)]
-    assert len(relations) >= 2  # fps_pos + the derived capped index
-    assert len(gram_caches) == 1, [p.id() for p in gram_caches]
-    # the main (uncached) plan must not recompute the gram scan either
+    by_cols = {cols: rdd for cols, rdd in rdd_leaves.values()}
+    assert len(rdd_leaves) == 2, sorted(rdd_leaves.items())
+    assert set(by_cols) == {("id", "pos", "fp"), ("id", "n_fp", "fp")}, by_cols
+    fps_rdd = by_cols[("id", "pos", "fp")]
+    ex_rdd = by_cols[("id", "n_fp", "fp")]
+    # derivation: the capped index RDD's (pre-materialization) lineage
+    # includes the fps_pos checkpoint RDD — one gram scan feeds both
+    assert f"[{fps_rdd.id()}]" in ex_rdd.toDebugString()
+    # the main plan must not recompute the gram scan anywhere
     main_hits = []
 
     def v_main(node):
-        if node.nodeName() != "InMemoryTableScan" and "sequence(1" in (
-            node.toString().splitlines()[0]
-        ):
+        if "sequence(1" in node.toString().splitlines()[0]:
             main_hits.append(node.nodeName())
 
     _walk_plan(qe.executedPlan(), v_main)

@@ -34,8 +34,23 @@ def test_exact_global_row_number_matches_window(spark):
     assert got == want
     # the scale property itself: the plan range-partitions the frame and
     # the only windows run per physical partition / over the tiny
-    # per-partition counts, never over the unpartitioned full frame
-    plan = rk.exact_global_row_number(df, ["v", "id"])._jdf.queryExecution().executedPlan().toString()
+    # per-partition counts, never over the unpartitioned full frame.
+    # Since r13 _range_partitioned cuts lineage with a lazy
+    # localCheckpoint, hiding the range exchange behind a LogicalRDD
+    # leaf — make the checkpoint transparent while building the plan
+    # (identity: it truncates lineage, never changes the computed plan).
+    cls = type(df)
+    orig = cls.localCheckpoint
+    cls.localCheckpoint = lambda self, eager=True: self
+    try:
+        plan = (
+            rk.exact_global_row_number(df, ["v", "id"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        cls.localCheckpoint = orig
     assert "rangepartitioning" in plan
 
 
