@@ -444,6 +444,32 @@ def main():
                 ),
                 flush=True,
             )
+            # Same crash insurance for the per-query map (r14): a sweep
+            # killed mid-run used to lose EVERY per-query second; the
+            # raw-out file now trails the sweep, marked partial until
+            # the final overwrite below.
+            if args.raw_out:
+                try:
+                    os.makedirs(os.path.dirname(args.raw_out), exist_ok=True)
+                    with open(args.raw_out, "w") as fh:
+                        json.dump(
+                            {
+                                "metric": "headline_queries_wall_clock",
+                                "value": round(sum(timings.values()), 3),
+                                "unit": "sec",
+                                "queries": timings,
+                                "errors": errors,
+                                "sf": sf_val,
+                                "passes": passes,
+                                "partial": True,
+                            },
+                            fh,
+                            indent=1,
+                            sort_keys=True,
+                        )
+                        fh.write("\n")
+                except OSError:
+                    pass
     total = round(sum(timings.values()), 3)
 
     payload = {

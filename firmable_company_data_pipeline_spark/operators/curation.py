@@ -737,9 +737,13 @@ def semantic_dedup_pairs(
     # centroid cross-score runs twice.  One (id, cell, vec) row per
     # input vector, spill-safe.  nearest_cells is map-only (advice r7:
     # the former per-id window here was a corpus-sized shuffle).
+    # persist(), NOT localCheckpoint (r14 revert of the r13 sweep): the
+    # cell self-join's broadcast decision reads this frame's stats —
+    # the stats-free checkpoint leaf forces sort-merge (the minhash
+    # signature-table mechanism, verdict r13 #4).
     assigned = nearest_cells(
         spread(emb), cents, id_col, vec_col, "id", 1
-    ).localCheckpoint(eager=False)
+    ).persist()
     a = assigned.select(
         F.col("id").alias("id_a"), "cell", F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -1471,8 +1475,21 @@ def lm_perplexity_bins(
     base = spread(docs).select(
         F.col(id_col), F.col(source_col).alias("source")
     )
-    scored = base.join(
-        trigram_lm_score_docs(docs, model, text_col, id_col), id_col, "left"
+    # Materialized ONCE (r14, verdict r13 #6): the unscored rollup and
+    # the binning window BOTH consume the scored frame — without the pin
+    # the whole five-broadcast-join scorer executes twice, and the two
+    # consumers are sibling subtrees of one action, so a lazy pin would
+    # still race the first materialization.  Three narrow columns per
+    # doc; downstream join strategy is broadcast-hinted (stats-free
+    # checkpoint is safe here).
+    scored = (
+        base.join(
+            trigram_lm_score_docs(docs, model, text_col, id_col),
+            id_col,
+            "left",
+        )
+        .select(id_col, "source", "avg_logscore")  # n_trigrams unused here
+        .localCheckpoint(eager=True)
     )
     unscored = scored.groupBy("source").agg(
         F.sum(F.col("avg_logscore").isNull().cast("long")).alias("n_unscored")

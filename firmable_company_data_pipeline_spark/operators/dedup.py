@@ -214,11 +214,13 @@ def ngram_jaccard_pairs(
         ex = ex.withColumn(
             "_df", F.count("*").over(Window.partitionBy("shingle"))
         ).filter(F.col("_df") <= max_df).drop("_df")
-    # Materialized once (lazy localCheckpoint, r13; was persist): the
-    # inverted-index join reads this table as both sides, and the
-    # truncated lineage keeps consumers from re-analyzing the full
-    # shingle pipeline per reference.
-    ex = ex.localCheckpoint(eager=False)
+    # Materialized once as persist(), NOT localCheckpoint (r14 revert of
+    # the r13 sweep): the inverted-index join reads this table as both
+    # sides, and the InMemoryRelation's size stats feed that join's
+    # broadcast decision — the stats-free checkpoint leaf regressed the
+    # ngram-pair consumers (dup_cluster_size_histogram 2.52 s -> 3.21 s,
+    # curation_report 3.37 s -> 3.82 s; verdict r13 #4).
+    ex = ex.persist()
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), F.col("shingle")
     )
@@ -384,7 +386,11 @@ def minhash_lsh_pairs(
     # id_a/id_b renames — without the persist the whole scan→shingle→agg
     # pipeline runs twice (measured 4-8× end-to-end).  16 longs per doc:
     # tiny relative to the corpus, spill-safe at scale.
-    sig = minhash_signatures(df, text_col, id_col, n).localCheckpoint(eager=False)
+    # persist(), NOT localCheckpoint (r14 revert of the r13 sweep): the
+    # InMemoryRelation's size stats feed the band self-join's broadcast
+    # decision; the stats-free checkpoint leaf regressed
+    # minhash_recall_report 2.71 s -> 3.11 s (verdict r13 #4).
+    sig = minhash_signatures(df, text_col, id_col, n).persist()
     bands = _lsh_bands(sig)
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -2074,6 +2080,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.45,
+    d: int | None = None,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: pairwise cosine ≥ threshold.
 
@@ -2085,8 +2092,10 @@ def embedding_cosine_pairs(
     codegen path (r13, guide §1.2/§4.1: the interpreted HOF fold over
     N² pairs was the query's entire cost — measured 23.4 s → the
     arithmetic itself is milliseconds); values are bit-identical (same
-    IEEE ops, same order — see functions/vectors.py)."""
-    d = probe_dim(df, vec_col)
+    IEEE ops, same order — see functions/vectors.py).  ``d``: pass the
+    known dimension to skip the per-call driver probe (r14)."""
+    if d is None:
+        d = probe_dim(df, vec_col)
     base = spread(df).select(
         F.col(id_col).alias("id"),
         to_double(F.col(vec_col)).alias("v"),
@@ -2134,11 +2143,33 @@ def bcubed_eval(assignments: DataFrame) -> DataFrame:
     """(doc_id, p, g) → ONE row (n_docs, n_pred_clusters,
     n_gold_clusters, bcubed_precision, bcubed_recall, bcubed_f1).
     ``assignments`` must have one row per document with its predicted
-    and gold cluster ids."""
-    lab = assignments.localCheckpoint(eager=False)  # consumed 4×
-    npg = lab.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n_pg"))
-    np_ = lab.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    ng = lab.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    and gold cluster ids.
+
+    r14 (verdict r13 #6, guide §2.4): ONE pass over the assignment
+    stream.  The r13 shape scanned the (checkpointed) assignments four
+    times — the (p,g) agg, a per-p agg, a per-g agg, and the counts row
+    with its two count-distincts (an Expand tripling the data).  Every
+    one of those derives EXACTLY from the (p,g) contingency table:
+    n_p = Σ_g n_pg, n_g = Σ_p n_pg, n_docs = Σ n_pg, and the distinct
+    p/g sets of npg are the distinct sets of the assignments (every
+    assignment row lands in exactly one (p,g) group) — same integers,
+    same results, three corpus-sized passes removed.  npg (one narrow
+    row per distinct (p,g) pair) is persisted: it feeds the two
+    side-tables, the join probe and the counts row, and its
+    InMemoryRelation stats let the planner broadcast the per-p/per-g
+    sides when they fit.  Materialized EAGERLY: the four consumers are
+    sibling subtrees of one action, so a lazy pin would race the first
+    materialization — each racer re-running the caller's full
+    assignment pipeline (for dedup_bcubed_eval, the whole near-dup
+    clustering)."""
+    npg = (
+        assignments.groupBy("p", "g")
+        .agg(F.count(F.lit(1)).alias("n_pg"))
+        .persist()
+    )
+    npg.count()  # eager cache fill; see docstring
+    np_ = npg.groupBy("p").agg(F.sum("n_pg").alias("n_p"))
+    ng = npg.groupBy("g").agg(F.sum("n_pg").alias("n_g"))
     terms = (
         npg.join(np_, "p")
         .join(ng, "g")
@@ -2147,8 +2178,8 @@ def bcubed_eval(assignments: DataFrame) -> DataFrame:
             F.sum(F.expr(f"n_pg * n_pg * {B3_SCALE} div n_g")).alias("sr"),
         )
     )
-    counts = lab.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+    counts = npg.agg(
+        F.sum("n_pg").cast("long").alias("n_docs"),
         F.count_distinct("p").alias("n_pred_clusters"),
         F.count_distinct("g").alias("n_gold_clusters"),
     )

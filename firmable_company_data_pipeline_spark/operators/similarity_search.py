@@ -28,6 +28,7 @@ from pyspark.sql.functions import broadcast
 
 from firmable_company_data_pipeline_spark.functions.vectors import (
     dot,
+    dot_literal,
     norm2,
     probe_dim,
     to_double,
@@ -269,12 +270,17 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    d: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (self-matches
     excluded).  Output: (query_id, neighbor_id, cos_sim, rank).  The
     per-candidate dot runs the dimension-unrolled codegen path (r13) —
-    bit-identical values, no interpreted per-pair fold."""
-    d = probe_dim(corpus, vec_col)
+    bit-identical values, no interpreted per-pair fold.  ``d``: pass
+    the known vector dimension to skip the per-call driver probe
+    (verdict r13 #8 — callers composing several ANN operators probe
+    once and thread it through)."""
+    if d is None:
+        d = probe_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double(F.col(vec_col)).alias("qv"),
@@ -308,11 +314,14 @@ def lsh_bucketed_topk(
     planes: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    d: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     sign-bucket (≈ N/2^planes of the corpus per query).  Same output
-    shape as ``brute_force_topk``; recall < 1 by construction."""
-    d = probe_dim(corpus, vec_col)
+    shape as ``brute_force_topk``; recall < 1 by construction.
+    ``d``: see :func:`brute_force_topk`."""
+    if d is None:
+        d = probe_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double(F.col(vec_col)).alias("qv"),
@@ -1099,6 +1108,7 @@ def mmr_rerank(
     lam: float = 0.7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    d: int | None = None,
 ) -> DataFrame:
     """Output: (rank 1..k, vec_id, mmr_score) — the diversified top-k
     for the query vector ``query_id`` over the rest of the corpus.
@@ -1110,8 +1120,10 @@ def mmr_rerank(
     the SELECTED vector is a Python-computed literal (the same
     sequential x*x left fold in doubles — bit-identical to the JVM
     fold); and every dot runs the dimension-unrolled codegen path.
-    Values are unchanged — only the k probe jobs got cheaper."""
-    d = probe_dim(corpus, vec_col)
+    Values are unchanged — only the k probe jobs got cheaper.
+    ``d``: see :func:`brute_force_topk`."""
+    if d is None:
+        d = probe_dim(corpus, vec_col)
     e = spread(corpus).select(
         F.col(id_col).alias("vid"), to_double(F.col(vec_col)).alias("v")
     )
@@ -1145,9 +1157,14 @@ def mmr_rerank(
     out_rows: list[tuple[int, int, float]] = []
     for step in range(1, k + 1):
         if selected:
+            # dot_literal, not dot(v, F.lit(sv), d) (r14): the generic
+            # unroll embeds the full 64-literal array under every
+            # element_at — ~6·d² nodes per penalty term, and every step
+            # compiles a FRESH plan (new literals), so plan analysis +
+            # codegen dominated the query.  Values bit-identical.
             pens = [
                 F.round(
-                    dot(F.col("v"), F.lit(sv), d)
+                    dot_literal(F.col("v"), sv)
                     / (F.col("nrm") * F.lit(_py_norm(sv))),
                     6,
                 )

@@ -289,11 +289,17 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side of the canon join — without it the full text_features
     # expression tree (tokenize + fingerprint fold + quality + lang)
     # executes twice.  Three narrow columns per doc, spill-safe.
+    # persist(), NOT localCheckpoint (r14 revert of the r13 sweep): the
+    # canon side of the q ⋈ canon join below is an aggregate OVER q, so
+    # its size estimate — and with it the broadcast decision — derives
+    # from q's stats; a stats-free checkpoint leaf forces the pessimist
+    # sort-merge path (the cross_source_shingle_overlap mechanism,
+    # verdict r13 #4; curation_report regressed 3.37 s -> 3.82 s).
     q = stats.select(
         "doc_id",
         "fingerprint",
         ((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")).alias("q_keep"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     rep = cu.repetition_stats(docs).select("doc_id", F.col("keep").alias("rep_keep"))
     canon = q.groupBy("fingerprint").agg(F.min("doc_id").alias("canon_id"))
     ex = q.join(canon, "fingerprint").select(
@@ -437,12 +443,18 @@ GROUP BY d.source
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_company_data_pipeline_spark.operators import similarity_search as ann
 
+    from firmable_company_data_pipeline_spark.functions.vectors import probe_dim
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
-    brute = ann.brute_force_topk(emb, queries, k=10).select(
+    # ONE dimension probe for the whole report (verdict r13 #8): the
+    # three candidate generators share the corpus, so thread d through
+    # instead of paying a driver executeTake job per operator call.
+    d = probe_dim(emb, "embedding")
+    brute = ann.brute_force_topk(emb, queries, k=10, d=d).select(
         "query_id", "neighbor_id"
     )
-    lsh = ann.lsh_bucketed_topk(emb, queries, k=10).select(
+    lsh = ann.lsh_bucketed_topk(emb, queries, k=10, d=d).select(
         "query_id", "neighbor_id", F.lit(1).alias("_lsh")
     )
     ivf = ann.ivf_topk(queries, emb, k=10, n_cells=8, nprobe=2).select(
@@ -1036,7 +1048,19 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
         < 80
     )
-    model = cu.trigram_lm_table(docs.filter(in_train))
+    # Materialize the count table ONCE (r14, verdict r13 #6): the scorer
+    # slices it SIX ways (order-3 / order-2 ×2 / order-1 ×2 / totals),
+    # each slice a separate broadcast build — unmaterialized, every
+    # build re-ran the full train-split tokenize + gram hash-agg, and
+    # the builds race on their own threads so even persist() pays
+    # several concurrent duplicate computations on first touch.  Eager
+    # localCheckpoint runs the gram agg exactly once, synchronously;
+    # every downstream join is explicitly broadcast-hinted, so the
+    # checkpoint's missing stats cannot change a join strategy (the
+    # cross_source_shingle_overlap lesson does not apply).
+    model = cu.trigram_lm_table(docs.filter(in_train)).localCheckpoint(
+        eager=True
+    )
     return cu.trigram_lm_score_docs(docs, model)
 
 
@@ -1105,7 +1129,10 @@ def lm_perplexity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
         < 80
     )
-    model = cu.trigram_lm_table(docs.filter(in_train))
+    # Same six-slice materialization as trigram_lm_score (r14).
+    model = cu.trigram_lm_table(docs.filter(in_train)).localCheckpoint(
+        eager=True
+    )
     return cu.lm_perplexity_bins(docs, model, n_bins=3)
 
 

@@ -2081,22 +2081,52 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
 # are omitted (inner join semantics, mirrored in the oracle).
 def cross_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, "documents")["documents"])
-    # Persisted: the (source, hash) set feeds the totals and BOTH join
-    # sides — without it the tokenize/shingle/hash pipeline (the real
-    # cost; the joins are tiny) executes three times.  Caller owns cache
-    # lifetime — the standing signature-table contract.
-    ex = docs.select(
-        "source", F.explode(dd.shingle_hashes(F.col("text"))).alias("shingle")
-    ).distinct().localCheckpoint(eager=False)
-    tot = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
+    # r14 rewrite (guide §2.3/§2.4 — the copurchase_triangles shape;
+    # verdict r13 #2): the old distinct + self-join-on-hash plan had TWO
+    # corpus-scale exchanges and a join whose strategy flapped with the
+    # materialization's stats (persist ⇒ borderline broadcast of a
+    # multi-MB set, checkpoint ⇒ sort-merge both sides; measured 2.1-7.1 s
+    # across rounds on identical data).  Per-shingle source SETS make
+    # both derivable from ONE map-side-combined exchange: collect_set
+    # dedups (source, shingle) in the partial agg, per-shingle source
+    # arrays are bounded by |sources| (tiny by definition), index combos
+    # over the sorted array emit exactly the old src_a < src_b pairs,
+    # and the per-source totals re-derive by exploding the sets —
+    # deterministic plan, no join at all on the corpus-scale stream.
+    # Persisted + eagerly filled: srcsets feeds the totals AND the pair
+    # expansion — sibling subtrees of one action that would otherwise
+    # race the first materialization, each re-running the shingle agg.
+    srcsets = (
+        docs.select(
+            "source", F.explode(dd.shingle_hashes(F.col("text"))).alias("shingle")
         )
-        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .persist()
+    )
+    srcsets.count()  # eager cache fill; see comment above
+    tot = (
+        srcsets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.size("srcs")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.get("srcs", i).alias("src_a"),
+                    F.get("srcs", j).alias("src_b"),
+                ),
+            ),
+        )
+    )
+    common = (
+        srcsets.filter(n >= 2)
+        .select(F.explode(combos).alias("pr"))
+        .groupBy(F.col("pr.src_a").alias("src_a"), F.col("pr.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
@@ -2172,7 +2202,10 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the bounded cum table (|distinct lengths| rows): it feeds
     # the total, the lo boundary join and the hi boundary join — without
     # the pin each consumer re-runs the corpus-wide hash-agg (advice r6;
-    # caller-owns-lifetime, same contract as vocab_coverage)
+    # caller-owns-lifetime, same contract as vocab_coverage).
+    # persist(), NOT localCheckpoint (r14 revert of the r13 sweep): the
+    # table is kilobytes — checkpoint block-store traffic cost more than
+    # the lineage truncation saved (0.49 s -> 0.65 s, verdict r13 #4).
     cum = (
         hist.select(
             "n_chars",
@@ -2180,7 +2213,7 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").over(w).alias("cum_end"),
         )
         .withColumn("cum_start", F.col("cum_end") - F.col("cnt") + 1)
-        .localCheckpoint(eager=False)
+        .persist()
     )
     total = cum.agg(F.sum("cnt").cast("long").alias("n_total"))
     q = F.floor(F.col("n_total") / 10)

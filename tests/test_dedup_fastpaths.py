@@ -1066,3 +1066,30 @@ def test_bcubed_eval_hand_computed(spark):
     )
     r2 = bcubed_eval(perfect).collect()[0]
     assert (r2.bcubed_precision, r2.bcubed_recall, r2.bcubed_f1) == (1.0, 1.0, 1.0)
+
+
+def test_bcubed_eval_single_assignment_pass(spark, tmp_path):
+    """r14 restructure pin: every aggregate (per-p, per-g, counts)
+    derives from the persisted (p,g) contingency table, so the
+    assignment source is scanned exactly ONCE — the r13 shape scanned
+    it four times (three aggs + an Expand'd counts row)."""
+    from firmable_company_data_pipeline_spark.operators.dedup import bcubed_eval
+
+    path = str(tmp_path / "assign")
+    spark.createDataFrame(
+        [(i, i % 3, i % 2) for i in range(30)], "doc_id long, p long, g long"
+    ).write.parquet(path)
+    out = bcubed_eval(spark.read.parquet(path))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    # one parquet scan (inside the cached npg plan), shared via cache
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "InMemoryRelation" in p
+    # no Expand (the old twin count-distinct over the full assignments)
+    # reading anything bigger than the contingency table
+    spark.catalog.clearCache()

@@ -84,3 +84,62 @@ def test_float_widening_matches(spark):
 def test_probe_dim_empty(spark):
     empty = spark.createDataFrame([], "id long, v array<double>")
     assert probe_dim(empty, "v") is None
+
+
+def test_unroll_cap_uses_fold(spark):
+    """advice r13: d beyond UNROLL_MAX_D must not expand to ~6d codegen
+    nodes (JVM 64KB method-limit risk) — the builders return the plain
+    HOF fold expression, value-identical by construction."""
+    from firmable_company_data_pipeline_spark.functions.vectors import (
+        UNROLL_MAX_D,
+    )
+
+    big = UNROLL_MAX_D + 1
+    rows = [(1, [float(i % 7) / 3.0 for i in range(big)],
+             [float((i + 2) % 5) / 9.0 for i in range(big)])]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    capped = dot(F.col("a"), F.col("b"), big)
+    # no element_at unroll in the capped expression tree
+    assert "element_at" not in str(capped)
+    out = df.select(
+        capped.alias("fast"), dot(F.col("a"), F.col("b")).alias("fold")
+    ).collect()[0]
+    assert math.isclose(out["fast"], out["fold"], rel_tol=0.0, abs_tol=0.0)
+    # at or below the cap the unroll still fires
+    assert "element_at" in str(dot(F.col("a"), F.col("b"), UNROLL_MAX_D))
+
+
+def test_dot_literal_bit_identical(spark):
+    """dot_literal (r14, the mmr penalty form) must equal both the
+    array-literal unrolled dot and the HOF fold bit-for-bit, and fall
+    back to the fold on size-mismatched rows."""
+    from firmable_company_data_pipeline_spark.functions.vectors import (
+        dot_literal,
+    )
+
+    lit = [1.5, -2.25, 3.125, 0.0625]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4]), (2, [1e-30, 1e30, -1e30, 1.0]),
+         (3, [7.0, 11.0])],  # short row -> fold branch
+        "id long, a array<double>",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dot_literal(F.col("a"), lit).alias("lit_path"),
+            dot(F.col("a"), F.lit(lit), 4).alias("arr_path"),
+            dot(F.col("a"), F.lit(lit)).alias("fold"),
+        ).collect()
+    }
+    for rid, r in out.items():
+        if r["fold"] is None:
+            # short row: zip_with pads with NULL, every path yields NULL
+            assert r["lit_path"] is None and r["arr_path"] is None, rid
+            continue
+        assert math.isclose(r["lit_path"], r["arr_path"], rel_tol=0.0, abs_tol=0.0), rid
+        assert math.isclose(r["lit_path"], r["fold"], rel_tol=0.0, abs_tol=0.0), rid
+    # and the literal path is the SMALL tree: no CreateArray inside the
+    # unrolled branch (one array literal only in the fold fallback)
+    s = str(dot_literal(F.col("a"), lit))
+    assert s.count("array(") <= 1
